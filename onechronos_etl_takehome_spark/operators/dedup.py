@@ -1,0 +1,339 @@
+"""Deduplication operators — exact through fuzzy, all DataFrame-native.
+
+Ladder of cost vs. recall (training-data pipeline staples):
+
+1. ``deterministic_dedup``  — exact key dedup with a defined winner
+   (fixes the reference's arbitrary-row ``dropDuplicates``,
+   etl_pipeline.py:111 / SURVEY.md §4.3-3).
+2. ``dedup_exact``          — content-hash dedup (md5 fingerprint).
+3. ``ngram_jaccard_pairs``  — exact n-gram Jaccard similarity pairs:
+   the *correctness oracle* for fuzzy dedup. O(pairs sharing a
+   shingle); run it on candidates, not the full corpus, at scale.
+4. ``minhash_lsh_candidates`` — MinHash + banded LSH: the 100-TB path.
+   shingle → k minhashes → b bands → bucket join. Candidate pairs are
+   then verified with exact Jaccard (``minhash_dedup_pairs``).
+5. ``simhash`` / ``simhash_near_pairs`` — 64-bit SimHash with banded
+   Hamming search.
+
+Everything hashes JVM-side (xxhash64 inside higher-order functions) —
+no Python in the hot path except SimHash's bit-mash, which is an
+Arrow-vectorized pandas UDF over pre-hashed tokens.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def deterministic_dedup(
+    df: DataFrame, keys: list[str], order_by: list[Column]
+) -> DataFrame:
+    """Keep exactly one row per key — the first under ``order_by``.
+
+    Unlike ``dropDuplicates`` the survivor does not depend on partition
+    layout, so reruns (and cluster-size changes) are stable.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("_dd_rn", F.row_number().over(w))
+        .filter(F.col("_dd_rn") == 1)
+        .drop("_dd_rn")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash dedup: one group per distinct text, min-id survivor."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text column.
+
+    Pure higher-order-function expression (whole-stage codegen'd); short
+    texts (< n words) collapse to a single whole-text shingle.
+    """
+    w = F.split(text, " ")
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(w, i + F.lit(1), n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, windows).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All id pairs (a<b) with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: only pairs sharing >= 1 shingle are ever
+    materialized. Scale guard: very frequent shingles fan out
+    quadratically — MinHash-LSH (below) is the 100-TB entry point; this
+    is the oracle used to verify its candidates.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n_shingles").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) MinHash signatures.
+
+    hash_i(s) = xxhash64(i ⊕ s); min taken per hash over the shingle
+    set — all inside array expressions, zero Python per row.
+    """
+    sh = word_shingles(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Signature split into ``bands`` bands of r=num_hashes/bands rows;
+    docs colliding on any whole band become candidates. Probability a
+    pair with Jaccard j collides: 1-(1-j^r)^b — with 32/8 the curve
+    crosses ~0.5 near j≈0.6.
+
+    Scale: the self-join is per (band, band_hash) bucket — no global
+    quadratic blowup; hot buckets (boilerplate text) should be length-
+    capped upstream at extreme scale.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(bi), F.concat_ws(",", F.slice("sig", bi * r + 1, r)))
+            for bi in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (the full scale path)."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    jaccard = F.col("n_common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over whitespace tokens.
+
+    Token hashing stays JVM-side (xxhash64 in a higher-order transform);
+    only the 64-lane bit tally runs in an Arrow-batched pandas UDF —
+    numpy-vectorized, deterministic, no external deps.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(
+            "tok_hashes"
+        ),
+    )
+
+    @F.pandas_udf(LongType())
+    def _simhash_from_hashes(tok_hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(tok_hashes), dtype=np.int64)
+        for row_i, hs in enumerate(tok_hashes):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if h.size == 0:
+                continue
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )  # (n_tokens, 64) in {0,1}
+            tally = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(tally > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[row_i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), _simhash_from_hashes("tok_hashes").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs (id_a < id_b) with SimHash Hamming distance <= max_hamming.
+
+    Banded search: split the 64-bit signature into max_hamming+1 chunks;
+    by pigeonhole any pair within the distance bound agrees on >= 1
+    whole chunk → join per (chunk_idx, chunk_value) bucket, then verify
+    with bit_count(xor).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash(df, id_col, text_col)
+    chunk_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), ci * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for ci in range(chunks)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunk_vals).alias("chunk", "cv")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

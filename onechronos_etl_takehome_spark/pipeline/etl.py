@@ -1,0 +1,259 @@
+"""Trade-reconciliation ETL — the reference pipeline, rebuilt Spark-first.
+
+Same query semantics as the reference (etl_pipeline.py:62-442; quirks
+Q1-Q7 per SURVEY.md §2.9), different execution design:
+
+- **3 actions instead of 14.** The reference fires 12 counts + 2
+  collects with no caching, re-running the CSV scans and joins ~10×
+  (SURVEY.md §4.3). Here every stage count is an ``Observation``
+  attached to the single lineage; the validated frame is cached once;
+  one stats aggregation + two writes complete the run.
+- **Deterministic dedup.** ``dropDuplicates`` keeps an arbitrary row
+  per key; we keep the row that sorts first over all columns, so
+  reruns and repartitioning cannot change survivors.
+- **Broadcast enrichment.** Both join right-sides are dimension-sized;
+  explicit hints make the plan shuffle-free up to the final write even
+  when statistics are missing.
+- **Declarative rules.** The four validation rules and the reconcile
+  thresholds are data (pipeline/rules.py), not code.
+- **Scale-aware sinks.** Partitioned JSON by default; reference-shaped
+  single-file mode only when asked (sources/sinks.py).
+
+Timezone policy (quirk Q1): rendering uses the session timezone; the
+engine pins UTC. The committed goldens were produced in
+America/New_York — pass ``session_tz="America/New_York"`` to reproduce
+them byte-for-byte (tests/test_reference_parity.py does).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import deterministic_dedup
+from ..sources.readers import read_dirty_csv
+from ..sources.sinks import write_json
+from . import rules
+
+TRADES_COLUMNS = [
+    "trade_id",
+    "timestamp",
+    "symbol",
+    "quantity",
+    "price",
+    "buyer_id",
+    "seller_id",
+    "trade_status",
+]
+FILL_RENAMES = {
+    "timestamp": "cp_timestamp",
+    "symbol": "cp_symbol",
+    "quantity": "cp_quantity",
+    "price": "cp_price",
+}
+
+ISO_RE = r"^\d{4}-\d{2}-\d{2}T"
+EPOCH_RE = r"^\d{10}$"
+# Requires 2-digit minute+second: single-digit inputs fall through to
+# the patternless parse and become NULL (quirk Q2 — load-bearing for
+# golden parity; a lenient mode would add {1,2} here).
+US_RE = r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{2}:\d{2}"
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def default_config() -> dict[str, Any]:
+    return {
+        "validation": {
+            "price_discrepancy_threshold_exclusive": 0.01,
+            "price_decimal_places": 2,
+        },
+        "data_quality": {
+            "filter_duplicates": True,
+            "filter_cancelled_trades": True,
+        },
+        "output": {
+            "cleaned_trades_path": "cleaned_trades.json",
+            "exceptions_report_path": "exceptions_report.json",
+            "single_file": True,
+        },
+    }
+
+
+def load_config(path: str) -> dict[str, Any]:
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    merged = default_config()
+    for section, values in (cfg or {}).items():
+        merged.setdefault(section, {}).update(values or {})
+    return merged
+
+
+def normalize_timestamp(col: F.Column) -> F.Column:
+    """Multi-format timestamp dispatch (ISO / epoch-seconds / US)."""
+    return (
+        F.when(col.rlike(ISO_RE), F.to_timestamp(col, ISO_FMT))
+        .when(col.rlike(EPOCH_RE), F.to_timestamp(col.cast("long")))
+        .when(col.rlike(US_RE), F.to_timestamp(col, "M/d/yyyy H:mm:ss"))
+        .otherwise(F.to_timestamp(col))
+    )
+
+
+class ReconciliationPipeline:
+    """extract → dedup/filter → enrich → validate → clean → load."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: dict[str, Any] | None = None,
+        *,
+        input_dir: str = ".",
+        session_tz: str = "UTC",
+    ) -> None:
+        self.spark = spark
+        self.config = config or default_config()
+        self.input_dir = input_dir
+        spark.conf.set("spark.sql.session.timeZone", session_tz)
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        self.metrics: dict[str, int] = {}
+        self._observations: dict[str, Observation] = {}
+
+    # -- extract ----------------------------------------------------------
+
+    def _observe_count(self, df: DataFrame, name: str) -> DataFrame:
+        obs = Observation(name)
+        self._observations[name] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def extract(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        p = lambda f: os.path.join(self.input_dir, f)  # noqa: E731
+        trades = read_dirty_csv(self.spark, p("trades.csv"), TRADES_COLUMNS)
+        fills = read_dirty_csv(
+            self.spark, p("counterparty_fills.csv"), rename=FILL_RENAMES
+        )
+        symbols = read_dirty_csv(self.spark, p("symbols_reference.csv"))
+        return trades, fills, symbols
+
+    # -- transform --------------------------------------------------------
+
+    def transform(
+        self, trades: DataFrame, fills: DataFrame, symbols: DataFrame
+    ) -> DataFrame:
+        dq = self.config["data_quality"]
+        flow = self._observe_count(trades, "raw")
+        if dq["filter_duplicates"]:
+            flow = deterministic_dedup(
+                flow, ["trade_id"], [F.col(c) for c in TRADES_COLUMNS]
+            )
+        flow = self._observe_count(flow, "post_dedup")
+        if dq["filter_cancelled_trades"]:
+            # 3-valued: NULL status is dropped too (reference parity).
+            flow = flow.filter(F.col("trade_status") != "CANCELLED")
+        flow = self._observe_count(flow, "post_cancel")
+
+        enriched = flow.join(
+            F.broadcast(fills),
+            flow["trade_id"] == fills["our_trade_id"],
+            "left",
+        ).join(F.broadcast(symbols), "symbol", "left")
+
+        typed = enriched.withColumns(
+            {
+                "quantity_int": F.col("quantity").cast("int"),
+                "price_dec": F.col("price").cast("double"),
+                "cp_quantity_int": F.col("cp_quantity").cast("int"),
+                "cp_price_dec": F.col("cp_price").cast("double"),
+            }
+        )
+        validated = rules.apply_rules(typed)
+        validated = rules.reconcile(
+            validated,
+            price_threshold=float(
+                self.config["validation"]["price_discrepancy_threshold_exclusive"]
+            ),
+        )
+        return validated
+
+    # -- clean ------------------------------------------------------------
+
+    def cleaned_output(self, validated: DataFrame) -> DataFrame:
+        places = int(self.config["validation"]["price_decimal_places"])
+        return validated.filter(F.col("is_valid")).select(
+            "trade_id",
+            F.date_format(
+                normalize_timestamp(F.col("timestamp")), ISO_FMT
+            ).alias("timestamp_utc"),
+            "symbol",
+            F.col("quantity_int").alias("quantity"),
+            F.round("price_dec", places).alias("price"),
+            "buyer_id",
+            "seller_id",
+            "counterparty_confirmed",
+            "discrepancy_flag",
+        )
+
+    def exceptions_output(self, validated: DataFrame) -> DataFrame:
+        return validated.filter(~F.col("is_valid")).select(
+            F.col("trade_id").alias("record_id"),
+            F.lit("trades.csv").alias("source_file"),
+            F.array_join("exception_types", ", ").alias("exception_type"),
+            F.array_join("exception_details", "; ").alias("details"),
+            F.struct(
+                "trade_id",
+                "timestamp",
+                "symbol",
+                "quantity",
+                "price",
+                "buyer_id",
+                "seller_id",
+                "trade_status",
+            ).alias("raw_data"),
+        )
+
+    # -- run --------------------------------------------------------------
+
+    def run(self, output_dir: str = ".") -> dict[str, int]:
+        trades, fills, symbols = self.extract()
+        validated = self.transform(trades, fills, symbols).cache()
+        try:
+            # Action 1: one aggregation materializes the cache, fires
+            # every stage Observation, and computes the split metrics.
+            stats = validated.agg(
+                F.sum(F.when(F.col("is_valid"), 1).otherwise(0)).alias("valid"),
+                F.sum(F.when(~F.col("is_valid"), 1).otherwise(0)).alias("invalid"),
+                F.sum(
+                    F.when(F.col("is_valid") & F.col("discrepancy_flag"), 1).otherwise(
+                        0
+                    )
+                ).alias("discrepancy"),
+            ).collect()[0]
+            obs = {k: o.get["n"] for k, o in self._observations.items()}
+            self.metrics = {
+                "processed_trades": obs["raw"],
+                "duplicate_trades": obs["raw"] - obs["post_dedup"],
+                "cancelled_trades": obs["post_dedup"] - obs["post_cancel"],
+                "successful_trades": int(stats["valid"] or 0),
+                "invalid_trades": int(stats["invalid"] or 0),
+                "discrepancy_trades": int(stats["discrepancy"] or 0),
+            }
+
+            # Actions 2+3: the two sinks, each reading the cache.
+            out = self.config["output"]
+            single = bool(out.get("single_file", True))
+            write_json(
+                self.cleaned_output(validated),
+                os.path.join(output_dir, out["cleaned_trades_path"]),
+                single_file=single,
+            )
+            write_json(
+                self.exceptions_output(validated),
+                os.path.join(output_dir, out["exceptions_report_path"]),
+                single_file=single,
+            )
+            return self.metrics
+        finally:
+            validated.unpersist()

@@ -1,0 +1,312 @@
+"""LLM-training-data pipeline queries (SURVEY.md §7 Phase 3).
+
+Dedup (exact → n-gram Jaccard → MinHash-LSH → SimHash), similarity
+search over embeddings, text analysis, multimodal binary plumbing, and
+the batch twin of the streaming window operator. Oracle-checked where
+SQL can express the semantics; LSH candidate generation depends on
+engine-specific hashes (xxhash64) → rows-only checks, with the exact
+operators serving as their recall oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dec, money_sum
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import text as tx
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+# DuckDB fragment: distinct 3-word shingles of documents.text (matches
+# operators/dedup.word_shingles for texts with >= 3 words).
+_SH_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+    i -> concat_ws(' ', (string_split(text, ' '))[i],
+                        (string_split(text, ' '))[i+1],
+                        (string_split(text, ' '))[i+2])))) AS shingle
+  FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_exact(docs, "doc_id", "text")
+
+
+@register(
+    "d02_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS ({_SH_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+    """,
+)
+def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("d03_minhash_dedup_pairs")  # xxhash64-based → rows-only check;
+def d03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall oracle = d02 (exact Jaccard at the same threshold).
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@register("d04_simhash_near_pairs")  # xxhash64-based → rows-only check
+def d04_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t01_text_quality",
+    oracle="""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        AS n_unique,
+      CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS lexical_diversity,
+      CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+)
+def t01_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(text).alias("n_tokens"),
+        tx.unique_token_count(text).alias("n_unique"),
+        tx.avg_token_len(text).alias("avg_token_len"),
+        tx.lexical_diversity(text).alias("lexical_diversity"),
+        tx.stopword_ratio(text).alias("stopword_ratio"),
+    )
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: (
+            "len(list_filter(string_split(text, ' '), t -> t IN ("
+            + ", ".join(f"'{m}'" for m in markers)
+            + ")))"
+        )
+        for lang, markers in tx.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in tx.LANG_MARKERS
+    ) + " END"
+    return f"""
+    SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang
+    FROM documents
+    """
+
+
+@register("t02_lang_id", oracle=_lang_oracle())
+def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "t03_token_top20",
+    oracle="""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def t03_token_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _COS.format(a=a, b=b)
+    na = _COS.format(a=a, b=a)
+    nb = _COS.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "s01_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, corpus_id, {_cos_sql('qv', 'cv')} AS score
+      FROM c JOIN q ON query_id <> corpus_id),
+    ranked AS (
+      SELECT query_id, corpus_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, corpus_id) AS rn
+      FROM scored)
+    SELECT query_id, corpus_id, score, rn AS "rank"
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    return cosine_topk_bruteforce(queries, corpus, k=5).select(
+        "query_id", "corpus_id", "score", "rank"
+    )
+
+
+@register("s02_cosine_topk_lsh")  # approximate (recall<1) → rows-only check
+def s02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    return cosine_topk_lsh(queries, corpus, dim=64, k=5, n_planes=8).select(
+        "query_id", "corpus_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m01_binary_metadata",
+    oracle="""
+    SELECT doc_id AS id,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      md5(text) AS checksum
+    FROM documents
+    """,
+)
+def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real mapInPandas path over an opaque binary column; the oracle
+    # reduces to string md5 because the demo payload is utf-8 text.
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.binary_metadata(mm.attach_binary(docs, "doc_id", "text"))
+
+
+@register("m02_decode_features")  # stub decoder → rows-only check
+def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.decode_features(mm.attach_binary(docs, "doc_id", "text"), n_features=16)
+    return feats.select("id", "modality", "n_bytes", F.size("features").alias("n_features"))
+
+
+# ---------------------------------------------------------------------------
+# streaming twin (batch semantics of the Structured Streaming job)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e01_hourly_event_windows",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        AS window_start,
+      event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e01_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same groupBy(window) the streaming job uses (streaming/ module);
+    # tumbling 1h windows align with date_trunc('hour').
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            money_sum(dec("value", 14, 2), "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,11 @@
+from .events_stream import (
+    hourly_event_windows_stream,
+    read_events_stream,
+    streaming_dedup,
+)
+
+__all__ = [
+    "hourly_event_windows_stream",
+    "read_events_stream",
+    "streaming_dedup",
+]

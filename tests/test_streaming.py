@@ -1,0 +1,57 @@
+"""Streaming/batch parity: the streaming windowed agg must produce the
+same results as its batch twin once the single microbatch drains."""
+
+from __future__ import annotations
+
+from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+from onechronos_etl_takehome_spark.session import pin_semantics
+from onechronos_etl_takehome_spark.streaming import (
+    hourly_event_windows_stream,
+    read_events_stream,
+    streaming_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _drain(query):
+    query.awaitTermination()
+
+
+def test_stream_hourly_windows_match_batch(spark, tmp_path):
+    pin_semantics(spark)
+    stream = hourly_event_windows_stream(read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    got = {
+        tuple(r) for r in spark.table("hourly_stream").collect()
+    }
+    expected = {
+        tuple(r)
+        for r in QUERIES["e01_hourly_event_windows"](spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_runs(spark, tmp_path):
+    pin_semantics(spark)
+    deduped = streaming_dedup(read_events_stream(spark, SF))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    _drain(q)
+    n = spark.table("dedup_stream").count()
+    # event_id is unique in the testdata → dedup is the identity here.
+    assert n == 1000
