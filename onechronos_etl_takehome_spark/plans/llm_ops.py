@@ -244,6 +244,68 @@ def s02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d06_embedding_neardup_pairs",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b, {{cos}} AS score
+    FROM a JOIN b ON id_a < id_b
+    WHERE {{cos}} >= 0.95
+    """.replace("{cos}", _cos_sql("va", "vb")),
+)
+def d06_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).
+
+    The correctness baseline for embedding dedup; the 100-TB path
+    buckets by LSH first (s02) and only scores within buckets.
+    """
+    from ..operators.similarity import cosine
+
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= 0.95)
+    )
+
+
+@register(
+    "t04_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            w -> CAST(length(w) * 131 + unicode(w) AS BIGINT))),
+        (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def t04_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (polynomial) document fingerprint.
+
+    Unlike the md5 content hash (d01), the polynomial fold is
+    incremental — the shape a streaming fingerprinter uses. Integer
+    arithmetic mod 2^31-1 keeps every step exact in both engines.
+    """
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    word_vals = F.transform(
+        F.split("text", " "),
+        lambda w: (F.length(w) * 131 + F.ascii(w)).cast("long"),
+    )
+    fp = F.aggregate(
+        word_vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 1000003 + x) % 2147483647,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
