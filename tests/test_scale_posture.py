@@ -1,0 +1,74 @@
+"""Scale-posture assertions: the physical plans must show the
+properties the 100-TB design claims — pushdown, pruning, broadcasts.
+These are plan-shape tests, so they run in milliseconds and fail the
+moment a refactor silently loses an optimization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from onechronos_etl_takehome_spark.operators.skew import salted_join
+from onechronos_etl_takehome_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    # projection pruned: the scan must not read join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q02_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q02_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims never sort-merge
+
+
+def test_q06_selective_filters_pushed(spark):
+    plan = _plan(spark, "q06_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "PushedFilters: []" not in plan.split("Scan parquet")[1]
+
+
+def test_q17_range_join_is_hash_not_nested_loop(spark):
+    plan = _plan(spark, "q17_shipments_within_60d")
+    assert "NestedLoop" not in plan  # equi-key carries the join
+    assert "Join" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _plan(spark, "q19_purchase_last_view_asof")
+    # union+window as-of: exactly one Exchange for the window partition
+    # (plus AQE-inserted reads) — no join at all.
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in QUERIES:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 99), ("miss", 1)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("other", "O")], ["k", "tag"]
+    )
+    plain = left.join(right, ["k"], how).orderBy("k", "v").collect()
+    salted = salted_join(left, right, ["k"], how=how, salt_buckets=4)
+    assert salted.orderBy("k", "v").collect() == plain
