@@ -93,28 +93,132 @@ def signed_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization + probed rerank.
+
+    ``centroids`` (id, vec) defaults to the corpus rows with the k
+    smallest ids — deterministic; production would train k-means. Each
+    corpus vector is assigned to its nearest centroid (the inverted
+    file); each query probes its ``n_probe`` nearest centroids and
+    exact-reranks only those clusters.
+
+    Scale: the corpus partitions by cluster id — a 100-TB corpus
+    becomes cluster-pruned parquet, and each query touches n_probe
+    clusters instead of everything. Recall < 1; benchmark vs
+    bruteforce (tests/test_sketches.py).
+    """
+    if centroids is None:
+        centroids = corpus.orderBy(corpus_id).limit(8).select(
+            F.col(corpus_id).alias("_cent_id"), F.col(corpus_vec).alias("_cent_vec")
+        )
+    cent = F.broadcast(centroids)
+
+    # corpus → cluster assignment (argmax cosine over centroids)
+    w_assign = Window.partitionBy(corpus_id).orderBy(
+        F.col("_cos").desc(), F.col("_cent_id")
+    )
+    assigned = (
+        corpus.join(cent)
+        .select(
+            corpus_id,
+            corpus_vec,
+            "_cent_id",
+            cosine(F.col(corpus_vec), F.col("_cent_vec")).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(corpus_id, corpus_vec, F.col("_cent_id").alias("_cluster"))
+    )
+
+    # queries → n_probe clusters
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.col("_cos").desc(), F.col("_cent_id")
+    )
+    probes = (
+        queries.join(cent)
+        .select(
+            query_id,
+            query_vec,
+            "_cent_id",
+            cosine(F.col(query_vec), F.col("_cent_vec")).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id, query_vec, F.col("_cent_id").alias("_cluster"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "_cluster")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     *,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     corpus_id: str = "corpus_id",
     corpus_vec: str = "corpus_vec",
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates share an LSH bucket, then
-    exact rerank. Recall < 1 by design — benchmark against bruteforce."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    qb = queries.withColumn("_bucket", signed_bucket(F.col(query_vec), planes))
-    cb = corpus.withColumn("_bucket", signed_bucket(F.col(corpus_vec), planes))
-    joined = cb.join(F.broadcast(qb), ["_bucket"]).filter(
-        F.col(query_id) != F.col(corpus_id)
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` sign bits each; a
+    candidate pair collides in >= 1 table (P[collide per table] =
+    (1-θ/π)^n_planes — multiple tables trade compute for recall).
+    Candidates are deduped then exact-reranked. Recall < 1 by design —
+    tests/test_sketches.py bounds it against bruteforce.
+    """
+
+    def bucket_array(vec: str) -> F.Column:
+        return F.array(
+            *[
+                signed_bucket(
+                    F.col(vec), _hyperplanes(dim, n_planes, seed + 1000 * t)
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    qb = queries.select(
+        query_id, query_vec, F.posexplode(bucket_array(query_vec)).alias("_t", "_b")
     )
-    scored = joined.select(
+    cb = corpus.select(
+        corpus_id, corpus_vec, F.posexplode(bucket_array(corpus_vec)).alias("_t", "_b")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["_t", "_b"])
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, query_vec, corpus_id, corpus_vec)
+        .dropDuplicates([query_id, corpus_id])
+    )
+    scored = cand.select(
         query_id,
         corpus_id,
         cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),

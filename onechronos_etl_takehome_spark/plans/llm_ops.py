@@ -229,6 +229,23 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s03_cosine_topk_ivf")  # approximate (recall<1) → rows-only check
+def s03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf
+
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    return cosine_topk_ivf(queries, corpus, k=5, n_probe=2).select(
+        "query_id", "corpus_id", "score", "rank"
+    )
+
+
 @register("s02_cosine_topk_lsh")  # approximate (recall<1) → rows-only check
 def s02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_semantics(spark)
@@ -270,6 +287,50 @@ def d06_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score"))
         .filter(F.col("score") >= 0.95)
+    )
+
+
+@register(
+    "t05_token_estimates",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        AS n_regex_tokens,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      CAST(ceil(LENGTH(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def t05_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: word/punct regex (BPE-ish boundary
+    splitting), whitespace, and the chars/4 BPE estimate."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_regex_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+@register("x01_approx_sketches")  # engine-specific sketches → rows-only
+def x01_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts + exact baseline per event type.
+
+    approx_count_distinct is engine-specific (not oracle-comparable);
+    tests/test_sketches.py bounds its relative error against the exact
+    count instead. At 100 TB the sketch is mergeable map-side state vs
+    the exact count's full shuffle of distinct values.
+    """
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
