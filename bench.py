@@ -34,6 +34,13 @@ HEADLINE = [
     "q17_shipments_within_60d",
     "q18_user_sessions",
     "q19_purchase_last_view_asof",
+    "q20_cube_order_stats",
+    "q25_rolling_customer_spend",
+    "q31_small_quantity_revenue",
+    "q32_large_volume_orders",
+    "q33_user_event_extremes",
+    "v01_validate_lineitem",
+    "t05_token_estimates",
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
     "d03_minhash_dedup_pairs",

@@ -291,6 +291,102 @@ def q30_nation_name_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q31_small_quantity_revenue",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey AS t_partkey,
+        0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) AS threshold
+      FROM lineitem GROUP BY l_partkey)
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        AS avg_yearly,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresholds ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < threshold
+    """,
+)
+def q31_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: the correlated scalar subquery (per-part average)
+    # decorrelates into an aggregate + equi-join — Catalyst does the
+    # same rewrite for a SQL-spelled correlated subquery.
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(dec("l_quantity")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+        ).alias("threshold")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(thresholds, l.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q32_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+    """,
+)
+def q32_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(
+            "c_custkey", "o_orderkey", F.col("_q").cast("double").alias("total_qty")
+        )
+    )
+
+
+@register(
+    "q33_user_event_extremes",
+    oracle="""
+    SELECT user_id,
+      arg_min(event_id, ts) AS first_event_id,
+      arg_max(event_id, ts) AS last_event_id,
+      COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q33_user_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_by/max_by ≡ DuckDB arg_min/arg_max; ts is micros-unique per
+    # user in this data, so the argmax is well-defined cross-engine.
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "d05_deterministic_dedup",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS event_id
