@@ -387,6 +387,69 @@ def q33_user_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q34_f_minus_urgent_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q34_f_minus_urgent_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXCEPT ALL: multiset difference (duplicates subtract one-for-one),
+    # vs q15's distinct EXCEPT.
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "q35_doc_array_ops",
+    oracle="""
+    SELECT doc_id,
+      list_contains(string_split(text, ' '), 'the') AS has_the,
+      array_to_string((string_split(text, ' '))[1:5], ' ') AS first5,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+    FROM documents
+    """,
+)
+def q35_doc_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_contains(words, "the").alias("has_the"),
+        F.concat_ws(" ", F.slice(words, 1, 5)).alias("first5"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_unique"),
+    )
+
+
+@register(
+    "q36_orders_by_weekday",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      CAST(isodow(o_orderdate) - 1 AS INTEGER) AS dow_mon0,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q36_orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekday(): 0=Monday in Spark ≡ isodow-1 in DuckDB.
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.weekday("o_orderdate").alias("dow_mon0"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(dec("o_totalprice"), "revenue"),
+    )
+
+
+@register(
     "d05_deterministic_dedup",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS event_id
