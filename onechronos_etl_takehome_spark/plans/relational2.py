@@ -450,6 +450,40 @@ def q36_orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q37_sql_entrypoint",
+    oracle="""
+    SELECT r_name,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q37_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL surface: users run spark.sql over the
+    registered views (sources/tables.register_views) — same text a
+    warehouse user would write, Catalyst plans it like the DataFrame
+    API (broadcasts, pushdown identical)."""
+    from ..sources.tables import register_views
+
+    pin_semantics(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+          COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@register(
     "d05_deterministic_dedup",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS event_id

@@ -77,3 +77,28 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
+    """Stream-static join: each microbatch joins the (broadcast) static
+    dimension — the streaming version of the pipeline's enrichment
+    joins (J1/J2). The dim is re-read per batch, so slowly-changing
+    dimensions pick up updates without restarting the query."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, *, available_now: bool = True
+):
+    """Production streaming sink shape: foreachBatch → partitioned
+    parquet (idempotent per batch id via overwrite-by-batch dir)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
