@@ -260,6 +260,68 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate groups (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    ids: DataFrame, pairs: DataFrame, *, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """(id, canonical_id): connected components over duplicate pairs.
+
+    Pair-level dedup (Jaccard/MinHash) yields edges; the *deduped
+    corpus* needs the transitive closure — A~B, B~C must collapse to
+    one survivor. Classic min-label propagation: every node starts as
+    its own label; each iteration takes the min label over neighbors;
+    stop at fixpoint. Near-dup components are tiny (pairs/chains), so
+    convergence takes O(component diameter) iterations — 2-3 in
+    practice; ``max_iters`` bounds pathological chains.
+
+    Scale: each iteration is one join on the edge list + a min-agg —
+    all shuffle-partitioned by node id; labels are cached per round and
+    the loop's only driver-side data is the convergence counter.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).cache()
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+        )
+    finally:
+        pass  # final frame stays cached for the caller's action
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -77,6 +77,42 @@ def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "d07_dedup_groups",
+    oracle=f"""
+    WITH sh AS ({_SH_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION ALL SELECT id_b, id_a FROM dup_pairs),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node)
+      SELECT * FROM r)
+    SELECT node AS doc_id, MIN(root) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+)
+def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: Jaccard pairs → connected components
+    (iterative min-label propagation; oracle is a recursive CTE)."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dd.dedup_components(docs, pairs, id_col="doc_id")
+
+
 @register("d03_minhash_dedup_pairs")  # xxhash64-based → rows-only check;
 def d03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall oracle = d02 (exact Jaccard at the same threshold).

@@ -79,6 +79,44 @@ def streaming_dedup(
     )
 
 
+def purchase_view_interval_join(
+    events: DataFrame, *, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ views of the same user
+    within the lookback window before the purchase.
+
+    Both sides are watermarked and the join predicate bounds event time
+    on BOTH streams — that's what lets Spark expire buffered state (a
+    stream-stream join without time bounds would buffer forever). The
+    batch twin is the q19 as-of join's candidate set.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:
     """Stream-static join: each microbatch joins the (broadcast) static
     dimension — the streaming version of the pipeline's enrichment
