@@ -403,6 +403,78 @@ def t04_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+@register(
+    "d08_corpus_clean",
+    oracle=f"""
+    WITH sh AS ({_SH_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes na ON id_a = na.doc_id
+      JOIN sizes nb ON id_b = nb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5),
+    -- survivors: docs that are not the higher id of any dup pair
+    survivors AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id_b FROM dup_pairs)),
+    quality AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity
+      FROM documents)
+    SELECT q.lang, COUNT(*) AS n_docs,
+      CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM quality q JOIN survivors s ON q.doc_id = s.doc_id
+    WHERE q.n_tokens >= 50 AND q.diversity >= 0.15
+    GROUP BY q.lang
+    """,
+)
+def d08_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: near-dup removal (keep the lower id
+    of each duplicate pair) + quality filter + per-language stats —
+    the composed shape of a real training-data prep job."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    text = F.col("text")
+    quality = survivors.select(
+        "doc_id",
+        "lang",
+        tx.token_count(text).alias("n_tokens"),
+        tx.lexical_diversity(text).alias("diversity"),
+    ).filter((F.col("n_tokens") >= 50) & (F.col("diversity") >= 0.15))
+    return quality.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
+    "t06_hash_sampling",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def t06_hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample via content-hash bucketing — unlike
+    rand()-sampling it is reproducible across engines, reruns, and
+    cluster sizes, which is what a training-data split needs."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -484,6 +484,36 @@ def q37_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+           AS BIGINT) AS gid,
+      COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q38_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit GROUPING SETS + GROUPING() markers (disambiguates real
+    # NULL group keys from subtotal rows) via the SQL surface.
+    from ..sources.tables import register_views
+
+    pin_semantics(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+               AS BIGINT) AS gid,
+          COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "d05_deterministic_dedup",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS event_id
