@@ -45,4 +45,5 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Populate the registry.
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
+from . import relational3  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401

@@ -1,0 +1,183 @@
+"""Relational surface, batch 3: percent-of-total windows, min-per-group
+subqueries, disjunctive predicate pushdown, NOT LIKE / NOT IN
+anti-patterns — the remaining TPC-H-shaped operator witnesses."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.exact import dec, money_sum
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+
+@register(
+    "q39_nation_revenue_share",
+    oracle="""
+    WITH nat AS (
+      SELECT n_name,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+      CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share
+    FROM nat
+    """,
+)
+def q39_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Percent-of-total: unpartitioned window over an aggregate. The
+    # total must be summed in DECIMAL through the window — summing the
+    # per-nation doubles would be order-dependent and diverge between
+    # engines in the last ulp.
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    return nat.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+@register(
+    "q40_poorest_supplier_per_nation",
+    oracle="""
+    SELECT n_name, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation ON s.s_nationkey = n_nationkey
+    WHERE s.s_acctbal = (
+      SELECT MIN(s2.s_acctbal) FROM supplier s2
+      WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q40_poorest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated MIN subquery (TPC-H Q2 shape) ≡ windowed min + equality
+    # filter — keeps ALL tied rows, unlike row_number top-1.
+    pin_semantics(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q41_promo_revenue_share",
+    oracle="""
+    SELECT
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(3,2)))
+        ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        AS promo_pct,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def q41_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14: conditional share of revenue.
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 3, 2))
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q42_disjunctive_bands",
+    oracle="""
+    SELECT COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q42_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-conjunctions across both join sides —
+    # Catalyst extracts the common l_quantity/p_size bounds for pushdown.
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(band).agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(dec("l_extendedprice"), "revenue"),
+    )
+
+
+@register(
+    "q43_types_excluding_suppliers",
+    oracle="""
+    SELECT p_type, p_brand,
+      COUNT(DISTINCT s_suppkey) AS n_suppliers
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_type NOT LIKE 'PROMO%'
+      AND s_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_brand
+    """,
+)
+def q43_types_excluding_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: NOT LIKE + NOT IN (both NULL-free here → the
+    # anti-join rewrite is safe).
+    pin_semantics(spark)
+    p = load_table(spark, sf_dir, "part").filter(~F.col("p_type").like("PROMO%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    good = s.join(bad, "s_suppkey", "left_anti")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey)
+        .join(good, l.l_suppkey == good.s_suppkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
