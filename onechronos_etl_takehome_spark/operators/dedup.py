@@ -281,9 +281,14 @@ def dedup_components(
     all shuffle-partitioned by node id; labels are cached per round and
     the loop's only driver-side data is the convergence counter.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # cache the edge list: every iteration joins against it, and the
+    # pair computation upstream (shingling + joins) must not re-run
+    # per round.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .cache()
+    )
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()

@@ -352,6 +352,36 @@ def t05_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t07_text_normalize",
+    oracle="""
+    SELECT doc_id,
+      array_to_string(
+        list_filter(string_split(lower(text), ' '),
+          t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in') AND t <> ''),
+        ' ') AS normalized,
+      CAST(len(list_filter(string_split(lower(text), ' '),
+          t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in') AND t <> ''))
+        AS BIGINT) AS n_kept
+    FROM documents
+    """,
+)
+def t07_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization pipeline: lowercase → tokenize → stopword/empty
+    removal → re-join. All JVM-side array expressions."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.filter(
+        F.split(F.lower("text"), " "),
+        lambda t: ~t.isin(*tx.STOPWORDS) & (t != ""),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("normalized"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 @register("x01_approx_sketches")  # engine-specific sketches → rows-only
 def x01_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts + exact baseline per event type.
