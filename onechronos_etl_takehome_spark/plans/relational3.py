@@ -153,6 +153,57 @@ def q42_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q44_null_safe_join",
+    oracle="""
+    WITH keyed AS (
+      SELECT event_id,
+        CASE WHEN value < 1 THEN NULL ELSE event_type END AS k
+      FROM events)
+    SELECT a.k AS k, COUNT(*) AS n_pairs
+    FROM keyed a JOIN keyed b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+    GROUP BY a.k
+    """,
+)
+def q44_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL keys match
+    # each other — a plain equi-join silently drops them.
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        F.when(F.col("value") < 1, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.k").eqNullSafe(F.col("b.k"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .groupBy(F.col("a.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("x02_approx_percentiles")  # t-digest/GK sketch → rows-only
+def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx: mergeable quantile sketch (map-side partials)
+    vs q22's exact interpolated percentile — the 100-TB path for
+    quantiles. Accuracy bounded in tests/test_sketches.py."""
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).alias(
+            "approx_pcts"
+        ),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+    )
+
+
+@register(
     "q43_types_excluding_suppliers",
     oracle="""
     SELECT p_type, p_brand,

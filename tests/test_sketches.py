@@ -19,6 +19,14 @@ def test_approx_count_distinct_error_bound(spark):
         assert rel_err < 0.05, (r.event_type, r.approx_users, r.exact_users)
 
 
+def test_approx_percentile_error_bound(spark):
+    rows = QUERIES["x02_approx_percentiles"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # the p50 sketch estimate must sit within 1% of the exact p50
+        assert abs(r.approx_pcts[0] - r.exact_p50) / r.exact_p50 < 0.01
+
+
 def _topk_sets(df):
     out = {}
     for r in df.collect():
