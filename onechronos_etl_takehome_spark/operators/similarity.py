@@ -74,6 +74,64 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_numpy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+) -> DataFrame:
+    """Exact top-k via Arrow + BLAS: the high-throughput batch-scoring
+    path. The (small) query matrix broadcasts to every executor; each
+    corpus partition streams through mapInPandas and scores a whole
+    Arrow batch with one float64 GEMM — typically 10-100× the
+    expression-interpreted cosine (s01) on wide embeddings.
+
+    BLAS accumulates pairwise, so scores can differ from the
+    sequential-double oracle in the last ulp → verified by equivalence
+    to the bruteforce operator within 1e-9 (tests/test_sketches.py),
+    not by value-hash.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, n_queries)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                out_q.append(np.full(mask.sum(), q_ids[qi]))
+                out_c.append(ids[mask])
+                out_s.append(sims[mask, qi])
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    corpus_id: np.concatenate(out_c),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        score, schema=f"{query_id} long, {corpus_id} long, score double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     import numpy as np
 

@@ -282,6 +282,24 @@ def s03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("s04_cosine_topk_numpy")  # BLAS accumulation order ≠ oracle's
+def s04_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequential fold → equivalence-tested against s01 instead
+    from ..operators.similarity import cosine_topk_numpy
+
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    return cosine_topk_numpy(queries, corpus, k=5).select(
+        "query_id", "corpus_id", "score", "rank"
+    )
+
+
 @register("s02_cosine_topk_lsh")  # approximate (recall<1) → rows-only check
 def s02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_semantics(spark)

@@ -34,6 +34,20 @@ def _topk_sets(df):
     return out
 
 
+def test_numpy_topk_equals_bruteforce(spark):
+    exact = {
+        (r.query_id, r.corpus_id): r.score
+        for r in QUERIES["s01_cosine_topk"](spark, SF).collect()
+    }
+    fast = {
+        (r.query_id, r.corpus_id): r.score
+        for r in QUERIES["s04_cosine_topk_numpy"](spark, SF).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for key, s in exact.items():
+        assert abs(fast[key] - s) < 1e-9  # BLAS vs sequential fold ulps
+
+
 def test_ann_recall_vs_bruteforce(spark):
     exact = _topk_sets(QUERIES["s01_cosine_topk"](spark, SF))
     # Floors reflect the testdata: embeddings are near-uniform random,
