@@ -51,6 +51,42 @@ HEADLINE = [
 ]
 
 
+def _scaled_etl_inputs(copies: int) -> str:
+    """Materialize an N× copy of the reference CSVs under /tmp with
+    per-copy trade-id prefixes (keeps dedup and join selectivity)."""
+    import os
+
+    out = f"/tmp/spark_graft_etl_{copies}x"
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ref = "/root/reference"
+    for fname, id_cols in [
+        ("trades.csv", [0]),  # trade_id
+        ("counterparty_fills.csv", [0, 1]),  # external_ref_id, our_trade_id
+    ]:
+        with open(os.path.join(ref, fname)) as f:
+            header = f.readline()
+            rows = f.readlines()
+        with open(os.path.join(out, fname), "w") as f:
+            f.write(header)
+            for i in range(copies):
+                prefix = f"C{i:03d}"
+                for line in rows:
+                    parts = line.rstrip("\n").split(",")
+                    for ci in id_cols:
+                        parts[ci] = prefix + parts[ci]
+                    f.write(",".join(parts) + "\n")
+    with open(os.path.join(ref, "symbols_reference.csv")) as f:
+        sym = f.read()
+    with open(os.path.join(out, "symbols_reference.csv"), "w") as f:
+        f.write(sym)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -84,6 +120,20 @@ def main() -> None:
         tempfile.mkdtemp(prefix="bench_etl_")
     )
     timings["etl_reference_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    # Scaled ETL: the same pipeline on 100× the reference data (1.1M
+    # trades, ids rewritten per copy so dedup/join shapes are
+    # preserved). Shows throughput where fixed action overhead no
+    # longer dominates.
+    scaled = _scaled_etl_inputs(100)
+    t0 = time.perf_counter()
+    m = ReconciliationPipeline(spark, input_dir=scaled).run(
+        tempfile.mkdtemp(prefix="bench_etl100_")
+    )
+    timings["etl_pipeline_100x"] = round(time.perf_counter() - t0, 3)
+    timings["etl_100x_trades_per_sec"] = round(
+        m["processed_trades"] / timings["etl_pipeline_100x"], 1
+    )
     total = round(time.perf_counter() - t_all, 3)
 
     print(

@@ -144,6 +144,14 @@ class ReconciliationPipeline:
         self, trades: DataFrame, fills: DataFrame, symbols: DataFrame
     ) -> DataFrame:
         dq = self.config["data_quality"]
+        if dq.get("dedupe_fills", False):
+            # The reference assumes our_trade_id is unique in the fills
+            # (etl_pipeline.py:350-355 would silently fan out rows
+            # otherwise — FIXTURES.md flags this untested edge). Opt-in
+            # guard: keep one deterministic fill per trade id.
+            fills = deterministic_dedup(
+                fills, ["our_trade_id"], [F.col(c) for c in fills.columns]
+            )
         flow = self._observe_count(trades, "raw")
         if dq["filter_duplicates"]:
             flow = deterministic_dedup(
