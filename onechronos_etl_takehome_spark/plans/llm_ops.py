@@ -400,6 +400,58 @@ def t07_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t08_salient_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word,
+        CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+          AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT doc_id, word, score FROM (
+      SELECT doc_id, word, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, word) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def t08_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped salient-term extraction: term frequency × inverse
+    document frequency (rational proxy — no log, so scores are exact
+    cross-engine), top-3 terms per doc. The canonical two-aggregation
+    + join + window shape of distributed feature extraction."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # driver scalar: tiny, computed once
+    scored = tf.join(df_, "word").select(
+        "doc_id",
+        "word",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "score")
+    )
+
+
 @register("x01_approx_sketches")  # engine-specific sketches → rows-only
 def x01_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts + exact baseline per event type.

@@ -188,6 +188,46 @@ def q44_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q45_nation_revenue_quartiles",
+    oracle="""
+    WITH nat AS (
+      SELECT n_name,
+        SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+      CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      CUME_DIST() OVER w AS cume
+    FROM nat
+    WINDOW w AS (ORDER BY rev_dec DESC, n_name)
+    """,
+)
+def q45_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile + cume_dist over a decimal-exact ordering (ties broken by
+    # name → identical ranking both engines; cume_dist = rational
+    # count/count, one double division).
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("n_name"))
+    return nat.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 @register("x02_approx_percentiles")  # t-digest/GK sketch → rows-only
 def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: mergeable quantile sketch (map-side partials)
