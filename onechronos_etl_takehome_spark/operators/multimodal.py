@@ -72,6 +72,43 @@ def _fake_decode(payload: bytes, n_features: int) -> list[float]:
     return [b / 256.0 for b in raw]
 
 
+def sample_frames(
+    payloads: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """One-to-many extraction: emit up to ``max_frames`` pseudo-frames
+    per payload (every_n_bytes stride) — the mapInPandas shape of video
+    frame-sampling, where one input row yields N output rows with a
+    declared schema. Real decoders replace the stride slice with an
+    ffmpeg keyframe walk; the Spark plumbing is identical.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, checks = [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["content"])
+                for fi in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    off = fi * every_n_bytes
+                    chunk = payload[off : off + every_n_bytes]
+                    ids.append(row["id"])
+                    idxs.append(fi)
+                    offs.append(off)
+                    checks.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "frame_checksum": checks,
+                }
+            )
+
+    return payloads.mapInPandas(
+        frames,
+        schema="id long, frame_idx long, byte_offset long, frame_checksum string",
+    )
+
+
 def decode_features(
     payloads: DataFrame, *, n_features: int = 16, require_real_decoder: bool = False
 ) -> DataFrame:

@@ -597,6 +597,13 @@ def m01_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.binary_metadata(mm.attach_binary(docs, "doc_id", "text"))
 
 
+@register("m03_frame_samples")  # one-to-many Python stage → rows-only
+def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.sample_frames(mm.attach_binary(docs, "doc_id", "text"))
+
+
 @register("m02_decode_features")  # stub decoder → rows-only check
 def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_semantics(spark)

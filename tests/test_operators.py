@@ -86,6 +86,27 @@ def test_asof_join_semantics(spark):
     assert got == {(1, 10): 9, (1, 5): 8, (2, 99): None}
 
 
+def test_frame_sampling_one_to_many(spark):
+    from onechronos_etl_takehome_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "x" * 200), (2, "y" * 10)], ["doc_id", "text"]
+    )
+    frames = sample_frames(
+        attach_binary(df, "doc_id", "text"), every_n_bytes=64, max_frames=8
+    ).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 3  # 200 // 64
+    assert len(by_id[2]) == 1  # short payload → one frame
+    assert [r.byte_offset for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [
+        0,
+        64,
+        128,
+    ]
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
     payloads = attach_binary(df, "doc_id", "text")
