@@ -228,6 +228,93 @@ def q45_nation_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q46_nation_trade_flows",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+      CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INTEGER) AS yr,
+        CAST(l_extendedprice AS DECIMAL(12,2))
+          * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name)
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q46_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: 6-way join with a dimension used twice under
+    # different aliases (supplier nation vs customer nation).
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2")))
+    n2 = F.broadcast(n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2")))
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 3, 2))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.sum(volume).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q47_trailing_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS trailing_30d
+    FROM orders
+    """,
+)
+def q47_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-based RANGE frame: all orders of the customer within the
+    # trailing 30 days (inclusive), regardless of row count — ordered
+    # by epoch seconds so both engines share the numeric frame. Decimal
+    # sum → frame-order independent.
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("trailing_30d"),
+    )
+
+
 @register("x02_approx_percentiles")  # t-digest/GK sketch → rows-only
 def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: mergeable quantile sketch (map-side partials)
