@@ -315,6 +315,84 @@ def q47_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q48_price_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(12,0))) AS sq,
+        SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS DECIMAL(16,0))) AS sp,
+        SUM(CAST(l_quantity AS DECIMAL(12,0))
+            * CAST(l_quantity AS DECIMAL(12,0))) AS sqq,
+        SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                 AS DECIMAL(16,0))
+            * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                   AS DECIMAL(16,0))) AS spp,
+        SUM(CAST(l_quantity AS DECIMAL(12,0))
+            * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                   AS DECIMAL(16,0))) AS sqp
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+         / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_qty,
+      sqrt((CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+         / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) / 100.0
+        AS stddev_price,
+      (CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)
+         / CAST(n AS DOUBLE))
+        / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                / CAST(n AS DOUBLE))) AS corr_qty_price
+    FROM m
+    """,
+)
+def q48_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation computed from exact decimal
+    moments. Built-in stddev/corr stream doubles through Welford-style
+    updates whose result depends on partition order — fine for
+    statistics, fatal for reproducibility gates.
+
+    All moments are scale-0 decimals (prices in integer cents): casting
+    a scale-0 decimal to double is a SINGLE integer→double rounding in
+    every engine, whereas scaled decimals go through value/10^scale —
+    two roundings that diverge in the last ulp between engines. Unit
+    factors (100, 100²) are restored in double afterwards; they cancel
+    entirely in the correlation."""
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,0)")
+    p = (dec("l_extendedprice") * 100).cast("decimal(16,0)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    nd = F.col("n").cast("double")
+    sq, sp = F.col("sq").cast("double"), F.col("sp").cast("double")
+    sqq, spp, sqp = (
+        F.col("sqq").cast("double"),
+        F.col("spp").cast("double"),
+        F.col("sqp").cast("double"),
+    )
+    css_q = sqq - sq * sq / nd
+    css_p = spp - sp * sp / nd
+    return m.select(
+        "l_returnflag",
+        "n",
+        (css_q / (F.col("n") - 1).cast("double")).alias("var_qty"),
+        (F.sqrt(css_p / (F.col("n") - 1).cast("double")) / 100.0).alias(
+            "stddev_price"
+        ),
+        ((sqp - sq * sp / nd) / F.sqrt(css_q * css_p)).alias("corr_qty_price"),
+    )
+
+
 @register("x02_approx_percentiles")  # t-digest/GK sketch → rows-only
 def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: mergeable quantile sketch (map-side partials)
