@@ -100,7 +100,6 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name in HEADLINE:
         # min of two runs: absorbs one-off codegen compilation and
         # background-load noise without hiding steady-state cost.
@@ -142,7 +141,6 @@ def main() -> None:
     timings["etl_100x_trades_per_sec"] = round(
         m["processed_trades"] / timings["etl_pipeline_100x"], 1
     )
-    del t_all
 
     print(
         json.dumps(

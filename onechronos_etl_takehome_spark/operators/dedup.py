@@ -319,11 +319,12 @@ def dedup_components(
             labels = new_labels
             if changed == 0:
                 break
+        # the final labels frame stays cached for the caller's action
         return labels.select(
             F.col("node").alias(id_col), F.col("label").alias("canonical_id")
         )
     finally:
-        pass  # final frame stays cached for the caller's action
+        edges.unpersist()
 
 
 # ---------------------------------------------------------------------------
