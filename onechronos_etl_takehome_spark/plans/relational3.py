@@ -393,6 +393,55 @@ def q48_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q49_null_handling_functions",
+    oracle="""
+    SELECT c_custkey,
+      NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+      COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg_display,
+      CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL
+           THEN 0 ELSE 1 END AS is_visible
+    FROM customer
+    """,
+)
+def q49_null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    c = load_table(spark, sf_dir, "customer")
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        F.coalesce(seg_or_null, F.lit("SUPPRESSED")).alias("seg_display"),
+        F.when(seg_or_null.isNull(), 0).otherwise(1).alias("is_visible"),
+    )
+
+
+@register(
+    "q50_filtered_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+      COUNT(*) AS n_total,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q50_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FILTER-clause aggregates ≡ count/sum over when(): one pass, no
+    # self-join — the idiomatic conditional-aggregation form.
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.sum(F.when(is_f, dec("o_totalprice"))).cast("double").alias(
+            "finished_revenue"
+        ),
+    )
+
+
 @register("x02_approx_percentiles")  # t-digest/GK sketch → rows-only
 def x02_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: mergeable quantile sketch (map-side partials)
