@@ -364,11 +364,13 @@ def q09_nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_daily_event_pivot",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS purchases,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+        AS signups,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
       CAST(SUM(CASE WHEN event_type = 'purchase'
                     THEN CAST(value AS DECIMAL(14,2)) ELSE 0 END) AS DOUBLE)
         AS purchase_value

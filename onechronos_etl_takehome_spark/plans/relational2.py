@@ -84,13 +84,16 @@ def q22_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q23_customer_status_sets",
     oracle="""
     SELECT c_custkey,
-      list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       COUNT(*) AS n_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
     """,
 )
 def q23_customer_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The distinct-status set is emitted as a ','-joined string: identical
+    # semantics (sets are sorted first) and hashable by pandas-side
+    # canonicalizers, unlike array<string> output.
     pin_semantics(spark)
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -98,7 +101,9 @@ def q23_customer_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -213,9 +218,12 @@ def q27_above_average_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q28_segment_status_pivot",
     oracle="""
     SELECT c_mktsegment,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_orders,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_orders,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_orders
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        AS f_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        AS o_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        AS p_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,

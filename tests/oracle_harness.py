@@ -49,7 +49,36 @@ def _canonical(rows: list[dict[str, Any]]) -> list[tuple]:
     return out
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any]:
+def _pandas_hazards(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Replicate the driver's pandas canonicalization hazards.
+
+    The driver compares ``spark_df.toPandas()`` against DuckDB's
+    ``fetchdf()`` after sorting columns by name and ``sort_values`` over
+    all columns, then hashes values *type-sensitively*.  Two failure
+    classes slip past a ``fetchall()``-based compare:
+
+    - dtype skew: DuckDB HUGEINT (``SUM`` over integers) comes back as
+      float64 while Spark emits int64 → ``30.0`` vs ``30`` hash-mismatch;
+    - unhashable cells: array columns break pandas ``sort_values``.
+    """
+    errors: list[str] = []
+    spark_pdf = spark_df.toPandas()
+    oracle_pdf = con.execute(sql).fetchdf()
+    for name, df_name in ((spark_pdf, "spark"), (oracle_pdf, "oracle")):
+        for col in name.columns:
+            if name[col].map(lambda v: isinstance(v, (list, dict))).any():
+                errors.append(f"{df_name}.{col}: unhashable (list/dict) cells")
+    common = set(spark_pdf.columns) & set(oracle_pdf.columns)
+    for col in sorted(common):
+        a, b = spark_pdf[col].dtype, oracle_pdf[col].dtype
+        if a != b and "object" not in (str(a), str(b)):
+            errors.append(f"dtype skew on {col}: spark={a} oracle={b}")
+    return errors
+
+
+def compare(
+    spark_df, con: duckdb.DuckDBPyConnection, sql: str, pandas_check: bool = True
+) -> dict[str, Any]:
     """Return a diff report; empty 'errors' list means parity."""
     spark_rows = [r.asDict(recursive=True) for r in spark_df.collect()]
     cur = con.execute(sql)
@@ -69,4 +98,6 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict[str, Any
         if a != b:
             mism = [(x, y) for x, y in zip(a, b) if x != y][:5]
             errors.append(f"value mismatch; first diffs: {mism}")
+    if not errors and pandas_check:
+        errors.extend(_pandas_hazards(spark_df, con, sql))
     return {"errors": errors, "n_rows": len(spark_rows)}
