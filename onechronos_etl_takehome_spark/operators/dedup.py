@@ -104,16 +104,34 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All id pairs (a<b) with shingle-set Jaccard >= threshold.
 
     Inverted-index join: only pairs sharing >= 1 shingle are ever
-    materialized. Scale guard: very frequent shingles fan out
-    quadratically — MinHash-LSH (below) is the 100-TB entry point; this
-    is the oracle used to verify its candidates.
+    materialized. Scale guard: very frequent shingles (boilerplate) fan
+    the index out quadratically — ``max_shingle_df`` drops shingles
+    whose document frequency exceeds the cap from the *index only*
+    (set sizes stay exact), the standard posting-list cap. Capped
+    shingles stop counting toward intersections, so any pair sharing
+    boilerplate scores below its true Jaccard, and pairs overlapping
+    *only* in boilerplate are missed entirely — the deliberate
+    trade-off for near-linear candidate counts. Leave ``None`` for the
+    exact oracle; MinHash-LSH (below) is the 100-TB entry point and
+    this verifies its candidates.
     """
     sh = _exploded_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_shingles"))
+    if max_shingle_df is not None:
+        # One window count over the same `shingle` partitioning the
+        # self-join shuffles on — the exchange is shared, so the cap
+        # costs no extra shuffle.
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
@@ -183,6 +201,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -192,8 +211,11 @@ def minhash_lsh_candidates(
     crosses ~0.5 near j≈0.6.
 
     Scale: the self-join is per (band, band_hash) bucket — no global
-    quadratic blowup; hot buckets (boilerplate text) should be length-
-    capped upstream at extreme scale.
+    quadratic blowup from *distinct* docs. Mass-duplicate clusters
+    (identical boilerplate docs) still make single buckets quadratic;
+    ``max_bucket_size`` drops buckets over the cap. Exact-duplicate
+    clusters belong to the cheap md5 pass (``dedup_exact``) upstream —
+    capping here only sheds work that pass already covers.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -207,6 +229,15 @@ def minhash_lsh_candidates(
     buckets = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
+    if max_bucket_size is not None:
+        # Window over the join's own (band, bh) partitioning — shares
+        # the exchange, no extra shuffle.
+        wb = Window.partitionBy("band", "bh")
+        buckets = (
+            buckets.withColumn("_bs", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -231,10 +262,17 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the full scale path)."""
     cands = minhash_lsh_candidates(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+        df,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
     )
     sh = _exploded_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))

@@ -136,7 +136,29 @@ class ReconciliationPipeline:
             self.spark, p("counterparty_fills.csv"), rename=FILL_RENAMES
         )
         symbols = read_dirty_csv(self.spark, p("symbols_reference.csv"))
+        try:
+            self._fills_bytes = os.path.getsize(p("counterparty_fills.csv"))
+        except OSError:
+            self._fills_bytes = None
         return trades, fills, symbols
+
+    def _maybe_broadcast(self, df: DataFrame, input_bytes: int | None) -> DataFrame:
+        """Broadcast only when the source file is provably small.
+
+        Fills are fact-shaped — they scale with trades, so an
+        unconditional broadcast OOMs executors at cluster scale. The
+        decision uses driver-side file metadata (the same signal
+        Catalyst's size-based broadcast planning uses), costing zero
+        Spark actions; unknown size = assume big.
+        """
+        threshold = int(
+            self.config.get("tuning", {}).get(
+                "broadcast_threshold_bytes", 64 * 1024 * 1024
+            )
+        )
+        if input_bytes is not None and input_bytes <= threshold:
+            return F.broadcast(df)
+        return df
 
     # -- transform --------------------------------------------------------
 
@@ -163,8 +185,10 @@ class ReconciliationPipeline:
             flow = flow.filter(F.col("trade_status") != "CANCELLED")
         flow = self._observe_count(flow, "post_cancel")
 
+        # Fills: size-aware (fact-shaped side — see _maybe_broadcast).
+        # Symbols: a genuine dimension, always broadcast.
         enriched = flow.join(
-            F.broadcast(fills),
+            self._maybe_broadcast(fills, getattr(self, "_fills_bytes", None)),
             flow["trade_id"] == fills["our_trade_id"],
             "left",
         ).join(F.broadcast(symbols), "symbol", "left")

@@ -435,14 +435,24 @@ def t08_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # driver scalar: tiny, computed once
-    scored = tf.join(df_, "word").select(
-        "doc_id",
-        "word",
-        (
-            F.col("tf").cast("double")
-            * (F.lit(float(n_docs)) / F.col("df").cast("double"))
-        ).alias("score"),
+    # n_docs in-plan: a broadcast 1-row aggregate instead of a separate
+    # docs.count() job — parquet count(*) reads only footer metadata, so
+    # this costs one metadata scan inside the same job, not a second
+    # full pass over the corpus.
+    n_docs = docs.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf").cast("double")
+                * (F.col("_n_docs") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
     return (

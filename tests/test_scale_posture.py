@@ -60,6 +60,58 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_fills_broadcast_is_size_aware(spark):
+    """The enrichment join must broadcast fills only below the size
+    threshold — fills are fact-shaped and OOM executors at scale."""
+    from onechronos_etl_takehome_spark.pipeline.etl import (
+        ReconciliationPipeline,
+        default_config,
+    )
+
+    def plan_for(cfg):
+        pipe = ReconciliationPipeline(spark, cfg, input_dir="/root/reference")
+        validated = pipe.transform(*pipe.extract())
+        # simple mode: each operator appears exactly once, so counts
+        # below are join counts (formatted mode lists each twice)
+        return validated._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+
+    # disable size-based auto-broadcast so the hint is the only signal
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = plan_for(default_config())
+        assert small.count("BroadcastHashJoin") == 2  # fills + symbols
+
+        big_cfg = default_config()
+        big_cfg["tuning"] = {"broadcast_threshold_bytes": 1}
+        big = plan_for(big_cfg)
+        assert big.count("BroadcastHashJoin") == 1  # symbols only
+        assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_t08_builds_without_driver_actions(spark):
+    """n_docs is computed in-plan: constructing the t08 DataFrame must
+    launch zero Spark jobs beyond what any plan construction costs
+    (parquet schema inference fires one per fresh read). Calibrate
+    against t01 — same table, known action-free — so a reintroduced
+    docs.count() shows up as an extra job."""
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+
+    def jobs_to_build(name):
+        before = len(tracker.getJobIdsForGroup(None))
+        QUERIES[name](spark, SF)
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    baseline = jobs_to_build("t01_text_quality")
+    assert jobs_to_build("t08_salient_terms") == baseline
+
+
 @pytest.mark.parametrize("how", ["inner", "left"])
 def test_salted_join_matches_plain_join(spark, how):
     left = spark.createDataFrame(
