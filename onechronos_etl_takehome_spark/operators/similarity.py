@@ -151,6 +151,106 @@ def signed_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic spherical k-means centroids for IVF, DataFrame-native.
+
+    Init is k-means++ (D² sampling) over a bounded, hash-ordered driver
+    sample — deterministic regardless of partitioning (seeded RNG over
+    a deterministic sample). Each Lloyd iteration assigns every vector to its
+    max-cosine centroid (broadcast join, JVM-side fold arithmetic) and
+    recomputes centroids as element-wise means (posexplode + partial
+    aggregation — map-side combine keeps the shuffle at
+    clusters × dim rows). The driver holds only the
+    ``n_clusters × dim`` centroid matrix between iterations.
+
+    Scale posture: at 100 TB you train on a hash-sample of the corpus
+    (``corpus.filter(xxhash64(id) % m == 0)``) — k-means quality needs
+    only thousands of points per cluster, not the full corpus; the full
+    corpus is touched once afterwards for assignment inside
+    ``cosine_topk_ivf``. Empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        F.transform(F.col(corpus_vec), lambda x: x.cast("double")).alias("_v"),
+    ).cache()
+    # k-means++ (D² sampling) on a hash-ordered driver sample: random
+    # init collapses when two seeds land in one natural cluster; ++
+    # init spreads seeds by squared cosine distance. The sample is
+    # bounded (init_sample rows), so driver memory stays O(sample·dim)
+    # no matter the corpus size.
+    init_sample = max(n_clusters * 32, 256)
+    sample = np.array(
+        [
+            r._v
+            for r in vecs.orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
+            .limit(init_sample)
+            .select("_v")
+            .collect()
+        ]
+    )
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    chosen = [int(rng.randint(len(sn)))]
+    d2 = 1.0 - sn @ sn[chosen[0]]
+    for _ in range(1, n_clusters):
+        probs = np.maximum(d2, 0)
+        total = probs.sum()
+        if total <= 0:  # all points identical — duplicate seeds are fine
+            nxt = int(rng.randint(len(sn)))
+        else:
+            nxt = int(rng.choice(len(sn), p=probs / total))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, 1.0 - sn @ sn[nxt])
+    cents = [sample[c].tolist() for c in chosen]
+
+    def cent_df():
+        return F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], ["_cent_id", "_cent_vec"]
+            )
+        )
+
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cent_id"))
+    for _ in range(n_iters):
+        assigned = (
+            vecs.join(cent_df())
+            .select(
+                "_id",
+                "_v",
+                "_cent_id",
+                cosine(F.col("_v"), F.col("_cent_vec")).alias("_cos"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        means = (
+            assigned.select("_cent_id", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cent_id", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
+            .select("_cent_id", F.transform("_pm", lambda s: s["_m"]).alias("_mean"))
+            .collect()
+        )
+        for r in means:
+            cents[r._cent_id] = r._mean
+    vecs.unpersist()
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["_cent_id", "_cent_vec"]
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,

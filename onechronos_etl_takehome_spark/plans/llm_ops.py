@@ -267,7 +267,10 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("s03_cosine_topk_ivf")  # approximate (recall<1) → rows-only check
 def s03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_topk_ivf
+    """IVF top-k with k-means-trained centroids (recall bounded in
+    tests/test_sketches.py; training is deterministic, so the rows-only
+    driver check is stable across runs)."""
+    from ..operators.similarity import cosine_topk_ivf, train_ivf_centroids
 
     pin_semantics(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -277,9 +280,10 @@ def s03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
     )
-    return cosine_topk_ivf(queries, corpus, k=5, n_probe=2).select(
-        "query_id", "corpus_id", "score", "rank"
-    )
+    centroids = train_ivf_centroids(corpus, n_clusters=8, n_iters=5)
+    return cosine_topk_ivf(
+        queries, corpus, k=5, n_probe=2, centroids=centroids
+    ).select("query_id", "corpus_id", "score", "rank")
 
 
 @register("s04_cosine_topk_numpy")  # BLAS accumulation order ≠ oracle's
