@@ -16,6 +16,7 @@ that's the point of declaring the plan against the DataFrame API.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -30,21 +31,43 @@ EVENTS_SCHEMA = (
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over the events table (nanos ts → timestamp).
 
     The file-stream source monitors a *directory*; the testdata table
     is a single parquet file, so it is staged behind a symlink dir —
     production sources are directories (or Kafka) already.
+    ``max_files_per_trigger`` splits a multi-file directory into one
+    microbatch per file — tests use it to pin cross-batch semantics
+    (watermark advance, outer-join emission timing).
     """
+    # testdata ts is TIMESTAMP(NANOS): read as long, convert below.
+    # Pinned here (not only in the session factory) so the stream works
+    # in any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(src):
-        staging = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(src, os.path.join(staging, "part-0.parquet"))
+        # Deterministic staging dir keyed by the source path: reused
+        # across calls instead of leaking one mkdtemp per invocation.
+        key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+        staging = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+        os.makedirs(staging, exist_ok=True)
+        link = os.path.join(staging, "part-0.parquet")
+        if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+            src
+        ):
+            os.unlink(link)  # stale/broken symlink from an earlier run
+        if not os.path.lexists(link):
+            os.symlink(src, link)
         path = staging
     else:
         path = src
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -80,7 +103,11 @@ def streaming_dedup(
 
 
 def purchase_view_interval_join(
-    events: DataFrame, *, lookback: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    *,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: purchases ⋈ views of the same user
     within the lookback window before the purchase.
@@ -89,6 +116,13 @@ def purchase_view_interval_join(
     on BOTH streams — that's what lets Spark expire buffered state (a
     stream-stream join without time bounds would buffer forever). The
     batch twin is the q19 as-of join's candidate set.
+
+    ``how="left_outer"`` keeps purchases with no in-window view. Outer
+    (null-matched) rows are emitted only once the *view-side* watermark
+    passes the end of the purchase's match window — i.e. when Spark can
+    prove no future view can join — so under a multi-batch run the
+    unmatched rows surface one watermark advance after their window
+    closes (pinned by tests/test_stream_stream_join.py).
     """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -114,6 +148,7 @@ def purchase_view_interval_join(
         (F.col("user_id") == F.col("view_user_id"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        how,
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 
@@ -128,11 +163,18 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame
 def write_stream_parquet(
     df: DataFrame, path: str, checkpoint: str, *, available_now: bool = True
 ):
-    """Production streaming sink shape: foreachBatch → partitioned
-    parquet (idempotent per batch id via overwrite-by-batch dir)."""
+    """Production streaming sink shape: foreachBatch → parquet, written
+    idempotently as one ``batch_id=<n>`` directory per microbatch with
+    ``mode("overwrite")``. If Structured Streaming replays the last
+    uncommitted batch after a failure, the rewrite lands in the same
+    directory instead of appending duplicates — exactly-once output for
+    a deterministic query. Readers ``spark.read.parquet(path)`` and get
+    a ``batch_id`` partition column for free (drop it if unwanted)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
 
     writer = df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint

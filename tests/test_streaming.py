@@ -3,12 +3,17 @@ same results as its batch twin once the single microbatch drains."""
 
 from __future__ import annotations
 
+import shutil
+
 from onechronos_etl_takehome_spark.plans.catalog import QUERIES
 from onechronos_etl_takehome_spark.session import pin_semantics
 from onechronos_etl_takehome_spark.streaming import (
     hourly_event_windows_stream,
     read_events_stream,
     streaming_dedup,
+)
+from onechronos_etl_takehome_spark.streaming.events_stream import (
+    write_stream_parquet,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -55,3 +60,25 @@ def test_streaming_dedup_runs(spark, tmp_path):
     n = spark.table("dedup_stream").count()
     # event_id is unique in the testdata → dedup is the identity here.
     assert n == 1000
+
+
+def test_write_stream_parquet_idempotent_on_replay(spark, tmp_path):
+    """Replaying the same batch ids (fresh checkpoint, same output dir)
+    must not duplicate rows: each batch overwrites its own
+    batch_id=<n> directory instead of appending."""
+    pin_semantics(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_stream_parquet(
+        read_events_stream(spark, SF), out, ckpt
+    ).awaitTermination()
+    first = spark.read.parquet(out).drop("batch_id").count()
+    assert first == 1000
+
+    # Simulate failure recovery replaying from scratch: wipe the
+    # checkpoint so the restarted query re-emits the same batch ids.
+    shutil.rmtree(ckpt)
+    write_stream_parquet(
+        read_events_stream(spark, SF), out, ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(out).drop("batch_id").count() == first
