@@ -1,6 +1,7 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 from .readers import read_dirty_csv
 from .sinks import write_json, write_parquet
+from .upsert import read_keyed_table, upsert, vacuum
 
 __all__ = [
     "TABLE_NAMES",
@@ -10,4 +11,7 @@ __all__ = [
     "read_dirty_csv",
     "write_json",
     "write_parquet",
+    "read_keyed_table",
+    "upsert",
+    "vacuum",
 ]
