@@ -388,19 +388,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def _simhash_from_hashes(tok_hashes: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(tok_hashes), dtype=np.int64)
-        for row_i, hs in enumerate(tok_hashes):
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            if h.size == 0:
+        n = len(tok_hashes)
+        out = np.zeros(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        shifts = np.arange(64, dtype=np.uint64)
+        lengths = np.fromiter((len(h) for h in tok_hashes), np.int64, count=n)
+        # Whole-batch tally: one (tokens, 64) bit matrix + segment sum
+        # per chunk, instead of a Python loop per row. Chunked on
+        # cumulative token count so the bit matrix stays ~128 MB.
+        bounds = np.searchsorted(np.cumsum(lengths), np.arange(0, lengths.sum(), 1 << 18))
+        bounds = np.unique(np.append(bounds, n))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            rows = [
+                np.asarray(h, dtype=np.int64) for h in tok_hashes.iloc[lo:hi]
+            ]
+            flat = np.concatenate(rows) if rows else np.empty(0, np.int64)
+            if flat.size == 0:
                 continue
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            row_idx = np.repeat(np.arange(hi - lo), lengths[lo:hi])
+            bits = ((flat.astype(np.uint64)[:, None] >> shifts) & 1).astype(
                 np.int64
-            )  # (n_tokens, 64) in {0,1}
-            tally = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.nonzero(tally > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[row_i] = np.int64(sig.astype(np.int64))
+            )  # (tokens, 64) in {0,1}
+            tally = np.zeros((hi - lo, 64), dtype=np.int64)
+            np.add.at(tally, row_idx, 2 * bits - 1)
+            sig = ((tally > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[lo:hi] = sig.view(np.int64)
         return pd.Series(out)
 
     return hashed.select(F.col(id_col), _simhash_from_hashes("tok_hashes").alias("simhash"))
