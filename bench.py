@@ -54,6 +54,7 @@ HEADLINE = [
 def _scaled_etl_inputs(copies: int) -> str:
     """Materialize an N× copy of the reference CSVs under /tmp with
     per-copy trade-id prefixes (keeps dedup and join selectivity)."""
+    import csv
     import os
 
     out = f"/tmp/spark_graft_etl_{copies}x"
@@ -66,18 +67,22 @@ def _scaled_etl_inputs(copies: int) -> str:
         ("trades.csv", [0]),  # trade_id
         ("counterparty_fills.csv", [0, 1]),  # external_ref_id, our_trade_id
     ]:
-        with open(os.path.join(ref, fname)) as f:
-            header = f.readline()
-            rows = f.readlines()
-        with open(os.path.join(out, fname), "w") as f:
-            f.write(header)
+        # csv module, not line.split(','): a quoted field containing a
+        # comma must not shift the id-column indices.
+        with open(os.path.join(ref, fname), newline="") as f:
+            reader = csv.reader(f)
+            header = next(reader)
+            rows = list(reader)
+        with open(os.path.join(out, fname), "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(header)
             for i in range(copies):
                 prefix = f"C{i:03d}"
-                for line in rows:
-                    parts = line.rstrip("\n").split(",")
+                for parts in rows:
+                    scaled = list(parts)
                     for ci in id_cols:
-                        parts[ci] = prefix + parts[ci]
-                    f.write(",".join(parts) + "\n")
+                        scaled[ci] = prefix + scaled[ci]
+                    writer.writerow(scaled)
     with open(os.path.join(ref, "symbols_reference.csv")) as f:
         sym = f.read()
     with open(os.path.join(out, "symbols_reference.csv"), "w") as f:
@@ -142,18 +147,60 @@ def main() -> None:
         m["processed_trades"] / timings["etl_pipeline_100x"], 1
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    vs_prev = _vs_previous_round(timings, sf)
+    if vs_prev:
+        out["vs_prev"] = vs_prev
+    print(json.dumps(out))
     spark.stop()
+
+
+def _vs_previous_round(
+    timings: dict[str, float], sf: float
+) -> dict[str, object] | None:
+    """Per-query ratio vs the latest recorded BENCH_r*.json (driver
+    format: our JSON line under 'parsed'). >1 = slower than the prior
+    round; regressions beyond 30% are flagged loudly on stderr so a
+    single slow query can't hide inside a healthy total."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return None
+    prev_path = benches[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        parsed = prev.get("parsed", prev)
+        prev_q = parsed["queries"]
+        if parsed.get("sf") != sf:
+            return None  # different scale — ratios would be meaningless
+    except (json.JSONDecodeError, KeyError, TypeError):
+        return None
+    ratios = {
+        name: round(t / prev_q[name], 2)
+        for name, t in timings.items()
+        # durations only — the trades/sec entry is a throughput, where
+        # bigger is better and a >1 ratio is an improvement.
+        if name in prev_q and prev_q[name] > 0 and not name.endswith("_per_sec")
+    }
+    for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        if r > 1.3:
+            print(
+                f"REGRESSION {name}: {r}x vs {os.path.basename(prev_path)}",
+                file=sys.stderr,
+            )
+    return {"baseline": os.path.basename(prev_path), "ratios": ratios}
 
 
 if __name__ == "__main__":
