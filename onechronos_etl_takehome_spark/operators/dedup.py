@@ -331,6 +331,7 @@ def dedup_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()
     try:
+        changed = 0
         for _ in range(max_iters):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.node)
@@ -357,6 +358,22 @@ def dedup_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed > 0:
+            # One hop per iteration: a component whose diameter exceeds
+            # max_iters would silently get >1 canonical id. Near-dup
+            # components are tiny, so this firing means the pair
+            # threshold is far too loose — surface it, don't guess.
+            import warnings
+
+            warnings.warn(
+                f"dedup_components: label propagation did not converge "
+                f"within max_iters={max_iters} ({changed} labels still "
+                f"changing); components wider than {max_iters} hops have "
+                f"multiple canonical ids. Raise max_iters or tighten the "
+                f"pair threshold.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # the final labels frame stays cached for the caller's action
         return labels.select(
             F.col("node").alias(id_col), F.col("label").alias("canonical_id")

@@ -11,13 +11,25 @@ Q1-Q7 per SURVEY.md §2.9), different execution design:
 - **Deterministic dedup.** ``dropDuplicates`` keeps an arbitrary row
   per key; we keep the row that sorts first over all columns, so
   reruns and repartitioning cannot change survivors.
-- **Broadcast enrichment.** Both join right-sides are dimension-sized;
-  explicit hints make the plan shuffle-free up to the final write even
-  when statistics are missing.
+- **Size-aware enrichment.** Symbols are a genuine dimension and are
+  always broadcast; fills are fact-shaped and broadcast only below a
+  configurable byte threshold (``_maybe_broadcast``), else a shuffle
+  join — an unconditional broadcast would OOM at cluster scale.
 - **Declarative rules.** The four validation rules and the reconcile
   thresholds are data (pipeline/rules.py), not code.
 - **Scale-aware sinks.** Partitioned JSON by default; reference-shaped
   single-file mode only when asked (sources/sinks.py).
+
+Deliberate divergence for non-default configs: the reference always
+*identifies* duplicates/cancelled trades and reports their counts even
+when ``filter_duplicates`` / ``filter_cancelled_trades`` are false
+(identify and remove are separate steps, etl_pipeline.py:110-137).
+This pipeline reports 0 for a disabled filter: computing the duplicate
+marking costs a full shuffle, and paying it for a metric whose filter
+is switched off is exactly the kind of hidden cost the 3-action design
+removes. Default config (all filters on) matches the reference's
+metrics exactly (tests/test_reference_parity.py); the divergence is
+asserted intentionally in tests/test_pipeline_config.py.
 
 Timezone policy (quirk Q1): rendering uses the session timezone; the
 engine pins UTC. The committed goldens were produced in
