@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 from . import relational  # noqa: E402,F401
 from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
+from . import relational4  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------

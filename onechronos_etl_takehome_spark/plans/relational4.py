@@ -1,0 +1,179 @@
+"""Relational surface, batch 4: the remaining classic TPC-H shapes —
+market-share ratio of conditional sums (Q8), revenue-share HAVING
+against an in-plan global aggregate (Q11), and scalar-subquery filter
+plus anti-join (Q22) — adapted to the testdata schema (no partsupp
+table, no phone/comment columns)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+
+def _volume() -> F.Column:
+    """Exact decimal revenue volume: extendedprice * (1 - discount)."""
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 3, 2))
+
+
+_VOLUME_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+@register(
+    "q51_nation_market_share",
+    oracle=f"""
+    SELECT yr,
+      COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                             THEN volume END) AS DOUBLE), 0.0)
+        / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+      CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        n1.n_name AS supp_nation, {_VOLUME_SQL} AS volume
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    GROUP BY yr
+    """,
+)
+def q51_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 shape: per-year share of a market (PROMO parts sold to
+    # ASIA customers) captured by one supplier nation — a ratio of a
+    # conditional decimal sum over the total, as ONE double division.
+    # The conditional sum uses when→NULL (not else-0) so no cross-engine
+    # type promotion is involved; COALESCE restores 0 for empty years.
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    )
+    supp_vol = F.sum(F.when(F.col("supp_nation") == "NATION_2", _volume()))
+    total_vol = F.sum(_volume())
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.coalesce(
+                supp_vol.cast("double"), F.lit(0.0)
+            ).alias("_supp"),
+            total_vol.cast("double").alias("total_volume"),
+        )
+        .select(
+            "yr",
+            (F.col("_supp") / F.col("total_volume")).alias("mkt_share"),
+            "total_volume",
+        )
+    )
+
+
+@register(
+    "q52_important_brands",
+    oracle=f"""
+    WITH brand_rev AS (
+      SELECT p_brand, SUM({_VOLUME_SQL}) AS rev_dec
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, CAST(rev_dec AS DOUBLE) AS revenue
+    FROM brand_rev,
+      (SELECT SUM(rev_dec) AS total_dec FROM brand_rev) g
+    WHERE CAST(rev_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.02
+    """,
+)
+def q52_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (adapted — no partsupp table): keep groups whose
+    # aggregate exceeds a fraction of the GLOBAL aggregate. The global
+    # total is an in-plan 1-row aggregate cross-joined back (broadcast),
+    # not a driver-side collect — one pass over the fact table feeds
+    # both sums. Threshold compare happens on doubles derived from the
+    # same exact decimals on both engines.
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brand_rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_volume()).alias("rev_dec"))
+    )
+    total = brand_rev.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        brand_rev.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rev_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(0.02)
+        )
+        .select("p_brand", F.col("rev_dec").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q53_wealthy_inactive_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > v
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q53_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: scalar-subquery threshold (average balance of
+    # in-the-black customers, one double division of exact parts) +
+    # NOT EXISTS anti-join against a filtered fact, aggregated by
+    # segment. The scalar is a broadcast 1-row aggregate; the anti-join
+    # side is pre-filtered so only urgent orders shuffle.
+    pin_semantics(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("v")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
