@@ -172,7 +172,13 @@ def _vs_previous_round(
     import re
 
     benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(
+                os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")
+            )
+            if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not benches:
