@@ -182,3 +182,43 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_stream_upsert(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint: str,
+    *,
+    delete_col: str | None = None,
+    available_now: bool = True,
+):
+    """CDC-shaped streaming sink: MERGE each microbatch into the keyed
+    table at ``path`` (sources/upsert.py) — later batches overwrite
+    earlier rows with the same key instead of appending, and an
+    optional boolean column marks deletes. This is the streaming shape
+    of a Delta ``foreachBatch MERGE INTO``.
+
+    Replay safety: a replayed batch re-runs the same merge against the
+    already-merged table, which produces an identical next version —
+    idempotent by upsert construction (no duplicate rows), at the cost
+    of one redundant version directory (vacuum reclaims it).
+
+    The batch must be key-unique (one row per key per microbatch);
+    upstream ``dropDuplicatesWithinWatermark``/aggregation provides
+    that for event streams.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.upsert import upsert
+
+        upsert(
+            batch_df.sparkSession, path, batch_df, keys, delete_col=delete_col
+        )
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3,17 +3,21 @@ same results as its batch twin once the single microbatch drains."""
 
 from __future__ import annotations
 
+import os
 import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from onechronos_etl_takehome_spark.plans.catalog import QUERIES
 from onechronos_etl_takehome_spark.session import pin_semantics
+from onechronos_etl_takehome_spark.sources.upsert import read_keyed_table
 from onechronos_etl_takehome_spark.streaming import (
     hourly_event_windows_stream,
     read_events_stream,
     streaming_dedup,
-)
-from onechronos_etl_takehome_spark.streaming.events_stream import (
     write_stream_parquet,
+    write_stream_upsert,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -82,3 +86,53 @@ def test_write_stream_parquet_idempotent_on_replay(spark, tmp_path):
         read_events_stream(spark, SF), out, ckpt
     ).awaitTermination()
     assert spark.read.parquet(out).drop("batch_id").count() == first
+
+
+def _write_events_file(path, rows):
+    """rows: (event_id, ts_nanos, user_id, event_type, value)."""
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.int64()),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_write_stream_upsert_last_writer_wins(spark, tmp_path):
+    """CDC sink: batch 2's rows replace batch 1's rows with the same
+    key in the keyed table — no appends, no duplicates."""
+    pin_semantics(spark)
+    src = tmp_path / "events.parquet"
+    os.makedirs(src)
+    t0 = 1_700_000_000 * 1_000_000_000
+    _write_events_file(
+        str(src / "a.parquet"),
+        [(1, t0, 1, "view", 1.0), (2, t0, 2, "view", 2.0)],
+    )
+    _write_events_file(
+        str(src / "b.parquet"),
+        [(3, t0 + 10, 1, "purchase", 9.0), (4, t0 + 10, 3, "view", 3.0)],
+    )
+    os.utime(str(src / "a.parquet"), (1_000_000, 1_000_000))
+    os.utime(str(src / "b.parquet"), (2_000_000, 2_000_000))
+
+    events = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    state = events.select("user_id", "event_type", "value")
+    tbl = str(tmp_path / "tbl")
+    write_stream_upsert(
+        state, tbl, ["user_id"], str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    got = {
+        (r.user_id, r.event_type, r.value)
+        for r in read_keyed_table(spark, tbl).collect()
+    }
+    assert got == {(1, "purchase", 9.0), (2, "view", 2.0), (3, "view", 3.0)}
