@@ -158,6 +158,54 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Per-corpus-doc share of n-gram shingles that appear in ANY
+    benchmark document — the standard eval-decontamination check for
+    training corpora (docs overlapping the eval set leak answers).
+
+    Returns (id, n_contaminated, n_shingles, contamination) for docs
+    with at least one benchmark shingle; filter ``contamination`` at
+    the caller's policy threshold.
+
+    Scale shape: the benchmark side (eval suites) is tiny relative to
+    a 100-TB corpus, so its distinct shingle set is **broadcast** —
+    the corpus is scanned once, map-side hash-joined, and only the
+    per-doc counters shuffle. No inverted-index self-join, no
+    quadratic term.
+    """
+    c_sh = _exploded_shingles(corpus, id_col, text_col, n)
+    b_sh = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_contaminated",
+        "n_shingles",
+        (
+            F.col("n_contaminated").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,34 @@ def lang_id(text: Column) -> Column:
 
 def content_fingerprint(text: Column) -> Column:
     return F.md5(text)
+
+
+# PII patterns: RE2-safe subset (no lookarounds/backrefs) so the same
+# pattern strings run identically under Spark's Java regex and DuckDB's
+# RE2 — the cross-engine contract the redaction oracle depends on.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+1-555-[0-9]{4}", "[PHONE]"),
+    "ssn": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email/phone/SSN match with its placeholder.
+
+    Email runs first (its local part may contain digits-and-dashes
+    runs the narrower patterns would nibble at); the remaining
+    patterns are mutually non-overlapping.
+    """
+    out = text
+    for pattern, placeholder in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (BIGINT) over the *original* text."""
+    return {
+        kind: F.regexp_count(text, F.lit(pattern)).cast("long")
+        for kind, (pattern, _) in PII_PATTERNS.items()
+    }

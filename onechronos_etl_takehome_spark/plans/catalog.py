@@ -48,6 +48,7 @@ from . import relational2  # noqa: E402,F401
 from . import relational3  # noqa: E402,F401
 from . import relational4  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
+from . import llm_ops2  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50
@@ -71,6 +72,7 @@ DRIVER_WINDOW: list[str] = [
     "d06_embedding_neardup_pairs",
     "d07_dedup_groups",
     "d08_corpus_clean",
+    "d09_decontaminate",
     # Text analysis.
     "t01_text_quality",
     "t02_lang_id",
@@ -80,11 +82,15 @@ DRIVER_WINDOW: list[str] = [
     "t06_hash_sampling",
     "t07_text_normalize",
     "t08_salient_terms",
+    "t09_chunk_documents",
+    "t10_pii_redaction",
     # Similarity search, multimodal, event-time windows, sketches.
+    # x03 (oracled heavy hitters) witnesses sketches instead of the
+    # rows-only x02 — stronger evidence for the same capability class.
     "s01_cosine_topk",
     "m01_binary_metadata",
     "e01_hourly_event_windows",
-    "x02_approx_percentiles",
+    "x03_heavy_hitters",
     # Relational witnesses — one per capability class.
     "q01_pricing_summary",  # decimal aggregation
     "q02_revenue_by_nation",  # multi-way join
@@ -95,11 +101,9 @@ DRIVER_WINDOW: list[str] = [
     "q13_json_props",  # JSON extraction
     "q18_user_sessions",  # batch sessionization
     "q19_purchase_last_view_asof",  # as-of join
-    "q20_cube_order_stats",  # CUBE
     "q22_quantity_percentiles",  # exact percentiles
     "q23_customer_status_sets",  # set aggregation
     "q25_rolling_customer_spend",  # rows-frame window
-    "q26_order_gaps",  # lag/lead
     "q27_above_average_orders",  # correlated scalar subquery
     "q28_segment_status_pivot",  # native pivot
     "q29_priciest_parts_ranked",  # rank with tie-breakers
@@ -113,9 +117,15 @@ DRIVER_WINDOW: list[str] = [
     "q45_nation_revenue_quartiles",  # ntile
     "q47_trailing_30d_spend",  # range-frame window
     "q48_price_moments",  # variance/stddev/correlation
-    "q49_null_handling_functions",  # NULL-handling functions
     "q50_filtered_aggregates",  # FILTER-clause aggregates
 ]
+# Window budget notes (50 slots): round 2 swapped in d09/t09/t10 (new
+# capability classes: decontamination, chunking, PII redaction) and
+# upgraded the sketch witness x02→x03 (rows-only → oracled). Displaced:
+# q20 CUBE (grouping still witnessed by q08 ROLLUP + q38 GROUPING SETS),
+# q26 lag/lead (windows witnessed by q25 rows-frame, q47 range-frame,
+# q45 ntile), q49 NULL functions (witnessed by q44 null-safe join).
+# All displaced queries remain locally oracled in the full test gate.
 
 
 def _curate_window() -> None:

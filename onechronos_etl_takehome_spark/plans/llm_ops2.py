@@ -1,0 +1,200 @@
+"""LLM-training-data pipeline queries, round 2.
+
+Decontamination, document chunking, PII redaction, balanced quota
+sampling, and exact heavy hitters via a Misra-Gries candidate sketch —
+the remaining staples of a large-scale corpus-prep pipeline. All five
+are DuckDB-oracled (the sketch in x03 only prunes work; its output is
+exact, so it hash-compares).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as dd
+from ..operators import text as tx
+from ..operators.sketches import heavy_hitters
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+from .llm_ops import _SH_SQL
+
+# Deterministic benchmark split for the decontamination demo: every
+# 20th doc plays the held-out eval set, the rest are the corpus.
+_BENCH_PRED = "doc_id % 20 = 0"
+
+
+@register(
+    "d09_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_SH_SQL}),
+    bench_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE {_BENCH_PRED}),
+    corpus_sh AS (
+      SELECT doc_id, shingle FROM sh WHERE NOT ({_BENCH_PRED})),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM corpus_sh GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_contaminated
+      FROM corpus_sh JOIN bench_sh USING (shingle) GROUP BY doc_id)
+    SELECT doc_id, CAST(n_contaminated AS BIGINT) AS n_contaminated,
+      CAST(n_shingles AS BIGINT) AS n_shingles,
+      CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        AS contamination
+    FROM hits JOIN sizes USING (doc_id)
+    """,
+)
+def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing n-gram shingles
+    with a (broadcast) benchmark set. n=3 matches the testdata's tiny
+    vocabulary; production uses n~13 for the same plan shape."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 20 == 0
+    return dd.contamination_stats(
+        docs.filter(~is_bench), docs.filter(is_bench), "doc_id", "text", n=3
+    )
+
+
+_CHUNK = 120
+
+
+@register(
+    "t09_chunk_documents",
+    oracle=f"""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+      substr(text, (i - 1) * {_CHUNK} + 1, {_CHUNK}) AS chunk,
+      CAST(LENGTH(substr(text, (i - 1) * {_CHUNK} + 1, {_CHUNK})) AS BIGINT)
+        AS chunk_len
+    FROM documents,
+      unnest(generate_series(1,
+        CAST(ceil(LENGTH(text) / {_CHUNK}.0) AS BIGINT))) AS t(i)
+    """,
+)
+def t09_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width character chunking (context-window packing shape):
+    one row per chunk via sequence+explode — a JVM-side one-to-many
+    projection, no UDF, no shuffle."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / F.lit(float(_CHUNK))).cast("int")
+    chunk = F.expr(f"substring(text, chunk_idx * {_CHUNK} + 1, {_CHUNK})")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+# The testdata corpus carries no real PII, so the demo synthesizes a
+# deterministic contact string from doc_id/source — identically on
+# both engines — and redacts that. The operator under test is the
+# regex machinery (tx.PII_PATTERNS), not the synthesis.
+_CONTACT_SQL = """
+  concat('contact user', CAST(doc_id AS VARCHAR), ' at user',
+         CAST(doc_id AS VARCHAR), '@', source, '.example.com or +1-555-',
+         lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0'), ' ssn 123-45-',
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+"""
+
+
+def _pii_oracle() -> str:
+    email, phone, ssn = (tx.PII_PATTERNS[k] for k in ("email", "phone", "ssn"))
+    redacted = "contact"
+    for pattern, placeholder in (email, phone, ssn):
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{placeholder}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(contact, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, (pat, _) in tx.PII_PATTERNS.items()
+    )
+    return f"""
+    WITH pii AS (SELECT doc_id, {_CONTACT_SQL} AS contact FROM documents)
+    SELECT doc_id, {redacted} AS redacted, {counts} FROM pii
+    """
+
+
+@register("t10_pii_redaction", oracle=_pii_oracle())
+def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("string")
+    contact = F.concat(
+        F.lit("contact user"), doc_id,
+        F.lit(" at user"), doc_id, F.lit("@"), F.col("source"),
+        F.lit(".example.com or +1-555-"),
+        F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_pii = docs.select("doc_id", contact.alias("contact"))
+    counts = tx.pii_counts(F.col("contact"))
+    return with_pii.select(
+        "doc_id",
+        tx.redact_pii(F.col("contact")).alias("redacted"),
+        *[col.alias(f"n_{kind}") for kind, col in counts.items()],
+    )
+
+
+_QUOTA = 40
+
+
+@register(
+    "t11_quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_QUOTA}
+    """,
+)
+def t11_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced sample: at most ``_QUOTA`` docs per language,
+    chosen by content-hash order — deterministic across engines,
+    reruns, and cluster sizes (unlike rand()-based sampleBy), which is
+    what per-language data budgets in corpus mixing need."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QUOTA)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+_HH_DENOM = 30
+
+
+@register(
+    "x03_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM words),
+    counts AS (SELECT word, COUNT(*) AS n_occurrences FROM words GROUP BY word)
+    SELECT word, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM counts, tot WHERE n_occurrences * {_HH_DENOM} > tot.n
+    """,
+)
+def x03_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words with frequency > 1/30 of the token stream, found via
+    per-batch Misra-Gries candidates + exact recount (operators/
+    sketches.py) — exact integer-math output, so it hash-compares
+    despite the sketch in the middle."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    return heavy_hitters(words, "word", threshold_denom=_HH_DENOM)

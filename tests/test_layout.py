@@ -1,0 +1,73 @@
+"""Data-layout maintenance: compaction + range-partitioned writes."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from onechronos_etl_takehome_spark.sources.layout import (
+    compact_parquet,
+    parquet_dir_bytes,
+    write_range_partitioned,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _parquet_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.repartition(64).write.parquet(src)
+    assert len(_parquet_files(src)) == 64
+
+    # Target = all input bytes in one file.
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=2 * parquet_dir_bytes(src)
+    )
+    assert n == 1
+    assert len(_parquet_files(dst)) == 1
+    # Row-level parity, not just counts.
+    assert (
+        spark.read.parquet(dst).exceptAll(docs).count() == 0
+        and docs.exceptAll(spark.read.parquet(dst)).count() == 0
+    )
+
+
+def test_compact_parquet_targets_file_size(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.repartition(16).write.parquet(src)
+    total = parquet_dir_bytes(src)
+    n = compact_parquet(spark, src, dst, target_file_bytes=total // 4 + 1)
+    assert n == 4
+    assert len(_parquet_files(dst)) == 4
+
+
+def test_range_partitioned_files_do_not_overlap(spark, tmp_path):
+    dst = str(tmp_path / "ranged")
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    write_range_partitioned(orders, dst, ["o_orderkey"], n_files=4)
+
+    files = _parquet_files(dst)
+    assert len(files) == 4
+    spans = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .collect()[0]
+        )
+        spans.append((row[0], row[1]))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo, f"file key ranges overlap: {spans}"
+    # Nothing lost in the rewrite.
+    assert spark.read.parquet(dst).count() == orders.count()
