@@ -44,9 +44,11 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
     "d03_minhash_dedup_pairs",
+    "d09_decontaminate",
     "s01_cosine_topk",
     "s04_cosine_topk_numpy",
     "t01_text_quality",
+    "x03_heavy_hitters",
     "e01_hourly_event_windows",
 ]
 

@@ -331,6 +331,83 @@ def cosine_topk_ivf(
     )
 
 
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Max-cosine cluster assignment: input columns + ``_cluster``.
+
+    One broadcast join against the (tiny) centroid table + a per-id
+    argmax — the coarse-quantization step shared by IVF search and
+    clustered dedup.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cent_id"))
+    return (
+        vectors.join(F.broadcast(centroids))
+        .select(
+            *vectors.columns,
+            "_cent_id",
+            cosine(F.col(vec_col), F.col("_cent_vec")).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*vectors.columns, F.col("_cent_id").alias("_cluster"))
+    )
+
+
+def embedding_neardup_clustered(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    n_iters: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, cosine >= threshold) via
+    k-means bucketing — the SemDeDup shape and the scale path that
+    replaces the all-pairs baseline (d06): pairs are only scored
+    *within* a cluster, so the quadratic term is per-cluster, not
+    global, and clusters partition-prune at 100 TB.
+
+    Recall < 1 by construction (a near-dup pair split across a cluster
+    boundary is missed); at threshold ~0.95 the two vectors are nearly
+    collinear, so boundary splits need the pair to sit almost exactly
+    between two centroids — tests bound the observed recall against
+    the exact operator.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    centroids = train_ivf_centroids(
+        corpus, n_clusters=n_clusters, n_iters=n_iters
+    )
+    assigned = assign_clusters(
+        corpus, centroids, id_col="corpus_id", vec_col="corpus_vec"
+    )
+    a = assigned.select(
+        F.col("corpus_id").alias("id_a"),
+        F.col("corpus_vec").alias("va"),
+        "_cluster",
+    )
+    b = assigned.select(
+        F.col("corpus_id").alias("id_b"),
+        F.col("corpus_vec").alias("vb"),
+        "_cluster",
+    )
+    return (
+        a.join(b, ["_cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

@@ -175,6 +175,20 @@ def t11_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("d10_embedding_neardup_clustered")  # k-means bucketing → recall<1,
+def d10_embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check; recall bounded vs exact d06 in tests.
+    """SemDeDup-shaped embedding near-dup: k-means clusters bound the
+    pairwise term (the 100-TB path; d06 is its exact oracle)."""
+    from ..operators.similarity import embedding_neardup_clustered
+
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_clustered(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+    )
+
+
 _HH_DENOM = 30
 
 

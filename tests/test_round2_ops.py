@@ -128,6 +128,51 @@ def test_quota_sample_balance(spark):
     assert a == b
 
 
+def test_clustered_neardup_recall_on_planted_dups(spark):
+    """The testdata embeddings are near-uniform (no pairs at 0.95 —
+    d06 returns empty), so plant perturbed copies and require d10's
+    cluster bucketing to recover them: a planted copy is nearly
+    collinear with its source, so both must land in the same k-means
+    cell except at exact cell boundaries."""
+    from onechronos_etl_takehome_spark.operators.similarity import (
+        cosine,
+        embedding_neardup_clustered,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    base = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    # Deterministic tiny perturbation: cosine(src, copy) ~ 0.9999.
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.0005 * ((i % 7) - 3.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
+
+    found_rows = embedding_neardup_clustered(
+        corpus, id_col="vec_id", vec_col="embedding", threshold=0.95
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in found_rows}
+    planted = {(i, i + 100000) for i in range(50)}
+
+    # Exact truth over the augmented corpus (all-pairs, small here).
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("s"))
+        .filter(F.col("s") >= 0.95)
+        .collect()
+    }
+    assert planted <= exact  # the perturbation really is a near-dup
+    assert found <= exact  # no false positives
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"planted-pair recall {recall}"
+
+
 def test_pii_redaction_removes_all_matches(spark):
     from onechronos_etl_takehome_spark.operators.text import PII_PATTERNS
 
