@@ -184,6 +184,45 @@ def write_stream_parquet(
     return writer.start()
 
 
+def write_stream_rollup(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Exactly-once streaming rollup over plain parquet: each
+    microbatch is partially aggregated to the hourly grain and merged
+    into the versioned rollup via ``operators.rollup.apply_increment``
+    keyed by the microbatch id. On failure-recovery replay the ledger
+    rejects the duplicate batch id, so counts never double — the
+    plain-parquet equivalent of a Delta ``foreachBatch MERGE``.
+
+    Note the input is the RAW event stream (no streaming groupBy):
+    aggregation happens inside foreachBatch, so the rollup table —
+    not Spark's state store — is the accumulator, and the table stays
+    queryable mid-stream at every committed version.
+    """
+    from ..operators.rollup import apply_increment, hourly_event_rollup_increment
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_increment(
+            batch_df.sparkSession,
+            path,
+            hourly_event_rollup_increment(batch_df),
+            keys=["window_start", "event_type"],
+            sum_cols=["n", "total_value"],
+            batch_id=str(batch_id),
+        )
+
+    writer = events.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_upsert(
     df: DataFrame,
     path: str,
