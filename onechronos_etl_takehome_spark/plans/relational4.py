@@ -134,6 +134,71 @@ def q52_important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_sole_delayed_supplier",
+    oracle="""
+    WITH sl AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+    al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sl l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM al l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM sl l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q54_sole_delayed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape (adapted — ship-delay stands in for the missing
+    # receipt/commit dates): suppliers who were the ONLY late shipper
+    # on a multi-supplier order. The signature pattern is the double
+    # correlated self-reference — EXISTS (another supplier on the
+    # order) AND NOT EXISTS (another LATE supplier on the order) —
+    # expressed as a semi-join + anti-join over two distinct
+    # (orderkey, suppkey) sets, both shuffled once on orderkey.
+    pin_semantics(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supp = l.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    others = all_supp.alias("l2")
+    other_late = late.alias("l3")
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
     "q53_wealthy_inactive_customers",
     oracle="""
     WITH avg_bal AS (
