@@ -65,6 +65,28 @@ def remove_near_duplicates(
     )
 
 
+def remove_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_contamination: float = 0.1,
+    ngram: int = 3,
+) -> DataFrame:
+    """Drop docs whose benchmark n-gram overlap reaches the policy
+    threshold (eval-set decontamination, operators/dedup.
+    contamination_stats — benchmark shingles broadcast, corpus
+    scanned once). Docs with overlap below the threshold — including
+    zero hits — pass through."""
+    flagged = (
+        dd.contamination_stats(docs, benchmark, id_col, text_col, n=ngram)
+        .filter(F.col("contamination") >= max_contamination)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def hash_split(
     df: DataFrame, *, id_col: str = "doc_id", weights: dict[str, int] | None = None
 ) -> DataFrame:
@@ -96,9 +118,13 @@ def prepare_corpus(
     min_diversity: float = 0.15,
     jaccard_threshold: float = 0.5,
     use_lsh: bool = True,
+    benchmark: DataFrame | None = None,
+    max_contamination: float = 0.1,
 ) -> dict[str, int]:
     """Run the full pipeline; returns stage counters (single pass via
-    Observation except the component loop's own convergence counts)."""
+    Observation except the component loop's own convergence counts).
+    With ``benchmark`` set, docs overlapping the eval set beyond
+    ``max_contamination`` are dropped after dedup."""
     obs_in = Observation("corpus_in")
     docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
@@ -118,6 +144,14 @@ def prepare_corpus(
         threshold=jaccard_threshold,
         use_lsh=use_lsh,
     )
+    if benchmark is not None:
+        deduped = remove_contaminated(
+            deduped,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            max_contamination=max_contamination,
+        )
     out = hash_split(deduped, id_col=id_col).cache()
     try:
         split_counts = {
