@@ -121,7 +121,13 @@ def ngram_jaccard_pairs(
     this verifies its candidates.
     """
     sh = _exploded_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_shingles"))
+    # Set sizes come from F.size on the (distinct) shingle array at the
+    # scan — no explode, no groupBy exchange; the exploded frame is
+    # only needed for the inverted index itself.
+    sizes = df.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).alias("_n_shingles"),
+    )
     if max_shingle_df is not None:
         # One window count over the same `shingle` partitioning the
         # self-join shuffles on — the exchange is shared, so the cap
@@ -323,7 +329,10 @@ def minhash_dedup_pairs(
         max_bucket_size=max_bucket_size,
     )
     sh = _exploded_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    # scan-side set sizes (see ngram_jaccard_pairs) — no extra exchange
+    sizes = df.select(
+        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("_n")
+    )
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
