@@ -55,6 +55,69 @@ def compact_parquet(
     return n_files
 
 
+def zorder_key(cols: list[str], *, bits: int = 8) -> "F.Column":
+    """Interleaved-bit (Morton) key over equal-width bucket ids.
+
+    Each column must already be bucketed to ``[0, 2^bits)`` integers
+    (``_bucketize`` below does this in-plan). Interleaving makes file
+    ranges narrow in EVERY dimension simultaneously — a linear sort
+    only prunes its leading column. Pure shift/and/or expression tree,
+    whole-stage codegen'd.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int,
+    bits: int = 8,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` laid out along a Morton curve over ``cols``.
+
+    Buckets are equal-width from in-plan global min/max (a broadcast
+    1-row aggregate — no driver collect, no global sort window), so
+    the whole layout job is: one tiny aggregate + one range shuffle +
+    one write, at any scale. Range predicates on ANY of ``cols`` then
+    prune whole files via parquet footer min/max.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    )
+    buckets = df.join(F.broadcast(stats))
+    max_bucket = (1 << bits) - 1
+    for c in cols:
+        span = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"_lo_{c}")) / span).otherwise(F.lit(0.0))
+        buckets = buckets.withColumn(
+            f"_zb_{c}", F.least(F.floor(frac * (max_bucket + 1)), F.lit(max_bucket)).cast("long")
+        )
+    keyed = buckets.withColumn(
+        "_z", zorder_key([f"_zb_{c}" for c in cols], bits=bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_zb_{c}" for c in cols], *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_range_partitioned(
     df: DataFrame,
     path: str,
