@@ -137,8 +137,16 @@ def main() -> None:
     # preserved). Shows throughput where fixed action overhead no
     # longer dominates.
     scaled = _scaled_etl_inputs(100)
+    # Production posture at 100×: partitioned JSON sinks (executors
+    # write in parallel). single_file=True is the reference-golden
+    # format whose array wrapper requires a driver-side write — right
+    # for the parity run above, wrong for a million-row output.
+    from onechronos_etl_takehome_spark.pipeline.etl import default_config
+
+    cfg = default_config()
+    cfg["output"]["single_file"] = False
     t0 = time.perf_counter()
-    m = ReconciliationPipeline(spark, input_dir=scaled).run(
+    m = ReconciliationPipeline(spark, input_dir=scaled, config=cfg).run(
         tempfile.mkdtemp(prefix="bench_etl100_")
     )
     timings["etl_pipeline_100x"] = round(time.perf_counter() - t0, 3)
