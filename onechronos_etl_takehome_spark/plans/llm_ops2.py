@@ -189,6 +189,53 @@ def d10_embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_TW, _TS = 30, 20  # token window width, stride (overlap = width - stride)
+
+
+@register(
+    "t12_token_window_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens,
+        len(string_split(text, ' ')) AS n_tok
+      FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      CAST(i * {_TS} AS BIGINT) AS start_token,
+      array_to_string(array_slice(tokens, i * {_TS} + 1, i * {_TS} + {_TW}), ' ')
+        AS chunk,
+      CAST(len(array_slice(tokens, i * {_TS} + 1, i * {_TS} + {_TW})) AS BIGINT)
+        AS n_chunk_tokens
+    FROM toks, unnest(generate_series(0,
+      greatest(CAST(ceil((n_tok - {_TW}) / {_TS}.0) AS BIGINT), 0))) AS t(i)
+    """,
+)
+def t12_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking with overlap (width 30, stride
+    20) — the standard context-window packing shape for LLM training:
+    consecutive chunks share width-stride tokens so no boundary
+    context is lost. sequence+explode+slice, all JVM-side."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_starts = F.greatest(
+        F.ceil((F.size(toks) - F.lit(_TW)) / F.lit(float(_TS))).cast("long"),
+        F.lit(0),
+    )
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_starts)).alias("chunk_idx"),
+    )
+    piece = F.slice("_toks", F.col("chunk_idx") * _TS + 1, _TW)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * _TS).cast("long").alias("start_token"),
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 _HH_DENOM = 30
 
 
