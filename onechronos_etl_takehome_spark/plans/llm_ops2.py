@@ -240,6 +240,65 @@ _HH_DENOM = 30
 
 
 @register(
+    "x04_group_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents),
+    s AS (
+      SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY lang)
+    SELECT lang,
+      CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) AS intercept,
+      CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def x04_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language linear fit of unique tokens vs total tokens, via
+    the closed form over INTEGER-EXACT sums (Σx, Σy, Σxy, Σx² are
+    BIGINTs — aggregation-order-independent) with the two double
+    divisions at the edge, so it hash-matches cross-engine. The
+    grouped-map applyInPandas twin (operators/groupfit.py) is the
+    escape hatch for models without a closed form; tests pin both
+    paths to 1e-9 agreement."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pts = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "lang",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
     "x03_heavy_hitters",
     oracle=f"""
     WITH words AS (

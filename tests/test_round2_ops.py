@@ -173,6 +173,35 @@ def test_clustered_neardup_recall_on_planted_dups(spark):
     assert recall >= 0.9, f"planted-pair recall {recall}"
 
 
+def test_groupfit_matches_closed_form(spark):
+    """The grouped-map applyInPandas fit and the integer-exact closed
+    form (x04) must agree to float tolerance per group."""
+    from onechronos_etl_takehome_spark.operators.groupfit import (
+        fit_linear_per_group,
+    )
+
+    docs = _docs(spark)
+    toks = F.split("text", " ")
+    pts = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+    fitted = {
+        r["lang"]: (r["intercept"], r["slope"], r["n"])
+        for r in fit_linear_per_group(pts, "lang", "x", "y").collect()
+    }
+    exact = {
+        r["lang"]: (r["intercept"], r["slope"], r["n"])
+        for r in QUERIES["x04_group_regression"](spark, SF_DIR).collect()
+    }
+    assert fitted.keys() == exact.keys() and fitted
+    for lang, (fi, fs, fn) in fitted.items():
+        ei, es, en = exact[lang]
+        assert fn == en
+        assert abs(fi - ei) < 1e-9 and abs(fs - es) < 1e-9, lang
+
+
 def test_pii_redaction_removes_all_matches(spark):
     from onechronos_etl_takehome_spark.operators.text import PII_PATTERNS
 
