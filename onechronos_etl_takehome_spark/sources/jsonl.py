@@ -56,6 +56,62 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl``: a file-drop directory becomes
+    a stream, new JSONL files become microbatches, corrupt lines ride
+    along in ``_corrupt_record`` for the quarantining sink."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = schema.add(CORRUPT_COL, StringType())
+    reader = spark.readStream.schema(schema).option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def write_stream_quarantined(
+    df: DataFrame,
+    good_path: str,
+    bad_path: str,
+    checkpoint: str,
+    *,
+    available_now: bool = True,
+):
+    """Quarantining streaming sink: each microbatch splits into parsed
+    rows → ``good_path`` and corrupt raw lines → ``bad_path``, each
+    written idempotently as a ``batch_id=<n>`` directory (replayed
+    batches rewrite in place — same contract as write_stream_parquet).
+    Inside foreachBatch the frame is a batch frame, so the cached
+    split (``split_corrupt``) applies as-is."""
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = split_corrupt(batch_df)
+        good.write.mode("overwrite").parquet(
+            os.path.join(good_path, f"batch_id={batch_id}")
+        )
+        bad.write.mode("overwrite").parquet(
+            os.path.join(bad_path, f"batch_id={batch_id}")
+        )
+        batch_df.unpersist()
+
+    writer = df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

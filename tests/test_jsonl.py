@@ -64,6 +64,37 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert back.exceptAll(docs).count() == 0
 
 
+def test_streaming_jsonl_quarantine(spark, tmp_path):
+    from onechronos_etl_takehome_spark.sources.jsonl import (
+        read_jsonl_stream,
+        write_stream_quarantined,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    n_good, n_bad = _write_fixture(str(drop / "a.jsonl"))
+    with open(drop / "b.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 99, "text": "late file", "lang": "en"}) + "\n")
+        f.write("}{ broken\n")
+
+    stream = read_jsonl_stream(spark, str(drop), SCHEMA, max_files_per_trigger=1)
+    q = write_stream_quarantined(
+        stream,
+        str(tmp_path / "good"),
+        str(tmp_path / "bad"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(str(tmp_path / "good"))
+    bad = spark.read.parquet(str(tmp_path / "bad"))
+    assert good.count() == n_good + 1
+    assert bad.count() == n_bad + 1
+    # Two files → two microbatches under maxFilesPerTrigger=1.
+    assert good.select("batch_id").distinct().count() == 2
+    assert good.filter(F.col("doc_id") == 99).count() == 1
+
+
 def test_corpus_decontamination_stage(spark, tmp_path):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     bench = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
