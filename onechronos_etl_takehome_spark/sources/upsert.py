@@ -53,11 +53,32 @@ def _publish(path: str, version: int) -> None:
     os.replace(tmp, os.path.join(path, _POINTER))
 
 
-def read_keyed_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read the current committed version of the table."""
-    version = _latest_version(path)
+def list_versions(path: str) -> list[int]:
+    """All committed version numbers on disk (vacuum trims old ones)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def read_keyed_table(
+    spark: SparkSession, path: str, *, version: int | None = None
+) -> DataFrame:
+    """Read the table — current version by default, or time-travel to
+    any still-on-disk ``version`` (every version is an immutable
+    directory, so historical reads need no reconstruction)."""
     if version is None:
-        raise FileNotFoundError(f"no committed version at {path}")
+        version = _latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed version at {path}")
+    elif version not in list_versions(path):
+        raise FileNotFoundError(
+            f"version {version} not on disk at {path} "
+            f"(available: {list_versions(path)})"
+        )
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 

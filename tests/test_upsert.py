@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from onechronos_etl_takehome_spark.sources.upsert import (
+    list_versions,
     read_keyed_table,
     upsert,
     vacuum,
@@ -26,6 +27,25 @@ def _snapshot(spark, path):
         (r.doc_id, r.text, r.score)
         for r in read_keyed_table(spark, path).collect()
     }
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Each committed version stays readable until vacuumed; a missing
+    version is a clear error, not an empty frame."""
+    path = str(tmp_path / "tbl")
+    upsert(spark, path, _rows(spark, [(1, "a", 1.0)]), ["doc_id"])
+    upsert(spark, path, _rows(spark, [(1, "a2", 2.0), (2, "b", 1.0)]), ["doc_id"])
+    assert list_versions(path) == [0, 1]
+
+    v0 = {(r.doc_id, r.text) for r in read_keyed_table(spark, path, version=0).collect()}
+    assert v0 == {(1, "a")}
+    latest = {(r.doc_id, r.text) for r in read_keyed_table(spark, path).collect()}
+    assert latest == {(1, "a2"), (2, "b")}
+
+    vacuum(path, keep=1)
+    assert list_versions(path) == [1]
+    with pytest.raises(FileNotFoundError):
+        read_keyed_table(spark, path, version=0)
 
 
 def test_upsert_insert_update_passthrough(spark, tmp_path):
