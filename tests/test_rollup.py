@@ -93,6 +93,38 @@ def test_schema_stable_across_versions(spark, tmp_path):
     assert schemas[0] == schemas[1] == schemas[2]
 
 
+def test_late_data_merges_into_old_windows(spark, tmp_path):
+    """Contract difference vs a watermarked streaming aggregation: the
+    ledger-rollup has no watermark, so an arbitrarily late event still
+    lands in its (old) hour bucket — the table is the accumulator, and
+    corrections merge instead of being dropped. (The watermarked
+    streaming path in streaming/events_stream.py makes the opposite,
+    bounded-state trade; tests/test_late_data.py pins that side.)"""
+    path = str(tmp_path / "rollup")
+    events = _events(spark)
+    first_hour = hourly_event_rollup_increment(events).orderBy("window_start")
+    target_window = first_hour.first()["window_start"]
+
+    # Batch 0: everything EXCEPT one early-hour slice.
+    early = events.filter(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        == target_window
+    )
+    rest = events.exceptAll(early)
+    apply_increment(
+        spark, path, hourly_event_rollup_increment(rest),
+        keys=KEYS, sum_cols=SUMS, batch_id="b0",
+    )
+    # Batch 1 arrives much later, carrying only the old-hour events.
+    apply_increment(
+        spark, path, hourly_event_rollup_increment(early),
+        keys=KEYS, sum_cols=SUMS, batch_id="b1-late",
+    )
+    assert _canon(read_keyed_table(spark, path)) == _canon(
+        hourly_event_rollup_increment(events)
+    )
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     from onechronos_etl_takehome_spark.streaming.events_stream import (
         read_events_stream,
