@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.exact import dec
 from ..operators import dedup as dd
 from ..operators import text as tx
+from ..operators.bloom import bloom_semi_join
 from ..operators.sketches import heavy_hitters
 from ..session import pin_semantics
 from ..sources.tables import load_table
@@ -318,3 +320,38 @@ def x03_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     return heavy_hitters(words, "word", threshold_denom=_HH_DENOM)
+
+
+@register(
+    "x05_bloom_semi_join",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        AS total_price
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000)
+    GROUP BY o_orderpriority
+    """,
+)
+def x05_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim semi join with an explicit Bloom prefilter on
+    the probe side (operators/bloom.py): non-matching orders are
+    dropped before the exchange, the exact semi join removes the false
+    positives, so the result is identical to the plain semi join while
+    shuffle volume shrinks to ~selectivity of the probe."""
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000))
+        .select("c_custkey")
+    )
+    joined = bloom_semi_join(
+        orders, building, "o_custkey", "c_custkey", n_bits=1 << 17
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )

@@ -124,3 +124,27 @@ def test_salted_join_matches_plain_join(spark, how):
     plain = left.join(right, ["k"], how).orderBy("k", "v").collect()
     salted = salted_join(left, right, ["k"], how=how, salt_buckets=4)
     assert salted.orderBy("k", "v").collect() == plain
+
+
+def test_x05_bloom_prefilter_reaches_probe_scan_stage(spark):
+    # The bitmap membership test must sit in the orders scan stage
+    # (a Filter on xxhash64 bit tests before any Exchange), so the
+    # shuffle only carries probable matches.
+    plan = _plan(spark, "x05_bloom_semi_join")
+    # membership test (seeded xxhash64 + packed-bitmap element_at) present
+    assert "xxhash64" in plan and "element_at" in plan
+    # and it's evaluated scan-side: the probe branch of the semi join is
+    # Filter directly over the parquet scan (no exchange in between).
+    assert ":- Filter" in plan  # probe-side filter feeding the join
+    bloom_filter_block = next(
+        block
+        for block in plan.split("\n\n")
+        if block.lstrip().startswith("(")
+        and "Filter" in block.splitlines()[0]
+        and "xxhash64" in block
+    )
+    # the filter's input is the raw scan output (incl. payload columns),
+    # proving it runs before the join/exchange, not after.
+    assert "o_totalprice" in bloom_filter_block
+    # the semi join itself stays a broadcast join (small build side)
+    assert "BroadcastHashJoin LeftSemi" in plan
