@@ -40,6 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) read via nanosAsLong → truncate to micros
         # (integer div: no double roundtrip — nanos exceed 2^53).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet timestamps written without isAdjustedToUTC infer as
+    # TIMESTAMP_NTZ under Spark 4; normalize to session-TZ TIMESTAMP
+    # (session pins UTC) so time arithmetic (unix_micros, windows,
+    # watermarks) works uniformly and matches DuckDB's naive reading.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

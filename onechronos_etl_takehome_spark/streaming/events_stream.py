@@ -29,6 +29,28 @@ EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_is_nanos(src: str) -> bool:
+    """True when the parquet stores ts as nanos — TIMESTAMP(NANOS)
+    (which Spark can only read via nanosAsLong → long) or a raw int64
+    epoch-nanos column. Micros/millis testdata reads directly as
+    timestamp. Footer-only check, no data scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = src
+    if os.path.isdir(src):
+        for entry in sorted(os.listdir(src)):
+            if entry.endswith(".parquet"):
+                f = os.path.join(src, entry)
+                break
+    ts_type = pq.read_schema(f).field("ts").type
+    return pa.types.is_int64(ts_type) or getattr(ts_type, "unit", None) == "ns"
 
 
 def read_events_stream(
@@ -43,11 +65,13 @@ def read_events_stream(
     microbatch per file — tests use it to pin cross-batch semantics
     (watermark advance, outer-join emission timing).
     """
-    # testdata ts is TIMESTAMP(NANOS): read as long, convert below.
-    # Pinned here (not only in the session factory) so the stream works
-    # in any session.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
+    nanos = _events_ts_is_nanos(src)
+    if nanos:
+        # TIMESTAMP(NANOS): read as long, convert below. Pinned here
+        # (not only in the session factory) so the stream works in any
+        # session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if os.path.isfile(src):
         # Deterministic staging dir keyed by the source path: reused
         # across calls instead of leaking one mkdtemp per invocation.
@@ -64,11 +88,13 @@ def read_events_stream(
         path = staging
     else:
         path = src
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    reader = spark.readStream.schema(EVENTS_SCHEMA if nanos else EVENTS_SCHEMA_TS)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_event_windows_stream(
