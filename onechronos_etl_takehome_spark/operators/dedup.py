@@ -375,6 +375,14 @@ def dedup_components(
     Scale: each iteration is one join on the edge list + a min-agg —
     all shuffle-partitioned by node id; labels are cached per round and
     the loop's only driver-side data is the convergence counter.
+
+    Lineage: each round's labels are *checkpointed*, not just cached —
+    a cache leaves the logical plan growing by one join per iteration
+    (planning cost and stack depth scale with rounds; the round-1 plan
+    fingerprint showed 135 scans for a 4-round run). Checkpointing
+    truncates the plan to a leaf per round: ``checkpoint()`` when the
+    session has a checkpoint dir (production — survives executor loss),
+    else ``localCheckpoint()`` (executor-local, fine for local mode).
     """
     # cache the edge list: every iteration joins against it, and the
     # pair computation upstream (shingling + joins) must not re-run
@@ -384,6 +392,12 @@ def dedup_components(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .cache()
     )
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()
@@ -395,15 +409,13 @@ def dedup_components(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
+            new_labels = _truncate(
+                labels.join(neighbor_min, "node", "left").select(
                     "node",
                     F.least(
                         F.col("label"), F.coalesce("nbr_label", F.col("label"))
                     ).alias("label"),
                 )
-                .cache()
             )
             changed = (
                 new_labels.alias("n")

@@ -29,8 +29,12 @@ EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
-EVENTS_SCHEMA_TS = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+# Micros testdata is written without isAdjustedToUTC → read it as NTZ
+# and cast, exactly like load_table: a plain `ts timestamp` schema would
+# reinterpret the stored wall-clock as a UTC instant and diverge from
+# the batch reader whenever the session TZ isn't UTC.
+EVENTS_SCHEMA_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -88,12 +92,14 @@ def read_events_stream(
         path = staging
     else:
         path = src
-    reader = spark.readStream.schema(EVENTS_SCHEMA if nanos else EVENTS_SCHEMA_TS)
+    reader = spark.readStream.schema(EVENTS_SCHEMA if nanos else EVENTS_SCHEMA_NTZ)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -148,3 +148,33 @@ def test_x05_bloom_prefilter_reaches_probe_scan_stage(spark):
     assert "o_totalprice" in bloom_filter_block
     # the semi join itself stays a broadcast join (small build side)
     assert "BroadcastHashJoin LeftSemi" in plan
+
+
+def test_driver_window_outputs_are_canonicalizer_safe(spark):
+    """The correctness driver canonicalizes oracled results with pandas
+    (sort_values over every column, then a value hash). Columns pandas
+    can't sort — arrays/maps/structs — or whose dtype differs between
+    Spark and DuckDB's fetchdf (NTZ timestamps) broke q23 in round 1.
+    Pin the contract: every oracled query inside the driver's 50-slot
+    evidence window emits only flat, hashable, dtype-stable columns."""
+    from onechronos_etl_takehome_spark.plans.catalog import (
+        DRIVER_WINDOW,
+        ORACLES,
+        QUERIES,
+    )
+
+    assert list(QUERIES)[: len(DRIVER_WINDOW)] == DRIVER_WINDOW
+    bad: dict[str, list] = {}
+    for name in DRIVER_WINDOW:
+        if name not in ORACLES:
+            continue  # rows-only check — schema never reaches pandas
+        schema = QUERIES[name](spark, SF).schema
+        offenders = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.dataType.typeName()
+            in ("array", "map", "struct", "timestamp_ntz")
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"driver-hash-unsafe output columns: {bad}"
