@@ -164,9 +164,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # vs_prev goes to a side file + stderr, never the stdout line: the
+    # driver tail-captures stdout and a doubled line overflows it
+    # (round 2's BENCH record came back unparsed for exactly that).
     vs_prev = _vs_previous_round(timings, sf)
     if vs_prev:
-        out["vs_prev"] = vs_prev
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_vs_prev.json"
+        )
+        with open(side, "w") as f:
+            json.dump(vs_prev, f, indent=1)
+        print(f"vs_prev written to {side}", file=sys.stderr)
+    # The compact driver-parseable JSON is the FINAL stdout line.
     print(json.dumps(out))
     spark.stop()
 

@@ -84,11 +84,56 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IF the input is under-parallel.
+
+    Shingling/hashing is the CPU-dominant term of every fuzzy-dedup
+    operator, and it runs in the SCAN stage — whose parallelism is the
+    input's file-split count. A small file count (one parquet file at
+    bench scale; a handful of big gzip files in the wild) serializes
+    the whole operator onto that many cores. The gate makes this a
+    strict no-op at scale: a 100-TB corpus already scans with thousands
+    of splits (>= defaultParallelism), so no shuffle is added; only a
+    genuinely under-split input pays one cheap round-robin exchange to
+    unlock every core.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, *, with_size: bool = False
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    """One exploded (id, shingle) row per distinct shingle.
+
+    The shingle array is evaluated exactly ONCE per document:
+
+    - it is materialized in its own projection, so ``size`` and the
+      generator read the same value (CollapseProject keeps non-cheap
+      aliases referenced twice);
+    - ``explode_outer`` — not ``explode`` — because the non-outer form
+      triggers InferFiltersFromGenerate, which injects a
+      ``size(word_shingles(..)) > 0`` filter that RE-EVALUATES the whole
+      interpreted higher-order chain per row (measured ~3× the stage
+      cost). ``word_shingles`` never returns null/empty (short texts
+      collapse to one whole-text shingle), so outer ≡ inner here.
+
+    ``with_size=True`` additionally carries the exact shingle-set size
+    (``_n``) on every exploded row; consumers take ``min(_n)`` in their
+    existing pair groupBy — constant per id — which removes the
+    separate per-doc size aggregation and both size joins downstream.
+    """
+    base = _spread(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")
+    )
+    if not with_size:
+        return base.select(F.col(id_col), F.explode_outer("_sh").alias("shingle"))
+    return base.select(
+        F.col(id_col),
+        F.size("_sh").alias("_n"),
+        F.explode_outer("_sh").alias("shingle"),
     )
 
 
@@ -120,18 +165,16 @@ def ngram_jaccard_pairs(
     exact oracle; MinHash-LSH (below) is the 100-TB entry point and
     this verifies its candidates.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n)
-    # Set sizes come from F.size on the (distinct) shingle array at the
-    # scan — no explode, no groupBy exchange; the exploded frame is
-    # only needed for the inverted index itself.
-    sizes = df.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), n)).alias("_n_shingles"),
-    )
+    # Set sizes ride along on the exploded rows (one int per row): the
+    # corpus is shingled ONCE, and the sizes need no extra scan, no
+    # groupBy exchange, and no join — the pair groupBy picks them up as
+    # min() aggregates (constant per id).
+    sh = _exploded_shingles(df, id_col, text_col, n, with_size=True)
     if max_shingle_df is not None:
         # One window count over the same `shingle` partitioning the
         # self-join shuffles on — the exchange is shared, so the cap
-        # costs no extra shuffle.
+        # costs no extra shuffle. `_n` was computed before the cap, so
+        # set sizes stay exact.
         wdf = Window.partitionBy("shingle")
         sh = (
             sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
@@ -139,7 +182,10 @@ def ngram_jaccard_pairs(
             .drop("_df")
         )
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    jaccard = F.col("n_common").cast("double") / (
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    )
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -148,16 +194,11 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n_shingles").alias("n_b"))
-    jaccard = F.col("n_common").cast("double") / (
-        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-    )
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a._n").alias("n_a"),
+            F.min("b._n").alias("n_b"),
+        )
         .select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -190,30 +231,51 @@ def contamination_stats(
     per-doc counters shuffle. No inverted-index self-join, no
     quadratic term.
     """
-    c_sh = _exploded_shingles(corpus, id_col, text_col, n)
+    # Sizes ride on the exploded rows: the corpus is shingled once and
+    # the per-doc set size arrives via min() in the hits groupBy — no
+    # separate size aggregation, no join.
+    c_sh = _exploded_shingles(corpus, id_col, text_col, n, with_size=True)
     b_sh = benchmark.select(
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
     ).distinct()
-    sizes = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
+    return (
         c_sh.join(F.broadcast(b_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return hits.join(sizes, id_col).select(
-        id_col,
-        "n_contaminated",
-        "n_shingles",
-        (
-            F.col("n_contaminated").cast("double")
-            / F.col("n_shingles").cast("double")
-        ).alias("contamination"),
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            # F.size is int32; counts are BIGINT cross-engine (CLAUDE.md)
+            F.min("_n").cast("long").alias("n_shingles"),
+        )
+        .select(
+            id_col,
+            "n_contaminated",
+            "n_shingles",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination"),
+        )
     )
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+
+def _shingle_hash(i: int, shingle: Column, hash_family: str) -> Column:
+    """hash_i(shingle) under the chosen family.
+
+    ``xxhash64`` (default): fastest, JVM-native, engine-specific.
+    ``md5``: first 15 hex digits of md5("i#" ⊕ s) as a 60-bit integer —
+    expressible IDENTICALLY in ANSI-ish SQL
+    (DuckDB: ``('0x' || substr(md5(...), 1, 15))::BIGINT``), which makes
+    the whole MinHash pipeline cross-engine oracle-able.
+    """
+    salted = F.concat(F.lit(f"{i}#"), shingle)
+    if hash_family == "md5":
+        return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(salted)
 
 
 def minhash_signatures(
@@ -223,10 +285,11 @@ def minhash_signatures(
     *,
     n: int = 3,
     num_hashes: int = 32,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) MinHash signatures.
 
-    hash_i(s) = xxhash64("i#" ⊕ s); min per hash over the shingle set.
+    hash_i(s) = hash("i#" ⊕ s); min per hash over the shingle set.
 
     Shape: explode shingles once → num_hashes MIN aggregates. The mins
     partially aggregate map-side (whole-stage codegen'd JVM hashing),
@@ -237,7 +300,7 @@ def minhash_signatures(
     """
     sh = _exploded_shingles(df, id_col, text_col, n)
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}#"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(_shingle_hash(i, F.col("shingle"), hash_family)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -256,6 +319,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
@@ -270,16 +334,33 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` drops buckets over the cap. Exact-duplicate
     clusters belong to the cheap md5 pass (``dedup_exact``) upstream —
     capping here only sheds work that pass already covers.
+
+    ``hash_family="md5"`` keeps the bucket key as the raw concatenated
+    band slice (no xxhash64) so the bucketing is reproducible in any
+    SQL engine; grouping semantics are identical either way.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(bi), F.concat_ws(",", F.slice("sig", bi * r + 1, r)))
-            for bi in range(bands)
-        ]
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
     )
+    if hash_family == "md5":
+        # cross-engine bucket key: "<band>|mh_i,mh_j,..." as a string
+        band_hashes = F.array(
+            *[
+                F.concat_ws(
+                    "|", F.lit(str(bi)), F.concat_ws(",", F.slice("sig", bi * r + 1, r))
+                )
+                for bi in range(bands)
+            ]
+        )
+    else:
+        band_hashes = F.array(
+            *[
+                F.xxhash64(F.lit(bi), F.concat_ws(",", F.slice("sig", bi * r + 1, r)))
+                for bi in range(bands)
+            ]
+        )
     buckets = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
     )
@@ -317,8 +398,15 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """LSH candidates verified with exact Jaccard (the full scale path)."""
+    """LSH candidates verified with exact Jaccard (the full scale path).
+
+    The verify stage shingles the corpus exactly once: set sizes ride
+    on the exploded rows (``with_size``) and reach the pair-level
+    groupBy as min() aggregates — no second shingling pass and no
+    per-side size joins.
+    """
     cands = minhash_lsh_candidates(
         df,
         id_col,
@@ -327,28 +415,23 @@ def minhash_dedup_pairs(
         num_hashes=num_hashes,
         bands=bands,
         max_bucket_size=max_bucket_size,
+        hash_family=hash_family,
     )
-    sh = _exploded_shingles(df, id_col, text_col, n)
-    # scan-side set sizes (see ngram_jaccard_pairs) — no extra exchange
-    sizes = df.select(
-        F.col(id_col), F.size(word_shingles(F.col(text_col), n)).alias("_n")
-    )
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cands.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"))
+    sh = _exploded_shingles(df, id_col, text_col, n, with_size=True)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
     jaccard = F.col("n_common").cast("double") / (
         (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
     )
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cands.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
         .select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -463,7 +546,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     only the 64-lane bit tally runs in an Arrow-batched pandas UDF —
     numpy-vectorized, deterministic, no external deps.
     """
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col),
         F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias(
             "tok_hashes"

@@ -113,13 +113,75 @@ def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_components(docs, pairs, id_col="doc_id")
 
 
-@register("d03_minhash_dedup_pairs")  # xxhash64-based → rows-only check;
+def _d03_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Full MinHash→LSH→verify pipeline in DuckDB SQL.
+
+    Cross-engine hash: hash_i(s) = int(md5('i#'||s)[0:15 hex]) — Spark
+    spells it conv(substr(md5(..),1,15),16,10), DuckDB
+    ('0x'||substr(md5(..),1,15))::BIGINT; both yield the same 60-bit
+    value, so signatures, banding, candidates, and the exact-Jaccard
+    verification all agree bit-for-bit.
+    """
+    r = num_hashes // bands
+    mh = ",\n      ".join(
+        f"MIN(('0x' || substr(md5('{i}#' || shingle), 1, 15))::BIGINT) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws(',', "
+        + ", ".join(f"mh{bi * r + j}" for j in range(r))
+        + ") AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH sh AS ({_SH_SQL}),
+    sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    buckets AS ({band_rows}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cd.id_a, cd.id_b, COUNT(*) AS c
+      FROM cands cd
+      JOIN sh sa ON sa.doc_id = cd.id_a
+      JOIN sh sb ON sb.doc_id = cd.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
+    """
+
+
+@register("d03_minhash_dedup_pairs", oracle=_d03_oracle())
 def d03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # recall oracle = d02 (exact Jaccard at the same threshold).
+    """MinHash+LSH near-dup pairs, fully oracled: the md5 hash family is
+    reproducible in DuckDB, so the driver verifies signatures→bands→
+    candidates→exact-Jaccard end-to-end (not just row counts). The
+    xxhash64 family stays the fast default for direct operator use;
+    d03_capped benches that form."""
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        hash_family="md5",
+    )
+
+
+@register("d03_capped_minhash_dedup")  # xxhash64 + bucket cap → rows-only;
+def d03_capped_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100-TB production form: fast engine hash + max_bucket_size
+    # guard. Recall vs the exact d02 oracle is pinned in
+    # tests/test_fuzzy_dedup_model.py; subset-of-d02 asserted there too.
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        max_bucket_size=50,
     )
 
 

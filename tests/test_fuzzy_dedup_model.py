@@ -6,6 +6,7 @@ from __future__ import annotations
 import random
 
 from onechronos_etl_takehome_spark.operators.dedup import (
+    minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
@@ -61,6 +62,33 @@ def test_jaccard_pairs_match_python_model(spark):
     assert got.keys() == expected.keys()
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-12, (k, got[k], expected[k])
+
+
+def test_minhash_pairs_subset_of_exact_with_recall(spark):
+    """Both production forms of minhash_dedup_pairs — the cross-engine
+    md5 family (d03's oracled registration) and the capped xxhash64
+    form (d03_capped) — must return verified-exact-Jaccard pairs only
+    (subset of the exact operator) and keep recall on the planted
+    near-duplicates."""
+    docs = _random_corpus()
+    df = spark.createDataFrame(list(docs.items()), ["id", "text"])
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "id", "text", threshold=0.5).collect()
+    }
+    assert exact, "corpus must produce exact pairs for the test to bite"
+    for kwargs in ({"hash_family": "md5"}, {"max_bucket_size": 50}):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_dedup_pairs(
+                df, "id", "text", threshold=0.5, **kwargs
+            ).collect()
+        }
+        assert set(got) <= set(exact), kwargs
+        for k, jac in got.items():
+            assert abs(jac - exact[k]) < 1e-12, (kwargs, k)
+        recall = len(got) / len(exact)
+        assert recall >= 0.6, (kwargs, recall, set(exact) - set(got))
 
 
 def test_simhash_identical_docs_collide(spark):
