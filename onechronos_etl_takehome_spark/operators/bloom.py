@@ -101,22 +101,27 @@ def bloom_semi_join(
     *,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    bitmap: list[int] | None = None,
 ) -> DataFrame:
     """``probe LEFT SEMI JOIN build`` with a Bloom prefilter on the
     probe side. Exact: the final semi join removes false positives.
 
-    The build side is scanned twice (bitmap + join); at scale, cache it
-    or reuse a persisted key set when it is itself expensive.
+    Single build-side pass: the distinct key set is cached, the bitmap
+    aggregation materializes that cache, and the exact semi join reads
+    the cache instead of rescanning the build plan. Pass a pre-built
+    ``bitmap`` (from :func:`bloom_bitmap`) to skip the build job
+    entirely — the way to amortize one filter across many probes.
     """
     build_key = build_key or probe_key
-    bitmap = bloom_bitmap(
-        build, build_key, n_bits=n_bits, n_hashes=n_hashes
+    keys = (
+        build.select(F.col(build_key).alias(probe_key))
+        .where(F.col(probe_key).isNotNull())
+        .distinct()
     )
+    if bitmap is None:
+        keys = keys.cache()
+        bitmap = bloom_bitmap(keys, probe_key, n_bits=n_bits, n_hashes=n_hashes)
     prefiltered = probe.where(
         bloom_might_contain(F.col(probe_key), bitmap, n_hashes=n_hashes)
     )
-    return prefiltered.join(
-        build.select(F.col(build_key).alias(probe_key)).distinct(),
-        on=probe_key,
-        how="left_semi",
-    )
+    return prefiltered.join(keys, on=probe_key, how="left_semi")

@@ -84,23 +84,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition IF the input is under-parallel.
-
-    Shingling/hashing is the CPU-dominant term of every fuzzy-dedup
-    operator, and it runs in the SCAN stage — whose parallelism is the
-    input's file-split count. A small file count (one parquet file at
-    bench scale; a handful of big gzip files in the wild) serializes
-    the whole operator onto that many cores. The gate makes this a
-    strict no-op at scale: a 100-TB corpus already scans with thousands
-    of splits (>= defaultParallelism), so no shuffle is added; only a
-    genuinely under-split input pays one cheap round-robin exchange to
-    unlock every core.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# Shingling/hashing is the CPU-dominant term of every fuzzy-dedup
+# operator and runs in the SCAN stage — spread under-split inputs so it
+# isn't serialized onto a single file-split (no-op at scale).
+from .util import spread as _spread
 
 
 def _exploded_shingles(

@@ -18,9 +18,14 @@ each shard — exactly what the LSH variant's plan does.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .util import spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -41,6 +46,19 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_sq_norm(a)) * F.sqrt(_sq_norm(b)))
 
 
+def with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Attach ``sqrt(Σx²)`` as a column — compute each vector's norm
+    ONCE before a pairwise join instead of once per PAIR.
+
+    ``cosine(a, b)`` re-evaluates both interpreted norm folds for every
+    row of a pairwise join (O(pairs·dim) extra work); precomputing
+    turns that into O(rows·dim). Bitwise-identical to the inline form:
+    the per-pair expression becomes ``dot/(norm_a*norm_b)`` with the
+    exact same operand order, so oracled scores do not move.
+    """
+    return df.withColumn(out, F.sqrt(_sq_norm(F.col(vec_col))))
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -55,15 +73,21 @@ def cosine_topk_bruteforce(
 
     The query side is broadcast (query sets are driver-small by
     construction); the corpus streams — one pass, no shuffle besides
-    the final per-query top-k, which TakeOrdered keeps tiny.
+    the final per-query top-k, which TakeOrdered keeps tiny. Norms are
+    precomputed per row (see ``with_norm``) and the corpus side is
+    spread across cores when under-split.
     """
-    joined = corpus.join(
-        F.broadcast(queries), F.col(query_id) != F.col(corpus_id)
+    joined = with_norm(spread(corpus), corpus_vec, "_cn").join(
+        F.broadcast(with_norm(queries, query_vec, "_qn")),
+        F.col(query_id) != F.col(corpus_id),
     )
     scored = joined.select(
         query_id,
         corpus_id,
-        cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        (
+            _dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id)
@@ -123,7 +147,7 @@ def cosine_topk_numpy(
                 }
             )
 
-    scored = corpus.mapInPandas(
+    scored = spread(corpus).mapInPandas(
         score, schema=f"{query_id} long, {corpus_id} long, score double"
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
@@ -180,10 +204,17 @@ def train_ivf_centroids(
     import numpy as np
 
     spark = corpus.sparkSession
-    vecs = corpus.select(
-        F.col(corpus_id).alias("_id"),
-        F.transform(F.col(corpus_vec), lambda x: x.cast("double")).alias("_v"),
-    ).cache()
+    # _vn (vector norm) is loop-invariant: computed once, cached, and
+    # reused by every Lloyd iteration's assignment join.
+    vecs = (
+        spread(corpus)
+        .select(
+            F.col(corpus_id).alias("_id"),
+            F.transform(F.col(corpus_vec), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_vn", F.sqrt(_sq_norm(F.col("_v"))))
+        .cache()
+    )
     # k-means++ (D² sampling) on a hash-ordered driver sample: random
     # init collapses when two seeds land in one natural cluster; ++
     # init spreads seeds by squared cosine distance. The sample is
@@ -214,37 +245,61 @@ def train_ivf_centroids(
         d2 = np.minimum(d2, 1.0 - sn @ sn[nxt])
     cents = [sample[c].tolist() for c in chosen]
 
-    def cent_df():
-        return F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)], ["_cent_id", "_cent_vec"]
-            )
-        )
-
-    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cent_id"))
+    # Each Lloyd iteration is ONE Arrow stage over the cached vectors:
+    # the (k × dim) centroid matrix rides the closure, every batch is
+    # assigned with a single float64 GEMM (argmax cosine; ties break to
+    # the smallest cent_id via numpy argmax), and only per-partition
+    # partial sums (k rows × dim + counts — classic mergeable state)
+    # leave the executors. The driver combines partials in (cent_id,
+    # partition_id) order, so results are deterministic for a fixed
+    # partitioning. This replaces a join + row_number window + a
+    # posexplode double-aggregation per iteration — at 100 TB the only
+    # shuffled bytes are k·partitions summary rows.
+    n_k = len(cents)
     for _ in range(n_iters):
-        assigned = (
-            vecs.join(cent_df())
-            .select(
-                "_id",
-                "_v",
-                "_cent_id",
-                cosine(F.col("_v"), F.col("_cent_vec")).alias("_cos"),
+        cmat = np.array(cents, dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0] = 1.0
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            sums = np.zeros((n_k, cmat.shape[1]), dtype=np.float64)
+            counts = np.zeros(n_k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(list(pdf["_v"]), dtype=np.float64)
+                vn = pdf["_vn"].to_numpy(dtype=np.float64)
+                vn = np.where(vn == 0, 1.0, vn)
+                cos = (m @ cmat.T) / (vn[:, None] * cnorm[None, :])
+                best = np.argmax(cos, axis=1)  # first (smallest) id wins ties
+                for ci in range(n_k):
+                    mask = best == ci
+                    if mask.any():
+                        sums[ci] += m[mask].sum(axis=0)
+                        counts[ci] += int(mask.sum())
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "_pid": np.full(len(hit), pid, dtype=np.int64),
+                    "_cent_id": hit.astype(np.int64),
+                    "_count": counts[hit],
+                    "_sum": list(sums[hit]),
+                }
             )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-        )
-        means = (
-            assigned.select("_cent_id", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cent_id", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_cent_id")
-            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm"))
-            .select("_cent_id", F.transform("_pm", lambda s: s["_m"]).alias("_mean"))
-            .collect()
-        )
-        for r in means:
-            cents[r._cent_id] = r._mean
+
+        rows = vecs.mapInPandas(
+            partials,
+            schema="_pid long, _cent_id long, _count long, _sum array<double>",
+        ).collect()
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for r in sorted(rows, key=lambda r: (r._cent_id, r._pid)):
+            s, c = acc.get(r._cent_id, (np.zeros(cmat.shape[1]), 0))
+            acc[r._cent_id] = (s + np.asarray(r._sum), c + r._count)
+        for ci, (s, c) in acc.items():
+            cents[ci] = (s / c).tolist()  # empty clusters keep previous
     vecs.unpersist()
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], ["_cent_id", "_cent_vec"]
@@ -280,23 +335,29 @@ def cosine_topk_ivf(
         centroids = corpus.orderBy(corpus_id).limit(8).select(
             F.col(corpus_id).alias("_cent_id"), F.col(corpus_vec).alias("_cent_vec")
         )
-    cent = F.broadcast(centroids)
+    cent = F.broadcast(with_norm(centroids, "_cent_vec", "_ctn"))
 
-    # corpus → cluster assignment (argmax cosine over centroids)
+    # corpus → cluster assignment (argmax cosine over centroids);
+    # per-row norms are computed once and reused for the final rerank.
     w_assign = Window.partitionBy(corpus_id).orderBy(
         F.col("_cos").desc(), F.col("_cent_id")
     )
     assigned = (
-        corpus.join(cent)
+        with_norm(spread(corpus), corpus_vec, "_cn")
+        .join(cent)
         .select(
             corpus_id,
             corpus_vec,
+            "_cn",
             "_cent_id",
-            cosine(F.col(corpus_vec), F.col("_cent_vec")).alias("_cos"),
+            (
+                _dot(F.col(corpus_vec), F.col("_cent_vec"))
+                / (F.col("_cn") * F.col("_ctn"))
+            ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") == 1)
-        .select(corpus_id, corpus_vec, F.col("_cent_id").alias("_cluster"))
+        .select(corpus_id, corpus_vec, "_cn", F.col("_cent_id").alias("_cluster"))
     )
 
     # queries → n_probe clusters
@@ -304,16 +365,21 @@ def cosine_topk_ivf(
         F.col("_cos").desc(), F.col("_cent_id")
     )
     probes = (
-        queries.join(cent)
+        with_norm(queries, query_vec, "_qn")
+        .join(cent)
         .select(
             query_id,
             query_vec,
+            "_qn",
             "_cent_id",
-            cosine(F.col(query_vec), F.col("_cent_vec")).alias("_cos"),
+            (
+                _dot(F.col(query_vec), F.col("_cent_vec"))
+                / (F.col("_qn") * F.col("_ctn"))
+            ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= n_probe)
-        .select(query_id, query_vec, F.col("_cent_id").alias("_cluster"))
+        .select(query_id, query_vec, "_qn", F.col("_cent_id").alias("_cluster"))
     )
 
     scored = (
@@ -322,7 +388,10 @@ def cosine_topk_ivf(
         .select(
             query_id,
             corpus_id,
-            cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+            (
+                _dot(F.col(query_vec), F.col(corpus_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
@@ -342,19 +411,25 @@ def assign_clusters(
 
     One broadcast join against the (tiny) centroid table + a per-id
     argmax — the coarse-quantization step shared by IVF search and
-    clustered dedup.
+    clustered dedup. Per-vector norms are computed once (not once per
+    centroid) and returned as ``_norm`` for downstream pairwise reuse.
     """
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cent_id"))
     return (
-        vectors.join(F.broadcast(centroids))
+        with_norm(spread(vectors), vec_col, "_norm")
+        .join(F.broadcast(with_norm(centroids, "_cent_vec", "_ctn")))
         .select(
             *vectors.columns,
+            "_norm",
             "_cent_id",
-            cosine(F.col(vec_col), F.col("_cent_vec")).alias("_cos"),
+            (
+                _dot(F.col(vec_col), F.col("_cent_vec"))
+                / (F.col("_norm") * F.col("_ctn"))
+            ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(*vectors.columns, F.col("_cent_id").alias("_cluster"))
+        .select(*vectors.columns, "_norm", F.col("_cent_id").alias("_cluster"))
     )
 
 
@@ -391,18 +466,24 @@ def embedding_neardup_clustered(
     a = assigned.select(
         F.col("corpus_id").alias("id_a"),
         F.col("corpus_vec").alias("va"),
+        F.col("_norm").alias("_na"),
         "_cluster",
     )
     b = assigned.select(
         F.col("corpus_id").alias("id_b"),
         F.col("corpus_vec").alias("vb"),
+        F.col("_norm").alias("_nb"),
         "_cluster",
     )
     return (
         a.join(b, ["_cluster"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score")
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "score"
+            ),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -429,34 +510,62 @@ def cosine_topk_lsh(
     (1-θ/π)^n_planes — multiple tables trade compute for recall).
     Candidates are deduped then exact-reranked. Recall < 1 by design —
     tests/test_sketches.py bounds it against bruteforce.
+
+    Bucketing projects every vector onto n_tables·n_planes hyperplanes:
+    as interpreted Column folds that is ~128 dot products per row (the
+    measured bottleneck of the whole query), so the projection runs as
+    ONE float64 GEMM per Arrow batch in a pandas UDF. Sign-of-dot is
+    the only thing consumed, so BLAS accumulation order is immaterial
+    except for |dot| within rounding of 0 — a measure-zero event for
+    random hyperplanes, and this operator is recall-bounded, not
+    hash-oracled. The exact rerank stays in Column expressions.
     """
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)],
+        dtype=np.float64,
+    )  # (n_tables, n_planes, dim)
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(list(vecs), dtype=np.float64)  # (n, dim)
+        bits = (m @ flat.T >= 0).astype(np.int64)  # (n, T·P)
+        ids = (bits.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(ids))
 
     def bucket_array(vec: str) -> F.Column:
-        return F.array(
-            *[
-                signed_bucket(
-                    F.col(vec), _hyperplanes(dim, n_planes, seed + 1000 * t)
-                )
-                for t in range(n_tables)
-            ]
-        )
+        return bucket_ids(F.col(vec))
 
-    qb = queries.select(
-        query_id, query_vec, F.posexplode(bucket_array(query_vec)).alias("_t", "_b")
+    qb = with_norm(queries, query_vec, "_qn").select(
+        query_id,
+        query_vec,
+        "_qn",
+        F.posexplode(bucket_array(query_vec)).alias("_t", "_b"),
     )
-    cb = corpus.select(
-        corpus_id, corpus_vec, F.posexplode(bucket_array(corpus_vec)).alias("_t", "_b")
+    cb = with_norm(spread(corpus), corpus_vec, "_cn").select(
+        corpus_id,
+        corpus_vec,
+        "_cn",
+        F.posexplode(bucket_array(corpus_vec)).alias("_t", "_b"),
     )
     cand = (
         cb.join(F.broadcast(qb), ["_t", "_b"])
         .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, query_vec, corpus_id, corpus_vec)
+        .select(query_id, query_vec, "_qn", corpus_id, corpus_vec, "_cn")
         .dropDuplicates([query_id, corpus_id])
     )
     scored = cand.select(
         query_id,
         corpus_id,
-        cosine(F.col(query_vec), F.col(corpus_vec)).alias("score"),
+        (
+            _dot(F.col(query_vec), F.col(corpus_vec))
+            / (F.col("_qn") * F.col("_cn"))
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
     return (

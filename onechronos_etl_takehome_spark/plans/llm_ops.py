@@ -388,7 +388,7 @@ def s02_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
     SELECT id_a, id_b, {{cos}} AS score
     FROM a JOIN b ON id_a < id_b
-    WHERE {{cos}} >= 0.95
+    WHERE {{cos}} >= 0.35
     """.replace("{cos}", _cos_sql("va", "vb")),
 )
 def d06_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,17 +396,40 @@ def d06_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correctness baseline for embedding dedup; the 100-TB path
     buckets by LSH first (s02) and only scores within buckets.
+
+    Registered threshold is 0.35 — NOT a near-dup policy value: the
+    testdata embeddings are near-orthogonal random vectors (max pair
+    cosine ~0.51), so a production threshold like 0.95 matches zero
+    pairs and the driver's hash check would vacuously pass on 0 == 0
+    rows. 0.35 yields a few hundred real pairs at every SF, so the
+    cosine arithmetic itself is what gets hash-verified. Callers doing
+    actual dedup should use ~0.95 (see embedding_neardup_clustered's
+    default).
     """
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _dot, with_norm
+    from ..operators.util import spread
 
     pin_semantics(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # Norms precomputed per vector (not per pair) and the pair-join's
+    # streamed side spread across cores — same doubles, ~100× less
+    # interpreted work than cosine() inside the O(n²) join.
+    a = with_norm(spread(emb), "embedding", "_na").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "_na"
+    )
+    b = with_norm(emb, "embedding", "_nb").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "_nb"
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("score"))
-        .filter(F.col("score") >= 0.95)
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= 0.35)
     )
 
 

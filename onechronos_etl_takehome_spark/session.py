@@ -48,9 +48,19 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # One BLAS thread per python worker: N workers × multi-thread
+        # BLAS oversubscribes the host and serializes on lock contention
+        # (s04 regressed 2.5× on exactly this). Parallelism belongs to
+        # the partitioning, not the math library.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         # testdata events.parquet stores TIMESTAMP(NANOS) which Spark
         # rejects natively; read as long, converted in sources/tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Reliable checkpoints (dedup_components writes one per
+        # iteration) are deleted once their RDD is GC'd instead of
+        # accumulating for the life of the session.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -49,12 +49,47 @@ def _events_ts_is_nanos(src: str) -> bool:
 
     f = src
     if os.path.isdir(src):
+        f = None
         for entry in sorted(os.listdir(src)):
             if entry.endswith(".parquet"):
                 f = os.path.join(src, entry)
                 break
+        if f is None:
+            raise FileNotFoundError(
+                f"read_events_stream: no *.parquet file found in {src!r}; "
+                "expected an events table file or a directory containing one"
+            )
     ts_type = pq.read_schema(f).field("ts").type
-    return pa.types.is_int64(ts_type) or getattr(ts_type, "unit", None) == "ns"
+    if getattr(ts_type, "unit", None) == "ns":
+        return True
+    if pa.types.is_int64(ts_type):
+        # Raw int64 ts: only treat as epoch-NANOS when the footer
+        # statistics confirm the magnitude (~1.5e18 for 2017+). An
+        # int64 epoch-MICROS generation (~1.5e15) would otherwise be
+        # silently divided by 1000 and collapse toward 1970.
+        stats_max = None
+        try:
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.to_arrow_schema().get_field_index("ts")
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    m = int(st.max)
+                    stats_max = m if stats_max is None else max(stats_max, m)
+        except Exception:
+            stats_max = None
+        if stats_max is None:
+            return True  # known testdata generations are nanos
+        if stats_max >= 10**17:
+            return True
+        raise ValueError(
+            f"read_events_stream: int64 ts column in {f!r} has max "
+            f"{stats_max}, which is not epoch-nanos magnitude; refusing "
+            "to guess the unit — convert the column to a parquet "
+            "timestamp type or extend _events_ts_is_nanos for this "
+            "generation"
+        )
+    return False
 
 
 def read_events_stream(
