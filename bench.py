@@ -44,8 +44,15 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
     "d03_minhash_dedup_pairs",
+    # the 100-TB production form (xxhash64 + bucket cap) benched beside
+    # the oracled md5 form so the capped path has its own perf record
+    "d03_capped_minhash_dedup",
+    "d06_embedding_neardup_pairs",
     "d09_decontaminate",
+    "d10_embedding_neardup_clustered",
     "s01_cosine_topk",
+    "s02_cosine_topk_lsh",
+    "s03_cosine_topk_ivf",
     "s04_cosine_topk_numpy",
     "t01_text_quality",
     "x03_heavy_hitters",
@@ -200,17 +207,20 @@ def _vs_previous_round(
         ),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
-    if not benches:
-        return None
-    prev_path = benches[-1]
-    try:
-        with open(prev_path) as f:
-            prev = json.load(f)
-        parsed = prev.get("parsed", prev)
-        prev_q = parsed["queries"]
-        if parsed.get("sf") != sf:
-            return None  # different scale — ratios would be meaningless
-    except (json.JSONDecodeError, KeyError, TypeError):
+    # newest record whose parsed block is usable at this sf (r02's
+    # parsed was null — skip such records instead of giving up)
+    prev_path = prev_q = None
+    for cand in reversed(benches):
+        try:
+            with open(cand) as f:
+                prev = json.load(f)
+            parsed = prev.get("parsed", prev)
+            if parsed.get("sf") == sf and parsed["queries"]:
+                prev_path, prev_q = cand, parsed["queries"]
+                break
+        except (json.JSONDecodeError, KeyError, TypeError, AttributeError):
+            continue
+    if prev_q is None:
         return None
     ratios = {
         name: round(t / prev_q[name], 2)

@@ -577,19 +577,69 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select(F.col(id_col), _simhash_from_hashes("tok_hashes").alias("simhash"))
 
 
+def simhash_ce(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: long) — 60-bit SimHash, cross-engine reproducible.
+
+    Token hash is the md5 hex-prefix integer (same construction as the
+    MinHash md5 family), and the 60 bit tallies are plain conditional
+    SUM aggregates — every step expressible identically in ANSI-ish
+    SQL, which makes banded SimHash search (d04) fully oracle-able in
+    DuckDB. Shape: explode tokens → materialize the hash once (the 60
+    tally expressions read a column, not 60 re-evaluations of md5) →
+    60 map-side partial SUMs → one 60-term bit-assembly projection.
+    The pandas-UDF ``simhash`` (xxhash64, 64-bit) stays the fast
+    engine-native default.
+    """
+    toks = (
+        _spread(df)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.col(id_col), F.explode_outer("_toks").alias("tok"))
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("_h"),
+    )
+    tallies = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    tal = hashed.groupBy(id_col).agg(*tallies)
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return tal.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Pairs (id_a < id_b) with SimHash Hamming distance <= max_hamming.
 
-    Banded search: split the 64-bit signature into max_hamming+1 chunks;
+    Banded search: split the signature into max_hamming+1 chunks;
     by pigeonhole any pair within the distance bound agrees on >= 1
     whole chunk → join per (chunk_idx, chunk_value) bucket, then verify
-    with bit_count(xor).
+    with bit_count(xor). ``hash_family="md5"`` switches to the 60-bit
+    cross-engine signature (see :func:`simhash_ce`) so the whole search
+    is DuckDB-oracle-able.
     """
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sigs = simhash(df, id_col, text_col)
+    sig_bits = 60 if hash_family == "md5" else 64
+    width = sig_bits // chunks
+    sigs = (
+        simhash_ce(df, id_col, text_col)
+        if hash_family == "md5"
+        else simhash(df, id_col, text_col)
+    )
     chunk_vals = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), ci * width).bitwiseAND(
@@ -604,7 +654,7 @@ def simhash_near_pairs(
     a, b = buckets.alias("a"), buckets.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    ).cast("long")
     return (
         a.join(
             b,

@@ -87,9 +87,15 @@ DRIVER_WINDOW: list[str] = [
     # Similarity search, multimodal, event-time windows, sketches.
     # x03 (oracled heavy hitters) witnesses sketches instead of the
     # rows-only x02 — stronger evidence for the same capability class.
+    # s03 (trained IVF) and x01 (HLL++ sketches) are rows-only BECAUSE
+    # SQL can't express them (recall<1 approximate search;
+    # engine-specific sketch), not for convenience — the capability
+    # witness is the point.
     "s01_cosine_topk",
+    "s03_cosine_topk_ivf",
     "m01_binary_metadata",
     "e01_hourly_event_windows",
+    "x01_approx_sketches",
     "x03_heavy_hitters",
     # Relational witnesses — one per capability class.
     "q01_pricing_summary",  # decimal aggregation
@@ -106,10 +112,8 @@ DRIVER_WINDOW: list[str] = [
     "q25_rolling_customer_spend",  # rows-frame window
     "q27_above_average_orders",  # correlated scalar subquery
     "q28_segment_status_pivot",  # native pivot
-    "q29_priciest_parts_ranked",  # rank with tie-breakers
     "q33_user_event_extremes",  # min_by/max_by
     "q34_f_minus_urgent_multiset",  # EXCEPT ALL
-    "q35_doc_array_ops",  # array functions
     "q37_sql_entrypoint",  # spark.sql API
     "q38_grouping_sets",  # GROUPING SETS
     "q43_types_excluding_suppliers",  # NOT IN anti-join
@@ -125,6 +129,14 @@ DRIVER_WINDOW: list[str] = [
 # q20 CUBE (grouping still witnessed by q08 ROLLUP + q38 GROUPING SETS),
 # q26 lag/lead (windows witnessed by q25 rows-frame, q47 range-frame,
 # q45 ntile), q49 NULL functions (witnessed by q44 null-safe join).
+# Round 3: d03 AND d04 turned green (cross-engine md5 hashing makes
+# both MinHash-LSH and banded SimHash fully DuckDB-oracle-able),
+# freeing design room per the round-2 verdict — s03 (trained IVF) and
+# x01 (HLL++ sketches) replace q29 rank-with-tie-breakers (witnessed by
+# q03 deterministic top-k + q45 ntile) and q35 array functions (arrays
+# exercised throughout t01/t04/t07/s01). The only rows-only slots left
+# in the window (s03 approximate-recall IVF, x01 HLL++ sketches) are
+# rows-only because SQL genuinely cannot express approximate results.
 # All displaced queries remain locally oracled in the full test gate.
 
 

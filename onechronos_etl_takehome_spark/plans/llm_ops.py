@@ -185,11 +185,52 @@ def d03_capped_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d04_simhash_near_pairs")  # xxhash64-based → rows-only check
+def _d04_oracle(max_hamming: int = 3) -> str:
+    """Banded 60-bit SimHash search in DuckDB SQL (mirrors simhash_ce +
+    simhash_near_pairs with hash_family='md5'). 60 conditional-SUM bit
+    tallies → bit assembly → pigeonhole chunks → bit_count(xor)
+    verify."""
+    chunks = max_hamming + 1
+    width = 60 // chunks
+    tallies = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    assembly = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sig, {ci} AS chunk, (sig >> {ci * width}) & {(1 << width) - 1} AS cv FROM sigs"
+        for ci in range(chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    h AS (SELECT doc_id,
+      ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    tal AS (SELECT doc_id, {tallies} FROM h GROUP BY doc_id),
+    sigs AS (SELECT doc_id, ({assembly})::BIGINT AS sig FROM tal),
+    buckets AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM buckets a JOIN buckets b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@register("d04_simhash_near_pairs", oracle=_d04_oracle())
 def d04_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-pair search, fully oracled via the 60-bit
+    md5 signature (simhash_ce); the pandas-UDF xxhash64 form remains
+    the fast engine-native default for direct operator use."""
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return dd.simhash_near_pairs(
+        docs, "doc_id", "text", max_hamming=3, hash_family="md5"
+    )
 
 
 # ---------------------------------------------------------------------------
