@@ -260,7 +260,37 @@ class ReconciliationPipeline:
 
     # -- run --------------------------------------------------------------
 
+    def _adaptive_split_bytes(self) -> int | None:
+        """Input-split size that keeps the CSV parse parallel.
+
+        CSV parsing happens in the scan stage, so its parallelism is
+        ceil(input_bytes / maxPartitionBytes) — the 100× bench input
+        (82 MB trades) is ONE split at the 128 MB default and parses on
+        a single core. Target one split per core (total/parallelism),
+        clamped to [4 MB, 128 MB]: at cluster scale the clamp lands on
+        the production 128 MB default (no task explosion), while an
+        under-split local input divides across every core. Driver-side
+        file metadata only — zero Spark actions.
+        """
+        import glob
+
+        try:
+            total = sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(self.input_dir, "*.csv"))
+            )
+        except OSError:
+            return None
+        if not total:
+            return None
+        par = self.spark.sparkContext.defaultParallelism
+        return max(4 << 20, min(128 << 20, total // max(par, 1)))
+
     def run(self, output_dir: str = ".") -> dict[str, int]:
+        split = self._adaptive_split_bytes()
+        prev_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        if split is not None:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         trades, fills, symbols = self.extract()
         validated = self.transform(trades, fills, symbols).cache()
         try:
@@ -301,3 +331,6 @@ class ReconciliationPipeline:
             return self.metrics
         finally:
             validated.unpersist()
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", prev_split
+            )
