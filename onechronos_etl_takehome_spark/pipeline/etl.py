@@ -115,6 +115,47 @@ def normalize_timestamp(col: F.Column) -> F.Column:
     )
 
 
+def cleaned_projection(validated: DataFrame, *, places: int = 2) -> DataFrame:
+    """Valid-trade output columns (reference cleaned_trades shape).
+
+    Module-level so the streaming twin (streaming/trades_stream.py)
+    reuses the exact projection the batch pipeline writes.
+    """
+    return validated.filter(F.col("is_valid")).select(
+        "trade_id",
+        F.date_format(
+            normalize_timestamp(F.col("timestamp")), ISO_FMT
+        ).alias("timestamp_utc"),
+        "symbol",
+        F.col("quantity_int").alias("quantity"),
+        F.round("price_dec", places).alias("price"),
+        "buyer_id",
+        "seller_id",
+        "counterparty_confirmed",
+        "discrepancy_flag",
+    )
+
+
+def exceptions_projection(validated: DataFrame) -> DataFrame:
+    """Invalid-trade output columns (reference exceptions_report shape)."""
+    return validated.filter(~F.col("is_valid")).select(
+        F.col("trade_id").alias("record_id"),
+        F.lit("trades.csv").alias("source_file"),
+        F.array_join("exception_types", ", ").alias("exception_type"),
+        F.array_join("exception_details", "; ").alias("details"),
+        F.struct(
+            "trade_id",
+            "timestamp",
+            "symbol",
+            "quantity",
+            "price",
+            "buyer_id",
+            "seller_id",
+            "trade_status",
+        ).alias("raw_data"),
+    )
+
+
 class ReconciliationPipeline:
     """extract → dedup/filter → enrich → validate → clean → load."""
 
@@ -226,37 +267,10 @@ class ReconciliationPipeline:
 
     def cleaned_output(self, validated: DataFrame) -> DataFrame:
         places = int(self.config["validation"]["price_decimal_places"])
-        return validated.filter(F.col("is_valid")).select(
-            "trade_id",
-            F.date_format(
-                normalize_timestamp(F.col("timestamp")), ISO_FMT
-            ).alias("timestamp_utc"),
-            "symbol",
-            F.col("quantity_int").alias("quantity"),
-            F.round("price_dec", places).alias("price"),
-            "buyer_id",
-            "seller_id",
-            "counterparty_confirmed",
-            "discrepancy_flag",
-        )
+        return cleaned_projection(validated, places=places)
 
     def exceptions_output(self, validated: DataFrame) -> DataFrame:
-        return validated.filter(~F.col("is_valid")).select(
-            F.col("trade_id").alias("record_id"),
-            F.lit("trades.csv").alias("source_file"),
-            F.array_join("exception_types", ", ").alias("exception_type"),
-            F.array_join("exception_details", "; ").alias("details"),
-            F.struct(
-                "trade_id",
-                "timestamp",
-                "symbol",
-                "quantity",
-                "price",
-                "buyer_id",
-                "seller_id",
-                "trade_status",
-            ).alias("raw_data"),
-        )
+        return exceptions_projection(validated)
 
     # -- run --------------------------------------------------------------
 
