@@ -254,15 +254,20 @@ def _shingle_hash(i: int, shingle: Column, hash_family: str) -> Column:
     """hash_i(shingle) under the chosen family.
 
     ``xxhash64`` (default): fastest, JVM-native, engine-specific.
-    ``md5``: first 15 hex digits of md5("i#" ⊕ s) as a 60-bit integer —
+    ``md5``: 15 hex digits of md5("salt#" ⊕ s) as a 60-bit integer —
     expressible IDENTICALLY in ANSI-ish SQL
     (DuckDB: ``('0x' || substr(md5(...), 1, 15))::BIGINT``), which makes
-    the whole MinHash pipeline cross-engine oracle-able.
+    the whole MinHash pipeline cross-engine oracle-able. One md5 yields
+    32 hex chars = TWO independent 60-bit values (chars 1-15 and
+    16-30), so hashes 2k/2k+1 share the md5 of salt k — md5 is the
+    dominant cost of the oracled form, and this halves it.
     """
-    salted = F.concat(F.lit(f"{i}#"), shingle)
     if hash_family == "md5":
-        return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    return F.xxhash64(salted)
+        salted = F.concat(F.lit(f"{i // 2}#"), shingle)
+        return F.conv(
+            F.substring(F.md5(salted), 1 + 15 * (i % 2), 15), 16, 10
+        ).cast("long")
+    return F.xxhash64(F.concat(F.lit(f"{i}#"), shingle))
 
 
 def minhash_signatures(

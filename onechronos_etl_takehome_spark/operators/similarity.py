@@ -406,12 +406,17 @@ def assign_clusters(
     *,
     id_col: str,
     vec_col: str,
+    n_assign: int = 1,
 ) -> DataFrame:
-    """Max-cosine cluster assignment: input columns + ``_cluster``.
+    """Top-``n_assign``-cosine cluster assignment: input columns +
+    ``_cluster`` (one row per assigned cluster).
 
     One broadcast join against the (tiny) centroid table + a per-id
-    argmax — the coarse-quantization step shared by IVF search and
-    clustered dedup. Per-vector norms are computed once (not once per
+    rank — the coarse-quantization step shared by IVF search and
+    clustered dedup. ``n_assign > 1`` is soft/multi-probe assignment:
+    boundary vectors are duplicated into their runner-up clusters,
+    trading n_assign× index size for recall on pairs that a hard
+    assignment splits. Per-vector norms are computed once (not once per
     centroid) and returned as ``_norm`` for downstream pairwise reuse.
     """
     w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cent_id"))
@@ -428,7 +433,7 @@ def assign_clusters(
             ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_assign)
         .select(*vectors.columns, "_norm", F.col("_cent_id").alias("_cluster"))
     )
 
@@ -441,6 +446,7 @@ def embedding_neardup_clustered(
     threshold: float = 0.95,
     n_clusters: int = 8,
     n_iters: int = 3,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) via
     k-means bucketing — the SemDeDup shape and the scale path that
@@ -452,7 +458,9 @@ def embedding_neardup_clustered(
     boundary is missed); at threshold ~0.95 the two vectors are nearly
     collinear, so boundary splits need the pair to sit almost exactly
     between two centroids — tests bound the observed recall against
-    the exact operator.
+    the exact operator. Lower thresholds split pairs far more often;
+    ``n_assign=2`` (multi-probe assignment) recovers much of that
+    recall for ~2× index size.
     """
     corpus = emb.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec")
@@ -461,32 +469,65 @@ def embedding_neardup_clustered(
         corpus, n_clusters=n_clusters, n_iters=n_iters
     )
     assigned = assign_clusters(
-        corpus, centroids, id_col="corpus_id", vec_col="corpus_vec"
+        corpus,
+        centroids,
+        id_col="corpus_id",
+        vec_col="corpus_vec",
+        n_assign=n_assign,
     )
-    a = assigned.select(
-        F.col("corpus_id").alias("id_a"),
-        F.col("corpus_vec").alias("va"),
-        F.col("_norm").alias("_na"),
-        "_cluster",
-    )
-    b = assigned.select(
-        F.col("corpus_id").alias("id_b"),
-        F.col("corpus_vec").alias("vb"),
-        F.col("_norm").alias("_nb"),
-        "_cluster",
-    )
-    return (
-        a.join(b, ["_cluster"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "score"
-            ),
+
+    # Grouped GEMM per cluster (applyInPandas): each cluster's vectors
+    # are normalized once and scored block-by-block against the whole
+    # cluster (block rows bound the similarity matrix to block×cluster
+    # doubles), keeping only upper-triangle pairs over the threshold.
+    # One pass over the assignment — the row-pair self-join form
+    # evaluated the entire train+assign lineage twice and shuffled the
+    # pair fan-out. Skew note: one mega-cluster still concentrates work
+    # on one task — the standard SemDeDup caveat; cap cluster sizes
+    # upstream (more clusters) if the corpus is degenerate.
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        pdf = pdf.sort_values("corpus_id")
+        ids = pdf["corpus_id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["corpus_vec"]), dtype=np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm
+        out_a, out_b, out_s = [], [], []
+        block = 1024
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            sims = m[lo:hi] @ m.T  # (block, n)
+            for i in range(lo, hi):
+                row = sims[i - lo, i + 1 :]
+                keep = np.nonzero(row >= threshold)[0]
+                if len(keep):
+                    out_a.append(np.full(len(keep), ids[i]))
+                    out_b.append(ids[i + 1 + keep])
+                    out_s.append(row[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
         )
-        .filter(F.col("score") >= threshold)
+
+    pairs = assigned.groupBy("_cluster").applyInPandas(
+        cluster_pairs, schema="id_a long, id_b long, score double"
     )
+    if n_assign > 1:
+        # a pair sharing two probed clusters is emitted twice with the
+        # same score — one survivor is enough
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def cosine_topk_lsh(

@@ -123,8 +123,9 @@ def _d03_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     verification all agree bit-for-bit.
     """
     r = num_hashes // bands
+    # hashes 2k/2k+1 split one md5's 32 hex chars (see _shingle_hash)
     mh = ",\n      ".join(
-        f"MIN(('0x' || substr(md5('{i}#' || shingle), 1, 15))::BIGINT) AS mh{i}"
+        f"MIN(('0x' || substr(md5('{i // 2}#' || shingle), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
         for i in range(num_hashes)
     )
     band_rows = "\n      UNION ALL ".join(

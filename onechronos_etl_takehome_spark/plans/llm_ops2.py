@@ -181,13 +181,21 @@ def t11_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d10_embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check; recall bounded vs exact d06 in tests.
     """SemDeDup-shaped embedding near-dup: k-means clusters bound the
-    pairwise term (the 100-TB path; d06 is its exact oracle)."""
+    pairwise term (the 100-TB path; d06 is its exact oracle).
+
+    Registered threshold matches d06's 0.35 (the testdata embeddings
+    are near-orthogonal, so a production 0.95 threshold matches zero
+    pairs and the rows-only check would witness nothing); operator
+    default stays 0.95. n_assign=2 (multi-probe) because at low
+    thresholds pairs are far from collinear and hard assignment splits
+    them — the planted-dup test pins recall at the production
+    threshold."""
     from ..operators.similarity import embedding_neardup_clustered
 
     pin_semantics(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_clustered(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.95
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, n_assign=2
     )
 
 

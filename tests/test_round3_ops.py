@@ -57,8 +57,10 @@ def test_md5_hash_family_matches_duckdb(spark):
         for row in con.execute(
             """
             SELECT i,
+              -- hash 0 = md5 of salt 0, hex chars 1-15;
+              -- hash 7 = md5 of salt 3 (7//2), hex chars 16-30
               ('0x' || substr(md5('0#' || s), 1, 15))::BIGINT,
-              ('0x' || substr(md5('7#' || s), 1, 15))::BIGINT
+              ('0x' || substr(md5('3#' || s), 16, 15))::BIGINT
             FROM t
             """
         ).fetchall()
