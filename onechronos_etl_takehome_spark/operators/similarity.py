@@ -183,8 +183,18 @@ def train_ivf_centroids(
     corpus_id: str = "corpus_id",
     corpus_vec: str = "corpus_vec",
     seed: int = 42,
+    driver_sample: int | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means centroids for IVF, DataFrame-native.
+
+    ``driver_sample=N`` switches to sample-based training: a
+    deterministic hash-ordered sample of N vectors is collected once
+    and Lloyd runs entirely in numpy on the driver — the production
+    posture at 100 TB (k-means quality needs thousands of points per
+    cluster, not the corpus; the full corpus is only touched for
+    assignment afterwards), and locally it replaces per-iteration Spark
+    jobs with microseconds of BLAS. Distributed training (default)
+    remains for when the sample must exceed driver memory.
 
     Init is k-means++ (D² sampling) over a bounded, hash-ordered driver
     sample — deterministic regardless of partitioning (seeded RNG over
@@ -220,7 +230,7 @@ def train_ivf_centroids(
     # init spreads seeds by squared cosine distance. The sample is
     # bounded (init_sample rows), so driver memory stays O(sample·dim)
     # no matter the corpus size.
-    init_sample = max(n_clusters * 32, 256)
+    init_sample = max(n_clusters * 32, 256, driver_sample or 0)
     sample = np.array(
         [
             r._v
@@ -244,6 +254,26 @@ def train_ivf_centroids(
         chosen.append(nxt)
         d2 = np.minimum(d2, 1.0 - sn @ sn[nxt])
     cents = [sample[c].tolist() for c in chosen]
+
+    if driver_sample is not None:
+        # Sample-based Lloyd, all-numpy: fixed operation order → fully
+        # deterministic; empty clusters keep their previous centroid.
+        vecs.unpersist()
+        sn_all = np.linalg.norm(sample, axis=1, keepdims=True)
+        sn_all[sn_all == 0] = 1.0
+        mn = sample / sn_all
+        for _ in range(n_iters):
+            cmat = np.array(cents, dtype=np.float64)
+            cn = np.linalg.norm(cmat, axis=1)
+            cn[cn == 0] = 1.0
+            best = np.argmax(mn @ (cmat / cn[:, None]).T, axis=1)
+            for ci in range(n_clusters):
+                mask = best == ci
+                if mask.any():
+                    cents[ci] = sample[mask].mean(axis=0).tolist()
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], ["_cent_id", "_cent_vec"]
+        )
 
     # Each Lloyd iteration is ONE Arrow stage over the cached vectors:
     # the (k × dim) centroid matrix rides the closure, every batch is
@@ -447,6 +477,7 @@ def embedding_neardup_clustered(
     n_clusters: int = 8,
     n_iters: int = 3,
     n_assign: int = 1,
+    driver_sample: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) via
     k-means bucketing — the SemDeDup shape and the scale path that
@@ -466,7 +497,10 @@ def embedding_neardup_clustered(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec")
     )
     centroids = train_ivf_centroids(
-        corpus, n_clusters=n_clusters, n_iters=n_iters
+        corpus,
+        n_clusters=n_clusters,
+        n_iters=n_iters,
+        driver_sample=driver_sample,
     )
     assigned = assign_clusters(
         corpus,

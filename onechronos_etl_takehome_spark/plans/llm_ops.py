@@ -384,7 +384,11 @@ def s03_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
     )
-    centroids = train_ivf_centroids(corpus, n_clusters=8, n_iters=5)
+    # driver_sample: the production posture (train on a bounded sample,
+    # assign the full corpus) — locally it removes 5 Spark jobs.
+    centroids = train_ivf_centroids(
+        corpus, n_clusters=8, n_iters=5, driver_sample=1024
+    )
     return cosine_topk_ivf(
         queries, corpus, k=5, n_probe=2, centroids=centroids
     ).select("query_id", "corpus_id", "score", "rank")

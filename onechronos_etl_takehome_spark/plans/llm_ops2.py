@@ -195,7 +195,12 @@ def d10_embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFra
     pin_semantics(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_clustered(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.35, n_assign=2
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+        n_assign=2,
+        driver_sample=1024,
     )
 
 
