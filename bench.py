@@ -133,11 +133,14 @@ def main() -> None:
 
     from onechronos_etl_takehome_spark.pipeline import ReconciliationPipeline
 
-    t0 = time.perf_counter()
-    ReconciliationPipeline(spark, input_dir="/root/reference").run(
-        tempfile.mkdtemp(prefix="bench_etl_")
-    )
-    timings["etl_reference_pipeline"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):  # min-of-2, same warm-query policy as above
+        t0 = time.perf_counter()
+        ReconciliationPipeline(spark, input_dir="/root/reference").run(
+            tempfile.mkdtemp(prefix="bench_etl_")
+        )
+        best = min(best, time.perf_counter() - t0)
+    timings["etl_reference_pipeline"] = round(best, 3)
 
     # Scaled ETL: the same pipeline on 100× the reference data (1.1M
     # trades, ids rewritten per copy so dedup/join shapes are
@@ -152,11 +155,14 @@ def main() -> None:
 
     cfg = default_config()
     cfg["output"]["single_file"] = False
-    t0 = time.perf_counter()
-    m = ReconciliationPipeline(spark, input_dir=scaled, config=cfg).run(
-        tempfile.mkdtemp(prefix="bench_etl100_")
-    )
-    timings["etl_pipeline_100x"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):  # min-of-2, same warm-query policy as above
+        t0 = time.perf_counter()
+        m = ReconciliationPipeline(spark, input_dir=scaled, config=cfg).run(
+            tempfile.mkdtemp(prefix="bench_etl100_")
+        )
+        best = min(best, time.perf_counter() - t0)
+    timings["etl_pipeline_100x"] = round(best, 3)
     # value = one warm pass over the suite (sum of recorded times);
     # the throughput entry is informational, not a duration.
     total = round(sum(timings.values()), 3)
