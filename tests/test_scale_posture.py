@@ -101,6 +101,10 @@ def test_t08_builds_without_driver_actions(spark):
     (parquet schema inference fires one per fresh read). Calibrate
     against t01 — same table, known action-free — so a reintroduced
     docs.count() shows up as an extra job."""
+    # a streaming query leaked by an earlier test would emit async jobs
+    # that race these counters — drain them first
+    for q in spark.streams.active:
+        q.stop()
     tracker = spark.sparkContext._jsc.sc().statusTracker()
 
     def jobs_to_build(name):

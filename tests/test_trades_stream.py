@@ -84,7 +84,14 @@ def _run_stream(spark, tmp, trades_dir, dims_dir, **kw):
         available_now=True,
         **kw,
     )
-    q.awaitTermination(120)
+    try:
+        finished = q.awaitTermination(120)
+        assert finished, "streaming query did not drain within 120s"
+    finally:
+        # never leak an active query into later tests — leftover async
+        # jobs race the suite's job-counter assertions
+        if q.isActive:
+            q.stop()
     cleaned = spark.read.parquet(os.path.join(out, "cleaned"))
     exceptions = spark.read.parquet(os.path.join(out, "exceptions"))
     return cleaned, exceptions
@@ -126,6 +133,22 @@ def test_single_batch_matches_batch_pipeline(spark, tmp_path):
     assert set(exc) == {"T3", "T5"}
     assert exc["T3"] == "QUANTITY_INVALID"
     assert exc["T5"] == "SYMBOL_INVALID"
+
+
+def test_checkpoint_resume_dedups_across_restarts(spark, tmp_path):
+    """Restarting from the checkpoint must restore dedup state: a
+    duplicate trade id arriving in a file dropped AFTER the first run
+    finished is still deduped, and already-processed files are not
+    reprocessed (their batch_id outputs are untouched)."""
+    trades_dir, dims_dir = _stage(tmp_path, [BATCH1])
+    cleaned1, _ = _run_stream(spark, tmp_path, trades_dir, dims_dir)
+    assert {r.trade_id for r in cleaned1.collect()} == {"T1", "T4"}
+
+    _write(os.path.join(trades_dir, "trades_late.csv"), [TRADES_HEADER, *BATCH2])
+    cleaned2, _ = _run_stream(spark, tmp_path, trades_dir, dims_dir)
+    rows = [r.trade_id for r in cleaned2.collect()]
+    # T1's third arrival deduped via restored state; T6 new
+    assert sorted(rows) == ["T1", "T4", "T6"]
 
 
 def test_cross_batch_dedup_within_watermark(spark, tmp_path):
