@@ -1,6 +1,6 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
-from .readers import read_dirty_csv
-from .sinks import write_json, write_parquet
+from .readers import read_dirty_csv, read_orc
+from .sinks import write_json, write_orc, write_parquet
 from .upsert import read_keyed_table, upsert, vacuum
 
 __all__ = [
@@ -9,7 +9,9 @@ __all__ = [
     "load_tables",
     "register_views",
     "read_dirty_csv",
+    "read_orc",
     "write_json",
+    "write_orc",
     "write_parquet",
     "read_keyed_table",
     "upsert",

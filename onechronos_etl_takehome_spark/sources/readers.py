@@ -22,6 +22,12 @@ def all_string_schema(columns: list[str]) -> StructType:
     return StructType([StructField(c, StringType(), True) for c in columns])
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (Spark-native reader): schema from file metadata,
+    filter pushdown + column pruning like parquet."""
+    return spark.read.orc(path)
+
+
 def read_dirty_csv(
     spark: SparkSession,
     path: str,

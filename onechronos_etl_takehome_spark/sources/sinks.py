@@ -28,6 +28,23 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (Spark-native writer) — column-pruned, predicate-
+    pushdown-capable like parquet; some warehouses standardize on it.
+    Round-trip fidelity (timestamps, decimals, arrays) is pinned in
+    tests/test_sources.py."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_json(
     df: DataFrame,
     path: str,

@@ -67,3 +67,50 @@ def test_dirty_csv_rename_on_ingest(spark, tmp_path):
     p.write_text("id,price\n7,1.5\n")
     df = read_dirty_csv(spark, str(p), rename={"price": "cp_price"})
     assert df.columns == ["id", "cp_price"]
+
+
+def test_orc_roundtrip_fidelity(spark, tmp_path):
+    """ORC write→read preserves types and values exactly, including the
+    shapes that usually break format round-trips: timestamps, decimals,
+    doubles, arrays, and NULLs."""
+    from onechronos_etl_takehome_spark.sources import read_orc, write_orc
+
+    src = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1.0, 2.0], "2024-01-15 10:00:00"),
+            (2, None, float("nan"), [], None),
+        ],
+        "id long, s string, d double, arr array<double>, ts_s string",
+    ).withColumns(
+        {
+            "ts": F.to_timestamp("ts_s"),
+            "dec": F.col("d").cast("decimal(12,2)"),
+        }
+    )
+    out = str(tmp_path / "roundtrip.orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert back.schema == src.schema
+    a = sorted(src.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    # NaN != NaN under ==; compare via repr-stable dicts
+    assert [repr(r.asDict()) for r in a] == [repr(r.asDict()) for r in b]
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    from onechronos_etl_takehome_spark.sources import read_orc, write_orc
+
+    e = load_table(spark, SF, "events")
+    out = str(tmp_path / "events_orc")
+    write_orc(e, out, partition_by=["event_type"])
+    pruned = read_orc(spark, out).filter(F.col("event_type") == "view")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the filter must land in PartitionFilters (directory pruning),
+    # not as a post-scan row filter
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    n_all = load_table(spark, SF, "events").filter(
+        F.col("event_type") == "view"
+    ).count()
+    assert pruned.count() == n_all
