@@ -242,3 +242,45 @@ def q53_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "q55_priority_metrics_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          AS sum_total,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS avg_total,
+        CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'sum_total' AS metric, sum_total AS value FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'avg_total', avg_total FROM m
+    UNION ALL
+    SELECT o_orderpriority, 'n_orders', n_orders FROM m
+    """,
+)
+def q55_priority_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-priority metric columns → long
+    (priority, metric, value) rows — the inverse of q28's pivot and the
+    standard reshape before charting/feature stores. Spark's native
+    unpivot keeps it one projection over the aggregate (no UNION of
+    re-scans, which is what the SQL oracle must spell)."""
+    pin_semantics(spark)
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum(dec("o_totalprice", 14, 2)).cast("double").alias("sum_total"),
+        (
+            F.sum(dec("o_totalprice", 14, 2)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_total"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["sum_total", "avg_total", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
