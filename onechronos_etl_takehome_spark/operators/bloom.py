@@ -111,6 +111,14 @@ def bloom_semi_join(
     the cache instead of rescanning the build plan. Pass a pre-built
     ``bitmap`` (from :func:`bloom_bitmap`) to skip the build job
     entirely — the way to amortize one filter across many probes.
+
+    Cache lifetime: when ``bitmap is None`` the cached key set must
+    outlive this call (the returned join is lazy), so it is NOT
+    unpersisted here — it lives until LRU eviction or session end. A
+    caller issuing many one-shot filters should use the explicit
+    lifecycle instead: build the keys DataFrame itself, pass
+    ``bitmap=bloom_bitmap(keys, ...)`` and ``build=keys``, and
+    unpersist after its action completes.
     """
     build_key = build_key or probe_key
     keys = (

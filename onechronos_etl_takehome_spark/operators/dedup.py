@@ -598,7 +598,13 @@ def simhash_ce(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = (
         _spread(df)
         .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-        .select(F.col(id_col), F.explode_outer("_toks").alias("tok"))
+        # plain explode (NOT explode_outer): a NULL text must drop the
+        # doc entirely, matching the oracle's unnest(string_split(NULL)).
+        # The inferred size(_toks)>0 filter re-evaluates only size() on
+        # a materialized column — the explode_outer trick is for
+        # expensive generator expressions (see _exploded_shingles), not
+        # this cheap split.
+        .select(F.col(id_col), F.explode("_toks").alias("tok"))
     )
     hashed = toks.select(
         F.col(id_col),

@@ -16,6 +16,14 @@ def spread(df: DataFrame) -> DataFrame:
     scans with thousands of splits (>= defaultParallelism), so no
     shuffle is added; only a genuinely under-split input pays one cheap
     round-robin exchange to unlock every core.
+
+    SCAN-SHAPED INPUTS ONLY: ``df.rdd.getNumPartitions()`` forces
+    final-plan resolution, and with AQE enabled that *executes any
+    upstream shuffle stages eagerly* at build time (work discarded and
+    redone at action time). Every call site passes a freshly-loaded
+    scan (no upstream exchange), where the probe is metadata-only. Do
+    not pass a derived/shuffled DataFrame — compute the split count
+    from leaf-file metadata upstream instead.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

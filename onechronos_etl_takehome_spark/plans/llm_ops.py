@@ -113,7 +113,9 @@ def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_components(docs, pairs, id_col="doc_id")
 
 
-def _d03_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+def _d03_oracle(
+    num_hashes: int = 32, bands: int = 8, max_bucket_size: int | None = None
+) -> str:
     """Full MinHash→LSH→verify pipeline in DuckDB SQL.
 
     Cross-engine hash: hash_i(s) = int(md5('i#'||s)[0:15 hex]) — Spark
@@ -121,6 +123,11 @@ def _d03_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     ('0x'||substr(md5(..),1,15))::BIGINT; both yield the same 60-bit
     value, so signatures, banding, candidates, and the exact-Jaccard
     verification all agree bit-for-bit.
+
+    ``max_bucket_size`` mirrors the operator's 100-TB guard: a windowed
+    COUNT per (band, band_hash) bucket drops over-cap buckets before
+    the candidate self-join — the same predicate Spark evaluates over
+    the join's own exchange (dedup.py: minhash_lsh_candidates).
     """
     r = num_hashes // bands
     # hashes 2k/2k+1 split one md5's 32 hex chars (see _shingle_hash)
@@ -134,13 +141,25 @@ def _d03_oracle(num_hashes: int = 32, bands: int = 8) -> str:
         + ") AS bh FROM sigs"
         for bi in range(bands)
     )
+    cap_cte = (
+        f""",
+    capped AS (
+      SELECT doc_id, band, bh FROM (
+        SELECT doc_id, band, bh,
+               COUNT(*) OVER (PARTITION BY band, bh) AS bs
+        FROM buckets)
+      WHERE bs <= {max_bucket_size})"""
+        if max_bucket_size is not None
+        else ""
+    )
+    bucket_src = "capped" if max_bucket_size is not None else "buckets"
     return f"""
     WITH sh AS ({_SH_SQL}),
     sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
-    buckets AS ({band_rows}),
+    buckets AS ({band_rows}){cap_cte},
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM buckets a JOIN buckets b
+      FROM {bucket_src} a JOIN {bucket_src} b
         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -173,11 +192,77 @@ def d03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d03_capped_minhash_dedup")  # xxhash64 + bucket cap → rows-only;
+@register("d03_capped_minhash_dedup", oracle=_d03_oracle(max_bucket_size=50))
 def d03_capped_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the 100-TB production form: fast engine hash + max_bucket_size
-    # guard. Recall vs the exact d02 oracle is pinned in
-    # tests/test_fuzzy_dedup_model.py; subset-of-d02 asserted there too.
+    """The 100-TB hot path, hash-matched end-to-end: banded LSH with the
+    max_bucket_size guard (over-cap buckets dropped before the
+    candidate self-join). The cap is a windowed bucket count — fully
+    SQL-expressible — so with the md5 hash family the driver verifies
+    the capped pipeline, not just the uncapped oracle form. Recall vs
+    the exact d02 oracle is pinned in tests/test_fuzzy_dedup_model.py;
+    subset-of-d02 asserted there too."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        max_bucket_size=50, hash_family="md5",
+    )
+
+
+def _d11_oracle() -> str:
+    """End-to-end fuzzy dedup: the capped-LSH pair pipeline (d03_capped)
+    feeding the recursive-CTE connected components (d07's shape), down
+    to the min-id survivor set with group sizes. Nested WITH inside a
+    CTE is fine in DuckDB (same pattern d07 uses for WITH RECURSIVE).
+    """
+    return f"""
+    WITH pairs AS ({_d03_oracle(max_bucket_size=50)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node)
+      SELECT * FROM r),
+    comps AS (
+      SELECT node AS doc_id, MIN(root) AS canonical_id
+      FROM reach GROUP BY node)
+    SELECT canonical_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM comps GROUP BY canonical_id
+    """
+
+
+@register("d11_fuzzy_dedup_e2e", oracle=_d11_oracle())
+def d11_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition a real corpus run ships: capped MinHash-LSH
+    candidates → exact-Jaccard verify → connected components → min-id
+    survivor per component, with group sizes. Every stage is
+    individually oracled (d03_capped, d07); this pins the end-to-end
+    wiring — survivors of transitive chains (A~B, B~C) collapse to one
+    doc even when A and C never collide in any band."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        max_bucket_size=50, hash_family="md5",
+    )
+    comps = dd.dedup_components(docs, pairs, id_col="doc_id")
+    return (
+        comps.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .select(F.col("canonical_id").alias("doc_id"), "group_size")
+    )
+
+
+@register("d03_fast_minhash_dedup")  # engine-native xxhash64 → rows-only:
+def d03_fast_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64 has no DuckDB equivalent, so no SQL oracle can express
+    # this form — its correctness rides on d03_capped (identical plan,
+    # md5 hash family) plus the recall/subset pins in
+    # tests/test_fuzzy_dedup_model.py. This is the fast default a
+    # production corpus run uses; bench.py scale-probes it at 10×.
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_dedup_pairs(

@@ -81,12 +81,15 @@ def reconcile_trades_stream(
     filter_cancelled: bool = True,
 ) -> DataFrame:
     """Validated streaming frame (same columns the batch transform
-    yields): dedup-within-watermark → cancelled filter → stream-static
-    enrichment → rules → reconcile."""
+    yields): dedup-within-watermark → cancelled filter (batch order) →
+    stream-static enrichment → rules → reconcile."""
+    # Order matters and mirrors the batch transform: dedup FIRST, then
+    # the cancelled filter. For duplicate trade_ids with mixed statuses
+    # the orders diverge — if the dedup survivor is CANCELLED the trade
+    # must vanish entirely (batch behavior), not fall back to a
+    # non-cancelled duplicate. Pinned by
+    # tests/test_trades_stream.py::test_mixed_status_duplicate.
     flow = trades
-    if filter_cancelled:
-        # 3-valued like the batch path: NULL status is dropped too.
-        flow = flow.filter(F.col("trade_status") != "CANCELLED")
     if dedupe:
         with_ts = flow.withColumn(
             "_event_ts", normalize_timestamp(F.col("timestamp"))
@@ -98,6 +101,9 @@ def reconcile_trades_stream(
         )
         unparseable = with_ts.filter(F.col("_event_ts").isNull())
         flow = parseable.unionByName(unparseable).drop("_event_ts")
+    if filter_cancelled:
+        # 3-valued like the batch path: NULL status is dropped too.
+        flow = flow.filter(F.col("trade_status") != "CANCELLED")
 
     fills_renamed = fills
     enriched = flow.join(

@@ -151,6 +151,37 @@ def test_checkpoint_resume_dedups_across_restarts(spark, tmp_path):
     assert sorted(rows) == ["T1", "T4", "T6"]
 
 
+def test_mixed_status_duplicate(spark, tmp_path):
+    """Duplicate trade_id with mixed statuses: survivor choice happens
+    BEFORE the cancelled filter, matching the batch transform's order.
+    The CANCELLED row is first both in arrival order (the streaming
+    survivor) and under the batch sort order (identical fields except
+    status, 'C' < 'E'), so both engines must drop T7 entirely. The
+    inverted order (filter cancelled, then dedup) would instead keep
+    the EXECUTED duplicate and emit T7 — the divergence this pins."""
+    rows = [
+        "T7,2024-01-15T10:05:00.000Z,AAPL,10,10.00,B7,S7,CANCELLED",
+        "T7,2024-01-15T10:05:00.000Z,AAPL,10,10.00,B7,S7,EXECUTED",
+    ]
+    trades_dir, dims_dir = _stage(tmp_path, [BATCH1 + rows])
+    cleaned, exceptions = _run_stream(spark, tmp_path, trades_dir, dims_dir)
+    assert cleaned.filter(F.col("trade_id") == "T7").count() == 0
+    assert exceptions.filter(F.col("record_id") == "T7").count() == 0
+
+    # batch pipeline on the identical input agrees: T7 vanishes
+    batch_in = os.path.join(str(tmp_path), "batch_in")
+    os.makedirs(batch_in)
+    _write(os.path.join(batch_in, "trades.csv"), [TRADES_HEADER, *BATCH1, *rows])
+    _write(os.path.join(batch_in, "counterparty_fills.csv"), FILLS)
+    _write(os.path.join(batch_in, "symbols_reference.csv"), SYMBOLS)
+    cfg = default_config()
+    cfg["output"]["single_file"] = False
+    batch_out = os.path.join(str(tmp_path), "batch_out")
+    ReconciliationPipeline(spark, config=cfg, input_dir=batch_in).run(batch_out)
+    b_cleaned = spark.read.json(os.path.join(batch_out, "cleaned_trades.json"))
+    assert b_cleaned.filter(F.col("trade_id") == "T7").count() == 0
+
+
 def test_cross_batch_dedup_within_watermark(spark, tmp_path):
     trades_dir, dims_dir = _stage(tmp_path, [BATCH1, BATCH2])
     cleaned, _ = _run_stream(
