@@ -44,9 +44,13 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
     "d03_minhash_dedup_pairs",
-    # the 100-TB production form (xxhash64 + bucket cap) benched beside
-    # the oracled md5 form so the capped path has its own perf record
+    # capped md5 form (hash-matched driver row) + the xxhash64
+    # production fast path, each with its own perf record
     "d03_capped_minhash_dedup",
+    "d03_fast_minhash_dedup",
+    # end-to-end fuzzy dedup: capped LSH -> verify -> components ->
+    # survivor set, the composition a real corpus run ships
+    "d11_fuzzy_dedup_e2e",
     "d06_embedding_neardup_pairs",
     "d09_decontaminate",
     "d10_embedding_neardup_clustered",
@@ -57,6 +61,17 @@ HEADLINE = [
     "t01_text_quality",
     "x03_heavy_hitters",
     "e01_hourly_event_windows",
+]
+
+# Fuzzy-dedup / ANN paths probed on a 10× corpus (see
+# _scaled_llm_inputs): caps and bucketing should keep these ~linear in
+# corpus size; a superlinear jump here is a scale bug, not noise.
+SCALE_PROBES = [
+    "d03_fast_minhash_dedup",
+    "d10_embedding_neardup_clustered",
+    "s02_cosine_topk_lsh",
+    "s01_cosine_topk",
+    "s04_cosine_topk_numpy",
 ]
 
 
@@ -101,10 +116,96 @@ def _scaled_etl_inputs(copies: int) -> str:
     return out
 
 
+def _scaled_llm_inputs(copies: int, sf_dir: str) -> str:
+    """Materialize a ``copies``× documents/embeddings corpus that
+    preserves the 1× near-dup structure, so operator time should scale
+    ~linearly with corpus size:
+
+    - documents: every word gets a per-copy tag (bijection of the
+      shingle universe per copy) — within-copy Jaccard relations are
+      identical to 1×, cross-copy shingle sets are disjoint, and total
+      shingle volume scales exactly ×copies.
+    - embeddings: each copy is rotated by a seeded random orthogonal
+      matrix (copy 0 = identity, keeping the vec_id<10 query vectors
+      byte-identical) — rotations preserve within-copy cosines exactly
+      while cross-copy cosines are near-orthogonal noise in 64-d.
+
+    Regenerated whenever the source parquet is newer than the marker
+    (testdata is rebuilt between rounds).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # source SF is part of the cache key — a smoke run at sf0.01 must
+    # not leave its (10× smaller) corpus behind for the sf0.1 run
+    out = f"/tmp/spark_graft_llm_{copies}x_{os.path.basename(sf_dir.rstrip('/'))}"
+    done = os.path.join(out, ".done")
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    emb_src = os.path.join(sf_dir, "embeddings.parquet")
+    src_mtime = max(os.path.getmtime(doc_src), os.path.getmtime(emb_src))
+    if os.path.exists(done) and os.path.getmtime(done) > src_mtime:
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    doc_schema = pq.read_schema(doc_src)
+    emb_schema = pq.read_schema(emb_src)
+    docs = pq.read_table(doc_src).to_pandas()
+    emb = pq.read_table(emb_src).to_pandas()
+    OFF = 10_000_000
+    rng = np.random.RandomState(4242)
+    emb_mat = np.array(list(emb["embedding"]), dtype=np.float64)
+    dim = emb_mat.shape[1]
+
+    d_parts, e_parts = [], []
+    for i in range(copies):
+        d = docs.copy()
+        d["doc_id"] = docs["doc_id"] + i * OFF
+        tag = f"c{i}_"
+        d["text"] = [
+            " ".join(tag + w for w in t.split(" ")) if isinstance(t, str) else t
+            for t in docs["text"]
+        ]
+        d["n_chars"] = [len(t) if isinstance(t, str) else 0 for t in d["text"]]
+        d_parts.append(d)
+
+        e = emb.copy()
+        e["vec_id"] = emb["vec_id"] + i * OFF
+        if i > 0:
+            q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            rotated = emb_mat @ q.T
+            e["embedding"] = [row.astype(np.float32) for row in rotated]
+        e_parts.append(e)
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat(d_parts, ignore_index=True), schema=doc_schema,
+            preserve_index=False,
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat(e_parts, ignore_index=True), schema=emb_schema,
+            preserve_index=False,
+        ),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bench")
+    # No console progress bars: the driver tail-captures our output and
+    # \r stage spam crowds out the lines that matter (the scale10x /
+    # REGRESSION report and the final JSON).
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Untimed warmup: JVM/codegen spin-up shouldn't be charged to the
@@ -113,17 +214,35 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # min of two runs: absorbs one-off codegen compilation and
-        # background-load noise without hiding steady-state cost.
+    def _bench_query(name: str, data_dir: str) -> float:
+        # min-of-2 absorbs one-off codegen compilation; sub-second
+        # entries get a third rep — at that size scheduler/python-stage
+        # noise is the same order as the measurement, and min-of-2 was
+        # flipping vs_prev signs (r3's spurious 1.2× "regressions").
         best = float("inf")
-        for _ in range(2):
+        for rep in range(3):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
+            df = QUERIES[name](spark, data_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            if rep >= 1 and best >= 1.2:
+                break
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = _bench_query(name, sf_dir)
+
+    # 10× corpus probes: same operators, structure-preserving 10×
+    # documents/embeddings (see _scaled_llm_inputs). Ratios reported on
+    # stderr; ~10× time is the expectation for linear operators.
+    llm10 = _scaled_llm_inputs(10, sf_dir)
+    for name in SCALE_PROBES:
+        timings[f"{name}_10x"] = _bench_query(name, llm10)
+    for name in SCALE_PROBES:
+        if timings.get(name, 0) > 0:
+            ratio = round(timings[f"{name}_10x"] / timings[name], 1)
+            print(f"scale10x {name}: {ratio}x its 1x time", file=sys.stderr)
 
     # The reference's own workload: its trade-reconciliation pipeline
     # end-to-end on its committed CSVs (BASELINE.md: 114.3 s incl. JVM

@@ -168,7 +168,17 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
-    a, b = sh.alias("a"), sh.alias("b")
+    # merge hint: Catalyst's Generate stats ignore explosion, so the
+    # exploded side is size-estimated at ~file size and gets
+    # compile-time BROADCAST once the raw file is under the 10 MB
+    # threshold — 5M shingle rows built into the driver at 10× sf0.1
+    # (OOMed a 1g driver; caught by bench's scale probe), unbounded at
+    # 100 TB. The hint pins a sort-merge join (spill-safe under
+    # mass-duplicate bucket skew). Cost: hints suppress AQE's runtime
+    # broadcast conversion too, so tiny corpora pay ~30% over the
+    # broadcast plan — correctness of the scale posture over a local
+    # micro-win.
+    a, b = sh.alias("a").hint("merge"), sh.alias("b")
     jaccard = F.col("n_common").cast("double") / (
         (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
     )
@@ -365,7 +375,10 @@ def minhash_lsh_candidates(
             .filter(F.col("_bs") <= max_bucket_size)
             .drop("_bs")
         )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # merge hint: same Generate-underestimation guard as
+    # ngram_jaccard_pairs — never broadcast a side whose row count came
+    # from an explode (a band bucket side is the whole corpus ×bands).
+    a, b = buckets.alias("a").hint("merge"), buckets.alias("b")
     return (
         a.join(
             b,
@@ -410,8 +423,15 @@ def minhash_dedup_pairs(
         hash_family=hash_family,
     )
     sh = _exploded_shingles(df, id_col, text_col, n, with_size=True)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
+    # merge hints: the exploded sides are Generate-underestimated (see
+    # ngram_jaccard_pairs) — without them Catalyst broadcasts ALL corpus
+    # shingles into every task (and OOMs the driver building them).
+    sa = sh.select(
+        F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle"
+    ).hint("merge")
+    sb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle"
+    ).hint("merge")
     jaccard = F.col("n_common").cast("double") / (
         (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
     )
@@ -662,7 +682,9 @@ def simhash_near_pairs(
     buckets = sigs.select(
         F.col(id_col), F.col("simhash"), F.posexplode(chunk_vals).alias("chunk", "cv")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # merge hint: chunk buckets are posexplode-amplified (see the
+    # Generate-underestimation note in ngram_jaccard_pairs).
+    a, b = buckets.alias("a").hint("merge"), buckets.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("long")

@@ -147,7 +147,11 @@ def cosine_topk_numpy(
                 }
             )
 
-    scored = spread(corpus).mapInPandas(
+    # Byte-aware spread: the GEMM amortizes over Arrow batch size, so
+    # fan-out below ~8 MB/split costs more (exchange + python workers)
+    # than it buys — see util.spread. At 100 TB the scan is already
+    # thousands of splits and this is a no-op either way.
+    scored = spread(corpus, bytes_per_split=8 << 20).mapInPandas(
         score, schema=f"{query_id} long, {corpus_id} long, score double"
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))

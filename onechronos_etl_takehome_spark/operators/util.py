@@ -2,10 +2,13 @@
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, *, bytes_per_split: int | None = None) -> DataFrame:
     """Round-robin repartition IF the input is under-parallel.
 
     CPU-dominant operators (interpreted higher-order expressions,
@@ -24,8 +27,26 @@ def spread(df: DataFrame) -> DataFrame:
     scan (no upstream exchange), where the probe is metadata-only. Do
     not pass a derived/shuffled DataFrame — compute the split count
     from leaf-file metadata upstream instead.
+
+    ``bytes_per_split`` caps the target by input size (leaf-file
+    metadata): stages whose per-row cost is tiny and batch-amortized —
+    BLAS GEMM over Arrow batches — LOSE to the exchange + Python-worker
+    fan-out on small inputs, so they ask for at least this many input
+    bytes per split instead of one split per core. Measured on s04
+    (sf0.1, 2000×64 vectors): spread-to-32 is 1.4-1.9× slower than
+    unsplit. CPU-heavy *interpreted* stages (shingling, md5 MinHash,
+    interpreted cosine) keep the default — their per-row cost dwarfs
+    the exchange.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if bytes_per_split is not None:
+        try:
+            total = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+            )
+            target = min(target, max(1, math.ceil(total / bytes_per_split)))
+        except OSError:  # non-local / non-file source: keep core count
+            pass
+    if target > 1 and df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

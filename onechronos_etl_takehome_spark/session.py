@@ -38,6 +38,14 @@ def get_spark(
         .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")
+        # local mode = driver JVM is the whole cluster; Spark's 1g
+        # default heap is mis-sized for local[32] (any broadcast build
+        # or 32-task burst can OOM it). Only effective when this
+        # process launches the JVM; a pre-existing session wins.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
