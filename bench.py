@@ -60,6 +60,7 @@ HEADLINE = [
     "s04_cosine_topk_numpy",
     "t01_text_quality",
     "x03_heavy_hitters",
+    "x06_salted_skew_join",
     "e01_hourly_event_windows",
 ]
 

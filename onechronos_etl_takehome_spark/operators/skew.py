@@ -44,4 +44,9 @@ def salted_join(
     r_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
-    return l_salted.join(r_salted, on + ["_salt"], how).drop("_salt")
+    # Pin a sort-merge join: salting exists precisely because the right
+    # side can NOT be broadcast — if Catalyst broadcasts it anyway
+    # (small-looking stats), the (key, salt) spray never reaches a
+    # shuffle and the operator silently degrades to a worse broadcast
+    # join (R× replicated build side).
+    return l_salted.join(r_salted.hint("merge"), on + ["_salt"], how).drop("_salt")

@@ -18,6 +18,7 @@ from ..operators import dedup as dd
 from ..operators import text as tx
 from ..operators.bloom import bloom_semi_join
 from ..operators.sketches import heavy_hitters
+from ..operators.skew import salted_join
 from ..session import pin_semantics
 from ..sources.tables import load_table
 from .catalog import register
@@ -333,6 +334,39 @@ def x03_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
     return heavy_hitters(words, "word", threshold_denom=_HH_DENOM)
+
+
+@register(
+    "x06_salted_skew_join",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def x06_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant fact⋈dim equi-join: events.user_id is power-law
+    (hot users own a disproportionate share of rows) and the dimension
+    is replicated across salt buckets (operators/skew.py) so each hot
+    key's rows land in ``salt_buckets`` shuffle partitions instead of
+    one straggler task. Salting is invisible in the result — the oracle
+    is the plain join — and exact equality with the unsalted join is
+    pinned in tests/test_round4_ops.py. Use when the dimension is too
+    big to broadcast AND one key dominates beyond what AQE's skew
+    splitting handles (it cannot split a single key's partition when
+    the join requires co-location); broadcast remains the first choice
+    whenever the dim fits in memory."""
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(e, c, ["user_id"], salt_buckets=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("total_value"),
+    )
 
 
 @register(
