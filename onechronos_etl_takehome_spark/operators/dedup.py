@@ -703,3 +703,84 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated n-gram spans (exact substring dedup,
+# n-gram granularity — Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", the suffix-array pass approximated at
+# word-n-gram resolution so it stays one shuffle instead of a global
+# suffix sort)
+# ---------------------------------------------------------------------------
+
+
+def positional_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram): every positional word n-gram, pos 1-based.
+
+    Docs shorter than n words are dropped (no complete n-gram).
+    Non-distinct — positions matter. Same explode_outer /
+    single-evaluation discipline as ``_exploded_shingles``.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - F.lit(n)),
+        lambda i: F.concat_ws(" ", F.slice(w, i + F.lit(1), n)),
+    )
+    return (
+        _spread(df)
+        .filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.col(id_col), F.posexplode_outer(grams).alias("pos0", "gram"))
+        .select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "gram")
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Maximal per-doc token spans covered by n-grams that also occur in
+    at least one OTHER document.
+
+    Plan: positional n-grams → per-gram distinct-doc count (two-phase
+    agg) → keep cross-doc grams → join positions back (sort-merge:
+    both sides are Generate-amplified, same broadcast-underestimation
+    guard as the LSH buckets) → gaps-and-islands merge of overlapping
+    windows per doc. Shuffles key on gram then id — both well spread;
+    a degenerate corpus-wide gram caps at one posting list, the same
+    skew profile d02 documents.
+
+    Returns (id, span_start, span_end, span_tokens, n_dup_grams),
+    1-based inclusive token positions.
+    """
+    gp = positional_shingles(df, id_col, text_col, n)
+    cross = (
+        gp.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram")
+    )
+    dup = gp.hint("merge").join(cross.hint("merge"), "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    island = F.sum(brk).over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        dup.withColumn("_island", island)
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )

@@ -66,6 +66,33 @@ def stopword_ratio(text: Column) -> Column:
     )
 
 
+def alpha_token_frac(text: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter."""
+    hits = F.size(F.filter(tokens(text), lambda t: t.rlike("[A-Za-z]")))
+    return hits.cast("double") / token_count(text).cast("double")
+
+
+def symbol_to_word_ratio(text: Column) -> Column:
+    """(# of '#' marks + '...' runs) per token — the Gopher symbol rule.
+
+    Both counted with the same RE2-safe patterns on both engines.
+    """
+    n_sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    )
+    return n_sym.cast("double") / token_count(text).cast("double")
+
+
+def distinct_stopword_hits(text: Column) -> Column:
+    """How many DISTINCT stopwords from STOPWORDS appear in the text."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text)),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    ).cast("long")
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
 

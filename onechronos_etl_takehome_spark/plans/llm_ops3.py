@@ -1,0 +1,233 @@
+"""LLM-data-pipeline queries, round 4.
+
+Quality gating (Gopher rule battery), in-document repetition filters,
+cross-document duplicated-span detection (exact substring dedup at
+n-gram granularity), and an ordered-step window funnel over events.
+All four are DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import quality as ql
+from ..operators.funnel import window_funnel
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+_TOKS = "string_split(text, ' ')"
+
+
+def _pos_grams_sql(n: int) -> str:
+    """Positional word n-grams per doc (pos 1-based), docs with >= n
+    words only — DuckDB twin of dedup.positional_shingles. Multiple
+    unnests in one SELECT zip element-wise, keeping pos aligned with
+    its gram."""
+    parts = ", ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+      SELECT doc_id,
+        unnest(generate_series(1, len(t) - {n - 1})) AS pos,
+        unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+          i -> concat_ws(' ', {parts}))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+      WHERE len(t) >= {n}
+    """
+
+
+# ---------------------------------------------------------------------------
+# t13: Gopher lexical quality gate
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+_T13_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len({_TOKS}) AS BIGINT) AS n_words,
+    CAST(len(text) - (len({_TOKS}) - 1) AS DOUBLE) / len({_TOKS})
+      AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#'))
+         + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+      / len({_TOKS}) AS symbol_ratio,
+    CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[A-Za-z]')))
+      AS DOUBLE) / len({_TOKS}) AS alpha_frac,
+    CAST(len(list_intersect(list_distinct({_TOKS}), {_STOP_SQL}))
+      AS BIGINT) AS n_stopwords
+  FROM documents)
+SELECT *,
+  n_words BETWEEN {ql.MIN_WORDS} AND {ql.MAX_WORDS} AS ok_words,
+  mean_word_len BETWEEN {ql.MIN_MEAN_WORD_LEN} AND {ql.MAX_MEAN_WORD_LEN}
+    AS ok_word_len,
+  symbol_ratio <= {ql.MAX_SYMBOL_RATIO} AS ok_symbols,
+  alpha_frac >= {ql.MIN_ALPHA_FRAC} AS ok_alpha,
+  n_stopwords >= {ql.MIN_DISTINCT_STOPWORDS} AS ok_stopwords,
+  (n_words BETWEEN {ql.MIN_WORDS} AND {ql.MAX_WORDS})
+    AND (mean_word_len BETWEEN {ql.MIN_MEAN_WORD_LEN}
+         AND {ql.MAX_MEAN_WORD_LEN})
+    AND symbol_ratio <= {ql.MAX_SYMBOL_RATIO}
+    AND alpha_frac >= {ql.MIN_ALPHA_FRAC}
+    AND n_stopwords >= {ql.MIN_DISTINCT_STOPWORDS} AS passes_gopher
+FROM m
+"""
+
+
+@register("t13_gopher_quality", oracle=_T13_ORACLE)
+def t13_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document lexical quality gate (Rae et al. 2021
+    §A1.1): metrics, per-rule booleans, and the combined verdict. Pure
+    scan-stage Column expressions — no shuffle."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ql.gopher_quality(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# t14: repetition filters
+# ---------------------------------------------------------------------------
+
+
+def _grams_nopos_sql(n: int) -> str:
+    parts = ", ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+          i -> concat_ws(' ', {parts}))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+      WHERE len(t) >= {n}
+    """
+
+
+_T14_ORACLE = f"""
+WITH c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM ({_grams_nopos_sql(2)}) GROUP BY doc_id, gram),
+top2 AS (
+  SELECT doc_id, max(cnt * len(gram)) AS ch
+  FROM c2 WHERE cnt >= 2 GROUP BY doc_id),
+c3 AS (
+  SELECT doc_id, gram, count(*) AS cnt
+  FROM ({_grams_nopos_sql(3)}) GROUP BY doc_id, gram),
+dup3 AS (
+  SELECT doc_id, sum(cnt * len(gram)) AS ch
+  FROM c3 WHERE cnt >= 2 GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(len(d.text) AS BIGINT) AS n_chars_text,
+  CAST(coalesce(top2.ch, 0) AS BIGINT) AS top2gram_chars,
+  CAST(coalesce(dup3.ch, 0) AS BIGINT) AS dup3gram_chars,
+  CAST(coalesce(top2.ch, 0) AS DOUBLE) / len(d.text) AS top2gram_frac,
+  CAST(coalesce(dup3.ch, 0) AS DOUBLE) / len(d.text) AS dup3gram_frac,
+  CAST(coalesce(top2.ch, 0) AS DOUBLE) / len(d.text)
+    <= {ql.MAX_TOP2GRAM_FRAC} AS ok_top2gram,
+  CAST(coalesce(dup3.ch, 0) AS DOUBLE) / len(d.text)
+    <= {ql.MAX_DUP3GRAM_FRAC} AS ok_dup3gram
+FROM documents d
+LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+@register("t14_repetition_stats", oracle=_T14_ORACLE)
+def t14_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-document repetition metrics (Gopher repetition family):
+    chars in the most frequent 2-gram, chars across duplicated
+    3-grams, each as a fraction of document length, with pass flags."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ql.repetition_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# d12: cross-document duplicated n-gram spans
+# ---------------------------------------------------------------------------
+
+_D12_N = 8
+
+_D12_ORACLE = f"""
+WITH gp AS ({_pos_grams_sql(_D12_N)}),
+cross_grams AS (
+  SELECT gram FROM gp GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, pos FROM gp JOIN cross_grams USING (gram)),
+lagged AS (
+  SELECT doc_id, pos,
+    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM dup),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN pos - prev_pos > {_D12_N} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM lagged)
+SELECT doc_id,
+  CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + {_D12_N - 1} AS BIGINT) AS span_end,
+  CAST(MAX(pos) + {_D12_N - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("d12_duplicate_ngram_spans", oracle=_D12_ORACLE)
+def d12_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at word-8-gram granularity (Lee et al.
+    2022): maximal per-doc token spans whose every covering 8-gram also
+    appears in another document — the spans a corpus-prep pipeline cuts
+    or down-weights."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_ngram_spans(docs, "doc_id", "text", n=_D12_N)
+
+
+# ---------------------------------------------------------------------------
+# x07: ordered-step window funnel over events
+# ---------------------------------------------------------------------------
+
+_X07_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS s1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS s2, min(v.s1) AS s1
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.s1
+    AND e.ts <= v.s1 + INTERVAL '24 hours'
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS s3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.s2
+    AND e.ts <= c.s1 + INTERVAL '24 hours'
+  GROUP BY e.user_id)
+SELECT v.user_id,
+  strftime(v.s1, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+  strftime(c.s2, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+  strftime(p.s3, '%Y-%m-%d %H:%M:%S') AS step3_ts,
+  CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+    AS funnel_depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@register("x07_window_funnel", oracle=_X07_ORACLE)
+def x07_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel per user, every step within 24
+    hours of the user's first view and at-or-after the previous step
+    (ClickHouse windowFunnel semantics). One row per user who viewed;
+    funnel_depth in 1..3."""
+    pin_semantics(spark)
+    ev = load_table(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = window_funnel(ev, "user_id", "ts", steps, "INTERVAL 24 HOURS")
+    return out.select(
+        "user_id",
+        F.date_format("step1_ts", "yyyy-MM-dd HH:mm:ss").alias("step1_ts"),
+        F.date_format("step2_ts", "yyyy-MM-dd HH:mm:ss").alias("step2_ts"),
+        F.date_format("step3_ts", "yyyy-MM-dd HH:mm:ss").alias("step3_ts"),
+        "funnel_depth",
+    )

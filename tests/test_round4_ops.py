@@ -73,3 +73,113 @@ def test_spread_bytes_cap_noop_on_small_scan(spark, tmp_path):
     # the default (CPU-heavy) form still fans out to every core
     fanned = spread(df)
     assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+# ---------------------------------------------------------------------------
+# round-4b: quality gate, repetition stats, duplicate spans, funnel
+# ---------------------------------------------------------------------------
+
+from onechronos_etl_takehome_spark.operators import quality as ql
+from onechronos_etl_takehome_spark.operators.dedup import duplicate_ngram_spans
+from onechronos_etl_takehome_spark.operators.funnel import window_funnel
+
+
+def test_gopher_rules_fire_individually(spark):
+    long_ok = " ".join(["the", "a"] + ["word"] * 60)  # passes everything
+    short = "the a word"  # fails ok_words only
+    symbols = " ".join(["the", "a"] + ["word"] * 60 + ["#"] * 20)  # symbols
+    no_stops = " ".join(["word"] * 60)  # fails ok_stopwords
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, symbols), (4, no_stops)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ql.gopher_quality(docs, "doc_id", "text").collect()}
+    assert out[1]["passes_gopher"]
+    assert not out[2]["ok_words"] and out[2]["ok_stopwords"]
+    assert not out[3]["ok_symbols"]
+    assert not out[4]["ok_stopwords"] and out[4]["ok_words"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "x y x y x y": 2-grams = [x y, y x, x y, y x, x y] → top "x y"
+    # cnt=3 len=3 → 9 chars of 11; 3-grams = [x y x, y x y, x y x, y x y]
+    # → both duplicated: (2*5)+(2*5) = 20 chars.
+    docs = spark.createDataFrame([(1, "x y x y x y")], "doc_id long, text string")
+    r = ql.repetition_stats(docs, "doc_id", "text").collect()[0]
+    assert r["n_chars_text"] == 11
+    assert r["top2gram_chars"] == 9
+    assert r["dup3gram_chars"] == 20
+    assert not r["ok_top2gram"] and not r["ok_dup3gram"]
+
+
+def test_repetition_stats_no_repeats_and_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "xy")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            ql.repetition_stats(docs, "doc_id", "text").collect()}
+    assert rows[1]["top2gram_chars"] == 0 and rows[1]["dup3gram_chars"] == 0
+    # doc 2 is shorter than every n: still present, all-zero metrics
+    assert rows[2]["top2gram_chars"] == 0 and rows[2]["ok_top2gram"]
+
+
+def test_duplicate_ngram_spans_islands(spark):
+    # docs 1 and 2 share tokens 1-4 ("p q r s") and tokens 8-10 via a
+    # second shared run; gap > n splits the coverage into two islands.
+    d1 = "p q r s A B C t u v"
+    d2 = "p q r s X Y Z t u v"
+    docs = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    out = duplicate_ngram_spans(docs, "doc_id", "text", n=3).collect()
+    spans = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in out)
+    # shared 3-grams: positions 1-2 ("p q r","q r s") and 8 ("t u v")
+    # per doc → islands [1..4] and [8..10].
+    assert spans == [(1, 1, 4), (1, 8, 10), (2, 1, 4), (2, 8, 10)]
+    toks = {(r["doc_id"], r["span_start"]): r["span_tokens"] for r in out}
+    assert toks[(1, 1)] == 4 and toks[(1, 8)] == 3
+
+
+def test_duplicate_ngram_spans_merges_adjacent_windows(spark):
+    # one long shared run → ONE span covering it, not per-gram rows
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, shared + " aa bb"), (2, shared + " cc dd")],
+        "doc_id long, text string",
+    )
+    out = duplicate_ngram_spans(docs, "doc_id", "text", n=8).collect()
+    spans = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in out)
+    assert spans == [(1, 1, 12), (2, 1, 12)]
+
+
+def test_window_funnel_semantics(spark):
+    rows = [
+        # u1: full funnel in order, within window
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # u2: click BEFORE first view → depth 1
+        (2, "2024-01-01 01:00:00", "click"),
+        (2, "2024-01-01 02:00:00", "view"),
+        # u3: purchase before click → depth 2 (order matters)
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 00:30:00", "purchase"),
+        (3, "2024-01-01 01:00:00", "click"),
+        # u4: click outside the 24h window → depth 1
+        (4, "2024-01-01 00:00:00", "view"),
+        (4, "2024-01-02 00:00:01", "click"),
+        # u5: no view at all → absent from output
+        (5, "2024-01-01 00:00:00", "click"),
+        # u6: click exactly AT first-view ts and at window edge ok
+        (6, "2024-01-01 00:00:00", "view"),
+        (6, "2024-01-01 00:00:00", "click"),
+        (6, "2024-01-02 00:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string")
+    ev = ev.select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = window_funnel(ev, "user_id", "ts", steps, "INTERVAL 24 HOURS")
+    depth = {r["user_id"]: r["funnel_depth"] for r in out.collect()}
+    assert depth == {1: 3, 2: 1, 3: 2, 4: 1, 6: 3}
