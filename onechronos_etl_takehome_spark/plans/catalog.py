@@ -76,6 +76,7 @@ DRIVER_WINDOW: list[str] = [
     "d08_corpus_clean",
     "d09_decontaminate",
     "d11_fuzzy_dedup_e2e",
+    "d12_duplicate_ngram_spans",
     # Text analysis.
     "t01_text_quality",
     "t02_lang_id",
@@ -107,7 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "q03_top_revenue_orders",  # deterministic top-k
     "q04_order_priority_late",  # EXISTS semi-join
     "q08_rollup_returns",  # ROLLUP
-    "q10_daily_event_pivot",  # conditional pivot over events
+    "x07_window_funnel",  # ordered-step funnel over events
     "q13_json_props",  # JSON extraction
     "q18_user_sessions",  # batch sessionization
     "q19_purchase_last_view_asof",  # as-of join
@@ -116,10 +117,8 @@ DRIVER_WINDOW: list[str] = [
     "q25_rolling_customer_spend",  # rows-frame window
     "q27_above_average_orders",  # correlated scalar subquery
     "q28_segment_status_pivot",  # native pivot
-    "q33_user_event_extremes",  # min_by/max_by
-    "q34_f_minus_urgent_multiset",  # EXCEPT ALL
+    "t13_gopher_quality",  # quality-gate rule battery
     "q37_sql_entrypoint",  # spark.sql API
-    "q38_grouping_sets",  # GROUPING SETS
     "q43_types_excluding_suppliers",  # NOT IN anti-join
     "q44_null_safe_join",  # null-safe equality join
     "q48_price_moments",  # variance/stddev/correlation
@@ -148,6 +147,14 @@ DRIVER_WINDOW: list[str] = [
 # range-frame window (window functions still witnessed by q25
 # rows-frame; ranking by q03 deterministic top-k) and q38 GROUPING
 # SETS (grouping families witnessed by q08 ROLLUP).
+# Round 4b: four new capability classes land — d12 duplicated-n-gram
+# spans (substring dedup), t13 Gopher quality gate, x07 window funnel
+# (plus t14 repetition stats, locally oracled outside the window).
+# Displaced to stay at exactly 50: q10 conditional-pivot-over-events
+# (pivot witnessed by q28, events by x07/e01/q18/q19), q33
+# min_by/max_by (agg variety witnessed by q01/q22/q48/q50), q34
+# EXCEPT ALL (set family witnessed by q23 set-agg + q43 NOT IN), and
+# q38 GROUPING SETS (already documented above; q08 ROLLUP stands).
 
 
 def _curate_window() -> None:
