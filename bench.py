@@ -54,13 +54,16 @@ HEADLINE = [
     "d06_embedding_neardup_pairs",
     "d09_decontaminate",
     "d10_embedding_neardup_clustered",
+    "d12_duplicate_ngram_spans",
     "s01_cosine_topk",
     "s02_cosine_topk_lsh",
     "s03_cosine_topk_ivf",
     "s04_cosine_topk_numpy",
     "t01_text_quality",
+    "t13_gopher_quality",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
+    "x07_window_funnel",
     "e01_hourly_event_windows",
 ]
 
@@ -69,6 +72,7 @@ HEADLINE = [
 # corpus size; a superlinear jump here is a scale bug, not noise.
 SCALE_PROBES = [
     "d03_fast_minhash_dedup",
+    "d12_duplicate_ngram_spans",
     "d10_embedding_neardup_clustered",
     "s02_cosine_topk_lsh",
     "s01_cosine_topk",

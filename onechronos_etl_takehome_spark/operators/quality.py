@@ -43,6 +43,9 @@ MAX_TOP2GRAM_FRAC = 0.20
 MAX_DUP3GRAM_FRAC = 0.10
 
 
+RULE_NAMES = ["ok_words", "ok_word_len", "ok_symbols", "ok_alpha", "ok_stopwords"]
+
+
 def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document Gopher lexical metrics, rule booleans, and verdict."""
     t = F.col(text_col)
@@ -68,6 +71,13 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for name in list(rules)[1:]:
         verdict = verdict & F.col(name)
     return out.withColumn("passes_gopher", verdict)
+
+
+def gopher_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, q_score): number of Gopher rules passed, 0..len(RULE_NAMES)."""
+    gated = gopher_quality(df, id_col, text_col)
+    score = sum((F.col(r).cast("int") for r in RULE_NAMES), F.lit(0))
+    return gated.select(F.col(id_col), score.cast("long").alias("q_score"))
 
 
 def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

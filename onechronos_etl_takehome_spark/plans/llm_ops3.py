@@ -43,8 +43,8 @@ def _pos_grams_sql(n: int) -> str:
 
 _STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
 
-_T13_ORACLE = f"""
-WITH m AS (
+# Per-doc lexical metrics — the shared CTE body for t13 and d13.
+_T13_METRICS_SQL = f"""
   SELECT doc_id,
     CAST(len({_TOKS}) AS BIGINT) AS n_words,
     CAST(len(text) - (len({_TOKS}) - 1) AS DOUBLE) / len({_TOKS})
@@ -56,20 +56,27 @@ WITH m AS (
       AS DOUBLE) / len({_TOKS}) AS alpha_frac,
     CAST(len(list_intersect(list_distinct({_TOKS}), {_STOP_SQL}))
       AS BIGINT) AS n_stopwords
-  FROM documents)
+  FROM documents
+"""
+
+# Rule booleans over the metric columns — single source for the gate,
+# the verdict, and d13's quality score.
+_RULES_SQL: dict[str, str] = {
+    "ok_words": f"n_words BETWEEN {ql.MIN_WORDS} AND {ql.MAX_WORDS}",
+    "ok_word_len": (
+        f"mean_word_len BETWEEN {ql.MIN_MEAN_WORD_LEN}"
+        f" AND {ql.MAX_MEAN_WORD_LEN}"
+    ),
+    "ok_symbols": f"symbol_ratio <= {ql.MAX_SYMBOL_RATIO}",
+    "ok_alpha": f"alpha_frac >= {ql.MIN_ALPHA_FRAC}",
+    "ok_stopwords": f"n_stopwords >= {ql.MIN_DISTINCT_STOPWORDS}",
+}
+
+_T13_ORACLE = f"""
+WITH m AS ({_T13_METRICS_SQL})
 SELECT *,
-  n_words BETWEEN {ql.MIN_WORDS} AND {ql.MAX_WORDS} AS ok_words,
-  mean_word_len BETWEEN {ql.MIN_MEAN_WORD_LEN} AND {ql.MAX_MEAN_WORD_LEN}
-    AS ok_word_len,
-  symbol_ratio <= {ql.MAX_SYMBOL_RATIO} AS ok_symbols,
-  alpha_frac >= {ql.MIN_ALPHA_FRAC} AS ok_alpha,
-  n_stopwords >= {ql.MIN_DISTINCT_STOPWORDS} AS ok_stopwords,
-  (n_words BETWEEN {ql.MIN_WORDS} AND {ql.MAX_WORDS})
-    AND (mean_word_len BETWEEN {ql.MIN_MEAN_WORD_LEN}
-         AND {ql.MAX_MEAN_WORD_LEN})
-    AND symbol_ratio <= {ql.MAX_SYMBOL_RATIO}
-    AND alpha_frac >= {ql.MIN_ALPHA_FRAC}
-    AND n_stopwords >= {ql.MIN_DISTINCT_STOPWORDS} AS passes_gopher
+  {", ".join(f"({e}) AS {n}" for n, e in _RULES_SQL.items())},
+  {" AND ".join(f"({e})" for e in _RULES_SQL.values())} AS passes_gopher
 FROM m
 """
 
@@ -230,4 +237,81 @@ def x07_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("step2_ts", "yyyy-MM-dd HH:mm:ss").alias("step2_ts"),
         F.date_format("step3_ts", "yyyy-MM-dd HH:mm:ss").alias("step3_ts"),
         "funnel_depth",
+    )
+
+
+# ---------------------------------------------------------------------------
+# d13: quality-aware survivor selection
+# ---------------------------------------------------------------------------
+
+
+def _d13_oracle() -> str:
+    """Fuzzy components (d11's CTE chain) x quality score (t13's rule
+    battery): per component keep the highest-scoring doc, doc_id as the
+    deterministic tie-break."""
+    from .llm_ops import _d03_oracle
+
+    score = " + ".join(f"CAST({e} AS INT)" for e in _RULES_SQL.values())
+    return f"""
+    WITH pairs AS ({_d03_oracle(max_bucket_size=50)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node)
+      SELECT * FROM r),
+    comps AS (
+      SELECT node AS doc_id, MIN(root) AS canonical_id
+      FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id, CAST({score} AS BIGINT) AS q_score
+      FROM ({_T13_METRICS_SQL})),
+    scored AS (
+      SELECT c.canonical_id, c.doc_id, q.q_score,
+        row_number() OVER (
+          PARTITION BY c.canonical_id
+          ORDER BY q.q_score DESC, c.doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY c.canonical_id) AS nm
+      FROM comps c JOIN q USING (doc_id))
+    SELECT canonical_id, doc_id AS survivor_id,
+      q_score AS survivor_score, CAST(nm AS BIGINT) AS n_members
+    FROM scored WHERE rn = 1
+    """
+
+
+@register("d13_quality_aware_survivors", oracle=_d13_oracle())
+def d13_quality_aware_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with quality-aware survivorship: instead of d11's
+    min-id survivor, each near-dup component keeps its highest-quality
+    member (most Gopher rules passed; doc_id breaks ties) — what a
+    corpus pipeline actually wants to keep from a duplicate cluster.
+    One row per component, singletons included."""
+    from pyspark.sql.window import Window
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5,
+        max_bucket_size=50, hash_family="md5",
+    )
+    comps = dd.dedup_components(docs, pairs, id_col="doc_id")
+    scored = comps.join(ql.gopher_score(docs, "doc_id", "text"), "doc_id")
+    part = Window.partitionBy("canonical_id")
+    ranked = scored.select(
+        "canonical_id",
+        "doc_id",
+        "q_score",
+        F.row_number()
+        .over(part.orderBy(F.desc("q_score"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(part).cast("long").alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "canonical_id",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("q_score").alias("survivor_score"),
+        "n_members",
     )

@@ -183,3 +183,32 @@ def test_window_funnel_semantics(spark):
     out = window_funnel(ev, "user_id", "ts", steps, "INTERVAL 24 HOURS")
     depth = {r["user_id"]: r["funnel_depth"] for r in out.collect()}
     assert depth == {1: 3, 2: 1, 3: 2, 4: 1, 6: 3}
+
+
+def test_quality_aware_survivor_overrides_min_id(spark):
+    # Two exact-duplicate clusters with DIFFERENT quality members: the
+    # higher-id doc passes more Gopher rules and must win over min-id.
+    good = " ".join(["the", "a"] + ["word"] * 60)  # passes all rules
+    bad = "the a word"  # fails ok_words
+    docs = spark.createDataFrame(
+        [(1, bad), (2, good), (10, good), (11, bad)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    from onechronos_etl_takehome_spark.operators.dedup import dedup_components
+    from onechronos_etl_takehome_spark.operators.quality import gopher_score
+    from pyspark.sql.window import Window
+
+    comps = dedup_components(docs, pairs, id_col="doc_id")
+    scored = comps.join(gopher_score(docs, "doc_id", "text"), "doc_id")
+    part = Window.partitionBy("canonical_id")
+    ranked = scored.select(
+        "canonical_id", "doc_id", "q_score",
+        F.row_number().over(
+            part.orderBy(F.desc("q_score"), F.asc("doc_id"))).alias("rn"),
+    )
+    winners = {r["canonical_id"]: r["doc_id"]
+               for r in ranked.filter("rn = 1").collect()}
+    # cluster {1,2}: doc 2 (good) beats min-id 1; cluster {10,11}:
+    # doc 10 wins on quality AND happens to be min-id.
+    assert winners == {1: 2, 10: 10}
