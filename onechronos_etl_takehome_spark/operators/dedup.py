@@ -312,6 +312,51 @@ def minhash_signatures(
     )
 
 
+def minhash_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bh): one banded-LSH bucket membership row per band.
+
+    This is the persistable *corpus index*: at scale the full corpus is
+    bucketed ONCE, the (id, band, bh) frame is written partitioned by
+    band, and daily increments join against it (see
+    ``incremental_minhash_candidates``) instead of re-hashing 100 TB.
+    ``bh`` is a string for the md5 family (cross-engine key), a 64-bit
+    hash for xxhash64 — an index must be probed with the same family
+    and (n, num_hashes, bands) it was built with.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
+    )
+    if hash_family == "md5":
+        # cross-engine bucket key: "<band>|mh_i,mh_j,..." as a string
+        band_hashes = F.array(
+            *[
+                F.concat_ws(
+                    "|", F.lit(str(bi)), F.concat_ws(",", F.slice("sig", bi * r + 1, r))
+                )
+                for bi in range(bands)
+            ]
+        )
+    else:
+        band_hashes = F.array(
+            *[
+                F.xxhash64(F.lit(bi), F.concat_ws(",", F.slice("sig", bi * r + 1, r)))
+                for bi in range(bands)
+            ]
+        )
+    return sigs.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -341,30 +386,14 @@ def minhash_lsh_candidates(
     band slice (no xxhash64) so the bucketing is reproducible in any
     SQL engine; grouping semantics are identical either way.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sigs = minhash_signatures(
-        df, id_col, text_col, n=n, num_hashes=num_hashes, hash_family=hash_family
-    )
-    if hash_family == "md5":
-        # cross-engine bucket key: "<band>|mh_i,mh_j,..." as a string
-        band_hashes = F.array(
-            *[
-                F.concat_ws(
-                    "|", F.lit(str(bi)), F.concat_ws(",", F.slice("sig", bi * r + 1, r))
-                )
-                for bi in range(bands)
-            ]
-        )
-    else:
-        band_hashes = F.array(
-            *[
-                F.xxhash64(F.lit(bi), F.concat_ws(",", F.slice("sig", bi * r + 1, r)))
-                for bi in range(bands)
-            ]
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bh")
+    buckets = minhash_buckets(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
     )
     if max_bucket_size is not None:
         # Window over the join's own (band, bh) partitioning — shares
@@ -783,4 +812,70 @@ def duplicate_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
             "n_dup_grams",
         )
+    )
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    corpus_buckets: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Candidate pairs for an INCREMENT against a persisted corpus index.
+
+    ``corpus_buckets`` is a prior ``minhash_buckets`` output (typically
+    read back from parquet partitioned by band); only the increment is
+    shingled and hashed. Returns (id_a, id_b), id_a < id_b, where at
+    least one side is a new doc — corpus-vs-corpus pairs were produced
+    when the corpus was indexed and are never recomputed.
+
+    Invariant (pinned in tests/test_round4_ops.py): with no bucket cap,
+    candidates(corpus) ∪ candidates(increment | corpus index) ==
+    candidates(corpus ∪ increment). With a cap the sets may differ at
+    bucket-size boundaries — the cap sees the union's bucket sizes.
+
+    Scale: the index probe joins on (band, bh) — the same exchange
+    shape as the self-join form; the increment side is small, but both
+    sides stay sort-merge (bucket rows are Generate-amplified and a
+    popular bucket's posting list must never be compile-time
+    broadcast).
+    """
+    new_b = minhash_buckets(
+        new_docs,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_family=hash_family,
+    ).withColumn("_new", F.lit(True))
+    all_b = corpus_buckets.select(
+        F.col(id_col), "band", "bh", F.lit(False).alias("_new")
+    ).unionByName(new_b)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bh")
+        all_b = (
+            all_b.withColumn("_bs", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+    a, b = all_b.alias("a").hint("merge"), all_b.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.col("a._new") | F.col("b._new"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )

@@ -113,6 +113,27 @@ def d07_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_components(docs, pairs, id_col="doc_id")
 
 
+def minhash_buckets_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """WITH-body fragment defining sh / sigs / buckets — the DuckDB
+    twin of dedup.minhash_buckets under the md5 hash family. Shared by
+    the d03 family and d14's incremental probe."""
+    r = num_hashes // bands
+    # hashes 2k/2k+1 split one md5's 32 hex chars (see _shingle_hash)
+    mh = ",\n      ".join(
+        f"MIN(('0x' || substr(md5('{i // 2}#' || shingle), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws(',', "
+        + ", ".join(f"mh{bi * r + j}" for j in range(r))
+        + ") AS bh FROM sigs"
+        for bi in range(bands)
+    )
+    return f"""sh AS ({_SH_SQL}),
+    sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+    buckets AS ({band_rows})"""
+
+
 def _d03_oracle(
     num_hashes: int = 32, bands: int = 8, max_bucket_size: int | None = None
 ) -> str:
@@ -129,18 +150,6 @@ def _d03_oracle(
     the candidate self-join — the same predicate Spark evaluates over
     the join's own exchange (dedup.py: minhash_lsh_candidates).
     """
-    r = num_hashes // bands
-    # hashes 2k/2k+1 split one md5's 32 hex chars (see _shingle_hash)
-    mh = ",\n      ".join(
-        f"MIN(('0x' || substr(md5('{i // 2}#' || shingle), {1 + 15 * (i % 2)}, 15))::BIGINT) AS mh{i}"
-        for i in range(num_hashes)
-    )
-    band_rows = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, concat_ws(',', "
-        + ", ".join(f"mh{bi * r + j}" for j in range(r))
-        + ") AS bh FROM sigs"
-        for bi in range(bands)
-    )
     cap_cte = (
         f""",
     capped AS (
@@ -154,9 +163,7 @@ def _d03_oracle(
     )
     bucket_src = "capped" if max_bucket_size is not None else "buckets"
     return f"""
-    WITH sh AS ({_SH_SQL}),
-    sigs AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
-    buckets AS ({band_rows}){cap_cte},
+    WITH {minhash_buckets_sql(num_hashes, bands)}{cap_cte},
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM {bucket_src} a JOIN {bucket_src} b

@@ -315,3 +315,43 @@ def d13_quality_aware_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_score").alias("survivor_score"),
         "n_members",
     )
+
+
+# ---------------------------------------------------------------------------
+# d14: incremental dedup against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+_D14_NEW_PRED = "doc_id % 5 = 0"  # every 5th doc plays the daily increment
+
+
+def _d14_oracle() -> str:
+    from .llm_ops import minhash_buckets_sql
+
+    return f"""
+    WITH {minhash_buckets_sql(32, 8)}
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE a.{_D14_NEW_PRED} OR b.{_D14_NEW_PRED}
+    """
+
+
+@register("d14_incremental_dedup", oracle=_d14_oracle())
+def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: the corpus is LSH-indexed once
+    (minhash_buckets — at 100 TB that index persists, partitioned by
+    band) and only the increment is shingled/hashed; candidates are
+    bucket collisions touching at least one new doc. The oracle
+    recomputes the same md5-family buckets over the whole table and
+    filters to pairs with a new side — per-doc signatures are
+    independent, so index-then-probe must equal recompute-then-filter
+    (the invariant tests/test_round4_ops.py pins through a parquet
+    round-trip)."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    new = F.expr(_D14_NEW_PRED)
+    kw = dict(n=3, num_hashes=32, bands=8, hash_family="md5")
+    index = dd.minhash_buckets(docs.filter(~new), "doc_id", "text", **kw)
+    return dd.incremental_minhash_candidates(
+        docs.filter(new), index, "doc_id", "text", **kw
+    )

@@ -212,3 +212,46 @@ def test_quality_aware_survivor_overrides_min_id(spark):
     # cluster {1,2}: doc 2 (good) beats min-id 1; cluster {10,11}:
     # doc 10 wins on quality AND happens to be min-id.
     assert winners == {1: 2, 10: 10}
+
+
+def test_incremental_minhash_matches_full_corpus(spark, tmp_path):
+    # Index a corpus, then probe an increment against the PERSISTED
+    # index: corpus-pairs ∪ incremental-pairs must equal the pairs of
+    # a from-scratch run over corpus ∪ increment (no cap).
+    from onechronos_etl_takehome_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_buckets,
+        minhash_lsh_candidates,
+    )
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    increment = docs.filter("doc_id % 5 = 0")
+    kw = dict(n=3, num_hashes=16, bands=4, hash_family="xxhash64")
+
+    idx_path = str(tmp_path / "minhash_index")
+    minhash_buckets(corpus, "doc_id", "text", **kw).write.partitionBy(
+        "band"
+    ).parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc_pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_candidates(
+            increment, index, "doc_id", "text", **kw
+        ).collect()
+    }
+    old_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(corpus, "doc_id", "text", **kw).collect()
+    }
+    full_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "doc_id", "text", **kw).collect()
+    }
+    # every incremental pair touches a new doc; no old-old pair leaks in
+    new_ids = {r.doc_id for r in increment.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in inc_pairs)
+    assert inc_pairs | old_pairs == full_pairs
+    assert inc_pairs, "increment produced no candidates - vacuous test"

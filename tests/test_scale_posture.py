@@ -182,3 +182,29 @@ def test_driver_window_outputs_are_canonicalizer_safe(spark):
         if offenders:
             bad[name] = offenders
     assert not bad, f"driver-hash-unsafe output columns: {bad}"
+
+
+def test_t13_quality_gate_is_scan_stage_only(spark):
+    # the Gopher gate is pure Column expressions: any Exchange means a
+    # shuffle crept into what must stay embarrassingly parallel
+    plan = _plan(spark, "t13_gopher_quality")
+    assert "Exchange" not in plan
+
+
+def test_d12_gram_join_never_broadcasts(spark):
+    # both join sides are Generate-amplified (positional n-grams);
+    # Catalyst size estimates ignore explosion, so a compile-time
+    # broadcast here would ship the whole gram set to every task at
+    # scale — the merge hints must hold
+    plan = _plan(spark, "d12_duplicate_ngram_spans")
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan
+
+
+def test_x07_step_filters_reach_event_scans(spark):
+    # each funnel step scans events with its event_type pushed down —
+    # at scale that's row-group skipping, not a full-table read per step
+    plan = _plan(spark, "x07_window_funnel")
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
