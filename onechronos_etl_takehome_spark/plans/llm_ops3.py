@@ -355,3 +355,71 @@ def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_minhash_candidates(
         docs.filter(new), index, "doc_id", "text", **kw
     )
+
+
+# ---------------------------------------------------------------------------
+# x08: weekly cohort retention
+# ---------------------------------------------------------------------------
+
+_X08_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+cohort_sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size
+  FROM first_seen GROUP BY cohort_week),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cells AS (
+  SELECT f.cohort_week,
+    date_diff('day', f.cohort_week, a.week) / 7 AS week_offset,
+    count(*) AS n_active
+  FROM active a JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+  CAST(c.week_offset AS BIGINT) AS week_offset,
+  CAST(c.n_active AS BIGINT) AS n_active,
+  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+  CAST(c.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM cells c JOIN cohort_sizes s USING (cohort_week)
+"""
+
+
+@register("x08_cohort_retention", oracle=_X08_ORACLE)
+def x08_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the week they
+    first appear, each cell = how many are active N weeks later (and
+    the retained fraction). Two groupBys keyed on user then
+    (cohort, offset) — both shuffle-partitioned, no window over the
+    full history, scales to any event volume."""
+    pin_semantics(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cells = (
+        active.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(cohort_sizes, "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

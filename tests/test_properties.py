@@ -137,3 +137,137 @@ def test_upsert_matches_dict_fold_model(batches):
         assert got == model
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_ngram_spans == python island-merge model
+# ---------------------------------------------------------------------------
+
+
+def _span_model(docs: list[tuple[int, str]], n: int) -> set[tuple]:
+    import collections
+
+    grams = collections.defaultdict(set)  # gram -> {doc_id}
+    pos = collections.defaultdict(list)  # doc -> [(pos, gram)]
+    for did, text in docs:
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            grams[g].add(did)
+            pos[did].append((i + 1, g))
+    out = set()
+    for did, pg in pos.items():
+        dup = sorted(p for p, g in pg if len(grams[g]) >= 2)
+        if not dup:
+            continue
+        start = prev = dup[0]
+        cnt = 1
+        for p in dup[1:]:
+            if p - prev > n:
+                out.add((did, start, prev + n - 1, prev + n - start, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        out.add((did, start, prev + n - 1, prev + n - start, cnt))
+    return out
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 9),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=8
+            ).map(" ".join),
+        ),
+        min_size=2,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_duplicate_ngram_spans_matches_model(docs):
+    from onechronos_etl_takehome_spark.operators.dedup import duplicate_ngram_spans
+
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+        for r in duplicate_ngram_spans(df, "doc_id", "text", n=2).collect()
+    }
+    assert got == _span_model(docs, 2)
+
+
+# ---------------------------------------------------------------------------
+# window_funnel == python first-attempt model
+# ---------------------------------------------------------------------------
+
+
+def _funnel_model(events, window_s):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, ts, typ in events:
+        by_user[u].append((ts, typ))
+    out = {}
+    for u, ev in by_user.items():
+        views = [t for t, y in ev if y == "view"]
+        if not views:
+            continue
+        s1 = min(views)
+        deadline = s1 + window_s
+        clicks = [t for t, y in ev if y == "click" and s1 <= t <= deadline]
+        s2 = min(clicks) if clicks else None
+        s3 = None
+        if s2 is not None:
+            buys = [t for t, y in ev if y == "purchase" and s2 <= t <= deadline]
+            s3 = min(buys) if buys else None
+        out[u] = (s1, s2, s3, 1 + (s2 is not None) + (s3 is not None))
+    return out
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 120),
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_window_funnel_matches_model(events):
+    from onechronos_etl_takehome_spark.operators.funnel import window_funnel
+
+    spark = _spark()
+    ev = spark.createDataFrame(
+        [(u, t, y) for u, t, y in events], "user_id long, sec long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        "event_type",
+    )
+    steps = [F.col("event_type") == s for s in ["view", "click", "purchase"]]
+
+    def _epoch(ts):
+        # collected timestamps are naive in the pinned UTC session TZ
+        import datetime as dt
+
+        return int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) if ts else None
+
+    got = {
+        r.user_id: (
+            _epoch(r.step1_ts),
+            _epoch(r.step2_ts),
+            _epoch(r.step3_ts),
+            r.funnel_depth,
+        )
+        for r in window_funnel(
+            ev, "user_id", "ts", steps, "INTERVAL 60 SECONDS"
+        ).collect()
+    }
+    assert got == _funnel_model(events, 60)
