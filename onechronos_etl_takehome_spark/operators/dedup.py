@@ -826,8 +826,13 @@ def incremental_minhash_candidates(
     bands: int = 8,
     max_bucket_size: int | None = None,
     hash_family: str = "xxhash64",
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs for an INCREMENT against a persisted corpus index.
+
+    ``new_buckets`` short-circuits the increment's bucket computation
+    when the caller already materialized it (the streaming sink hashes
+    each batch exactly once and reuses the frame for the index append).
 
     ``corpus_buckets`` is a prior ``minhash_buckets`` output (typically
     read back from parquet partitioned by band); only the increment is
@@ -846,15 +851,17 @@ def incremental_minhash_candidates(
     popular bucket's posting list must never be compile-time
     broadcast).
     """
-    new_b = minhash_buckets(
-        new_docs,
-        id_col,
-        text_col,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
-        hash_family=hash_family,
-    ).withColumn("_new", F.lit(True))
+    if new_buckets is None:
+        new_buckets = minhash_buckets(
+            new_docs,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            hash_family=hash_family,
+        )
+    new_b = new_buckets.withColumn("_new", F.lit(True))
     all_b = corpus_buckets.select(
         F.col(id_col), "band", "bh", F.lit(False).alias("_new")
     ).unionByName(new_b)
