@@ -472,6 +472,93 @@ def assign_clusters(
     )
 
 
+def _blocked_cluster_pairs(
+    assigned: DataFrame, *, threshold: float, chunk_size: int
+) -> DataFrame:
+    """Bounded-memory within-cluster pairing: the mega-cluster fix.
+
+    Rows hash into ``ceil(cluster_size / chunk_size)`` chunks
+    (stateless ``pmod(xxhash64(id), n_chunks)`` — no window over the
+    cluster, so no single task ever sees the whole cluster). Each row
+    replicates into every (lo, hi) chunk-pair unit it belongs to; a
+    unit scores chunk-lo × chunk-hi (triangle when lo == hi). Task
+    memory is <= 2·chunk_size vectors + chunk_size² scores no matter
+    how degenerate the cluster, and a mega-cluster becomes n_chunks²
+    evenly-sized units instead of one giant task. Every (a, b) pair
+    lands in exactly one unit: (chunk(a), chunk(b)) sorted.
+    """
+    sizes = assigned.groupBy("_cluster").agg(F.count(F.lit(1)).alias("_csz"))
+    chunked = (
+        assigned.join(F.broadcast(sizes), "_cluster")
+        .withColumn(
+            "_nch", F.ceil(F.col("_csz") / F.lit(chunk_size)).cast("int")
+        )
+        .withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64(F.col("corpus_id")), F.col("_nch")).cast("int"),
+        )
+    )
+    units = chunked.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("_nch") - 1)).alias("_other")
+    ).select(
+        "_cluster",
+        "corpus_id",
+        "corpus_vec",
+        "_chunk",
+        F.least("_chunk", "_other").alias("_lo"),
+        F.greatest("_chunk", "_other").alias("_hi"),
+    )
+
+    def unit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "score": "float64"}
+        )
+        lo, hi = int(pdf["_lo"].iloc[0]), int(pdf["_hi"].iloc[0])
+
+        def side(c: int) -> tuple[np.ndarray, np.ndarray]:
+            rows = pdf[pdf["_chunk"] == c].sort_values("corpus_id")
+            ids = rows["corpus_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(rows["corpus_vec"]), dtype=np.float64)
+            if len(ids):
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                m = m / nrm
+            return ids, m
+
+        ids_a, m_a = side(lo)
+        if lo == hi:
+            if len(ids_a) < 2:
+                return empty
+            sims = m_a @ m_a.T
+            ii, jj = np.triu_indices(len(ids_a), k=1)
+            keep = sims[ii, jj] >= threshold
+            ii, jj = ii[keep], jj[keep]
+            if not len(ii):
+                return empty
+            return pd.DataFrame(
+                {"id_a": ids_a[ii], "id_b": ids_a[jj], "score": sims[ii, jj]}
+            )
+        ids_b, m_b = side(hi)
+        if not len(ids_a) or not len(ids_b):
+            return empty
+        sims = m_a @ m_b.T
+        ii, jj = np.nonzero(sims >= threshold)
+        if not len(ii):
+            return empty
+        a, b = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "score": sims[ii, jj],
+            }
+        )
+
+    return units.groupBy("_cluster", "_lo", "_hi").applyInPandas(
+        unit_pairs, schema="id_a long, id_b long, score double"
+    )
+
+
 def embedding_neardup_clustered(
     emb: DataFrame,
     *,
@@ -482,6 +569,7 @@ def embedding_neardup_clustered(
     n_iters: int = 3,
     n_assign: int = 1,
     driver_sample: int | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, cosine >= threshold) via
     k-means bucketing — the SemDeDup shape and the scale path that
@@ -520,9 +608,18 @@ def embedding_neardup_clustered(
     # doubles), keeping only upper-triangle pairs over the threshold.
     # One pass over the assignment — the row-pair self-join form
     # evaluated the entire train+assign lineage twice and shuffled the
-    # pair fan-out. Skew note: one mega-cluster still concentrates work
-    # on one task — the standard SemDeDup caveat; cap cluster sizes
-    # upstream (more clusters) if the corpus is degenerate.
+    # pair fan-out. Skew note: one mega-cluster concentrates work on
+    # one task in THIS default path; pass ``chunk_size`` to switch to
+    # _blocked_cluster_pairs, which bounds every task regardless of
+    # cluster degeneracy (same pair set, pinned by tests).
+    if chunk_size is not None:
+        pairs = _blocked_cluster_pairs(
+            assigned, threshold=threshold, chunk_size=chunk_size
+        )
+        if n_assign > 1:
+            pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        return pairs
+
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(

@@ -190,7 +190,10 @@ def d10_embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFra
     default stays 0.95. n_assign=2 (multi-probe) because at low
     thresholds pairs are far from collinear and hard assignment splits
     them — the planted-dup test pins recall at the production
-    threshold."""
+    threshold. chunk_size=1024 runs the blocked (mega-cluster-safe)
+    pairing, so the witnessed plan is the one that survives degenerate
+    cluster sizes (pair-set equality vs the unblocked form is pinned
+    in tests/test_round4_ops.py)."""
     from ..operators.similarity import embedding_neardup_clustered
 
     pin_semantics(spark)
@@ -202,6 +205,7 @@ def d10_embedding_neardup_clustered(spark: SparkSession, sf_dir: str) -> DataFra
         threshold=0.35,
         n_assign=2,
         driver_sample=1024,
+        chunk_size=1024,
     )
 
 

@@ -255,3 +255,28 @@ def test_incremental_minhash_matches_full_corpus(spark, tmp_path):
     assert all(a in new_ids or b in new_ids for a, b in inc_pairs)
     assert inc_pairs | old_pairs == full_pairs
     assert inc_pairs, "increment produced no candidates - vacuous test"
+
+
+def test_blocked_cluster_pairs_match_unblocked(spark):
+    # chunked (mega-cluster-safe) within-cluster pairing must produce
+    # exactly the unchunked pair set, including across chunk boundaries
+    # (chunk_size=4 forces many cross-chunk units on 200 vectors)
+    from onechronos_etl_takehome_spark.operators.similarity import (
+        embedding_neardup_clustered,
+    )
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(
+        id_col="vec_id", vec_col="embedding", threshold=0.3,
+        n_clusters=4, n_iters=2, n_assign=2,
+    )
+    plain = {
+        (r.id_a, r.id_b, round(r.score, 12))
+        for r in embedding_neardup_clustered(emb, **kw).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, round(r.score, 12))
+        for r in embedding_neardup_clustered(emb, chunk_size=4, **kw).collect()
+    }
+    assert blocked == plain and plain, "pair sets differ (or vacuous)"
