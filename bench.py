@@ -43,6 +43,9 @@ HEADLINE = [
     "t05_token_estimates",
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
+    # exact-Jaccard scale path: lossless prefix filtering (same result
+    # set as d02, ~12x fewer candidate pairs at sf0.01)
+    "d15_prefix_jaccard_pairs",
     "d03_minhash_dedup_pairs",
     # capped md5 form (hash-matched driver row) + the xxhash64
     # production fast path, each with its own perf record
@@ -72,6 +75,7 @@ HEADLINE = [
 # corpus size; a superlinear jump here is a scale bug, not noise.
 SCALE_PROBES = [
     "d03_fast_minhash_dedup",
+    "d15_prefix_jaccard_pairs",
     "d12_duplicate_ngram_spans",
     "d10_embedding_neardup_clustered",
     "s02_cosine_topk_lsh",

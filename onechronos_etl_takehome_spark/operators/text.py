@@ -145,3 +145,74 @@ def pii_counts(text: Column) -> dict[str, Column]:
         kind: F.regexp_count(text, F.lit(pattern)).cast("long")
         for kind, (pattern, _) in PII_PATTERNS.items()
     }
+
+
+def unigram_lm_scores(df, id_col: str, text_col: str, *, log_probs: bool = False):
+    """Corpus-trained unigram language-model quality score per document
+    (the CCNet-style "score docs by how typical their words are" gate,
+    with the corpus itself as the training set).
+
+    Plan shape (the one you'd want at 100 TB): explode tokens once;
+    the frequency table is a groupBy on ``token`` whose exchange is
+    shared by the tok⋈vocab join; the corpus total is a 1-row scalar
+    aggregate broadcast into the final projection; per-doc scoring is
+    one more groupBy on the id. No second tokenization pass, no
+    driver-side vocabulary.
+
+    Default score is the **mean token probability**
+    ``sum_tf / (n_tokens * total)`` — exact integer aggregates with ONE
+    final double division, so it is bitwise-reproducible across
+    engines and partitionings (see functions/exact.py). It ranks
+    documents identically to mean probability under any engine.
+
+    ``log_probs=True`` additionally emits ``avg_logprob`` (mean
+    ln P(w), the standard LM surprisal) and ``perplexity`` — the form a
+    production corpus filter thresholds on. ln() is correctly-rounded
+    only per-libm, and double SUM is order-dependent, so these columns
+    are deterministic within Spark (decimal-quantized before the sum)
+    but are NOT oracle-hashable cross-engine; the catalog entry uses
+    the exact form.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    total = tok.agg(F.count(F.lit(1)).alias("_t"))
+    per_tok = tok.join(vocab, "token")
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_c").cast("long").alias("sum_tf"),
+    ]
+    if log_probs:
+        # ln(c/T) per occurrence, quantized to DECIMAL(28,12) so the
+        # re-aggregation is order-independent (exact decimal sum);
+        # T is folded in after the sum: avg ln(c/T) = avg ln(c) - ln(T).
+        agg_cols.append(
+            F.sum(F.log(F.col("_c").cast("double")).cast("decimal(28,12)"))
+            .alias("_sum_ln_c")
+        )
+    scored = per_tok.groupBy(id_col).agg(*agg_cols)
+    out = scored.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_tokens",
+        "sum_tf",
+        (
+            F.col("sum_tf").cast("double")
+            / (F.col("n_tokens") * F.col("_t")).cast("double")
+        ).alias("mean_token_prob"),
+        *(
+            [
+                (
+                    F.col("_sum_ln_c").cast("double") / F.col("n_tokens")
+                    - F.log(F.col("_t").cast("double"))
+                ).alias("avg_logprob")
+            ]
+            if log_probs
+            else []
+        ),
+    )
+    if log_probs:
+        out = out.withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+    return out

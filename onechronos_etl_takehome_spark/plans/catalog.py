@@ -67,7 +67,6 @@ DRIVER_WINDOW: list[str] = [
     # SimHash, embedding near-dup, connected components, corpus clean).
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
-    "d03_minhash_dedup_pairs",
     "d03_capped_minhash_dedup",
     "d04_simhash_near_pairs",
     "d05_deterministic_dedup",
@@ -77,6 +76,7 @@ DRIVER_WINDOW: list[str] = [
     "d09_decontaminate",
     "d11_fuzzy_dedup_e2e",
     "d12_duplicate_ngram_spans",
+    "d15_prefix_jaccard_pairs",
     # Text analysis.
     "t01_text_quality",
     "t02_lang_id",
@@ -147,6 +147,12 @@ DRIVER_WINDOW: list[str] = [
 # range-frame window (window functions still witnessed by q25
 # rows-frame; ranking by q03 deterministic top-k) and q38 GROUPING
 # SETS (grouping families witnessed by q08 ROLLUP).
+# Round 4c: d15 (prefix-filtered exact Jaccard — the LOSSLESS
+# scale path for set-similarity joins, hash-matched against d02's
+# oracle verbatim) replaces the uncapped d03: d03_capped runs the
+# identical MinHash-LSH pipeline plus the bucket cap, so the capped
+# row already witnesses everything the uncapped row did; the uncapped
+# form stays locally oracled in the full gate.
 # Round 4b: four new capability classes land — d12 duplicated-n-gram
 # spans (substring dedup), t13 Gopher quality gate, x07 window funnel
 # (plus t14 repetition stats, locally oracled outside the window).

@@ -54,9 +54,10 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_exact(docs, "doc_id", "text")
 
 
-@register(
-    "d02_ngram_jaccard_pairs",
-    oracle=f"""
+# Exact-Jaccard pair oracle over the full inverted index — shared by
+# d02 (the direct inverted-index form) and d15 (prefix filtering),
+# which are result-identical by the prefix-filter losslessness theorem.
+_D02_ORACLE = f"""
     WITH sh AS ({_SH_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -69,12 +70,29 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON id_a = na.doc_id
     JOIN sizes nb ON id_b = nb.doc_id
     WHERE CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) >= 0.5
-    """,
-)
+    """
+
+
+@register("d02_ngram_jaccard_pairs", oracle=_D02_ORACLE)
 def d02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@register("d15_prefix_jaccard_pairs", oracle=_D02_ORACLE)
+def d15_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via positional prefix filtering (AllPairs /
+    PPJoin): only the rare-first prefix of each shingle set — length
+    |S| - ceil(t|S|) + 1 — enters the candidate self-join, which is
+    provably lossless for J >= t. Unlike LSH (d03) there is no missed
+    pair and no hash family to pin, so the oracle is d02's full
+    inverted index verbatim: a hash-matched green on the exact-Jaccard
+    SCALE path itself. Candidate-shrink vs d02 is pinned in
+    tests/test_round4_ops.py."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 @register(

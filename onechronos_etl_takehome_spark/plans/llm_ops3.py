@@ -423,3 +423,35 @@ def x08_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+_T15_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS t FROM tok)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(v.c) AS BIGINT) AS sum_tf,
+      CAST(SUM(v.c) AS DOUBLE)
+        / CAST(COUNT(*) * (SELECT t FROM tot) AS DOUBLE) AS mean_token_prob
+    FROM tok JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """
+
+
+@register("t15_unigram_lm_score", oracle=_T15_ORACLE)
+def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (CCNet-style): how
+    typical each document's words are under the corpus's own token
+    distribution. The oracled columns are exact-integer aggregates with
+    one final double division (cross-engine bitwise-stable); the
+    operator's ``log_probs=True`` form adds avg-logprob/perplexity for
+    production thresholds (Spark-deterministic, not SQL-hashable —
+    pinned in tests/test_round4_ops.py instead)."""
+    pin_semantics(spark)
+    from ..operators.text import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text")

@@ -10,6 +10,7 @@ keys (which match in neither form).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from onechronos_etl_takehome_spark.operators.skew import salted_join
@@ -280,3 +281,130 @@ def test_blocked_cluster_pairs_match_unblocked(spark):
         for r in embedding_neardup_clustered(emb, chunk_size=4, **kw).collect()
     }
     assert blocked == plain and plain, "pair sets differ (or vacuous)"
+
+
+def test_prefix_jaccard_matches_inverted_index(spark):
+    # The prefix filter is LOSSLESS: result set must equal the full
+    # inverted-index join exactly — pairs, ids, and scores.
+    from onechronos_etl_takehome_spark.operators import dedup as dd
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == full and full, "pair sets differ (or vacuous)"
+
+
+def test_prefix_candidates_shrink_and_cover(spark):
+    # The point of the operator: candidate pairs must be a (much)
+    # smaller superset of the true pair set. At sf0.001 the shrink is
+    # ~10x; assert a conservative 2x so testdata regen can't flake it.
+    from onechronos_etl_takehome_spark.operators import dedup as dd
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = dd._exploded_shingles(docs, "doc_id", "text", 3)
+    full_cands = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    cands = dd.prefix_filter_candidates(docs, "doc_id", "text", n=3, threshold=0.5)
+    n_cands = cands.count()
+    assert n_cands * 2 <= full_cands, (n_cands, full_cands)
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    cand_pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert true_pairs <= cand_pairs
+
+
+def test_prefix_jaccard_short_and_identical_docs(spark):
+    # Degenerate shapes: single-shingle docs (prefix length 1 must
+    # still index them), identical docs (J=1.0), and a sub-threshold
+    # pair that a lossy filter might admit but the verify must drop.
+    from onechronos_etl_takehome_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),                      # < n words: 1 shingle
+            (2, "tiny doc"),                      # identical twin
+            (3, "alpha beta gamma delta epsilon"),
+            (4, "alpha beta gamma delta zeta"),   # J = 2/4 = 0.5
+            (5, "unrelated words entirely here now"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dd.prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2, 1.0), (3, 4, 0.5)}
+
+
+def test_unigram_lm_hand_computed(spark):
+    # corpus: "a a b" (doc 1), "b c" (doc 2). T=5; c(a)=2, c(b)=2, c(c)=1.
+    # doc1: n=3, sum_tf = 2+2+2 = 6, mean = 6/(3*5) = 0.4
+    # doc2: n=2, sum_tf = 2+1 = 3, mean = 3/(2*5) = 0.3
+    from onechronos_etl_takehome_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_tf, r.mean_token_prob)
+        for r in unigram_lm_scores(docs, "doc_id", "text").collect()
+    }
+    assert got == {1: (3, 6, 0.4), 2: (2, 3, 0.3)}
+
+
+def test_unigram_lm_log_probs(spark):
+    # avg_logprob = mean ln P(w); doc1: (2*ln(2/5)+ln(2/5))/3 = ln(0.4),
+    # doc2: (ln(0.4)+ln(0.2))/2. perplexity = exp(-avg_logprob).
+    import math
+
+    from onechronos_etl_takehome_spark.operators.text import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.avg_logprob, r.perplexity)
+        for r in unigram_lm_scores(
+            docs, "doc_id", "text", log_probs=True
+        ).collect()
+    }
+    assert got[1][0] == pytest.approx(math.log(0.4), abs=1e-9)
+    assert got[2][0] == pytest.approx(
+        (math.log(0.4) + math.log(0.2)) / 2, abs=1e-9
+    )
+    assert got[1][1] == pytest.approx(2.5, abs=1e-6)
+    # repartitioning must not change the decimal-summed logprob at all
+    again = {
+        r.doc_id: (r.avg_logprob, r.perplexity)
+        for r in unigram_lm_scores(
+            docs.repartition(7), "doc_id", "text", log_probs=True
+        ).collect()
+    }
+    assert again == got
