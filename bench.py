@@ -62,7 +62,9 @@ HEADLINE = [
     "s02_cosine_topk_lsh",
     "s03_cosine_topk_ivf",
     "s04_cosine_topk_numpy",
+    "s05_cosine_topk_pq",
     "t01_text_quality",
+    "t15_unigram_lm_score",
     "t13_gopher_quality",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
@@ -81,6 +83,7 @@ SCALE_PROBES = [
     "s02_cosine_topk_lsh",
     "s01_cosine_topk",
     "s04_cosine_topk_numpy",
+    "s05_cosine_topk_pq",
 ]
 
 

@@ -748,3 +748,222 @@ def cosine_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ's memory tier)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 8,
+    sample: int = 4096,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Per-subspace k-means codebooks (n_subspaces, n_codes, dim/n_subspaces).
+
+    Product quantization (Jégou, Douze & Schmid, PAMI'11): split each
+    L2-normalized vector into ``n_subspaces`` contiguous blocks and
+    vector-quantize each block independently — a vector compresses to
+    ``n_subspaces`` code ids (n_codes<=256 → 1 byte each), 32× smaller
+    than float32 at 64-d/8-sub, which is what lets a 100-TB embedding
+    corpus's *index* fit in cluster memory while the raw vectors stay
+    in parquet for the exact rerank.
+
+    Training is driver-side numpy over a deterministic hash-ordered
+    sample (same posture as ``train_ivf_centroids(driver_sample=...)``:
+    quantizer quality needs thousands of points, not the corpus) with
+    seeded init and fixed operation order — bit-reproducible across
+    runs and partitionings. Empty cells keep their previous centroid.
+    """
+    rows = (
+        corpus.orderBy(F.xxhash64(F.col(corpus_id), F.lit(seed)), F.col(corpus_id))
+        .limit(sample)
+        .select(corpus_vec)
+        .collect()
+    )
+    m = np.array([r[0] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    m = m / nrm
+    dim = m.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub_dim = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.empty((n_subspaces, n_codes, sub_dim), dtype=np.float64)
+    for s in range(n_subspaces):
+        sub = m[:, s * sub_dim : (s + 1) * sub_dim]
+        init = rng.choice(len(sub), size=n_codes, replace=len(sub) < n_codes)
+        cents = sub[init].copy()
+        for _ in range(n_iters):
+            # nearest code by L2: argmin ||x-c||² = argmax (x·c - ||c||²/2)
+            scores = sub @ cents.T - 0.5 * (cents**2).sum(axis=1)[None, :]
+            best = np.argmax(scores, axis=1)
+            for ci in range(n_codes):
+                mask = best == ci
+                if mask.any():
+                    cents[ci] = sub[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    *,
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+) -> DataFrame:
+    """(id, codes array<int>): the persistable PQ index — one Arrow
+    pass, a GEMM per subspace per batch. At scale this frame is written
+    once (8 bytes/vector at 8 subspaces) and every query session scans
+    IT instead of the raw vectors."""
+    n_subspaces, n_codes, sub_dim = codebooks.shape
+    half_sq = 0.5 * (codebooks**2).sum(axis=2)  # (S, C)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m = m / nrm
+            codes = np.empty((len(m), n_subspaces), dtype=np.int32)
+            for s in range(n_subspaces):
+                sub = m[:, s * sub_dim : (s + 1) * sub_dim]
+                codes[:, s] = np.argmax(sub @ codebooks[s].T - half_sq[s][None, :], axis=1)
+            yield pd.DataFrame({corpus_id: pdf[corpus_id], "codes": list(codes)})
+
+    return spread(corpus, bytes_per_split=8 << 20).mapInPandas(
+        encode, schema=f"{corpus_id} long, codes array<int>"
+    )
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization + exact rerank.
+
+    Asymmetric distance computation: each query precomputes a lookup
+    table LUT[s, c] = <q_sub_s, codebook[s][c]> (driver-side, tiny);
+    a corpus row's approximate score is Σ_s LUT[s, codes[s]] — a pure
+    table gather, no vector math per row. Each Arrow batch emits only
+    its per-query top-``rerank`` shortlist (mergeable partial top-k),
+    the global shortlist is one window, and the survivors join back to
+    the raw vectors for an EXACT Column-expression rerank — so emitted
+    scores are exact cosines; PQ only decides which rows reach the
+    rerank. Recall < 1 (quantization error can drop a true neighbor
+    from the shortlist); bounded vs bruteforce in tests/test_sketches.py.
+
+    100-TB shape: the scan side is the 8-byte/vector code frame
+    (pq_encode), the LUT broadcast is KBs, per-batch output is bounded
+    at queries×rerank rows, and the exact rerank touches only
+    queries×rerank raw vectors by id — partition-pruned parquet reads.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+        )
+    n_subspaces, n_codes, sub_dim = codebooks.shape
+
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # LUT[qi, s, c] = <q_sub, code>
+    lut = np.einsum(
+        "qsd,scd->qsc", qn.reshape(len(qn), n_subspaces, sub_dim), codebooks
+    )
+
+    encoded = pq_encode(
+        corpus, codebooks, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+
+    def shortlist(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, S)
+            # approx[qi, row] = Σ_s LUT[qi, s, codes[row, s]]
+            approx = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            for s in range(n_subspaces):
+                approx += lut[:, s, codes[:, s]]
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = ids != q_ids[qi]
+                row_ids, row_sc = ids[mask], approx[qi, mask]
+                take = min(rerank, len(row_ids))
+                if not take:
+                    continue
+                # lexsort, not argpartition: identical-code rows tie on
+                # approx score, and the batch-boundary survivor must
+                # not depend on partitioning (smallest id wins).
+                top = np.lexsort((row_ids, -row_sc))[:take]
+                out_q.append(np.full(take, q_ids[qi]))
+                out_c.append(row_ids[top])
+                out_s.append(row_sc[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id: np.concatenate(out_q),
+                        corpus_id: np.concatenate(out_c),
+                        "_approx": np.concatenate(out_s),
+                    }
+                )
+
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("_approx").desc(), F.col(corpus_id)
+    )
+    short = (
+        encoded.mapInPandas(
+            shortlist, schema=f"{query_id} long, {corpus_id} long, _approx double"
+        )
+        .withColumn("_srn", F.row_number().over(w_short))
+        .filter(F.col("_srn") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    qside = F.broadcast(
+        with_norm(queries, query_vec, "_qn").select(query_id, query_vec, "_qn")
+    )
+    rer = (
+        short.join(
+            with_norm(corpus, corpus_vec, "_cn"), corpus_id
+        )
+        .join(qside, query_id)
+        .select(
+            query_id,
+            corpus_id,
+            (
+                _dot(F.col(query_vec), F.col(corpus_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return rer.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

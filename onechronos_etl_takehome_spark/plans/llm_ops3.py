@@ -455,3 +455,29 @@ def t15_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_scores(docs, "doc_id", "text")
+
+
+@register("s05_cosine_topk_pq")  # approximate (recall<1) → rows-only check
+def s05_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., PAMI'11): vectors
+    compress to 8 one-byte codes (32× vs float32), queries score the
+    code frame with a broadcast lookup table, and only the per-query
+    shortlist joins back to raw vectors for an EXACT rerank — the
+    memory tier of IVF-PQ, which is how a 100-TB embedding corpus's
+    search index fits in cluster RAM. Recall bounded vs s01 in
+    tests/test_sketches.py; training/encode/shortlist are all
+    deterministic (seeded driver-sample k-means, lexsort tie-breaks),
+    so the rows-only driver check is stable."""
+    from ..operators.similarity import cosine_topk_pq
+
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    return cosine_topk_pq(
+        queries, corpus, k=5, n_subspaces=8, n_codes=16, rerank=50
+    ).select("query_id", "corpus_id", "score", "rank")

@@ -117,3 +117,49 @@ def test_trained_ivf_recall_on_clustered_data(spark):
     print(f"ivf clustered recall@5: trained={r_trained:.3f} untrained={r_untrained:.3f}")
     assert r_trained >= 0.9, r_trained
     assert r_trained > r_untrained, (r_trained, r_untrained)
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ shortlist recall on the near-uniform testdata (ANN worst
+    case) measured 0.70 — floor at 0.5 so testdata regen can't flake
+    it. Rerank scores are exact cosines, so every returned (q, c)
+    score must equal the bruteforce score bitwise. Repartitioning must
+    not change the result (lexsort tie-breaks in the batch shortlist).
+    """
+    from pyspark.sql import functions as F
+
+    from onechronos_etl_takehome_spark.operators.similarity import cosine_topk_pq
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    exact_df = QUERIES["s01_cosine_topk"](spark, SF)
+    exact_scores = {
+        (r.query_id, r.corpus_id): r.score for r in exact_df.collect()
+    }
+    exact = _topk_sets(exact_df)
+    pq_df = QUERIES["s05_cosine_topk_pq"](spark, SF)
+    pq_rows = pq_df.collect()
+    approx = {}
+    for r in pq_rows:
+        approx.setdefault(r.query_id, set()).add(r.corpus_id)
+        assert 1 <= r.rank <= 5 and r.query_id != r.corpus_id
+        if (r.query_id, r.corpus_id) in exact_scores:
+            assert r.score == exact_scores[(r.query_id, r.corpus_id)]
+    total = sum(len(v) for v in exact.values())
+    recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / total
+    print(f"s05_cosine_topk_pq recall@5 = {recall:.3f}")
+    assert recall >= 0.5, recall
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.repartition(13).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    again = {
+        (r.query_id, r.corpus_id, r.score, r.rank)
+        for r in cosine_topk_pq(queries, corpus, k=5, rerank=50).collect()
+    }
+    assert again == {
+        (r.query_id, r.corpus_id, r.score, r.rank) for r in pq_rows
+    }
