@@ -43,8 +43,10 @@ HEADLINE = [
     "t05_token_estimates",
     "d01_dedup_exact",
     "d02_ngram_jaccard_pairs",
-    # exact-Jaccard scale path: lossless prefix filtering (same result
-    # set as d02, ~12x fewer candidate pairs at sf0.01)
+    # exact-Jaccard scale path: lossless prefix+positional filtering
+    # (same result set as d02; 11.5k -> 27 candidate pairs at sf0.01,
+    # and bounded under boilerplate skew where the full index goes
+    # quadratic — test_round4_ops pins both)
     "d15_prefix_jaccard_pairs",
     "d03_minhash_dedup_pairs",
     # capped md5 form (hash-matched driver row) + the xxhash64

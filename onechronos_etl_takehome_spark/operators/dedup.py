@@ -436,10 +436,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the full scale path).
 
-    The verify stage shingles the corpus exactly once: set sizes ride
-    on the exploded rows (``with_size``) and reach the pair-level
-    groupBy as min() aggregates — no second shingling pass and no
-    per-side size joins.
+    Verification is the map-side array-intersect form
+    (:func:`verify_jaccard_pairs_arrays`): the candidate frame joins
+    each side's (id, shingle-array) row once and intersects in the
+    projection — no pair×shingle fan-out ever shuffles.
     """
     cands = minhash_lsh_candidates(
         df,
@@ -451,53 +451,8 @@ def minhash_dedup_pairs(
         max_bucket_size=max_bucket_size,
         hash_family=hash_family,
     )
-    return verify_jaccard_pairs(
+    return verify_jaccard_pairs_arrays(
         df, cands, id_col=id_col, text_col=text_col, n=n, threshold=threshold
-    )
-
-
-def verify_jaccard_pairs(
-    df: DataFrame,
-    cands: DataFrame,
-    *,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact-Jaccard verification of a candidate-pair frame
-    (id_a, id_b): shingle the corpus once, count common shingles per
-    candidate pair, filter at ``threshold``. Shared by every candidate
-    generator (MinHash-LSH, prefix filtering).
-
-    Set sizes ride on the exploded rows (``with_size``) and reach the
-    pair-level groupBy as min() aggregates — no second shingling pass
-    and no per-side size joins.
-    """
-    sh = _exploded_shingles(df, id_col, text_col, n, with_size=True)
-    # merge hints: the exploded sides are Generate-underestimated (see
-    # ngram_jaccard_pairs) — without them Catalyst broadcasts ALL corpus
-    # shingles into every task (and OOMs the driver building them).
-    sa = sh.select(
-        F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle"
-    ).hint("merge")
-    sb = sh.select(
-        F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle"
-    ).hint("merge")
-    jaccard = F.col("n_common").cast("double") / (
-        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-    )
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.min("n_a").alias("n_a"),
-            F.min("n_b").alias("n_b"),
-        )
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -513,25 +468,33 @@ def prefix_filter_candidates(
     the AllPairs/PPJoin principle (Bayardo, Ma & Srikant, WWW'07; Xiao
     et al., WWW'08), LOSSLESS for Jaccard unlike LSH.
 
-    Order every document's shingle set by a global total order
-    (ascending document frequency, shingle as tie-break: rarest first)
-    and index only the first p = |S| - ceil(t*|S|) + 1 shingles. Any
-    pair with J >= t has overlap >= ceil(t*max(|A|,|B|)), and with a
-    shared global order their prefixes must intersect: if they were
-    disjoint, every common shingle would fall in one side's
-    (ceil(t*|S|)-1)-sized suffix — fewer than the required overlap.
-    So the prefix-prefix self-join misses NO qualifying pair, while the
-    posting lists shrink by the ~t/(1+t) fraction of every document
-    that never enters the index — and, because rare-first ordering
-    puts exactly the LOW-frequency shingles in the prefix, the
-    quadratic per-posting-list term collapses (boilerplate shingles
-    live in suffixes). This is the exact-Jaccard scale path; d02's
-    full inverted index is its correctness oracle.
+    Three stacked lossless filters:
+
+    1. **Prefix filter.** Order every document's shingle set by a
+       global total order (ascending document frequency, shingle as
+       tie-break: rarest first) and index only the first
+       p = |S| - ceil(t*|S|) + 1 shingles. Any pair with J >= t has
+       overlap >= ceil(t*max(|A|,|B|)), and with a shared global order
+       their prefixes must intersect: if they were disjoint, every
+       common shingle would fall in one side's (ceil(t*|S|)-1)-sized
+       suffix — fewer than the required overlap. Because rare-first
+       ordering puts exactly the LOW-frequency shingles in the prefix,
+       boilerplate shingles live in suffixes and the quadratic
+       per-posting-list term collapses.
+    2. **Positional filter** (PPJoin). Both shingle lists are sorted by
+       the SAME global order, so the first prefix-prefix match (min
+       position on either side — it is the same shingle) has no common
+       shingle before it; overlap <= 1 + min(|A|-pa0, |B|-pb0). Pairs
+       whose bound falls below alpha = ceil(t/(1+t)·(|A|+|B|))
+       (the overlap equivalent of Jaccard >= t) are pruned without
+       verification.
+    3. **Size filter.** overlap <= min(|A|,|B|), so
+       min(|A|,|B|) >= alpha — free in the same aggregate.
 
     Shuffle shape: document frequency is a window over the same
     ``shingle`` partitioning the self-join uses; the per-document rank
-    adds one exchange on ``id``. Both are line-rate aggregations — the
-    win is the (often orders-of-magnitude) smaller candidate join.
+    adds one exchange on ``id``; the positional bound rides the pair
+    groupBy as min() aggregates (no extra exchange).
     """
     sh = _exploded_shingles(df, id_col, text_col, n, with_size=True)
     wdf = Window.partitionBy("shingle")
@@ -541,21 +504,88 @@ def prefix_filter_candidates(
         sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .withColumn("_rk", F.row_number().over(wdoc))
         .filter(F.col("_rk") <= prefix_len)
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", F.col("_rk").alias("_pos"), "_n")
     )
     # merge hint: same Generate-underestimation guard as the full
     # inverted index (ngram_jaccard_pairs).
-    a, b = pref.alias("a").hint("merge"), pref.alias("b")
+    a = pref.select(
+        F.col(id_col).alias("id_a"),
+        "shingle",
+        F.col("_pos").alias("_pa"),
+        F.col("_n").alias("n_a"),
+    ).hint("merge")
+    b = pref.select(
+        F.col(id_col).alias("id_b"),
+        "shingle",
+        F.col("_pos").alias("_pb"),
+        F.col("_n").alias("n_b"),
+    )
+    alpha = F.ceil(F.lit(threshold / (1 + threshold)) * (F.col("n_a") + F.col("n_b")))
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (a["shingle"] == b["shingle"]) & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("_pa").alias("_pa0"),
+            F.min("_pb").alias("_pb0"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
         )
-        .distinct()
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("_pa0"), F.col("n_b") - F.col("_pb0")
+                )
+                >= alpha
+            )
+            & (F.least("n_a", "n_b") >= alpha)
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def verify_jaccard_pairs_arrays(
+    df: DataFrame,
+    cands: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification via per-document shingle ARRAYS:
+    join each candidate pair to both documents' (array_distinct'd)
+    shingle arrays and intersect map-side (``array_intersect`` builds
+    a hash set per row — O(|A|+|B|)).
+
+    vs the exploded form (:func:`verify_jaccard_pairs`): no pair×shingle
+    fan-out ever shuffles — the pair frame joins two (id, array) rows
+    and everything else is a projection, so cost is
+    O(cands·avg_set) map-side work instead of a cands·avg_set-row
+    exchange + aggregation. The exploded form only wins when individual
+    shingle sets are too large to sit in a row (not the case for
+    documents: ~10² shingles). Integer intersection + one double
+    division — same cross-engine-exact jaccard as every other form.
+    """
+    sets = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_set")
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("_sa") + F.size("_sb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -567,15 +597,16 @@ def prefix_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """EXACT Jaccard pairs at scale: prefix-filtered candidates (no
-    false negatives, unlike LSH) verified with exact Jaccard. Same
-    result set as ``ngram_jaccard_pairs`` on every input — the full
-    inverted index is the oracle — but only rare-first prefixes enter
-    the candidate self-join."""
+    """EXACT Jaccard pairs at scale: prefix+positional+size-filtered
+    candidates (no false negatives, unlike LSH) verified with exact
+    array-intersect Jaccard. Same result set as
+    ``ngram_jaccard_pairs`` on every input — the full inverted index
+    is the oracle — but high-df shingles never enter the candidate
+    join and surviving pairs verify map-side."""
     cands = prefix_filter_candidates(
         df, id_col, text_col, n=n, threshold=threshold
     )
-    return verify_jaccard_pairs(
+    return verify_jaccard_pairs_arrays(
         df, cands, id_col=id_col, text_col=text_col, n=n, threshold=threshold
     )
 

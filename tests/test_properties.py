@@ -271,3 +271,45 @@ def test_window_funnel_matches_model(events):
         ).collect()
     }
     assert got == _funnel_model(events, 60)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered Jaccard == full inverted-index Jaccard, on ANY corpus
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=10).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_jaccard_matches_full_join_model(docs, threshold):
+    """The prefix filter must be lossless for ANY corpus and threshold:
+    exact same pair set and scores as the full inverted-index join.
+    Tiny word alphabet forces heavy shingle sharing — the regime where
+    an off-by-one prefix length would actually drop pairs."""
+    from onechronos_etl_takehome_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    kw = dict(n=2, threshold=threshold)
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in prefix_jaccard_pairs(df, "doc_id", "text", **kw).collect()
+    }
+    assert pref == full

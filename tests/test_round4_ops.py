@@ -408,3 +408,53 @@ def test_unigram_lm_log_probs(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_prefix_candidates_bounded_under_boilerplate(spark):
+    """The asymptotic case for prefix filtering: shared boilerplate
+    makes the full inverted index quadratic (every doc pair sharing a
+    boilerplate shingle materializes df² fan-out rows), while
+    high-df shingles never enter rare-first prefixes — candidate count
+    must stay far below the quadratic pair count. Measured at sf0.01
+    with a 24-token block appended to EVERY doc: full-index fan-out
+    54k → 5.6M rows (103×), prefix candidates 27 → 307."""
+    from onechronos_etl_takehome_spark.operators import dedup as dd
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    boiler_text = " ".join(f"bp{i}" for i in range(24))
+    boiler = docs.withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(boiler_text))
+    )
+    n_docs = docs.count()
+    quad_pairs = n_docs * (n_docs - 1) // 2  # every pair shares boilerplate
+
+    def fanout(d):
+        sh = dd._exploded_shingles(d, "doc_id", "text", 3)
+        return (
+            sh.groupBy("shingle")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")))
+            .collect()[0][0]
+        )
+
+    base_fan, boil_fan = fanout(docs), fanout(boiler)
+    assert boil_fan > 50 * base_fan  # the inverted index went quadratic
+    boil_cands = dd.prefix_filter_candidates(
+        boiler, "doc_id", "text", n=3, threshold=0.5
+    ).count()
+    assert boil_cands * 100 <= quad_pairs, (boil_cands, quad_pairs)
+    # and the filtered pipeline is still exact on the boilerplate corpus
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.ngram_jaccard_pairs(
+            boiler, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.prefix_jaccard_pairs(
+            boiler, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == full
