@@ -130,7 +130,9 @@ def _scaled_etl_inputs(copies: int) -> str:
     return out
 
 
-def _scaled_llm_inputs(copies: int, sf_dir: str) -> str:
+def _scaled_llm_inputs(
+    copies: int, sf_dir: str, tables: tuple[str, ...] = ("documents", "embeddings")
+) -> str:
     """Materialize a ``copies``× documents/embeddings corpus that
     preserves the 1× near-dup structure, so operator time should scale
     ~linearly with corpus size:
@@ -154,7 +156,11 @@ def _scaled_llm_inputs(copies: int, sf_dir: str) -> str:
 
     # source SF is part of the cache key — a smoke run at sf0.01 must
     # not leave its (10× smaller) corpus behind for the sf0.1 run
-    out = f"/tmp/spark_graft_llm_{copies}x_{os.path.basename(sf_dir.rstrip('/'))}"
+    suffix = "" if len(tables) == 2 else "_" + "-".join(sorted(tables))
+    out = (
+        f"/tmp/spark_graft_llm_{copies}x_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}{suffix}"
+    )
     done = os.path.join(out, ".done")
     doc_src = os.path.join(sf_dir, "documents.parquet")
     emb_src = os.path.join(sf_dir, "embeddings.parquet")
@@ -163,49 +169,51 @@ def _scaled_llm_inputs(copies: int, sf_dir: str) -> str:
         return out
     os.makedirs(out, exist_ok=True)
 
-    doc_schema = pq.read_schema(doc_src)
-    emb_schema = pq.read_schema(emb_src)
-    docs = pq.read_table(doc_src).to_pandas()
-    emb = pq.read_table(emb_src).to_pandas()
     OFF = 10_000_000
-    rng = np.random.RandomState(4242)
-    emb_mat = np.array(list(emb["embedding"]), dtype=np.float64)
-    dim = emb_mat.shape[1]
+    if "documents" in tables:
+        doc_schema = pq.read_schema(doc_src)
+        docs = pq.read_table(doc_src).to_pandas()
+        d_parts = []
+        for i in range(copies):
+            d = docs.copy()
+            d["doc_id"] = docs["doc_id"] + i * OFF
+            tag = f"c{i}_"
+            d["text"] = [
+                " ".join(tag + w for w in t.split(" ")) if isinstance(t, str) else t
+                for t in docs["text"]
+            ]
+            d["n_chars"] = [len(t) if isinstance(t, str) else 0 for t in d["text"]]
+            d_parts.append(d)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat(d_parts, ignore_index=True), schema=doc_schema,
+                preserve_index=False,
+            ),
+            os.path.join(out, "documents.parquet"),
+        )
 
-    d_parts, e_parts = [], []
-    for i in range(copies):
-        d = docs.copy()
-        d["doc_id"] = docs["doc_id"] + i * OFF
-        tag = f"c{i}_"
-        d["text"] = [
-            " ".join(tag + w for w in t.split(" ")) if isinstance(t, str) else t
-            for t in docs["text"]
-        ]
-        d["n_chars"] = [len(t) if isinstance(t, str) else 0 for t in d["text"]]
-        d_parts.append(d)
-
-        e = emb.copy()
-        e["vec_id"] = emb["vec_id"] + i * OFF
-        if i > 0:
-            q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
-            rotated = emb_mat @ q.T
-            e["embedding"] = [row.astype(np.float32) for row in rotated]
-        e_parts.append(e)
-
-    pq.write_table(
-        pa.Table.from_pandas(
-            pd.concat(d_parts, ignore_index=True), schema=doc_schema,
-            preserve_index=False,
-        ),
-        os.path.join(out, "documents.parquet"),
-    )
-    pq.write_table(
-        pa.Table.from_pandas(
-            pd.concat(e_parts, ignore_index=True), schema=emb_schema,
-            preserve_index=False,
-        ),
-        os.path.join(out, "embeddings.parquet"),
-    )
+    if "embeddings" in tables:
+        emb_schema = pq.read_schema(emb_src)
+        emb = pq.read_table(emb_src).to_pandas()
+        rng = np.random.RandomState(4242)
+        emb_mat = np.array(list(emb["embedding"]), dtype=np.float64)
+        dim = emb_mat.shape[1]
+        e_parts = []
+        for i in range(copies):
+            e = emb.copy()
+            e["vec_id"] = emb["vec_id"] + i * OFF
+            if i > 0:
+                q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+                rotated = emb_mat @ q.T
+                e["embedding"] = [row.astype(np.float32) for row in rotated]
+            e_parts.append(e)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat(e_parts, ignore_index=True), schema=emb_schema,
+                preserve_index=False,
+            ),
+            os.path.join(out, "embeddings.parquet"),
+        )
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -257,6 +265,22 @@ def main() -> None:
         if timings.get(name, 0) > 0:
             ratio = round(timings[f"{name}_10x"] / timings[name], 1)
             print(f"scale10x {name}: {ratio}x its 1x time", file=sys.stderr)
+
+    # 100× embeddings (500k × 64): the GEMM-vs-interpreted crossover.
+    # At sf0.1's 5k vectors every similarity query is python-worker /
+    # scheduling overhead and the interpreted fold (s01) ties the BLAS
+    # path (s04); at 500k rows per-row cost dominates and the batch
+    # paths must pull ahead — this records that crossover every round.
+    emb100 = _scaled_llm_inputs(100, sf_dir, tables=("embeddings",))
+    for name in ["s01_cosine_topk", "s04_cosine_topk_numpy", "s05_cosine_topk_pq"]:
+        timings[f"{name}_100x"] = _bench_query(name, emb100)
+    print(
+        "crossover100x interpreted s01 "
+        f"{timings['s01_cosine_topk_100x']}s vs BLAS s04 "
+        f"{timings['s04_cosine_topk_numpy_100x']}s vs PQ s05 "
+        f"{timings['s05_cosine_topk_pq_100x']}s",
+        file=sys.stderr,
+    )
 
     # The reference's own workload: its trade-reconciliation pipeline
     # end-to-end on its committed CSVs (BASELINE.md: 114.3 s incl. JVM

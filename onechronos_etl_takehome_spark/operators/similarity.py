@@ -110,9 +110,20 @@ def cosine_topk_numpy(
 ) -> DataFrame:
     """Exact top-k via Arrow + BLAS: the high-throughput batch-scoring
     path. The (small) query matrix broadcasts to every executor; each
-    corpus partition streams through mapInPandas and scores a whole
-    Arrow batch with one float64 GEMM — typically 10-100× the
-    expression-interpreted cosine (s01) on wide embeddings.
+    corpus batch is scored with one float64 GEMM and — crucially —
+    emits only its per-query top-k (a mergeable partial top-k, the
+    same trick TakeOrdered uses), so the Python→JVM boundary carries
+    batches×queries×k rows instead of corpus×queries. The earlier
+    emit-all-pairs form shipped |corpus|·|queries| scored rows through
+    the shuffle into the rank window, which dominated end-to-end time
+    and let the interpreted fold (s01) tie it; with batch top-k the
+    GEMM path is ~2× s01 at 500k×64 (bench `crossover100x`).
+
+    mapInArrow, not mapInPandas: the embedding column flattens
+    zero-copy to a (n·dim) float buffer and reshapes — no per-row
+    python-object traversal. Per-batch ties at the k boundary break by
+    lexsort (score desc, id asc), matching the global window's order,
+    so results are partition-invariant and identical to bruteforce.
 
     BLAS accumulates pairwise, so scores can differ from the
     sequential-double oracle in the last ulp → verified by equivalence
@@ -120,39 +131,56 @@ def cosine_topk_numpy(
     not by value-hash.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     q_rows = queries.select(query_id, query_vec).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
 
-    def score(batches):
-        for pdf in batches:
-            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    def score_topk(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = (
+                batch.column(corpus_id)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat = batch.column(corpus_vec).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            m = flat.reshape(n, -1).astype(np.float64)
+            c_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = c_norm @ q_norm.T  # (batch, n_queries)
             out_q, out_c, out_s = [], [], []
             for qi in range(len(q_ids)):
                 mask = ids != q_ids[qi]
-                out_q.append(np.full(mask.sum(), q_ids[qi]))
-                out_c.append(ids[mask])
-                out_s.append(sims[mask, qi])
-            yield pd.DataFrame(
-                {
-                    query_id: np.concatenate(out_q),
-                    corpus_id: np.concatenate(out_c),
-                    "score": np.concatenate(out_s),
-                }
-            )
+                row_ids, row_sc = ids[mask], sims[mask, qi]
+                take = min(k, len(row_ids))
+                if not take:
+                    continue
+                top = np.lexsort((row_ids, -row_sc))[:take]
+                out_q.append(np.full(take, q_ids[qi]))
+                out_c.append(row_ids[top])
+                out_s.append(row_sc[top])
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_c)),
+                        pa.array(np.concatenate(out_s)),
+                    ],
+                    names=[query_id, corpus_id, "score"],
+                )
 
     # Byte-aware spread: the GEMM amortizes over Arrow batch size, so
     # fan-out below ~8 MB/split costs more (exchange + python workers)
     # than it buys — see util.spread. At 100 TB the scan is already
     # thousands of splits and this is a no-op either way.
-    scored = spread(corpus, bytes_per_split=8 << 20).mapInPandas(
-        score, schema=f"{query_id} long, {corpus_id} long, score double"
+    scored = spread(corpus, bytes_per_split=8 << 20).mapInArrow(
+        score_topk, schema=f"{query_id} long, {corpus_id} long, score double"
     )
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
@@ -860,8 +888,15 @@ def cosine_topk_pq(
     corpus_id: str = "corpus_id",
     corpus_vec: str = "corpus_vec",
     codebooks: "np.ndarray | None" = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization + exact rerank.
+
+    ``encoded`` (from :func:`pq_encode`, with the same ``codebooks``)
+    switches the scan side to the persisted 8-byte/vector code frame —
+    the production posture; by default encoding and LUT scoring fuse
+    into one Arrow stage over the raw vectors. Both paths compute
+    identical codes (same argmin-L2), so results are identical.
 
     Asymmetric distance computation: each query precomputes a lookup
     table LUT[s, c] = <q_sub_s, codebook[s][c]> (driver-side, tiny);
@@ -898,51 +933,109 @@ def cosine_topk_pq(
         "qsd,scd->qsc", qn.reshape(len(qn), n_subspaces, sub_dim), codebooks
     )
 
-    encoded = pq_encode(
-        corpus, codebooks, corpus_id=corpus_id, corpus_vec=corpus_vec
-    )
+    import pyarrow as pa
 
-    def shortlist(batches):
-        for pdf in batches:
-            if not len(pdf):
+    half_sq = 0.5 * (codebooks**2).sum(axis=2)  # (S, C)
+
+    def _topk_batch(ids, approx):
+        """Per-batch per-query top-``rerank`` rows as ONE RecordBatch.
+        lexsort, not argpartition: identical-code rows tie on approx
+        score, and the batch-boundary survivor must not depend on
+        partitioning (smallest id wins)."""
+        out_q, out_c, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = ids != q_ids[qi]
+            row_ids, row_sc = ids[mask], approx[qi, mask]
+            take = min(rerank, len(row_ids))
+            if not take:
                 continue
-            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
-            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, S)
-            # approx[qi, row] = Σ_s LUT[qi, s, codes[row, s]]
-            approx = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
-            for s in range(n_subspaces):
-                approx += lut[:, s, codes[:, s]]
-            out_q, out_c, out_s = [], [], []
-            for qi in range(len(q_ids)):
-                mask = ids != q_ids[qi]
-                row_ids, row_sc = ids[mask], approx[qi, mask]
-                take = min(rerank, len(row_ids))
-                if not take:
+            top = np.lexsort((row_ids, -row_sc))[:take]
+            out_q.append(np.full(take, q_ids[qi]))
+            out_c.append(row_ids[top])
+            out_s.append(row_sc[top])
+        if not out_q:
+            return None
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_c)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=[query_id, corpus_id, "_approx"],
+        )
+
+    if encoded is not None:
+        # Production posture: scan the persisted 8-byte/vector code
+        # frame (pq_encode) instead of raw vectors.
+        def shortlist(batches):
+            for batch in batches:
+                n = batch.num_rows
+                if not n:
                     continue
-                # lexsort, not argpartition: identical-code rows tie on
-                # approx score, and the batch-boundary survivor must
-                # not depend on partitioning (smallest id wins).
-                top = np.lexsort((row_ids, -row_sc))[:take]
-                out_q.append(np.full(take, q_ids[qi]))
-                out_c.append(row_ids[top])
-                out_s.append(row_sc[top])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        query_id: np.concatenate(out_q),
-                        corpus_id: np.concatenate(out_c),
-                        "_approx": np.concatenate(out_s),
-                    }
+                ids = (
+                    batch.column(corpus_id)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
+                codes = (
+                    batch.column("codes")
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .reshape(n, n_subspaces)
+                )
+                # approx[qi, row] = Σ_s LUT[qi, s, codes[row, s]]
+                approx = np.zeros((len(q_ids), n), dtype=np.float64)
+                for s in range(n_subspaces):
+                    approx += lut[:, s, codes[:, s]]
+                rb = _topk_batch(ids, approx)
+                if rb is not None:
+                    yield rb
+
+        scan = encoded.mapInArrow(
+            shortlist, schema=f"{query_id} long, {corpus_id} long, _approx double"
+        )
+    else:
+        # One fused Arrow stage over raw vectors: encode (argmin-L2 per
+        # subspace) and LUT-score in the same batch — no intermediate
+        # code frame crosses the Python→JVM boundary.
+        def fused(batches):
+            for batch in batches:
+                n = batch.num_rows
+                if not n:
+                    continue
+                ids = (
+                    batch.column(corpus_id)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                flat = batch.column(corpus_vec).flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                m = flat.reshape(n, -1).astype(np.float64)
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                m = m / nrm
+                approx = np.zeros((len(q_ids), n), dtype=np.float64)
+                for s in range(n_subspaces):
+                    sub = m[:, s * sub_dim : (s + 1) * sub_dim]
+                    codes_s = np.argmax(
+                        sub @ codebooks[s].T - half_sq[s][None, :], axis=1
+                    )
+                    approx += lut[:, s, codes_s]
+                rb = _topk_batch(ids, approx)
+                if rb is not None:
+                    yield rb
+
+        scan = spread(corpus, bytes_per_split=8 << 20).mapInArrow(
+            fused, schema=f"{query_id} long, {corpus_id} long, _approx double"
+        )
 
     w_short = Window.partitionBy(query_id).orderBy(
         F.col("_approx").desc(), F.col(corpus_id)
     )
     short = (
-        encoded.mapInPandas(
-            shortlist, schema=f"{query_id} long, {corpus_id} long, _approx double"
-        )
-        .withColumn("_srn", F.row_number().over(w_short))
+        scan.withColumn("_srn", F.row_number().over(w_short))
         .filter(F.col("_srn") <= rerank)
         .select(query_id, corpus_id)
     )
