@@ -71,6 +71,7 @@ HEADLINE = [
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",
+    "x10_resample_ffill",
     "e01_hourly_event_windows",
 ]
 

@@ -481,3 +481,90 @@ def s05_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pq(
         queries, corpus, k=5, n_subspaces=8, n_codes=16, rerank=50
     ).select("query_id", "corpus_id", "score", "rank")
+
+
+_X10_ORACLE = """
+    WITH bounds AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      FROM events GROUP BY user_id),
+    days AS (
+      SELECT user_id,
+        CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                    CAST(d1 AS TIMESTAMP),
+                                    INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+        ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    counts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    joined AS (
+      SELECT d.user_id, d.day, COALESCE(c.n, 0) AS n_events, r.value AS day_last
+      FROM days d
+      LEFT JOIN counts c ON d.user_id = c.user_id AND d.day = c.day
+      LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+        ON d.user_id = r.user_id AND d.day = r.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+      last_value(day_last IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+    FROM joined
+    """
+
+
+@register("x10_resample_ffill", oracle=_X10_ORACLE)
+def x10_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-series resampling with forward fill: every user
+    gets one row per calendar day between their first and last event
+    (gap days materialized via sequence+explode), carrying that day's
+    event count and the latest observed ``value`` so far — the
+    gap-filling/resample primitive behind feature backfills and
+    metric dashboards. The day's representative value is the
+    (ts, event_id)-max row via one struct-max aggregate (no window
+    over the raw events); the fill is last-ignorenulls over an
+    unbounded-preceding rows frame.
+
+    Scale: sequence+explode emits span-length rows per user (no
+    cross join against a calendar dimension), the fill window
+    partitions by user — one shuffle each, both AQE-coalesced; the
+    double ``value`` is a passthrough (never re-aggregated), so the
+    oracle hash matches exactly."""
+    pin_semantics(spark)
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = e.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))[
+            "value"
+        ].alias("day_last"),
+    )
+    days = (
+        e.groupBy("user_id")
+        .agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # fill over the DATE column first; the string render replaces it
+    # afterwards (same-select alias would shadow the window's orderBy)
+    return (
+        days.join(daily, ["user_id", "day"], "left")
+        .withColumn("ffill_value", F.last("day_last", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            "ffill_value",
+        )
+    )

@@ -313,3 +313,37 @@ def test_prefix_jaccard_matches_full_join_model(docs, threshold):
         for r in prefix_jaccard_pairs(df, "doc_id", "text", **kw).collect()
     }
     assert pref == full
+
+
+# ---------------------------------------------------------------------------
+# unigram LM score == dict-fold model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_unigram_lm_matches_dict_model(docs):
+    from collections import Counter
+
+    from onechronos_etl_takehome_spark.operators.text import unigram_lm_scores
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    counts = Counter(w for t in docs for w in t.split(" "))
+    total = sum(counts.values())
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_tf, r.mean_token_prob)
+        for r in unigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(docs):
+        toks = t.split(" ")
+        sum_tf = sum(counts[w] for w in toks)
+        assert got[i] == (len(toks), sum_tf, sum_tf / (len(toks) * total))

@@ -458,3 +458,43 @@ def test_prefix_candidates_bounded_under_boilerplate(spark):
         ).collect()
     }
     assert pref == full
+
+
+def test_resample_ffill_semantics(spark):
+    # u1: events on day 1 and day 4 → gap days 2-3 carry day-1's value,
+    # n_events 0; day-4 row uses the LATEST (ts, event_id) value.
+    # u2: single event → single row, its own value.
+    # u3: first day has NULL value → ffill stays NULL until day 2.
+    rows = [
+        (100, "2024-01-01 10:00:00", 1, "view", 1.5),
+        (101, "2024-01-04 09:00:00", 1, "view", 2.5),
+        (102, "2024-01-04 09:00:00", 1, "view", 3.5),  # same ts, higher id wins
+        (103, "2024-02-01 00:00:00", 2, "click", 9.0),
+        (104, "2024-03-01 00:00:00", 3, "view", None),
+        (105, "2024-03-02 00:00:00", 3, "view", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="x10_")
+    ev.select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(path + "/events.parquet")
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    got = {
+        (r.user_id, r.day): (r.n_events, r.ffill_value)
+        for r in QUERIES["x10_resample_ffill"](spark, path).collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): (1, 1.5),
+        (1, "2024-01-02"): (0, 1.5),
+        (1, "2024-01-03"): (0, 1.5),
+        (1, "2024-01-04"): (2, 3.5),
+        (2, "2024-02-01"): (1, 9.0),
+        (3, "2024-03-01"): (1, None),
+        (3, "2024-03-02"): (1, 7.0),
+    }
