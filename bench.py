@@ -72,6 +72,8 @@ HEADLINE = [
     "x06_salted_skew_join",
     "x07_window_funnel",
     "x10_resample_ffill",
+    "x11_burst_throttle_dedup",
+    "x12_rolling_zscore_anomalies",
     "e01_hourly_event_windows",
 ]
 

@@ -568,3 +568,170 @@ def x10_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ffill_value",
         )
     )
+
+
+_X11_ORACLE = """
+    WITH g AS (
+      SELECT user_id, event_type, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+             THEN 1 ELSE 0 END AS new_burst
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+    b AS (
+      SELECT *, SUM(new_burst) OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+      FROM g),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type, burst ORDER BY ts, event_id) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY user_id, event_type, burst) AS BIGINT)
+          AS burst_size
+      FROM b)
+    SELECT user_id, event_type,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+      event_id AS first_event_id, burst_size
+    FROM r WHERE rn = 1
+    """
+
+
+@register("x11_burst_throttle_dedup", oracle=_X11_ORACLE)
+def x11_burst_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse / event throttling: within (user, event_type),
+    consecutive events closer than 5 minutes chain into one burst
+    (session-start semantics — gap measured to the previous event, so
+    a burst extends while the stream stays dense); only the first
+    event of each burst survives, with the burst's size. The standard
+    client-retry / duplicate-webhook collapse.
+
+    One window partitioning (user_id, event_type) carries the lag, the
+    cumulative burst id, the in-burst rank AND the burst size — the
+    burst-level count rides the same sort via a second pass over the
+    (user, type, burst) keys, no extra exchange (burst is a prefix
+    refinement of the sort order)."""
+    pin_semantics(spark)
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # unix_micros, not cast-to-long: the long cast truncates sub-second
+    # precision, while the oracle's `ts - LAG(ts) > INTERVAL 5 MINUTE`
+    # compares at full precision.
+    gap_new = (
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            > 300_000_000
+        )
+    ).cast("int")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    bursts = (
+        e.withColumn("_new", gap_new)
+        .withColumn("burst", F.sum("_new").over(wb))
+    )
+    wburst = Window.partitionBy("user_id", "event_type", "burst")
+    return (
+        bursts.withColumn("rn", F.row_number().over(wburst.orderBy("ts", "event_id")))
+        .withColumn("burst_size", F.count(F.lit(1)).over(wburst).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+            "burst_size",
+        )
+    )
+
+
+_X12_ORACLE = """
+    WITH d AS (
+      SELECT user_id, event_id, ts, CAST(value AS DECIMAL(14,2)) AS dv
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT user_id, event_id, ts, dv,
+        CAST(SUM(dv) OVER w AS DOUBLE) AS s_d,
+        CAST(SUM(dv * dv) OVER w AS DOUBLE) AS ssq_d,
+        CAST(COUNT(dv) OVER w AS DOUBLE) AS n_d
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT user_id, event_id, ts, dv, n_d,
+        s_d / n_d AS mean_hist,
+        sqrt((ssq_d - s_d * s_d / n_d) / n_d) AS std_hist
+      FROM m WHERE n_d >= 5)
+    SELECT user_id, event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      CAST(dv AS DOUBLE) AS value_q, mean_hist, std_hist,
+      (CAST(dv AS DOUBLE) - mean_hist) / std_hist AS zscore
+    FROM z
+    WHERE std_hist > 0
+      AND abs(CAST(dv AS DOUBLE) - mean_hist) > 3 * std_hist
+    """
+
+
+@register("x12_rolling_zscore_anomalies", oracle=_X12_ORACLE)
+def x12_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity rolling anomaly detection: each event's value is
+    compared against the trailing-10-event history (EXCLUDING itself —
+    a 10-to-1-preceding rows frame), flagging |value - mean| > 3·std
+    with at least 5 history points. The standard streaming-metrics
+    outlier gate, batch form.
+
+    Cross-engine exactness for re-aggregated moments: values quantize
+    to DECIMAL(14,2); the frame's SUM(dv) and SUM(dv²) are exact
+    decimals, and mean/variance/z are computed by the IDENTICAL
+    sequence of double operations on those exact inputs in both
+    engines — so even sqrt and division match bitwise and the driver
+    hash-compares the full float output. One window partitioning
+    (user) carries every aggregate."""
+    pin_semantics(spark)
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dv = F.col("value").cast("decimal(14,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    m = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        dv.alias("dv"),
+    ).select(
+        "*",
+        F.sum("dv").over(w).cast("double").alias("s_d"),
+        F.sum(F.col("dv") * F.col("dv")).over(w).cast("double").alias("ssq_d"),
+        F.count("dv").over(w).cast("double").alias("n_d"),
+    )
+    z = (
+        m.filter(F.col("n_d") >= 5)
+        .withColumn("mean_hist", F.col("s_d") / F.col("n_d"))
+        .withColumn(
+            "std_hist",
+            F.sqrt(
+                (F.col("ssq_d") - F.col("s_d") * F.col("s_d") / F.col("n_d"))
+                / F.col("n_d")
+            ),
+        )
+    )
+    vq = F.col("dv").cast("double")
+    return (
+        z.filter(
+            (F.col("std_hist") > 0)
+            & (F.abs(vq - F.col("mean_hist")) > 3 * F.col("std_hist"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            vq.alias("value_q"),
+            "mean_hist",
+            "std_hist",
+            ((vq - F.col("mean_hist")) / F.col("std_hist")).alias("zscore"),
+        )
+    )

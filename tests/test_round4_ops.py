@@ -498,3 +498,33 @@ def test_resample_ffill_semantics(spark):
         (3, "2024-03-01"): (1, None),
         (3, "2024-03-02"): (1, 7.0),
     }
+
+
+def test_burst_throttle_semantics(spark):
+    # u1/view: events at 0, 4m, 8m chain into ONE burst (gap-to-previous
+    # semantics) even though the third is 8m after the first; an event
+    # at 20m starts a new burst. u1/click: independent partition.
+    # Exactly-5-minute gap does NOT break a burst (strictly greater).
+    import tempfile
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:04:00", 1, "view"),
+        (3, "2024-01-01 00:08:00", 1, "view"),
+        (4, "2024-01-01 00:20:00", 1, "view"),
+        (5, "2024-01-01 00:25:00", 1, "view"),  # exactly 5m -> same burst
+        (6, "2024-01-01 00:00:00", 1, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long, event_type string")
+    path = tempfile.mkdtemp(prefix="x11_")
+    ev.select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type",
+        F.lit(1.0).alias("value"), F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(path + "/events.parquet")
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    got = {
+        (r.user_id, r.event_type, r.first_event_id): r.burst_size
+        for r in QUERIES["x11_burst_throttle_dedup"](spark, path).collect()
+    }
+    assert got == {(1, "view", 1): 3, (1, "view", 4): 2, (1, "click", 6): 1}
