@@ -68,6 +68,7 @@ HEADLINE = [
     "t01_text_quality",
     "t15_unigram_lm_score",
     "t13_gopher_quality",
+    "m04_binary_chunk_neardup",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",

@@ -149,3 +149,95 @@ def decode_features(
             )
 
     return payloads.mapInPandas(compute, schema=FEATURE_SCHEMA)
+
+
+def chunk_fingerprints(
+    payloads: DataFrame, *, chunk_bytes: int = 64
+) -> DataFrame:
+    """(id, chash): md5 fingerprint per distinct fixed-size block of the
+    binary payload — the storage-dedup block map (ZFS/backup-style
+    fixed-block dedup). Pure Column expressions: one higher-order
+    transform slices the payload, hashes ride the same projection, and
+    array_distinct gives set semantics per payload.
+
+    Cross-engine: the payload hexes ONCE (uppercase in both engines;
+    neither can md5 a BLOB slice portably) and blocks slice the hex
+    string at 2·chunk_bytes characters — hex(chunk) == chunk-of-hex at
+    byte-aligned offsets, so fingerprints agree bit-for-bit.
+
+    Fixed-offset blocks are alignment-sensitive (a one-byte insert
+    shifts every later block — the classic trade-off vs content-defined
+    chunking); right for exact/append-shaped binary duplication, which
+    is what multimodal corpus dedup mostly sees (re-encoded copies are
+    a different modality's problem).
+    """
+    hex_chars = 2 * chunk_bytes
+    hexed = F.hex(F.col("content"))
+    n_chunks = F.ceil(F.length(hexed) / F.lit(hex_chars)).cast("int")
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); empty payloads
+    # must yield no chunks, matching DuckDB's empty generate_series.
+    chunks = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.array_distinct(
+        F.transform(
+            chunks,
+            lambda i: F.md5(
+                hexed.substr(
+                    (i - F.lit(1)) * F.lit(hex_chars) + F.lit(1),
+                    F.lit(hex_chars),
+                )
+            ),
+        )
+    )
+    return payloads.select(
+        F.col("id"), F.explode(hashes).alias("chash")
+    )
+
+
+def binary_chunk_neardup(
+    payloads: DataFrame,
+    *,
+    chunk_bytes: int = 64,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate binary payload pairs by shared fixed-size blocks:
+    (id_a < id_b, shared_chunks, containment) where containment =
+    shared / min(|blocks_a|, |blocks_b|) — 1.0 means the smaller
+    payload's blocks all appear in the larger (append/truncate dups).
+
+    Inverted-index join on block fingerprints — same shape (and same
+    100-TB posture notes) as the n-gram Jaccard index in
+    operators/dedup.py; block sizes ride the exploded rows as min()
+    aggregates.
+    """
+    ch = chunk_fingerprints(payloads, chunk_bytes=chunk_bytes)
+    sizes = ch.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+    chs = ch.join(sizes, "id")
+    a = chs.select(
+        F.col("id").alias("id_a"), "chash", F.col("_n").alias("n_a")
+    ).hint("merge")
+    b = chs.select(
+        F.col("id").alias("id_b"), "chash", F.col("_n").alias("n_b")
+    )
+    containment = F.col("shared_chunks").cast("double") / F.least(
+        "n_a", "n_b"
+    ).cast("double")
+    return (
+        a.join(
+            b, (a["chash"] == b["chash"]) & (F.col("id_a") < F.col("id_b"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_chunks"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_chunks",
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

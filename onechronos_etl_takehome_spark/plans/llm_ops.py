@@ -907,3 +907,43 @@ def e01_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_M04_ORACLE = """
+    WITH p AS (SELECT doc_id AS id, hex(CAST(text AS BLOB)) AS h
+               FROM documents),
+    ch AS (
+      SELECT id, unnest(list_distinct(list_transform(
+        generate_series(1, CAST(ceil(len(h)/128.0) AS INT)),
+        i -> md5(substring(h, (i-1)*128+1, 128))))) AS chash
+      FROM p WHERE len(h) > 0),
+    sizes AS (SELECT id, COUNT(*) AS n FROM ch GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+      FROM ch a JOIN ch b ON a.chash = b.chash AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS BIGINT) AS shared_chunks,
+      CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes na ON id_a = na.id
+    JOIN sizes nb ON id_b = nb.id
+    WHERE CAST(c AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= 0.5
+    """
+
+
+@register("m04_binary_chunk_neardup", oracle=_M04_ORACLE)
+def m04_binary_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload near-dup by shared fixed-size blocks (64 bytes):
+    the storage-dedup block map applied to multimodal corpus prep —
+    append/truncate-shaped duplicate payloads score containment 1.0
+    without any decoder. Fully oracled: blocks fingerprint as
+    md5-over-hex (both engines hex uppercase; hex slices at byte
+    alignment equal per-chunk hex), so the driver verifies the whole
+    index-join pipeline, not just counts."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.binary_chunk_neardup(
+        mm.attach_binary(docs, "doc_id", "text"),
+        chunk_bytes=64,
+        min_containment=0.5,
+    )

@@ -528,3 +528,31 @@ def test_burst_throttle_semantics(spark):
         for r in QUERIES["x11_burst_throttle_dedup"](spark, path).collect()
     }
     assert got == {(1, "view", 1): 3, (1, "view", 4): 2, (1, "click", 6): 1}
+
+
+def test_binary_chunk_neardup_append_shape(spark):
+    # b = a + appended tail (block-aligned): containment 1.0 (every
+    # block of a appears in b); c shares nothing. Payloads built from
+    # 64-byte-aligned segments so fixed-offset blocks line up exactly.
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        binary_chunk_neardup,
+    )
+
+    seg = "x" * 64
+    rows = [
+        (1, seg * 4),             # 4 blocks... all identical 'x'*64
+        (2, seg * 4 + "y" * 64),  # a + one new block
+        (3, "z" * 200),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from onechronos_etl_takehome_spark.operators.multimodal import attach_binary
+
+    out = {
+        (r.id_a, r.id_b): (r.shared_chunks, r.containment)
+        for r in binary_chunk_neardup(
+            attach_binary(docs, "doc_id", "text"), chunk_bytes=64
+        ).collect()
+    }
+    # distinct-block sets: doc1 {x64} (1 block), doc2 {x64, y64} (2),
+    # doc3 {z-blocks} — doc1 vs doc2 share the x-block: containment 1.0
+    assert out == {(1, 2): (1, 1.0)}
