@@ -98,6 +98,7 @@ DRIVER_WINDOW: list[str] = [
     "s01_cosine_topk",
     "s03_cosine_topk_ivf",
     "m01_binary_metadata",
+    "m04_binary_chunk_neardup",
     "e01_hourly_event_windows",
     "x01_approx_sketches",
     "x03_heavy_hitters",
@@ -122,8 +123,12 @@ DRIVER_WINDOW: list[str] = [
     "q43_types_excluding_suppliers",  # NOT IN anti-join
     "q44_null_safe_join",  # null-safe equality join
     "q48_price_moments",  # variance/stddev/correlation
-    "q50_filtered_aggregates",  # FILTER-clause aggregates
 ]
+# Round 4d: m04 (binary block-map near-dup — the multimodal family's
+# first hash-matched dedup witness, md5-over-hex cross-engine)
+# replaces q50 FILTER-clause aggregates (conditional aggregation still
+# witnessed by q01 decimal aggregates + q28's pivot counts + q48
+# moments; q50 stays locally oracled in the full gate).
 # Window budget notes (50 slots): round 2 swapped in d09/t09/t10 (new
 # capability classes: decontamination, chunking, PII redaction) and
 # upgraded the sketch witness x02→x03 (rows-only → oracled). Displaced:
