@@ -856,21 +856,41 @@ def pq_encode(
     n_subspaces, n_codes, sub_dim = codebooks.shape
     half_sq = 0.5 * (codebooks**2).sum(axis=2)  # (S, C)
 
+    import pyarrow as pa
+
     def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
+        # mapInArrow: the vector column flattens zero-copy to one float
+        # buffer (no per-row object traversal); codes emit as a
+        # FixedSizeList rendered through a plain ListArray.
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
                 continue
-            m = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            flat = batch.column(corpus_vec).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            m = flat.reshape(n, -1).astype(np.float64)
             nrm = np.linalg.norm(m, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
             m = m / nrm
-            codes = np.empty((len(m), n_subspaces), dtype=np.int32)
+            codes = np.empty((n, n_subspaces), dtype=np.int32)
             for s in range(n_subspaces):
                 sub = m[:, s * sub_dim : (s + 1) * sub_dim]
-                codes[:, s] = np.argmax(sub @ codebooks[s].T - half_sq[s][None, :], axis=1)
-            yield pd.DataFrame({corpus_id: pdf[corpus_id], "codes": list(codes)})
+                codes[:, s] = np.argmax(
+                    sub @ codebooks[s].T - half_sq[s][None, :], axis=1
+                )
+            offsets = pa.array(
+                np.arange(0, (n + 1) * n_subspaces, n_subspaces, dtype=np.int32)
+            )
+            codes_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(codes.ravel(), type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(corpus_id).cast(pa.int64()), codes_arr],
+                names=[corpus_id, "codes"],
+            )
 
-    return spread(corpus, bytes_per_split=8 << 20).mapInPandas(
+    return spread(corpus, bytes_per_split=8 << 20).mapInArrow(
         encode, schema=f"{corpus_id} long, codes array<int>"
     )
 
