@@ -735,3 +735,58 @@ def x12_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((vq - F.col("mean_hist")) / F.col("std_hist")).alias("zscore"),
         )
     )
+
+
+_X13_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    outdeg AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+      CAST(t.n AS DOUBLE) / CAST(o.total AS DOUBLE) AS p_next
+    FROM trans t JOIN outdeg o USING (prev_type)
+    """
+
+
+@register("x13_event_transitions", oracle=_X13_ORACLE)
+def x13_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (the Markov view behind
+    user-journey / next-action analytics): per user, consecutive
+    event-type pairs under (ts, event_id) order; globally, each
+    (prev → next) count and its row-conditional probability
+    p(next | prev) = n / out-degree — one BIGINT division rendered as
+    a single double op, so the full matrix hash-matches. One window
+    shuffle on user, one aggregate on the pair key; the out-degree
+    total is a second aggregate over the (small) matrix itself, not
+    the events."""
+    pin_semantics(spark)
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outdeg = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return trans.join(F.broadcast(outdeg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "p_next"
+        ),
+    )
