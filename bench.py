@@ -75,6 +75,7 @@ HEADLINE = [
     "x10_resample_ffill",
     "x11_burst_throttle_dedup",
     "x12_rolling_zscore_anomalies",
+    "x13_event_transitions",
     "e01_hourly_event_windows",
 ]
 
