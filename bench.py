@@ -76,6 +76,7 @@ HEADLINE = [
     "x11_burst_throttle_dedup",
     "x12_rolling_zscore_anomalies",
     "x13_event_transitions",
+    "x14_pagerank_states",
     "e01_hourly_event_windows",
 ]
 

@@ -790,3 +790,112 @@ def x13_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next"
         ),
     )
+
+
+def _x14_oracle(iters: int = 5, scale: int = 10**9) -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs (no recursive
+    aggregation — many engines, DuckDB included, restrict aggregates in
+    recursive terms; a FIXED iteration count needs no recursion).
+    All-integer arithmetic (see x14 docstring) — `//` here, `div` in
+    Spark — so both engines produce identical BIGINT ranks."""
+    layers = []
+    for k in range(1, iters + 1):
+        layers.append(f"""
+    r{k} AS (
+      SELECT n.node,
+        (15 * CAST({scale} AS BIGINT)) // (100 * (SELECT COUNT(*) FROM nodes))
+          + COALESCE(s.contrib, 0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.next_type AS node,
+          CAST(SUM((85 * ((r.rank * e.n) // o.total)) // 100) AS BIGINT)
+            AS contrib
+        FROM r{k - 1} r
+        JOIN edges e ON e.prev_type = r.node
+        JOIN outdeg o ON o.prev_type = r.node
+        GROUP BY 1) s ON s.node = n.node)""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events),
+    edges AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    outdeg AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS total
+      FROM edges GROUP BY prev_type),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    r0 AS (SELECT node, CAST(CAST({scale} AS BIGINT) // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+             AS rank FROM nodes),{",".join(layers)}
+    SELECT node, rank AS rank_scaled,
+      CAST(rank AS DOUBLE) / {scale}.0 AS rank
+    FROM r{iters}
+    """
+
+
+@register("x14_pagerank_states", oracle=_x14_oracle())
+def x14_pagerank_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (which states are
+    central in user journeys) — the iterative-graph computation class
+    beyond connected components (d07), with a FULLY EXACT oracle.
+
+    Floating-point PageRank cannot hash-match across engines (per-node
+    contribution sums are order-dependent doubles), so ranks live in an
+    integer domain: rank is a BIGINT scaled by 1e9, the teleport term
+    is (15·scale)//(100·N), and each edge contributes
+    (85·((rank·n)//outdeg))//100 — integer floor division at every
+    step, identical in Spark (`div`) and DuckDB (`//`). Five
+    iterations, unrolled in the oracle as chained CTEs (fixed K needs
+    no recursion). Dangling-node mass is dropped (the standard
+    simplification), deterministically on both sides.
+
+    Scale shape: the graph aggregates once from the events scan; each
+    iteration is a join of the rank frame against the edge list plus
+    one aggregate — the d07 components loop's shape, with the same
+    per-round checkpoint posture for long chains."""
+    pin_semantics(spark)
+    from pyspark.sql.window import Window
+
+    scale, iters = 10**9, 5
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outdeg = edges.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    graph = edges.join(outdeg, "prev_type").cache()
+    nodes = e.select(F.col("event_type").alias("node")).distinct().cache()
+    n_nodes = nodes.count()
+    tele = (15 * scale) // (100 * n_nodes)
+
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            graph.join(ranks, graph["prev_type"] == ranks["node"])
+            .select(
+                F.col("next_type").alias("node"),
+                F.expr(f"(85 * ((rank * n) div total)) div 100").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("long").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(tele) + F.coalesce("contrib", F.lit(0))).cast("long").alias(
+                "rank"
+            ),
+        )
+    out = ranks.select(
+        "node",
+        F.col("rank").alias("rank_scaled"),
+        (F.col("rank").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+    return out

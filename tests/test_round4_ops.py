@@ -556,3 +556,19 @@ def test_binary_chunk_neardup_append_shape(spark):
     # distinct-block sets: doc1 {x64} (1 block), doc2 {x64, y64} (2),
     # doc3 {z-blocks} — doc1 vs doc2 share the x-block: containment 1.0
     assert out == {(1, 2): (1, 1.0)}
+
+
+def test_pagerank_states_mass_and_determinism(spark):
+    # integer PageRank: ranks positive, total mass <= scale (floor
+    # losses + dangling drop only ever REMOVE mass), and a repeat run
+    # is bitwise identical (pure integer arithmetic).
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.node: r.rank_scaled for r in
+            QUERIES["x14_pagerank_states"](spark, sf).collect()}
+    assert len(rows) == 5 and all(v > 0 for v in rows.values())
+    assert sum(rows.values()) <= 10**9
+    again = {r.node: r.rank_scaled for r in
+             QUERIES["x14_pagerank_states"](spark, sf).collect()}
+    assert again == rows
