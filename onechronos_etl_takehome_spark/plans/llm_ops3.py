@@ -869,33 +869,49 @@ def x14_pagerank_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("prev_type").agg(
         F.sum("n").cast("long").alias("total")
     )
+    # Same lifecycle discipline as dedup_components: the (tiny —
+    # |event_types|²-row) graph and node frames are cached for the
+    # loop, each iteration's ranks are CHECKPOINTED (truncating the
+    # otherwise 5-join-deep lineage), and the caches are released in
+    # finally — the returned frame reads only the final checkpoint.
     graph = edges.join(outdeg, "prev_type").cache()
     nodes = e.select(F.col("event_type").alias("node")).distinct().cache()
-    n_nodes = nodes.count()
-    tele = (15 * scale) // (100 * n_nodes)
 
-    ranks = nodes.select(
-        "node", F.lit(scale // n_nodes).cast("long").alias("rank")
-    )
-    for _ in range(iters):
-        contrib = (
-            graph.join(ranks, graph["prev_type"] == ranks["node"])
-            .select(
-                F.col("next_type").alias("node"),
-                F.expr(f"(85 * ((rank * n) div total)) div 100").alias("_c"),
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    try:
+        n_nodes = nodes.count()
+        tele = (15 * scale) // (100 * n_nodes)
+        ranks = nodes.select(
+            "node", F.lit(scale // n_nodes).cast("long").alias("rank")
+        )
+        for _ in range(iters):
+            contrib = (
+                graph.join(ranks, graph["prev_type"] == ranks["node"])
+                .select(
+                    F.col("next_type").alias("node"),
+                    F.expr("(85 * ((rank * n) div total)) div 100").alias("_c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("_c").cast("long").alias("contrib"))
             )
-            .groupBy("node")
-            .agg(F.sum("_c").cast("long").alias("contrib"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
+            ranks = _truncate(
+                nodes.join(contrib, "node", "left").select(
+                    "node",
+                    (F.lit(tele) + F.coalesce("contrib", F.lit(0)))
+                    .cast("long")
+                    .alias("rank"),
+                )
+            )
+        return ranks.select(
             "node",
-            (F.lit(tele) + F.coalesce("contrib", F.lit(0))).cast("long").alias(
-                "rank"
-            ),
+            F.col("rank").alias("rank_scaled"),
+            (F.col("rank").cast("double") / F.lit(float(scale))).alias("rank"),
         )
-    out = ranks.select(
-        "node",
-        F.col("rank").alias("rank_scaled"),
-        (F.col("rank").cast("double") / F.lit(float(scale))).alias("rank"),
-    )
-    return out
+    finally:
+        graph.unpersist()
+        nodes.unpersist()
