@@ -56,6 +56,8 @@ HEADLINE = [
     # end-to-end fuzzy dedup: capped LSH -> verify -> components ->
     # survivor set, the composition a real corpus run ships
     "d11_fuzzy_dedup_e2e",
+    # lossless counterpart: prefix-filtered exact pairs -> components
+    "d16_exact_dedup_e2e",
     "d06_embedding_neardup_pairs",
     "d09_decontaminate",
     "d10_embedding_neardup_clustered",

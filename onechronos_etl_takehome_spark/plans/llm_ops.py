@@ -947,3 +947,45 @@ def m04_binary_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_bytes=64,
         min_containment=0.5,
     )
+
+
+def _d16_oracle() -> str:
+    """d11's survivor-set shape fed by the EXACT pair set (d02's full
+    inverted index) instead of capped LSH candidates."""
+    return f"""
+    WITH pairs AS ({_D02_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node)
+      SELECT * FROM r),
+    comps AS (
+      SELECT node AS doc_id, MIN(root) AS canonical_id
+      FROM reach GROUP BY node)
+    SELECT canonical_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM comps GROUP BY canonical_id
+    """
+
+
+@register("d16_exact_dedup_e2e", oracle=_d16_oracle())
+def d16_exact_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT end-to-end fuzzy dedup: prefix+positional-filtered Jaccard
+    pairs (d15 — lossless, so unlike d11's LSH composition there is NO
+    missed pair anywhere in the pipeline) → connected components →
+    min-id survivor per component with group sizes. The guarantee a
+    compliance-grade dedup run needs: the survivor set provably equals
+    what the quadratic inverted index would produce, at the filtered
+    plan's cost."""
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comps = dd.dedup_components(docs, pairs, id_col="doc_id")
+    return (
+        comps.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .select(F.col("canonical_id").alias("doc_id"), "group_size")
+    )
