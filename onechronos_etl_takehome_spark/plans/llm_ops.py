@@ -93,7 +93,15 @@ def d15_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself. Candidate shrink (11.5k -> 27 at sf0.01) and boundedness
     under boilerplate skew (where the full index goes quadratic) are
     pinned in tests/test_round4_ops.py; hypothesis pins equality with
-    d02 on arbitrary corpora."""
+    d02 on arbitrary corpora.
+
+    Regime honesty: on THIS synthetic corpus the shingle-df
+    distribution is flat (median df 9, almost no df=1 shingles —
+    measured), so d02's aggregate-the-fanout is locally competitive
+    (~1.3x faster at sf0.1); prefix filtering's payoff is the BOUNDED
+    index when Zipf/boilerplate mass drives the full index's Σdf²
+    beyond cluster feasibility — the regime the boilerplate test
+    simulates (103x fan-out growth, candidates near-flat)."""
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
     return dd.prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
