@@ -58,7 +58,12 @@ def binary_metadata(payloads: DataFrame) -> DataFrame:
                 }
             )
 
-    return payloads.mapInPandas(compute, schema=BINARY_META_SCHEMA)
+    # id type passes through: long for the demo corpus, string paths
+    # for binaryFile ingestion (sources/readers.read_binary_dir)
+    id_type = payloads.schema["id"].dataType.simpleString()
+    return payloads.mapInPandas(
+        compute, schema=BINARY_META_SCHEMA.replace("id long", f"id {id_type}")
+    )
 
 
 def _fake_decode(payload: bytes, n_features: int) -> list[float]:

@@ -51,3 +51,51 @@ def read_dirty_csv(
     if rename:
         df = df.withColumnsRenamed(rename)
     return df
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    modality_from_extension: bool = True,
+) -> DataFrame:
+    """Opaque media ingestion via Spark's built-in ``binaryFile``
+    source: (id, content, modality, n_bytes, mtime) — the real-world
+    entry point for the multimodal operators (operators/multimodal.py
+    consumes the same (id, content, modality) shape that
+    ``attach_binary`` fabricates for the parquet demo corpus).
+
+    ``id`` is the file path (stable, unique); ``modality`` maps from
+    the extension (image/audio/video/text/binary). Scale notes: the
+    source lists files distributed, prunes on ``pathGlobFilter``
+    BEFORE reading bytes, and each file lands in one row — pair with
+    sources/layout.py compaction for many-small-file corpora;
+    ``spark.sql.files.maxPartitionBytes`` governs batching as usual.
+    """
+    from pyspark.sql import functions as F
+
+    ext_map = {
+        "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+        "wav": "audio", "mp3": "audio", "flac": "audio",
+        "mp4": "video", "mkv": "video", "webm": "video",
+        "txt": "text", "md": "text",
+    }
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    modality = F.lit("binary")
+    if modality_from_extension:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in ext_map.items() for x in kv]
+        )
+        modality = F.coalesce(mapping[ext], F.lit("binary"))
+    return df.select(
+        F.col("path").alias("id"),
+        F.col("content"),
+        modality.alias("modality"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("mtime"),
+    )

@@ -114,3 +114,44 @@ def test_orc_partitioned_write_prunes(spark, tmp_path):
         F.col("event_type") == "view"
     ).count()
     assert pruned.count() == n_all
+
+
+def test_read_binary_dir_feeds_multimodal(spark, tmp_path):
+    # real binaryFile ingestion: bytes round-trip exactly, modality
+    # maps from extension, glob prunes before read, and the frame
+    # drives the multimodal block-map dedup end-to-end
+    import os
+
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        binary_chunk_neardup,
+        binary_metadata,
+    )
+    from onechronos_etl_takehome_spark.sources.readers import read_binary_dir
+
+    d = tmp_path / "media"
+    os.makedirs(d)
+    payload = b"\x00\x01binary-ish" + bytes(range(200))
+    (d / "a.png").write_bytes(payload)
+    (d / "b.txt").write_text("hello media world")
+    (d / "c.weird").write_bytes(b"xyz")
+    (d / "dup.png").write_bytes(payload)  # exact duplicate of a.png
+
+    df = read_binary_dir(spark, str(d))
+    rows = {os.path.basename(r.id): r for r in df.collect()}
+    assert rows["a.png"].modality == "image"
+    assert rows["b.txt"].modality == "text"
+    assert rows["c.weird"].modality == "binary"
+    assert bytes(rows["a.png"].content) == payload
+    assert rows["a.png"].n_bytes == len(payload)
+
+    only_png = read_binary_dir(spark, str(d), glob="*.png")
+    assert only_png.count() == 2
+
+    meta = {os.path.basename(r.id): r.checksum for r in binary_metadata(df).collect()}
+    assert meta["a.png"] == meta["dup.png"]
+
+    pairs = binary_chunk_neardup(df, chunk_bytes=64).collect()
+    assert len(pairs) == 1 and pairs[0].containment == 1.0
+    assert {os.path.basename(p) for p in (pairs[0].id_a, pairs[0].id_b)} == {
+        "a.png", "dup.png"
+    }
