@@ -347,3 +347,135 @@ def test_unigram_lm_matches_dict_model(docs):
         toks = t.split(" ")
         sum_tf = sum(counts[w] for w in toks)
         assert got[i] == (len(toks), sum_tf, sum_tf / (len(toks) * total))
+
+
+# ---------------------------------------------------------------------------
+# x11 burst throttle == per-group fold model; x10 resample == dict model
+# ---------------------------------------------------------------------------
+
+
+def _stage_events(spark, rows, tmp):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, minute long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,minute,0)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit(None).cast("string").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(tmp + "/events.parquet")
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # minute offset (collisions likely small)
+            st.integers(0, 2),      # user
+            st.sampled_from(["a", "b"]),
+            st.integers(-5, 5),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t,
+    )
+)
+def test_burst_throttle_matches_fold_model(rows):
+    import tempfile
+
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    spark = _spark()
+    staged = [
+        (i, minute, user, etype, float(v))
+        for i, (minute, user, etype, v) in enumerate(rows)
+    ]
+    tmp = tempfile.mkdtemp(prefix="px11_")
+    _stage_events(spark, staged, tmp)
+
+    # model: fold per (user, type) in (ts, event_id) order; gap > 5
+    # MINUTES (ts unit here: minutes) starts a new burst
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for eid, minute, user, etype, _v in staged:
+        groups[(user, etype)].append((minute, eid))
+    want = set()
+    for (user, etype), evs in groups.items():
+        evs.sort()
+        bursts = []
+        for m, eid in evs:
+            if bursts and m - bursts[-1][-1][0] <= 5:
+                bursts[-1].append((m, eid))
+            else:
+                bursts.append([(m, eid)])
+        for b in bursts:
+            want.add((user, etype, b[0][1], len(b)))
+
+    got = {
+        (r.user_id, r.event_type, r.first_event_id, r.burst_size)
+        for r in QUERIES["x11_burst_throttle_dedup"](spark, tmp).collect()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6 * 24 * 60),  # minute offset within ~6 days
+            st.integers(0, 1),            # user
+            st.one_of(st.none(), st.integers(-5, 5)),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t,
+    )
+)
+def test_resample_ffill_matches_dict_model(rows):
+    import datetime
+    import tempfile
+
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    spark = _spark()
+    staged = [
+        (i, minute, user, "a", None if v is None else float(v))
+        for i, (minute, user, v) in enumerate(rows)
+    ]
+    tmp = tempfile.mkdtemp(prefix="px10_")
+    _stage_events(spark, staged, tmp)
+
+    base = datetime.date(2024, 3, 1)
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, minute, user, _t, v in staged:
+        per_user[user].append((minute, eid, v))
+    want = {}
+    for user, evs in per_user.items():
+        days = defaultdict(list)
+        for minute, eid, v in evs:
+            days[minute // (24 * 60)].append((minute, eid, v))
+        d0, d1 = min(days), max(days)
+        fill = None
+        for d in range(d0, d1 + 1):
+            todays = sorted(days.get(d, []))
+            # the day's representative is the (ts, event_id)-MAX row's
+            # value; the fill is last-IGNORENULLS over those, so a day
+            # whose last row carries NULL does NOT update the fill
+            if todays and todays[-1][2] is not None:
+                fill = todays[-1][2]
+            day_str = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+            want[(user, day_str)] = (len(todays), fill)
+
+    got = {
+        (r.user_id, r.day): (r.n_events, r.ffill_value)
+        for r in QUERIES["x10_resample_ffill"](spark, tmp).collect()
+    }
+    assert got == want
