@@ -561,14 +561,16 @@ def verify_jaccard_pairs_arrays(
     shingle arrays and intersect map-side (``array_intersect`` builds
     a hash set per row — O(|A|+|B|)).
 
-    vs the exploded form (:func:`verify_jaccard_pairs`): no pair×shingle
-    fan-out ever shuffles — the pair frame joins two (id, array) rows
-    and everything else is a projection, so cost is
+    vs an exploded verification (joining candidates against per-shingle
+    rows and COUNTing matches — the shape this replaced): no
+    pair×shingle fan-out ever shuffles — the pair frame joins two
+    (id, array) rows and everything else is a projection, so cost is
     O(cands·avg_set) map-side work instead of a cands·avg_set-row
-    exchange + aggregation. The exploded form only wins when individual
-    shingle sets are too large to sit in a row (not the case for
-    documents: ~10² shingles). Integer intersection + one double
-    division — same cross-engine-exact jaccard as every other form.
+    exchange + aggregation. The exploded shape only wins when
+    individual shingle sets are too large to sit in a row (not the
+    case for documents: ~10² shingles). Integer intersection + one
+    double division — same cross-engine-exact jaccard as every other
+    form.
     """
     sets = df.select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_set")

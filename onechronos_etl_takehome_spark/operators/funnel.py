@@ -3,8 +3,16 @@
 ``window_funnel`` computes, per user, how deep an ordered sequence of
 event steps was completed, where every step must happen within
 ``window`` of the FIRST step's timestamp and at-or-after the previous
-step (the ClickHouse ``windowFunnel`` / Amplitude funnel semantics,
-strict-order-relaxed: unrelated events in between are allowed).
+step; unrelated events in between are allowed (strict-order-relaxed).
+
+Anchor semantics: the funnel is anchored to the user's EARLIEST step-1
+event — deliberately STRICTER than ClickHouse's ``windowFunnel``,
+which returns the maximum chain over ANY window start (a user whose
+first view goes nowhere but who converts from a later view scores
+depth 1 here, depth 3 there). The earliest-anchor form is the common
+product-analytics definition ("from first exposure"), is what the x07
+oracle pins, and needs only min() per step instead of per-start chain
+search.
 
 Shape: one conditional aggregation per step, each keyed on the user
 column — N-1 shuffle-key-aligned joins plus N groupBys on the same key,

@@ -198,9 +198,16 @@ def unigram_lm_scores(df, id_col: str, text_col: str, *, log_probs: bool = False
         F.col(id_col),
         "n_tokens",
         "sum_tf",
+        # denominator multiplies in the DOUBLE domain: n_tokens·total
+        # overflows int64 near ~1e18 (a 100-TB corpus is ~1e13 tokens),
+        # while double·double of exactly-representable ints is the
+        # identical IEEE op in both engines. sum_tf itself stays BIGINT
+        # — its bound (Σ per-occurrence corpus frequency ≤ ~9.2e18)
+        # holds through ~1e9-doc corpora; beyond that, aggregate it as
+        # DECIMAL(38,0) per the huge-accumulator rule.
         (
             F.col("sum_tf").cast("double")
-            / (F.col("n_tokens") * F.col("_t")).cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("_t").cast("double"))
         ).alias("mean_token_prob"),
         *(
             [

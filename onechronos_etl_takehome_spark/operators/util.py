@@ -41,10 +41,14 @@ def spread(df: DataFrame, *, bytes_per_split: int | None = None) -> DataFrame:
     target = df.sparkSession.sparkContext.defaultParallelism
     if bytes_per_split is not None:
         try:
-            total = sum(
-                os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
-            )
-            target = min(target, max(1, math.ceil(total / bytes_per_split)))
+            files = df.inputFiles()
+            if files:  # no files (in-memory/JDBC relation): sum([])==0
+                # would compute target=1 and silently DISABLE the
+                # fan-out — keep core count instead, like the except.
+                total = sum(
+                    os.path.getsize(f.removeprefix("file:")) for f in files
+                )
+                target = min(target, max(1, math.ceil(total / bytes_per_split)))
         except OSError:  # non-local / non-file source: keep core count
             pass
     if target > 1 and df.rdd.getNumPartitions() < target:

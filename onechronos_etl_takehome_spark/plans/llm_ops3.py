@@ -221,7 +221,9 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 def x07_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel per user, every step within 24
     hours of the user's first view and at-or-after the previous step
-    (ClickHouse windowFunnel semantics). One row per user who viewed;
+    (earliest-anchor semantics — stricter than ClickHouse's
+    max-chain-over-any-start; see operators/funnel.py). One row per
+    user who viewed;
     funnel_depth in 1..3."""
     pin_semantics(spark)
     ev = load_table(spark, sf_dir, "events")
@@ -435,7 +437,8 @@ _T15_ORACLE = """
       CAST(COUNT(*) AS BIGINT) AS n_tokens,
       CAST(SUM(v.c) AS BIGINT) AS sum_tf,
       CAST(SUM(v.c) AS DOUBLE)
-        / CAST(COUNT(*) * (SELECT t FROM tot) AS DOUBLE) AS mean_token_prob
+        / (CAST(COUNT(*) AS DOUBLE)
+           * (SELECT CAST(t AS DOUBLE) FROM tot)) AS mean_token_prob
     FROM tok JOIN vocab v USING (token)
     GROUP BY doc_id
     """

@@ -53,10 +53,17 @@ def zscore_anomaly_stream(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         prior = list(state.get[0]) if state.exists else []
-        for pdf in batches:
-            pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
-            if not len(pdf):
-                continue
+        # Accumulate EVERY Arrow chunk before sorting: the group can
+        # arrive as multiple pdfs (maxRecordsPerBatch, multiple map
+        # outputs), and sorting chunks independently would score later
+        # chunks against history containing values that post-date them
+        # — per-batch event-time order is the documented contract.
+        parts = [pdf.dropna(subset=["value"]) for pdf in batches]
+        parts = [p for p in parts if len(p)]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             vals = pdf["value"].to_numpy(dtype=np.float64)
             allv = np.concatenate([np.asarray(prior, dtype=np.float64), vals])
             # windowed trailing sums via cumsum: history for position p

@@ -10,10 +10,12 @@ finds (pinned in tests/test_dedup_stream.py).
 
 Idempotency: both the candidate output and the index extension land as
 ``batch_id=<n>`` directories, overwritten on replay — the same
-plain-parquet exactly-once contract events_stream.py's sinks use. A
-replayed batch re-probes an index state that may already contain its
-own buckets; self-pairs are impossible (`id < id` never holds) and the
-directory overwrite discards the duplicate rows, so replays converge.
+plain-parquet exactly-once contract events_stream.py's sinks use. The
+probe reads ONLY ``batch_id < n`` index partitions (partition-pruned),
+so a replayed batch never sees its own half-written buckets — without
+that filter a replay would double-count its rows inside
+``max_bucket_size`` buckets and silently drop candidates it kept the
+first time.
 
 Scale: the index is partitioned by ``band`` — the probe join reads
 only matching band partitions; the per-batch work is O(batch), never
@@ -54,7 +56,18 @@ def dedup_stream(
         new_buckets = minhash_buckets(batch_df, id_col, text_col, **kw).persist()
         try:
             if any(e.startswith("batch_id=") for e in _ls(index_dir)):
-                index = spark.read.parquet(index_dir).drop("batch_id")
+                # STRICTLY-PRIOR batches only: on replay the index dir
+                # already holds this batch's own buckets, and counting
+                # them would break the max_bucket_size cap (and the
+                # exactly-once contract). Partition pruning makes the
+                # filter free.
+                from pyspark.sql import functions as F
+
+                index = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("batch_id") < batch_id)
+                    .drop("batch_id")
+                )
             else:
                 # first batch: no corpus yet — new-vs-new only
                 index = new_buckets.limit(0)

@@ -572,3 +572,12 @@ def test_pagerank_states_mass_and_determinism(spark):
     again = {r.node: r.rank_scaled for r in
              QUERIES["x14_pagerank_states"](spark, sf).collect()}
     assert again == rows
+
+
+def test_spread_bytes_cap_fans_out_in_memory_frames(spark):
+    # inputFiles() == [] (in-memory relation) must fall back to core
+    # count, not compute a 0-byte -> 1-split target that silently
+    # disables the fan-out.
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
+    out = spread(df, bytes_per_split=8 << 20)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
