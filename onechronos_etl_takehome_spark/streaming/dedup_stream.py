@@ -50,46 +50,72 @@ def dedup_stream(
     kw = dict(n=n, num_hashes=num_hashes, bands=bands, hash_family=hash_family)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # hash the batch exactly once: the bucket frame feeds BOTH the
-        # probe and the index append (two actions)
-        new_buckets = minhash_buckets(batch_df, id_col, text_col, **kw).persist()
-        try:
-            if any(e.startswith("batch_id=") for e in _ls(index_dir)):
-                # STRICTLY-PRIOR batches only: on replay the index dir
-                # already holds this batch's own buckets, and counting
-                # them would break the max_bucket_size cap (and the
-                # exactly-once contract). Partition pruning makes the
-                # filter free.
-                from pyspark.sql import functions as F
-
-                index = (
-                    spark.read.parquet(index_dir)
-                    .filter(F.col("batch_id") < batch_id)
-                    .drop("batch_id")
-                )
-            else:
-                # first batch: no corpus yet — new-vs-new only
-                index = new_buckets.limit(0)
-            cands = incremental_minhash_candidates(
-                batch_df,
-                index,
-                id_col,
-                text_col,
-                max_bucket_size=max_bucket_size,
-                new_buckets=new_buckets,
-                **kw,
-            )
-            cands.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch_id={batch_id}")
-            )
-            new_buckets.write.mode("overwrite").parquet(
-                os.path.join(index_dir, f"batch_id={batch_id}")
-            )
-        finally:
-            new_buckets.unpersist()
+        process_dedup_batch(
+            batch_df,
+            batch_id,
+            index_dir,
+            out_dir,
+            id_col=id_col,
+            text_col=text_col,
+            max_bucket_size=max_bucket_size,
+            **kw,
+        )
 
     return docs.writeStream.foreachBatch(sink)
+
+
+def process_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    max_bucket_size: int | None,
+    **kw,
+) -> None:
+    """One probe-then-extend step — module-level so replay idempotency
+    is directly testable (tests/test_dedup_stream.py re-runs a batch id
+    and asserts byte-identical candidates)."""
+    spark = batch_df.sparkSession
+    # hash the batch exactly once: the bucket frame feeds BOTH the
+    # probe and the index append (two actions)
+    new_buckets = minhash_buckets(batch_df, id_col, text_col, **kw).persist()
+    try:
+        if any(e.startswith("batch_id=") for e in _ls(index_dir)):
+            # STRICTLY-PRIOR batches only: on replay the index dir
+            # already holds this batch's own buckets, and counting
+            # them would break the max_bucket_size cap (and the
+            # exactly-once contract). Partition pruning makes the
+            # filter free.
+            from pyspark.sql import functions as F
+
+            index = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+        else:
+            # first batch: no corpus yet — new-vs-new only
+            index = new_buckets.limit(0)
+        cands = incremental_minhash_candidates(
+            batch_df,
+            index,
+            id_col,
+            text_col,
+            max_bucket_size=max_bucket_size,
+            new_buckets=new_buckets,
+            **kw,
+        )
+        cands.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        new_buckets.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+    finally:
+        new_buckets.unpersist()
 
 
 def _ls(path: str) -> list[str]:

@@ -78,3 +78,41 @@ def test_dedup_stream_matches_batch_run(spark, tmp_path):
     # known ones (sanity of the index contents)
     idx = spark.read.parquet(index_dir)
     assert idx.select("doc_id").distinct().count() == docs.count()
+
+
+def test_replay_is_idempotent_under_bucket_cap(spark, tmp_path):
+    """A replayed batch must reproduce EXACTLY its first-attempt
+    candidates even with max_bucket_size set: the probe reads only
+    strictly-prior index partitions, so the replay never counts its
+    own half-written buckets against the cap. (Without that filter,
+    docs sharing a bucket double-count on replay, the bucket crosses
+    the cap, and previously-emitted pairs vanish.)"""
+    from onechronos_etl_takehome_spark.streaming.dedup_stream import (
+        process_dedup_batch,
+    )
+
+    pin_semantics(spark)
+    docs = load_table(spark, SF, "documents")
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "cands")
+    # tight cap so replay double-counting WOULD flip bucket survival
+    kw = dict(id_col="doc_id", text_col="text", max_bucket_size=4, **KW)
+
+    process_dedup_batch(b0, 0, index_dir, out_dir, **kw)
+    process_dedup_batch(b1, 1, index_dir, out_dir, **kw)
+    first = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out_dir + "/batch_id=1").collect()
+    }
+    assert first, "vacuous: batch 1 produced no candidates"
+
+    # replay batch 1 (crash-after-index-write scenario: index already
+    # contains batch 1's own buckets)
+    process_dedup_batch(b1, 1, index_dir, out_dir, **kw)
+    replay = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out_dir + "/batch_id=1").collect()
+    }
+    assert replay == first
