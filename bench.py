@@ -79,6 +79,7 @@ HEADLINE = [
     "x12_rolling_zscore_anomalies",
     "x13_event_transitions",
     "x14_pagerank_states",
+    "x15_snapshot_diff",
     "e01_hourly_event_windows",
 ]
 

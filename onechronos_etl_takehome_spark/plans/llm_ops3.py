@@ -918,3 +918,56 @@ def x14_pagerank_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         graph.unpersist()
         nodes.unpersist()
+
+
+_X15_ORACLE = """
+    WITH cutoff AS (
+      SELECT MIN(ts) + INTERVAL 15 DAY AS c FROM events),
+    old AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events WHERE ts < (SELECT c FROM cutoff) GROUP BY user_id),
+    new AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id)
+    SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+      CASE WHEN o.user_id IS NULL THEN 'insert'
+           WHEN n.user_id IS NULL THEN 'delete'
+           WHEN o.n_events IS DISTINCT FROM n.n_events
+                OR o.total_value IS DISTINCT FROM n.total_value
+             THEN 'update'
+           ELSE 'unchanged' END AS change_type,
+      o.n_events AS n_events_old, n.n_events AS n_events_new,
+      o.total_value AS total_value_old, n.total_value AS total_value_new
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    """
+
+
+@register("x15_snapshot_diff", oracle=_X15_ORACLE)
+def x15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: the per-user profile at day-15 vs today,
+    every key classified insert/update/delete/unchanged with both
+    versions of the compared columns (operators/diff.snapshot_diff —
+    one full-outer join, null-safe comparison). Profile aggregates use
+    decimal money math so both snapshots and the oracle agree
+    bitwise."""
+    pin_semantics(spark)
+    from ..functions.exact import dec
+    from ..operators.diff import snapshot_diff
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("c")
+    )
+
+    def profile(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+        )
+
+    old = profile(
+        e.join(F.broadcast(cutoff)).filter(F.col("ts") < F.col("c")).drop("c")
+    )
+    return snapshot_diff(old, profile(e), ["user_id"])

@@ -581,3 +581,28 @@ def test_spread_bytes_cap_fans_out_in_memory_frames(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
     out = spread(df, bytes_per_split=8 << 20)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_snapshot_diff_classification(spark):
+    from onechronos_etl_takehome_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 30, "c"), (4, None, "d")],
+        "k int, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, "a"),        # unchanged
+         (2, 21, None),       # update (v changed; NULL==NULL not a change)
+         (4, None, "dd"),     # update (NULL v unchanged, s changed)
+         (5, 50, "e")],       # insert; k=3 deleted
+        "k int, v int, s string",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "update", 3: "delete", 4: "update", 5: "insert"}
+    # filtered form drops the unchanged row only
+    only = {r.k for r in
+            snapshot_diff(old, new, ["k"], include_unchanged=False).collect()}
+    assert only == {2, 3, 4, 5}
