@@ -205,6 +205,7 @@ def binary_chunk_neardup(
     *,
     chunk_bytes: int = 64,
     min_containment: float = 0.5,
+    max_block_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate binary payload pairs by shared fixed-size blocks:
     (id_a < id_b, shared_chunks, containment) where containment =
@@ -215,10 +216,29 @@ def binary_chunk_neardup(
     100-TB posture notes) as the n-gram Jaccard index in
     operators/dedup.py; block sizes ride the exploded rows as min()
     aggregates.
+
+    ``max_block_df``: the posting-list cap, and for BINARY corpora it
+    matters even more than for text — uniform blocks (zero fill,
+    padding, shared headers) recur across millions of files and fan
+    the index out quadratically. Blocks whose document frequency
+    exceeds the cap leave the INDEX only (sizes stay exact, via a
+    window over the join's own exchange); pairs sharing only
+    ultra-common blocks are missed — the same deliberate trade as
+    ``ngram_jaccard_pairs(max_shingle_df=...)``. ``None`` (default)
+    is the exact oracle form.
     """
+    from pyspark.sql.window import Window
+
     ch = chunk_fingerprints(payloads, chunk_bytes=chunk_bytes)
     sizes = ch.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
     chs = ch.join(sizes, "id")
+    if max_block_df is not None:
+        wdf = Window.partitionBy("chash")
+        chs = (
+            chs.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_block_df)
+            .drop("_df")
+        )
     a = chs.select(
         F.col("id").alias("id_a"), "chash", F.col("_n").alias("n_a")
     ).hint("merge")

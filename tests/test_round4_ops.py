@@ -606,3 +606,36 @@ def test_snapshot_diff_classification(spark):
     only = {r.k for r in
             snapshot_diff(old, new, ["k"], include_unchanged=False).collect()}
     assert only == {2, 3, 4, 5}
+
+
+def test_binary_chunk_cap_sheds_uniform_blocks(spark):
+    # zero-fill blocks shared by EVERY payload must leave the index
+    # under the cap (pairs sharing only padding vanish), while a pair
+    # sharing genuinely rare blocks survives with exact sizes.
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        attach_binary,
+        binary_chunk_neardup,
+    )
+
+    pad = "0" * 64  # shared "padding" block in every payload
+    rare = "R" * 64
+    docs = spark.createDataFrame(
+        [(i, pad + f"u{i}" * 32) for i in range(1, 7)]
+        + [(10, pad + rare * 3), (11, pad + rare * 3)],
+        "doc_id long, text string",
+    )
+    payloads = attach_binary(docs, "doc_id", "text")
+    capped = {
+        (r.id_a, r.id_b): r.containment
+        for r in binary_chunk_neardup(
+            payloads, chunk_bytes=64, max_block_df=4
+        ).collect()
+    }
+    # only the rare-block pair survives; its containment still counts
+    # ONLY in-index shared blocks but sizes are exact
+    assert set(capped) == {(10, 11)}
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in binary_chunk_neardup(payloads, chunk_bytes=64).collect()
+    }
+    assert (10, 11) in uncapped and len(uncapped) > 1
