@@ -1,0 +1,129 @@
+"""Weighted sampling via a distributed prefix sum.
+
+``t06`` (hash sampling) and ``t11`` (per-group quota sampling) cover
+uniform and stratified-count selection; the missing member of the
+family is **probability-proportional-to-size** sampling — "draw ~n
+documents where a doc's chance is proportional to its weight (length,
+quality score, spend)" — the standard way a training-data pipeline
+downsamples a trillion-token corpus while preserving its weighted
+composition.
+
+The classical deterministic form is **systematic PPS sampling**: lay
+every row's weight end-to-end on a number line (a prefix sum over a
+pinned key order), cut the line into ``n`` equal strata, and take the
+row under each cut. Exact integer arithmetic end-to-end → the whole
+thing is SQL-expressible and hash-matches a DuckDB oracle (x16).
+
+The interesting distributed piece is the prefix sum. A naive
+``Window.orderBy(key)`` with no partition key funnels the entire table
+through ONE task — the classic global-window scale cliff. The
+two-pass prefix sum here is the textbook fix:
+
+1. bucket rows by deterministic, order-respecting key ranges;
+2. cumsum *within* each bucket (parallel window per bucket);
+3. cumsum the (tiny, one-row-per-bucket) bucket totals and broadcast
+   each bucket's exclusive offset back;
+4. global prefix = local prefix + bucket offset.
+
+Buckets derive from ``floor((key-lo)/span · nb)`` — a pure function of
+the key (no sampled range partitioner), so the two lineage branches
+can never disagree about bucket membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    out: str = "cum",
+    *,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add ``out`` = inclusive prefix sum of ``value_col`` in
+    ``key_col`` order (keys must be unique, numeric, non-null).
+
+    Two-pass distributed shape (see module docstring): no global
+    single-task window; the widest exchange is the per-bucket window,
+    parallel across ``n_buckets``. Bucket skew follows key-space skew
+    (dense surrogate keys → near-uniform); crank ``n_buckets`` to the
+    cluster's parallelism at scale.
+    """
+    key = F.col(key_col)
+    rng = df.agg(
+        F.min(key).alias("_lo"), F.max(key).alias("_hi")
+    )
+    span = F.col("_hi").cast("double") - F.col("_lo").cast("double") + 1.0
+    bucketed = df.crossJoin(F.broadcast(rng)).withColumn(
+        "_bkt",
+        F.least(
+            F.floor(
+                (key.cast("double") - F.col("_lo").cast("double"))
+                / span
+                * F.lit(float(n_buckets))
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    ).drop("_lo", "_hi")
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("_cum_local", F.sum(value_col).over(w_local))
+    totals = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    w_bkt = (
+        Window.orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # n_buckets rows — the single-task window is driver-small by
+    # construction.
+    offsets = totals.select(
+        "_bkt",
+        (F.sum("_tot").over(w_bkt) - F.col("_tot")).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out, F.col("_cum_local") + F.col("_off"))
+        .drop("_bkt", "_cum_local", "_off")
+    )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Systematic PPS sample: ``(key, weight, multiplicity)`` rows
+    whose weight interval contains at least one of the ``n`` stratum
+    cuts; Σ multiplicity = n exactly.
+
+    ``weight_col`` must be a non-negative BIGINT (pre-scale money to
+    cents with ``floor(x*100)`` — floor, not cast, so Spark's
+    truncating and DuckDB's rounding double→int casts can't diverge).
+    All arithmetic is integer (cum·n ≤ ~9.2e18 bounds the BIGINT form
+    to ~10^17 total weight; at 100 TB move both sides to
+    DECIMAL(38,0) — same expressions, wider lattice).
+
+    Row selected ⟺ floor(cum·n/total) > floor((cum−w)·n/total); the
+    multiplicity (#cuts inside the row's interval) is their
+    difference — a heavy row can legitimately be drawn into several
+    strata, which is exactly PPS-with-replacement semantics.
+    """
+    cum = prefix_sum(df, key_col, weight_col, "_cum", n_buckets=n_buckets)
+    total = df.agg(F.sum(weight_col).alias("_total"))
+    sel_hi = F.expr(f"_cum * {n} div _total")
+    sel_lo = F.expr(f"(_cum - {weight_col}) * {n} div _total")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("multiplicity", (sel_hi - sel_lo).cast("long"))
+        .filter(F.col("multiplicity") > 0)
+        .select(key_col, F.col(weight_col).alias("weight"), "multiplicity")
+    )

@@ -223,3 +223,87 @@ def unigram_lm_scores(df, id_col: str, text_col: str, *, log_probs: bool = False
     if log_probs:
         out = out.withColumn("perplexity", F.exp(-F.col("avg_logprob")))
     return out
+
+
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+):
+    """BM25 document retrieval (Robertson/Spärck Jones): rank documents
+    against a bag of query terms — the classic sparse-retrieval scorer
+    a corpus-curation pipeline uses to mine topic-relevant training
+    data at scale. Returns ``(doc_id, score, rank)``, top ``topk`` docs.
+
+    Plan shape: one tokenize pass; per-doc lengths and per-(doc,term)
+    tfs share that pass; df-per-term and the (n_docs, Σdl) stats frame
+    are tiny broadcasts into the scoring projection; one groupBy on the
+    id re-aggregates per-term partial scores. At 100 TB the only
+    full-corpus exchanges are the tokenize groupBys — everything else
+    is broadcast.
+
+    Cross-engine exactness (the oracle hash-matches bit-for-bit):
+    - **idf is the rational Robertson form without the log**:
+      ``(N - df + 0.5)/(df + 0.5)`` — same monotone ranking, but exact
+      double ops on exact integer inputs instead of a libm ln() (the
+      t08 trick). The conventional ``ln(1 + ...)`` form is a one-line
+      swap a caller can make when not hash-comparing engines.
+    - every double op (the one avgdl division, the tf saturation, the
+      idf ratio, their product) is a fixed-order scalar expression on
+      identical operands → bitwise-identical IEEE results;
+    - per-term scores quantize to DECIMAL(28,12) before the per-doc
+      SUM, so re-aggregation is order/partitioning-independent;
+    - rank ties break on doc_id.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.sum("_dl").alias("_sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*query_terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+
+    tf_d = F.col("_tf").cast("double")
+    df_d = F.col("_df").cast("double")
+    dl_d = F.col("_dl").cast("double")
+    n_d = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / n_d
+    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+    denom = tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl))
+    term_score = (idf * ((tf_d * F.lit(k1 + 1.0)) / denom)).cast(
+        "decimal(28,12)"
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(term_score).alias("_score_dec"))
+    )
+    # TakeOrdered first (mergeable per-partition top-k — no global
+    # window over the full scored frame), then rank the tiny shortlist.
+    shortlist = scored.orderBy(
+        F.col("_score_dec").desc(), F.col(id_col)
+    ).limit(topk)
+    w = Window.orderBy(F.col("_score_dec").desc(), F.col(id_col))
+    return shortlist.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        F.col(id_col),
+        F.col("_score_dec").cast("double").alias("score"),
+        "rank",
+    )

@@ -50,6 +50,7 @@ from . import relational4  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import llm_ops2  # noqa: E402,F401
 from . import llm_ops3  # noqa: E402,F401
+from . import llm_ops4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50

@@ -1,0 +1,143 @@
+"""Round-4b additions: FastSS edit-distance join, BM25 retrieval, and
+the distributed prefix sum / systematic PPS sampler.
+
+The FastSS contract is exact result equality with the brute-force
+all-pairs levenshtein filter — the deletion-neighborhood blocking must
+be lossless for k=1 across substitutions, insertions, deletions, and
+equal strings. Pinned against a pure-python DP model over seeded
+random edits.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from onechronos_etl_takehome_spark.operators.sampling import (
+    prefix_sum,
+    systematic_pps_sample,
+)
+from onechronos_etl_takehome_spark.operators.strings import (
+    deletion_neighborhood,
+    edit_distance_join,
+)
+from onechronos_etl_takehome_spark.operators.text import bm25_topk
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _mutate(rng: random.Random, s: str) -> str:
+    op = rng.choice(["sub", "ins", "del", "none"])
+    i = rng.randrange(len(s))
+    c = rng.choice("abcxyz019")
+    if op == "sub":
+        return s[:i] + c + s[i + 1 :]
+    if op == "ins":
+        return s[:i] + c + s[i:]
+    if op == "del" and len(s) > 1:
+        return s[:i] + s[i + 1 :]
+    return s
+
+
+def test_fastss_matches_bruteforce_over_random_edits(spark):
+    rng = random.Random(41)
+    base = ["".join(rng.choices("abcdef012345", k=rng.randint(4, 12)))
+            for _ in range(20)]
+    strings = base + [_mutate(rng, s) for s in base for _ in range(2)]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s").collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 1
+    )
+    assert got == want and len(want) >= 20
+
+
+def test_fastss_neighborhood_contains_self_and_deletions(spark):
+    row = spark.range(1).select(
+        deletion_neighborhood(F.lit("abc")).alias("n")
+    ).collect()[0]
+    assert sorted(row.n) == ["ab", "abc", "ac", "bc"]
+
+
+def test_fastss_sig_cap_is_subset(spark):
+    # A shared hot prefix makes one signature bucket huge; the cap
+    # sheds it, and the capped output must be a subset of the lossless
+    # result (recall traded, never precision).
+    rows = [(i, f"XX{i:03d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    full = {(r.id_a, r.id_b) for r in
+            edit_distance_join(df, "id", "s").collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              edit_distance_join(df, "id", "s", max_sig_df=5).collect()}
+    assert capped <= full and len(full) > 0
+
+
+def test_prefix_sum_matches_python_cumsum(spark):
+    rng = random.Random(7)
+    rows = [(k, rng.randint(0, 500)) for k in rng.sample(range(10_000), 300)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for nb in (1, 4, 32):
+        got = {
+            r.k: r.cum
+            for r in prefix_sum(df, "k", "v", n_buckets=nb).collect()
+        }
+        acc, want = 0, {}
+        for k, v in sorted(rows):
+            acc += v
+            want[k] = acc
+        assert got == want, f"n_buckets={nb}"
+
+
+def test_systematic_sample_draws_exactly_n(spark):
+    rng = random.Random(11)
+    rows = [(k, rng.randint(1, 1000)) for k in range(400)]
+    # one whale weight → multiplicity > 1 for that row
+    rows[100] = (100, 200_000)
+    df = spark.createDataFrame(rows, "k long, w long")
+    out = systematic_pps_sample(df, "k", "w", 50).collect()
+    assert sum(r.multiplicity for r in out) == 50
+    whale = [r for r in out if r.k == 100]
+    assert whale and whale[0].multiplicity > 1
+
+
+def test_bm25_hand_computed(spark):
+    docs = [
+        (1, "cat dog cat"),
+        (2, "dog dog dog fish"),
+        (3, "fish fish bird"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.score
+           for r in bm25_topk(df, "doc_id", "text", ["cat", "dog"]).collect()}
+    k1, b, n, avgdl = 1.2, 0.75, 3, 10 / 3
+
+    def term(tf, dfreq, dl):
+        idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want = {
+        1: term(2, 1, 3) + term(1, 2, 3),   # cat×2 (df=1), dog×1 (df=2)
+        2: term(3, 2, 4),                   # dog×3
+    }
+    assert set(out) == {1, 2}
+    for d in want:
+        assert math.isclose(out[d], want[d], rel_tol=1e-9), d
