@@ -58,6 +58,9 @@ HEADLINE = [
     "d11_fuzzy_dedup_e2e",
     # lossless counterpart: prefix-filtered exact pairs -> components
     "d16_exact_dedup_e2e",
+    # character-level family: lossless FastSS deletion-neighborhood
+    # signature join + exact levenshtein verify
+    "d17_edit_distance_pairs",
     "d06_embedding_neardup_pairs",
     "d09_decontaminate",
     "d10_embedding_neardup_clustered",
@@ -69,6 +72,7 @@ HEADLINE = [
     "s05_cosine_topk_pq",
     "t01_text_quality",
     "t15_unigram_lm_score",
+    "t16_bm25_topk",
     "t13_gopher_quality",
     "m04_binary_chunk_neardup",
     "x03_heavy_hitters",
@@ -80,6 +84,7 @@ HEADLINE = [
     "x13_event_transitions",
     "x14_pagerank_states",
     "x15_snapshot_diff",
+    "x16_weighted_sample",
     "e01_hourly_event_windows",
 ]
 

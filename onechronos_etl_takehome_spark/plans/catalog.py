@@ -78,13 +78,14 @@ DRIVER_WINDOW: list[str] = [
     "d11_fuzzy_dedup_e2e",
     "d12_duplicate_ngram_spans",
     "d15_prefix_jaccard_pairs",
+    "d17_edit_distance_pairs",
     # Text analysis.
     "t01_text_quality",
     "t02_lang_id",
     "t03_token_top20",
     "t04_rolling_fingerprint",
     "t05_token_estimates",
-    "t06_hash_sampling",
+    "x16_weighted_sample",
     "t07_text_normalize",
     "t08_salient_terms",
     "t09_chunk_documents",
@@ -114,7 +115,6 @@ DRIVER_WINDOW: list[str] = [
     "q13_json_props",  # JSON extraction
     "q18_user_sessions",  # batch sessionization
     "q19_purchase_last_view_asof",  # as-of join
-    "q22_quantity_percentiles",  # exact percentiles
     "q23_customer_status_sets",  # set aggregation
     "q25_rolling_customer_spend",  # rows-frame window
     "q27_above_average_orders",  # correlated scalar subquery
@@ -153,6 +153,15 @@ DRIVER_WINDOW: list[str] = [
 # range-frame window (window functions still witnessed by q25
 # rows-frame; ranking by q03 deterministic top-k) and q38 GROUPING
 # SETS (grouping families witnessed by q08 ROLLUP).
+# Round 4e: two new capability families enter — d17 (character-level
+# fuzzy join: lossless FastSS deletion-neighborhood blocking + exact
+# levenshtein verify, a family no token-level dedup row witnesses) and
+# x16 (weighted PPS sampling on the two-pass distributed prefix sum —
+# upgrading the sampling witness from t06's uniform hash split;
+# t06 stays locally oracled in the full gate). Displaced: t06 and q22
+# exact percentiles (percentile capability still locally oracled via
+# q22 + q45 quartiles in the 200+-test gate; rank/order witnesses
+# remain q03/q25).
 # Round 4c: d15 (prefix-filtered exact Jaccard — the LOSSLESS
 # scale path for set-similarity joins, hash-matched against d02's
 # oracle verbatim) replaces the uncapped d03: d03_capped runs the
