@@ -85,7 +85,9 @@ HEADLINE = [
     "x14_pagerank_states",
     "x15_snapshot_diff",
     "x16_weighted_sample",
+    "x17_weighted_percentiles",
     "e01_hourly_event_windows",
+    "e02_sliding_event_windows",
 ]
 
 # Fuzzy-dedup / ANN paths probed on a 10× corpus (see
@@ -178,6 +180,7 @@ def _scaled_llm_inputs(
     done = os.path.join(out, ".done")
     doc_src = os.path.join(sf_dir, "documents.parquet")
     emb_src = os.path.join(sf_dir, "embeddings.parquet")
+    cust_src = os.path.join(sf_dir, "customer.parquet")
     src_mtime = max(os.path.getmtime(doc_src), os.path.getmtime(emb_src))
     if os.path.exists(done) and os.path.getmtime(done) > src_mtime:
         return out
@@ -228,6 +231,30 @@ def _scaled_llm_inputs(
             ),
             os.path.join(out, "embeddings.parquet"),
         )
+    if "customer" in tables:
+        # Per-copy 3-letter tag prefixed to every name: within-copy
+        # edit distances are unchanged (shared prefix), cross-copy
+        # names are >= 3 edits apart (distinct-letter tags), so the
+        # 1× near-dup pair structure replicates exactly ×copies —
+        # the d17 probe should be ~linear.
+        cust_schema = pq.read_schema(cust_src)
+        cust = pq.read_table(cust_src).to_pandas()
+        c_parts = []
+        for i in range(copies):
+            c = cust.copy()
+            c["c_custkey"] = cust["c_custkey"] + i * OFF
+            tag = chr(ord("a") + i) * 3
+            c["c_name"] = [
+                tag + n if isinstance(n, str) else n for n in cust["c_name"]
+            ]
+            c_parts.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat(c_parts, ignore_index=True), schema=cust_schema,
+                preserve_index=False,
+            ),
+            os.path.join(out, "customer.parquet"),
+        )
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -251,17 +278,20 @@ def main() -> None:
     load_table(spark, sf_dir, "lineitem").count()
 
     def _bench_query(name: str, data_dir: str) -> float:
-        # min-of-2 absorbs one-off codegen compilation; sub-second
-        # entries get a third rep — at that size scheduler/python-stage
-        # noise is the same order as the measurement, and min-of-2 was
-        # flipping vs_prev signs (r3's spurious 1.2× "regressions").
+        # min-of-3 for everything: the first execution of a query
+        # carries one-time JIT/codegen cost (interleaved A/B on s03:
+        # rep0 6.1 s, rep1 1.9 s, rep2 1.7 s — min-of-2 recorded a
+        # cold-ish sample and read as a 1.5-1.9× "regression"), and
+        # sub-second entries need the third rep for scheduler noise.
+        # Only the very heavy 10× probes stop at min-of-2 (a ≥8 s
+        # entry's rep-to-rep jitter is far below the flag threshold).
         best = float("inf")
         for rep in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, data_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-            if rep >= 1 and best >= 1.2:
+            if rep >= 1 and best >= 8.0:
                 break
         return round(best, 3)
 
@@ -275,7 +305,13 @@ def main() -> None:
     llm10 = _scaled_llm_inputs(10, sf_dir)
     for name in SCALE_PROBES:
         timings[f"{name}_10x"] = _bench_query(name, llm10)
-    for name in SCALE_PROBES:
+    # d17's input is the customer table — its own structure-preserving
+    # 10× copy (tagged names keep cross-copy pairs impossible).
+    cust10 = _scaled_llm_inputs(10, sf_dir, tables=("customer",))
+    timings["d17_edit_distance_pairs_10x"] = _bench_query(
+        "d17_edit_distance_pairs", cust10
+    )
+    for name in SCALE_PROBES + ["d17_edit_distance_pairs"]:
         if timings.get(name, 0) > 0:
             ratio = round(timings[f"{name}_10x"] / timings[name], 1)
             print(f"scale10x {name}: {ratio}x its 1x time", file=sys.stderr)

@@ -43,16 +43,22 @@ def prefix_sum(
     out: str = "cum",
     *,
     n_buckets: int = 32,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``out`` = inclusive prefix sum of ``value_col`` in
-    ``key_col`` order (keys must be unique, numeric, non-null).
+    ``(key_col, *tiebreak_cols)`` order. ``key_col`` must be numeric
+    and non-null; the composite order must be unique. Without
+    tiebreaks the key itself must be unique.
 
     Two-pass distributed shape (see module docstring): no global
     single-task window; the widest exchange is the per-bucket window,
-    parallel across ``n_buckets``. Bucket skew follows key-space skew
-    (dense surrogate keys → near-uniform); crank ``n_buckets`` to the
-    cluster's parallelism at scale.
+    parallel across ``n_buckets``. Buckets derive from ``key_col``
+    ranges — equal keys always share a bucket, so a non-unique key
+    with tiebreaks still yields a well-defined global order. Bucket
+    skew follows key-space skew (dense surrogate keys → near-uniform);
+    crank ``n_buckets`` to the cluster's parallelism at scale.
     """
+    order = [key_col, *(tiebreak_cols or [])]
     key = F.col(key_col)
     rng = df.agg(
         F.min(key).alias("_lo"), F.max(key).alias("_hi")
@@ -71,7 +77,7 @@ def prefix_sum(
     ).drop("_lo", "_hi")
     w_local = (
         Window.partitionBy("_bkt")
-        .orderBy(key)
+        .orderBy(*[F.col(c) for c in order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.withColumn("_cum_local", F.sum(value_col).over(w_local))
@@ -126,4 +132,50 @@ def systematic_pps_sample(
         .withColumn("multiplicity", (sel_hi - sel_lo).cast("long"))
         .filter(F.col("multiplicity") > 0)
         .select(key_col, F.col(weight_col).alias("weight"), "multiplicity")
+    )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percentiles: list[int],
+    *,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact weighted percentiles: ``(pct, value)`` — the smallest
+    value whose cumulative weight reaches pct% of the total (weighted
+    median at 50, tail latencies at 90/99, token-weighted length cuts
+    in a corpus pipeline).
+
+    ``value_col`` numeric non-null, ``weight_col`` non-negative BIGINT;
+    ``(value, *tiebreaks)`` must be unique. All comparisons are integer
+    (``cum·100 ≥ pct·total``) — no float percentile interpolation, so
+    the result hash-matches a SQL-window oracle exactly.
+
+    Because the prefix sum runs in value order, the qualifying set of
+    each cut is an order-suffix, so the crossing row's value is simply
+    ``MIN(value)`` over qualifying rows — one bucketed prefix sum
+    (distributed, see ``prefix_sum``), one broadcast total, one tiny
+    aggregate per cut. No global window, no sort of the full table.
+    """
+    cum = prefix_sum(
+        df,
+        value_col,
+        weight_col,
+        "_cum",
+        n_buckets=n_buckets,
+        tiebreak_cols=tiebreak_cols,
+    )
+    total = df.agg(F.sum(weight_col).alias("_total"))
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)) for p in percentiles])
+    ).alias("pct")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(F.col(value_col), F.col("_cum"), F.col("_total"), pcts)
+        .filter(F.col("_cum") * 100 >= F.col("pct") * F.col("_total"))
+        .groupBy("pct")
+        .agg(F.min(value_col).alias("value"))
     )

@@ -240,12 +240,15 @@ def bm25_topk(
     a corpus-curation pipeline uses to mine topic-relevant training
     data at scale. Returns ``(doc_id, score, rank)``, top ``topk`` docs.
 
-    Plan shape: one tokenize pass; per-doc lengths and per-(doc,term)
-    tfs share that pass; df-per-term and the (n_docs, Σdl) stats frame
-    are tiny broadcasts into the scoring projection; one groupBy on the
-    id re-aggregates per-term partial scores. At 100 TB the only
-    full-corpus exchanges are the tokenize groupBys — everything else
-    is broadcast.
+    Plan shape (ONE full-corpus exchange): the query-term bag is a
+    compile-time literal list, so per-term tfs become conditional
+    counts inside the single per-doc groupBy — tokenize → one
+    ``groupBy(id)`` computing ``dl`` plus one ``_tf_i`` per term. The
+    corpus stats the scorer needs (n_docs, Σdl, per-term doc
+    frequencies) reduce that frame to ONE broadcast row, and scoring
+    is a pure projection. Contrast with the naive long form (tf /
+    dl / df as separate aggregations joined back) which re-scans the
+    corpus per branch — PLANS.md showed 4 scans; this shape shows 1.
 
     Cross-engine exactness (the oracle hash-matches bit-for-bit):
     - **idf is the rational Robertson form without the log**:
@@ -256,43 +259,66 @@ def bm25_topk(
     - every double op (the one avgdl division, the tf saturation, the
       idf ratio, their product) is a fixed-order scalar expression on
       identical operands → bitwise-identical IEEE results;
-    - per-term scores quantize to DECIMAL(28,12) before the per-doc
-      SUM, so re-aggregation is order/partitioning-independent;
+    - per-term scores quantize to DECIMAL(28,12); decimal addition is
+      exact, so the fixed-order fold here equals the oracle's SUM over
+      per-term rows regardless of order or partitioning;
     - rank ties break on doc_id.
     """
     from pyspark.sql import Window
 
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("_n_docs"), F.sum("_dl").alias("_sum_dl")
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"_tf_{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
-    tf = (
-        tok.filter(F.col("token").isin(*query_terms))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("_tf"))
+    # The stats branch re-aggregates per_doc; without a cut Catalyst
+    # plans it as a SECOND full corpus scan+explode+agg (column pruning
+    # makes the two exchanges non-identical, so ReuseExchange can't
+    # dedupe them). Truncate at the aggregated frame — n_docs·(terms+2)
+    # longs, ~10⁻⁴ of corpus bytes — so the corpus is tokenized ONCE.
+    per_doc = per_doc.localCheckpoint(eager=True)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
 
-    tf_d = F.col("_tf").cast("double")
-    df_d = F.col("_df").cast("double")
-    dl_d = F.col("_dl").cast("double")
     n_d = F.col("_n_docs").cast("double")
     avgdl = F.col("_sum_dl").cast("double") / n_d
-    idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
-    denom = tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl))
-    term_score = (idf * ((tf_d * F.lit(k1 + 1.0)) / denom)).cast(
-        "decimal(28,12)"
-    )
+    dl_d = F.col("_dl").cast("double")
+    zero = F.lit(0).cast("decimal(28,12)")
+
+    def _term(i: int):
+        tf_d = F.col(f"_tf_{i}").cast("double")
+        df_d = F.col(f"_df_{i}").cast("double")
+        idf = (n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5))
+        denom = tf_d + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl)
+        )
+        s = (idf * ((tf_d * F.lit(k1 + 1.0)) / denom)).cast("decimal(28,12)")
+        return F.when(F.col(f"_tf_{i}") > 0, s).otherwise(zero)
+
+    score = _term(0)
+    for i in range(1, len(query_terms)):
+        score = score + _term(i)
+    matched = F.col("_tf_0") > 0
+    for i in range(1, len(query_terms)):
+        matched = matched | (F.col(f"_tf_{i}") > 0)
 
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .groupBy(id_col)
-        .agg(F.sum(term_score).alias("_score_dec"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(matched)
+        .select(F.col(id_col), score.alias("_score_dec"))
     )
     # TakeOrdered first (mergeable per-partition top-k — no global
     # window over the full scored frame), then rank the tiny shortlist.

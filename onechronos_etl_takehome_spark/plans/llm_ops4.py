@@ -138,3 +138,108 @@ def x16_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("wt"),
     )
     return systematic_pps_sample(orders, "o_orderkey", "wt", _X16_N)
+
+
+# ---------------------------------------------------------------------------
+# e02 — sliding event-time windows
+# ---------------------------------------------------------------------------
+
+_E02_ORACLE = """
+    SELECT strftime(make_timestamp(
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 7200 - k) * 7200)
+             * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    GROUP BY 1, 2
+    """
+
+
+@register("e02_sliding_event_windows", oracle=_E02_ORACLE)
+def e02_sliding_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (6h window, 2h slide): count, distinct
+    users, and exact-decimal value sum per (window, event_type). The
+    e-family's overlap witness next to e01's tumbling hour — Spark
+    explodes each event into its 3 covering windows JVM-side
+    (``F.window``); the oracle derives the same epoch-aligned starts
+    with integer arithmetic."""
+    from ..functions.exact import dec, money_sum
+
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "6 hours", "2 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            money_sum(dec("value", 14, 2), "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x17 — exact weighted percentiles on the distributed prefix sum
+# ---------------------------------------------------------------------------
+
+_X17_PCTS = (50, 90, 99)
+
+_X17_ORACLE = f"""
+    WITH w AS (
+      SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(floor(l_quantity) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    c AS (SELECT cents, wt,
+            SUM(wt) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+          FROM w),
+    t AS (SELECT SUM(wt) AS total FROM w)
+    SELECT CAST(pct AS BIGINT) AS pct,
+           CAST(MIN(cents) AS DOUBLE) / 100.0 AS value
+    FROM c CROSS JOIN t
+    CROSS JOIN (SELECT unnest([{', '.join(map(str, _X17_PCTS))}]) AS pct)
+    WHERE cum * 100 >= pct * total
+    GROUP BY 1
+    """
+
+
+@register("x17_weighted_percentiles", oracle=_X17_ORACLE)
+def x17_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price percentiles over lineitem
+    (weighted median / p90 / p99): the smallest price whose cumulative
+    quantity reaches pct% of total — integer threshold math, no float
+    interpolation. q22 witnesses unweighted exact percentiles via a
+    global sort; this is the WEIGHTED form on the bucketed two-pass
+    prefix sum (operators/sampling.py) — no global window, no full
+    sort — and it hash-matches the oracle's single-window restatement."""
+    pin_semantics(spark)
+    from ..operators.sampling import weighted_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = weighted_percentiles(
+        li, "cents", "wt", list(_X17_PCTS),
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        F.col("pct").cast("long").alias("pct"),
+        (F.col("value").cast("double") / F.lit(100.0)).alias("value"),
+    )

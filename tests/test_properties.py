@@ -479,3 +479,46 @@ def test_resample_ffill_matches_dict_model(rows):
         for r in QUERIES["x10_resample_ffill"](spark, tmp).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# FastSS edit-distance join == brute-force levenshtein filter (lossless
+# k=1 blocking over arbitrary strings, incl. empty / 1-char / unicode)
+# ---------------------------------------------------------------------------
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(
+    strings=st.lists(
+        st.text(alphabet="ab01é", max_size=6), min_size=1, max_size=15
+    )
+)
+def test_fastss_join_lossless_on_arbitrary_strings(strings):
+    from onechronos_etl_takehome_spark.operators.strings import (
+        edit_distance_join,
+    )
+
+    spark = _spark()
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_join(df, "id", "s").collect()
+    )
+    want = sorted(
+        (i, j, _py_lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _py_lev(a, b) <= 1
+    )
+    assert got == want

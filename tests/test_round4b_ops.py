@@ -141,3 +141,45 @@ def test_bm25_hand_computed(spark):
     assert set(out) == {1, 2}
     for d in want:
         assert math.isclose(out[d], want[d], rel_tol=1e-9), d
+
+
+def test_bm25_single_corpus_scan(spark):
+    # The wide conditional-aggregate form must read the corpus ONCE:
+    # per-term tfs are conditional counts inside the single per-doc
+    # groupBy, and corpus stats reduce that frame (no tf/dl/df branch
+    # re-scans — the naive long form showed 4 parquet scans).
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    df = QUERIES["t16_bm25_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the corpus parquet relation appears ZERO times in the final plan:
+    # it was consumed once, eagerly, into the per-doc checkpoint both
+    # branches read (the naive long form showed 4 parquet scans).
+    assert plan.count("Relation") == 0, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_weighted_percentiles_matches_python_model(spark):
+    from onechronos_etl_takehome_spark.operators.sampling import (
+        weighted_percentiles,
+    )
+
+    rng = random.Random(23)
+    rows = [(rng.randint(0, 50), rng.randint(1, 9), i) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long, w long, id long")
+    got = {
+        r.pct: r.value
+        for r in weighted_percentiles(
+            df, "v", "w", [50, 90, 99], tiebreak_cols=["id"]
+        ).collect()
+    }
+    total = sum(w for _, w, _ in rows)
+    want = {}
+    for pct in (50, 90, 99):
+        cum = 0
+        for v, w, _ in sorted(rows, key=lambda t: (t[0], t[2])):
+            cum += w
+            if cum * 100 >= pct * total:
+                want[pct] = v
+                break
+    assert got == want
