@@ -101,3 +101,177 @@ def edit_distance_join(
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+def _seg_bounds(length, i: "Column", tau: int):
+    """Even partition of ``length`` chars into tau+1 segments: first
+    (length mod tau+1) segments get the extra char. Returns (start,
+    seg_len) as 1-based Column exprs — identical arithmetic on index
+    and probe side so keys align."""
+    n = tau + 1
+    base = F.floor(length / n)
+    rem = length % n
+    start = (
+        i * base + F.least(i, rem) + 1
+    )
+    seg_len = base + F.when(i < rem, 1).otherwise(0)
+    return start.cast("int"), seg_len.cast("int")
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    *,
+    tau: int = 2,
+    max_seg_df: int | None = None,
+) -> DataFrame:
+    """All pairs with ``levenshtein <= tau`` via PassJoin segment
+    signatures (Li, Deng & Feng, VLDB'11): (id_a, id_b, dist), exact
+    and lossless for any tau.
+
+    Pigeonhole: partition the indexed string into tau+1 segments; tau
+    edits can touch at most tau segments, so at least one survives
+    VERBATIM in any string within distance tau, shifted by at most tau
+    positions. Candidates therefore come from an equi-join on
+    (segment text, segment index, indexed length): the index side
+    emits its tau+1 segments; the probe side emits, for every
+    candidate indexed length within ±tau of its own and every segment
+    slot, the substrings at the segment's start ± tau (the loose shift
+    window — a superset of PassJoin's multi-match-aware selection,
+    keeping the join lossless at ~(2tau+1) extra probes). Exact
+    ``levenshtein`` verifies survivors.
+
+    Generalizes the k=1 FastSS deletion join (``edit_distance_join``)
+    to arbitrary tau; signatures are substrings rather than deletions,
+    so signature volume is O(tau²) per row instead of O(|s|). All
+    signature generation is JVM array expressions — no Python.
+
+    Skew caveat: a segment shared by a huge fraction of the corpus (a
+    constant prefix — ``Customer#``, a URL scheme, boilerplate) makes
+    that (seg, i, l) bucket quadratic: the match carries no
+    information but still generates |bucket|² candidates.
+    ``max_seg_df`` drops index postings for buckets larger than the
+    cap — the posting-list cap every signature family here exposes.
+    Capped recall loss is confined to pairs whose ONLY surviving
+    segment is a ubiquitous one (their informative segments all took
+    edits); the uncapped form stays the oracle.
+    """
+    s = F.col(str_col)
+    length = F.length(s)
+
+    # Index side: the tau+1 segments of this string.
+    idx_i = F.sequence(F.lit(0), F.lit(tau))
+
+    def _index_segs():
+        def one(i):
+            start, sl = _seg_bounds(length, i, tau)
+            return F.struct(
+                F.substring(s, start, sl).alias("seg"),
+                i.cast("int").alias("i"),
+                length.cast("int").alias("l"),
+            )
+
+        return F.transform(idx_i, one)
+
+    index = df.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.explode(_index_segs()).alias("_k"),
+    ).select("_id", "_s", F.col("_k.seg").alias("_seg"),
+             F.col("_k.i").alias("_i"), F.col("_k.l").alias("_l"))
+
+    # Probe side: for every candidate indexed length lp in
+    # [len-tau, len+tau], every segment slot i, every shift d in
+    # [-tau, tau]: the substring of the probe at the segment's start
+    # (computed for length lp) + d, with the segment length of lp.
+    lps = F.sequence(length - tau, length + tau)
+
+    def _probe_subs():
+        def per_lp(lp):
+            def per_i(i):
+                start, sl = _seg_bounds(lp, i, tau)
+
+                def per_d(d):
+                    p = start + d
+                    return F.struct(
+                        F.substring(s, p, sl).alias("seg"),
+                        i.cast("int").alias("i"),
+                        lp.cast("int").alias("l"),
+                        # validity: inside the probe string and a
+                        # non-empty segment
+                        (
+                            (p >= 1)
+                            & (sl >= 1)
+                            & (p + sl - 1 <= length)
+                        ).alias("ok"),
+                    )
+
+                return F.transform(F.sequence(F.lit(-tau), F.lit(tau)), per_d)
+
+            return F.flatten(F.transform(idx_i, per_i))
+
+        return F.flatten(F.transform(lps, per_lp))
+
+    probe = df.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.explode(F.filter(_probe_subs(), lambda k: k["ok"])).alias("_k"),
+    ).select("_id", "_s", F.col("_k.seg").alias("_seg"),
+             F.col("_k.i").alias("_i"), F.col("_k.l").alias("_l"))
+
+    if max_seg_df is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("_seg", "_i", "_l")
+        index = (
+            index.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_seg_df)
+            .drop("_df")
+        )
+
+    a = index.alias("a")
+    b = probe.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._seg") == F.col("b._seg"))
+        & (F.col("a._i") == F.col("b._i"))
+        & (F.col("a._l") == F.col("b._l"))
+        & (F.col("a._id") != F.col("b._id")),
+    ).select(
+        F.least("a._id", "b._id").alias("id_a"),
+        F.greatest("a._id", "b._id").alias("id_b"),
+        F.when(F.col("a._id") < F.col("b._id"), F.col("a._s"))
+        .otherwise(F.col("b._s"))
+        .alias("_sa"),
+        F.when(F.col("a._id") < F.col("b._id"), F.col("b._s"))
+        .otherwise(F.col("a._s"))
+        .alias("_sb"),
+    )
+
+    # Pigeonhole needs ALL tau+1 index segments non-empty, i.e. index
+    # length >= tau+1. A pair where the LONGER string is >= tau+1 is
+    # covered (the longer side indexes, the shorter probes); only
+    # pairs with BOTH strings of length <= tau can slip through with
+    # an empty surviving segment. That class is alphabet-bounded
+    # (<= |Σ|^tau distinct strings) — brute-force it.
+    tiny = df.filter(F.length(F.col(str_col)) <= tau).select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    )
+    ta, tb = tiny.alias("ta"), tiny.alias("tb")
+    tiny_cand = ta.join(
+        F.broadcast(tb), F.col("ta._id") < F.col("tb._id")
+    ).select(
+        F.col("ta._id").alias("id_a"),
+        F.col("tb._id").alias("id_b"),
+        F.col("ta._s").alias("_sa"),
+        F.col("tb._s").alias("_sb"),
+    )
+
+    return (
+        cand.unionByName(tiny_cand)
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
+        .filter(F.col("dist") <= tau)
+        .select("id_a", "id_b", "dist")
+    )

@@ -243,3 +243,31 @@ def x17_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pct").cast("long").alias("pct"),
         (F.col("value").cast("double") / F.lit(100.0)).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d18 — PassJoin generalized edit-distance join (tau = 2)
+# ---------------------------------------------------------------------------
+
+_D18_ORACLE = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """
+
+
+@register("d18_passjoin_pairs", oracle=_D18_ORACLE)
+def d18_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join generalized past k=1: every customer-name
+    pair within levenshtein 2 via PassJoin segment signatures
+    (operators/strings.py:passjoin_pairs — pigeonhole segments +
+    bounded-shift substring probes, exact verify). Hash-matching the
+    brute-force oracle proves the blocking lossless at tau=2; the
+    ``max_seg_df`` posting cap is the scale lever for ubiquitous-
+    prefix skew (capped form pinned as a subset in tests)."""
+    pin_semantics(spark)
+    from ..operators.strings import passjoin_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return passjoin_pairs(cust, "c_custkey", "c_name", tau=2)

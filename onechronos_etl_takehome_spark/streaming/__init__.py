@@ -1,5 +1,6 @@
 from .events_stream import (
     hourly_event_windows_stream,
+    sliding_event_windows_stream,
     read_events_stream,
     streaming_dedup,
     write_stream_parquet,
@@ -8,6 +9,7 @@ from .events_stream import (
 
 __all__ = [
     "hourly_event_windows_stream",
+    "sliding_event_windows_stream",
     "read_events_stream",
     "streaming_dedup",
     "write_stream_parquet",

@@ -160,6 +160,38 @@ def hourly_event_windows_stream(
     )
 
 
+def sliding_event_windows_stream(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of e02_sliding_event_windows (6h window / 2h
+    slide): each event lands in its 3 covering windows; the watermark
+    closes a window once event time passes its end + slack.
+
+    Divergence from the batch form (documented contract): Spark
+    forbids exact distinct aggregates on streams, so ``n_users`` is
+    ``approx_count_distinct`` here — the batch e02 is the exact
+    restatement for backfills. ``n``/``total_value`` match the batch
+    twin exactly (pinned in tests/test_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours", "2 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            money_sum(dec("value", 14, 2), "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "n_users_approx",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, *, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -183,3 +183,57 @@ def test_weighted_percentiles_matches_python_model(spark):
                 want[pct] = v
                 break
     assert got == want
+
+
+def test_passjoin_matches_bruteforce_over_random_edits(spark):
+    from onechronos_etl_takehome_spark.operators.strings import passjoin_pairs
+
+    rng = random.Random(43)
+    base = ["".join(rng.choices("abcde012", k=rng.randint(1, 12)))
+            for _ in range(15)]
+    strings = base + [
+        _mutate(rng, _mutate(rng, s)) for s in base for _ in range(2)
+    ] + ["", "a", "ab"]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in passjoin_pairs(df, "id", "s", tau=2).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 2
+    )
+    assert got == want and len(want) >= 30
+
+
+def test_passjoin_tau1_agrees_with_fastss(spark):
+    from onechronos_etl_takehome_spark.operators.strings import passjoin_pairs
+
+    rng = random.Random(44)
+    strings = ["".join(rng.choices("xy01", k=rng.randint(2, 8)))
+               for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id long, s string"
+    )
+    pj = sorted((r.id_a, r.id_b, r.dist)
+                for r in passjoin_pairs(df, "id", "s", tau=1).collect())
+    fs = sorted((r.id_a, r.id_b, r.dist)
+                for r in edit_distance_join(df, "id", "s").collect())
+    assert pj == fs and pj
+
+
+def test_passjoin_seg_cap_is_subset(spark):
+    from onechronos_etl_takehome_spark.operators.strings import passjoin_pairs
+
+    # constant prefix -> two ubiquitous segment buckets; the cap sheds
+    # them and may only LOSE pairs, never invent them.
+    rows = [(i, f"PREFIX##{i:04d}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    full = {(r.id_a, r.id_b) for r in
+            passjoin_pairs(df, "id", "s", tau=2).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              passjoin_pairs(df, "id", "s", tau=2, max_seg_df=10).collect()}
+    assert capped <= full and len(full) > 0

@@ -136,3 +136,39 @@ def test_write_stream_upsert_last_writer_wins(spark, tmp_path):
         for r in read_keyed_table(spark, tbl).collect()
     }
     assert got == {(1, "purchase", 9.0), (2, "view", 2.0), (3, "view", 3.0)}
+
+
+def test_stream_sliding_windows_match_batch(spark, tmp_path):
+    from onechronos_etl_takehome_spark.streaming import (
+        sliding_event_windows_stream,
+    )
+
+    pin_semantics(spark)
+    stream = sliding_event_windows_stream(read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.table("sliding_stream").collect()
+    got = {
+        (r.window_start, r.event_type, r.n, r.total_value) for r in rows
+    }
+    batch = QUERIES["e02_sliding_event_windows"](spark, SF).collect()
+    expected = {
+        (r.window_start, r.event_type, r.n, r.total_value) for r in batch
+    }
+    # n / total_value match the batch twin exactly; n_users is approx
+    # on the stream (exact distinct aggregates are batch-only).
+    assert got == expected
+    exact_users = {
+        (r.window_start, r.event_type): r.n_users for r in batch
+    }
+    for r in rows:
+        approx = r.n_users_approx
+        exact = exact_users[(r.window_start, r.event_type)]
+        assert approx > 0 and abs(approx - exact) <= max(2, 0.1 * exact)
