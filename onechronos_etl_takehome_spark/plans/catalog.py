@@ -78,7 +78,7 @@ DRIVER_WINDOW: list[str] = [
     "d11_fuzzy_dedup_e2e",
     "d12_duplicate_ngram_spans",
     "d15_prefix_jaccard_pairs",
-    "d17_edit_distance_pairs",
+    "d18_passjoin_pairs",
     # Text analysis.
     "t01_text_quality",
     "t02_lang_id",
@@ -153,6 +153,10 @@ DRIVER_WINDOW: list[str] = [
 # range-frame window (window functions still witnessed by q25
 # rows-frame; ranking by q03 deterministic top-k) and q38 GROUPING
 # SETS (grouping families witnessed by q08 ROLLUP).
+# Round 4f: the character-level witness upgrades d17 → d18 (PassJoin
+# at tau=2 — pigeonhole segments + bounded-shift probes — subsumes the
+# k=1 claim and hash-matches a 204k-pair brute-force oracle at sf0.01;
+# d17's FastSS form stays locally oracled in the full gate).
 # Round 4e: two new capability families enter — d17 (character-level
 # fuzzy join: lossless FastSS deletion-neighborhood blocking + exact
 # levenshtein verify, a family no token-level dedup row witnesses) and

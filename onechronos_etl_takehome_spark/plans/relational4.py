@@ -284,3 +284,31 @@ def q55_priority_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_Q56_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """
+
+
+@register("q56_lateral_top_orders", oracle=_Q56_SQL)
+def q56_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each BUILDING customer's two
+    priciest orders. The same text runs on both engines (DuckDB
+    executes the oracle verbatim); Catalyst decorrelates the lateral
+    limit into a ranked window under the hood — the per-group top-k
+    a warehouse user writes as LATERAL instead of ROW_NUMBER (q05
+    witnesses the window spelling)."""
+    from ..sources.tables import register_views
+
+    pin_semantics(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q56_SQL)
