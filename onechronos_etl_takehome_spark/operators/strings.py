@@ -65,7 +65,12 @@ def edit_distance_join(
     extra shuffle. Uncapped (the default) the join is lossless and is
     what the d17 oracle hash-matches.
     """
-    sigs = df.select(
+    # spread(): the signature join + levenshtein verify run inside the
+    # scan's stage; a single-file scan would pin them to 1-2 cores
+    # (measured 3× on sf0.1 customer). Scan-shaped input by contract.
+    from .util import spread
+
+    sigs = spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
         F.explode(deletion_neighborhood(F.col(str_col))).alias("_sig"),
@@ -85,20 +90,23 @@ def edit_distance_join(
             (F.col("a._sig") == F.col("b._sig"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        # One signature collision is enough; a pair can collide on up
-        # to |s|+1 signatures, so dedup BEFORE the (cheap but per-pair)
-        # exact verify.
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a._s").alias("_sa"),
             F.col("b._s").alias("_sb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify BEFORE dedup: levenshtein is a cheap codegen'd expression
+    # evaluated map-side, and most collisions fail it (deletion-sig
+    # sharing admits lev-2 transposition-shaped pairs — measured 3.3×
+    # more candidates than survivors on customer names), so filtering
+    # first shrinks the dedup exchange by the same factor. A pair's
+    # duplicates all carry the same dist, so dedup-after is identical.
     return (
         cand.withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
         .filter(F.col("dist") <= 1)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "dist")
     )
 
@@ -157,6 +165,9 @@ def passjoin_pairs(
     segment is a ubiquitous one (their informative segments all took
     edits); the uncapped form stays the oracle.
     """
+    from .util import spread
+
+    df = spread(df)  # see edit_distance_join — probe stage parallelism
     s = F.col(str_col)
     length = F.length(s)
 
@@ -268,10 +279,13 @@ def passjoin_pairs(
         F.col("tb._s").alias("_sb"),
     )
 
+    # Verify before dedup (same reasoning as edit_distance_join): the
+    # map-side levenshtein filter discards most signature collisions,
+    # shrinking the one dedup exchange to the survivor multiset.
     return (
         cand.unionByName(tiny_cand)
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
         .filter(F.col("dist") <= tau)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "dist")
     )
