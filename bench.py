@@ -61,6 +61,9 @@ HEADLINE = [
     # character-level family: lossless FastSS deletion-neighborhood
     # signature join + exact levenshtein verify
     "d17_edit_distance_pairs",
+    # entity-resolution composition: blocked PassJoin -> components ->
+    # survivor per entity
+    "d19_entity_resolution",
     "d06_embedding_neardup_pairs",
     "d09_decontaminate",
     "d10_embedding_neardup_clustered",

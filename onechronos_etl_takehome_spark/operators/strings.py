@@ -133,6 +133,7 @@ def passjoin_pairs(
     *,
     tau: int = 2,
     max_seg_df: int | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """All pairs with ``levenshtein <= tau`` via PassJoin segment
     signatures (Li, Deng & Feng, VLDB'11): (id_a, id_b, dist), exact
@@ -154,6 +155,12 @@ def passjoin_pairs(
     to arbitrary tau; signatures are substrings rather than deletions,
     so signature volume is O(tau²) per row instead of O(|s|). All
     signature generation is JVM array expressions — no Python.
+
+    ``block_col`` adds an entity-resolution blocking key: only pairs
+    with EQUAL (non-null) block values join — the key rides every
+    signature, so blocking prunes candidates inside the same exchange
+    rather than post-filtering pairs. Rows with a NULL block match
+    nothing (document the 3VL contract rather than inventing one).
 
     Skew caveat: a segment shared by a huge fraction of the corpus (a
     constant prefix — ``Customer#``, a URL scheme, boilerplate) makes
@@ -185,12 +192,16 @@ def passjoin_pairs(
 
         return F.transform(idx_i, one)
 
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
+    blk_keep = ["_blk"] if block_col else []
     index = df.select(
         F.col(id_col).alias("_id"),
         s.alias("_s"),
         F.explode(_index_segs()).alias("_k"),
+        *blk,
     ).select("_id", "_s", F.col("_k.seg").alias("_seg"),
-             F.col("_k.i").alias("_i"), F.col("_k.l").alias("_l"))
+             F.col("_k.i").alias("_i"), F.col("_k.l").alias("_l"),
+             *blk_keep)
 
     # Probe side: for every candidate indexed length lp in
     # [len-tau, len+tau], every segment slot i, every shift d in
@@ -228,8 +239,10 @@ def passjoin_pairs(
         F.col(id_col).alias("_id"),
         s.alias("_s"),
         F.explode(F.filter(_probe_subs(), lambda k: k["ok"])).alias("_k"),
+        *blk,
     ).select("_id", "_s", F.col("_k.seg").alias("_seg"),
-             F.col("_k.i").alias("_i"), F.col("_k.l").alias("_l"))
+             F.col("_k.i").alias("_i"), F.col("_k.l").alias("_l"),
+             *blk_keep)
 
     if max_seg_df is not None:
         from pyspark.sql.window import Window
@@ -243,13 +256,15 @@ def passjoin_pairs(
 
     a = index.alias("a")
     b = probe.alias("b")
-    cand = a.join(
-        b,
+    join_cond = (
         (F.col("a._seg") == F.col("b._seg"))
         & (F.col("a._i") == F.col("b._i"))
         & (F.col("a._l") == F.col("b._l"))
-        & (F.col("a._id") != F.col("b._id")),
-    ).select(
+        & (F.col("a._id") != F.col("b._id"))
+    )
+    if block_col:
+        join_cond = join_cond & (F.col("a._blk") == F.col("b._blk"))
+    cand = a.join(b, join_cond).select(
         F.least("a._id", "b._id").alias("id_a"),
         F.greatest("a._id", "b._id").alias("id_b"),
         F.when(F.col("a._id") < F.col("b._id"), F.col("a._s"))
@@ -267,11 +282,14 @@ def passjoin_pairs(
     # an empty surviving segment. That class is alphabet-bounded
     # (<= |Σ|^tau distinct strings) — brute-force it.
     tiny = df.filter(F.length(F.col(str_col)) <= tau).select(
-        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s"), *blk
     )
     ta, tb = tiny.alias("ta"), tiny.alias("tb")
+    tiny_cond = F.col("ta._id") < F.col("tb._id")
+    if block_col:
+        tiny_cond = tiny_cond & (F.col("ta._blk") == F.col("tb._blk"))
     tiny_cand = ta.join(
-        F.broadcast(tb), F.col("ta._id") < F.col("tb._id")
+        F.broadcast(tb), tiny_cond
     ).select(
         F.col("ta._id").alias("id_a"),
         F.col("tb._id").alias("id_b"),

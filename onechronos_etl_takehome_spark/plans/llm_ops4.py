@@ -271,3 +271,90 @@ def d18_passjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return passjoin_pairs(cust, "c_custkey", "c_name", tau=2)
+
+
+# ---------------------------------------------------------------------------
+# d19 — end-to-end entity resolution (block → fuzzy match → cluster →
+# survivor)
+# ---------------------------------------------------------------------------
+
+_D19_ORACLE = """
+    WITH pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND a.c_nationkey = b.c_nationkey
+       AND levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(node, root) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node)
+      SELECT * FROM r),
+    comps AS (SELECT node AS c_custkey, MIN(root) AS entity_id
+              FROM reach GROUP BY node),
+    members AS (
+      SELECT comps.entity_id, c.c_custkey, c.c_name, c.c_acctbal
+      FROM comps JOIN customer c USING (c_custkey))
+    SELECT m.entity_id, n.n_members,
+           m.c_custkey AS survivor_custkey, m.c_name AS survivor_name
+    FROM (SELECT entity_id, c_custkey, c_name,
+                 ROW_NUMBER() OVER (PARTITION BY entity_id
+                                    ORDER BY c_acctbal DESC, c_custkey)
+                   AS rn
+          FROM members) m
+    JOIN (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM members GROUP BY entity_id) n USING (entity_id)
+    WHERE rn = 1
+    """
+
+
+@register("d19_entity_resolution", oracle=_D19_ORACLE)
+def d19_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, the composition a master-data /
+    corpus-identity pipeline ships: block on nation → PassJoin fuzzy
+    name match (tau=1, the blocking key riding every signature —
+    operators/strings.py) → transitive closure (d07's checkpointed
+    min-label propagation) → one survivor per entity by account
+    balance (tie: smallest key). Every stage is individually oracled
+    elsewhere (d18, d07, d13); this row hash-matches the composition
+    itself, entity ids and survivors included."""
+    pin_semantics(spark)
+    from pyspark.sql.window import Window
+
+    from ..operators import dedup as dd
+    from ..operators.strings import passjoin_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = passjoin_pairs(
+        cust, "c_custkey", "c_name", tau=1, block_col="c_nationkey"
+    ).select("id_a", "id_b")
+    comps = dd.dedup_components(
+        cust.select("c_custkey"), pairs, id_col="c_custkey"
+    )
+    members = comps.join(cust, "c_custkey").select(
+        F.col("canonical_id").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    sizes = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            F.col("c_custkey").alias("survivor_custkey"),
+            F.col("c_name").alias("survivor_name"),
+        )
+    )

@@ -237,3 +237,26 @@ def test_passjoin_seg_cap_is_subset(spark):
     capped = {(r.id_a, r.id_b) for r in
               passjoin_pairs(df, "id", "s", tau=2, max_seg_df=10).collect()}
     assert capped <= full and len(full) > 0
+
+
+def test_passjoin_block_col_equals_postfiltered_pairs(spark):
+    from onechronos_etl_takehome_spark.operators.strings import passjoin_pairs
+
+    rng = random.Random(47)
+    rows = [
+        (i, "".join(rng.choices("ab12", k=rng.randint(1, 7))), rng.randint(0, 2))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, blk int")
+    blocked = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in passjoin_pairs(df, "id", "s", tau=1, block_col="blk").collect()
+    )
+    full = passjoin_pairs(df, "id", "s", tau=1).collect()
+    blk_of = {i: b for i, _, b in rows}
+    want = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in full
+        if blk_of[r.id_a] == blk_of[r.id_b]
+    )
+    assert blocked == want and len(want) > 0
