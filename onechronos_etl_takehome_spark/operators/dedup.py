@@ -619,95 +619,175 @@ def prefix_jaccard_pairs(
 
 
 def dedup_components(
-    ids: DataFrame, pairs: DataFrame, *, id_col: str, max_iters: int = 20
+    ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    max_iters: int = 20,
+    driver_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """(id, canonical_id): connected components over duplicate pairs.
 
-    Pair-level dedup (Jaccard/MinHash) yields edges; the *deduped
-    corpus* needs the transitive closure — A~B, B~C must collapse to
-    one survivor. Classic min-label propagation: every node starts as
-    its own label; each iteration takes the min label over neighbors;
-    stop at fixpoint. Near-dup components are tiny (pairs/chains), so
-    convergence takes O(component diameter) iterations — 2-3 in
-    practice; ``max_iters`` bounds pathological chains.
+    Pair-level dedup (Jaccard/MinHash/edit-distance) yields edges; the
+    *deduped corpus* needs the transitive closure — A~B, B~C must
+    collapse to one survivor, and entity-resolution graphs (d19) form
+    LONG CHAINS (near-sequential ids differing by one digit), not just
+    tiny clique-ish near-dup clusters. One-hop min-label propagation
+    needs O(diameter) rounds and silently truncated such chains at
+    ``max_iters``; the solvers here don't.
 
-    Scale: each iteration is one join on the edge list + a min-agg —
-    all shuffle-partitioned by node id; labels are cached per round and
-    the loop's only driver-side data is the convergence counter.
+    Two tiers:
 
-    Lineage: each round's labels are *checkpointed*, not just cached —
-    a cache leaves the logical plan growing by one join per iteration
-    (planning cost and stack depth scale with rounds; the round-1 plan
-    fingerprint showed 135 scans for a 4-round run). Checkpointing
-    truncates the plan to a leaf per round: ``checkpoint()`` when the
-    session has a checkpoint dir (production — survives executor loss),
-    else ``localCheckpoint()`` (executor-local, fine for local mode).
+    - **Driver union-find** when the canonical edge list is within
+      ``driver_edge_limit`` (default 1M edges ≈ 16 MB). The edge list
+      of a thresholded duplicate graph is orders of magnitude smaller
+      than the corpus — collecting it is the same bounded-driver
+      contract as the IVF training sample, and path-compressed
+      union-find is exact and instant at any diameter.
+    - **Alternating large-star / small-star contraction** (Kiveris et
+      al., "Connected Components in MapReduce and Beyond") beyond the
+      limit: each round rewrites the edge list so every node links
+      toward its neighborhood minimum; converges in O(log²) rounds for
+      ANY diameter. Every phase is checkpointed (lineage truncation —
+      the round-1 plan fingerprint showed 135 scans for a 4-round
+      cache-only run); convergence is count-gated with an exact
+      ``exceptAll`` confirmation, so a stable count can't fake a
+      fixpoint.
     """
-    # cache the edge list: every iteration joins against it, and the
-    # pair computation upstream (shingling + joins) must not re-run
-    # per round.
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .cache()
+    edges0 = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
     )
+
     def _truncate(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).cache()
-    try:
-        changed = 0
-        for _ in range(max_iters):
-            neighbor_min = (
-                edges.join(labels, edges.src == labels.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = _truncate(
-                labels.join(neighbor_min, "node", "left").select(
-                    "node",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                    ).alias("label"),
+    E = _truncate(edges0)
+    n_edges = E.count()
+
+    if n_edges <= driver_edge_limit:
+        # ---- bounded-driver exact path -------------------------------
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in E.collect():
+            ra, rb = find(r.lo), find(r.hi)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        mapping = [(node, find(node)) for node in list(parent)]
+        spark = ids.sparkSession
+        if mapping:
+            lab = spark.createDataFrame(mapping, ["_n", "_lab"])
+            out = (
+                ids.select(F.col(id_col))
+                .join(
+                    F.broadcast(lab),
+                    F.col(id_col) == F.col("_n"),
+                    "left",
+                )
+                .select(
+                    F.col(id_col),
+                    F.coalesce("_lab", F.col(id_col)).alias("canonical_id"),
                 )
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
+        else:
+            out = ids.select(
+                F.col(id_col), F.col(id_col).alias("canonical_id")
             )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        if changed > 0:
-            # One hop per iteration: a component whose diameter exceeds
-            # max_iters would silently get >1 canonical id. Near-dup
-            # components are tiny, so this firing means the pair
-            # threshold is far too loose — surface it, don't guess.
-            import warnings
+        return out
 
-            warnings.warn(
-                f"dedup_components: label propagation did not converge "
-                f"within max_iters={max_iters} ({changed} labels still "
-                f"changing); components wider than {max_iters} hops have "
-                f"multiple canonical ids. Raise max_iters or tighten the "
-                f"pair threshold.",
-                RuntimeWarning,
-                stacklevel=2,
+    # ---- distributed star-contraction path ---------------------------
+    import warnings
+
+    converged = False
+    prev_count = n_edges
+    for _ in range(max_iters):
+        for phase in ("large", "small"):
+            nbr = E.select(
+                F.col("lo").alias("u"), F.col("hi").alias("v")
+            ).union(E.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+            m = nbr.groupBy("u").agg(F.min("v").alias("_mv")).select(
+                "u", F.least("_mv", F.col("u")).alias("m")
             )
-        # the final labels frame stays cached for the caller's action
-        return labels.select(
-            F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+            joined = nbr.join(m, "u")
+            if phase == "large":
+                out = joined.filter(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("a"), F.col("m").alias("b")
+                )
+            else:
+                out = joined.filter(F.col("v") <= F.col("u")).select(
+                    F.col("v").alias("a"), F.col("m").alias("b")
+                ).union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            new_E = _truncate(
+                out.select(
+                    F.least("a", "b").alias("lo"),
+                    F.greatest("a", "b").alias("hi"),
+                )
+                .filter(F.col("lo") != F.col("hi"))
+                .distinct()
+            )
+            E.unpersist()
+            E = new_E
+        cnt = E.count()
+        if cnt == prev_count:
+            # Exact confirmation (a stable count could mask churn):
+            # stars are a fixed point of large-star, so one more LS
+            # application producing no new edges proves convergence.
+            nbr = E.select(
+                F.col("lo").alias("u"), F.col("hi").alias("v")
+            ).union(
+                E.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            )
+            m = nbr.groupBy("u").agg(F.min("v").alias("_mv")).select(
+                "u", F.least("_mv", F.col("u")).alias("m")
+            )
+            ls = (
+                nbr.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(
+                    F.least("v", "m").alias("lo"),
+                    F.greatest("v", "m").alias("hi"),
+                )
+                .filter(F.col("lo") != F.col("hi"))
+                .distinct()
+            )
+            if ls.exceptAll(E).count() == 0:
+                converged = True
+                break
+        prev_count = cnt
+    if not converged:
+        warnings.warn(
+            f"dedup_components: star contraction did not converge within "
+            f"max_iters={max_iters} rounds; components may carry multiple "
+            f"canonical ids. Raise max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
         )
-    finally:
-        edges.unpersist()
+    # At the fixpoint E is a set of stars rooted at component minima:
+    # every non-root appears exactly once as `hi` with its root as `lo`.
+    return ids.select(F.col(id_col)).join(
+        E.select(F.col("hi").alias("_n"), F.col("lo").alias("_lab")),
+        F.col(id_col) == F.col("_n"),
+        "left",
+    ).select(
+        F.col(id_col), F.coalesce("_lab", F.col(id_col)).alias("canonical_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
-"""dedup_components: transitive closure correctness and the
-unconverged-warning contract (ADVICE r1: a component wider than
-max_iters hops must not silently split)."""
+"""dedup_components: transitive closure correctness on BOTH solver
+tiers (bounded-driver union-find; distributed large-star/small-star
+contraction), plus the unconverged-warning contract (ADVICE r1: a
+component the solver cannot finish must not silently split)."""
 
 from __future__ import annotations
 
@@ -19,7 +20,10 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, "id_a long, id_b long")
 
 
-def test_chain_collapses_to_min_label(spark):
+# driver_edge_limit=0 forces the distributed star-contraction path;
+# the default exercises the bounded-driver union-find.
+@pytest.mark.parametrize("limit", [0, 1_000_000])
+def test_chain_collapses_to_min_label(spark, limit):
     # 0-1-2-3 chain plus isolated 4: one component {0..3} + singleton.
     got = {
         (r.doc_id, r.canonical_id)
@@ -27,26 +31,52 @@ def test_chain_collapses_to_min_label(spark):
             _ids(spark, 5),
             _pairs(spark, [(0, 1), (1, 2), (2, 3)]),
             id_col="doc_id",
+            driver_edge_limit=limit,
         ).collect()
     }
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4)}
 
 
-def test_unconverged_component_warns(spark):
-    # A 6-node chain needs ~5 propagation hops; max_iters=2 cannot
-    # converge and must say so instead of returning split components.
+@pytest.mark.parametrize("limit", [0, 1_000_000])
+def test_long_chain_converges(spark, limit):
+    # A 40-node chain (diameter 39) — the shape that broke one-hop
+    # label propagation (it needed O(diameter) rounds). Union-find is
+    # diameter-free; star contraction is O(log²) rounds.
+    n = 40
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            (r.doc_id, r.canonical_id)
+            for r in dedup_components(
+                _ids(spark, n),
+                _pairs(spark, [(i, i + 1) for i in range(n - 1)]),
+                id_col="doc_id",
+                driver_edge_limit=limit,
+            ).collect()
+        }
+    assert got == {(i, 0) for i in range(n)}
+
+
+def test_unconverged_distributed_run_warns(spark):
+    # One star-contraction round cannot finish a 40-node chain; the
+    # distributed path must say so instead of returning split labels.
     with pytest.warns(RuntimeWarning, match="did not converge"):
         dedup_components(
-            _ids(spark, 6),
-            _pairs(spark, [(i, i + 1) for i in range(5)]),
+            _ids(spark, 40),
+            _pairs(spark, [(i, i + 1) for i in range(39)]),
             id_col="doc_id",
-            max_iters=2,
+            max_iters=1,
+            driver_edge_limit=0,
         ).collect()
 
 
-def test_converged_run_does_not_warn(spark):
+@pytest.mark.parametrize("limit", [0, 1_000_000])
+def test_converged_run_does_not_warn(spark, limit):
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         dedup_components(
-            _ids(spark, 3), _pairs(spark, [(0, 1)]), id_col="doc_id"
+            _ids(spark, 3),
+            _pairs(spark, [(0, 1)]),
+            id_col="doc_id",
+            driver_edge_limit=limit,
         ).collect()
