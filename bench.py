@@ -184,7 +184,11 @@ def _scaled_llm_inputs(
     doc_src = os.path.join(sf_dir, "documents.parquet")
     emb_src = os.path.join(sf_dir, "embeddings.parquet")
     cust_src = os.path.join(sf_dir, "customer.parquet")
-    src_mtime = max(os.path.getmtime(doc_src), os.path.getmtime(emb_src))
+    src_mtime = max(
+        os.path.getmtime(doc_src),
+        os.path.getmtime(emb_src),
+        os.path.getmtime(cust_src),
+    )
     if os.path.exists(done) and os.path.getmtime(done) > src_mtime:
         return out
     os.makedirs(out, exist_ok=True)

@@ -624,7 +624,7 @@ def dedup_components(
     *,
     id_col: str,
     max_iters: int = 20,
-    driver_edge_limit: int = 1_000_000,
+    driver_edge_limit: int = 500_000,
 ) -> DataFrame:
     """(id, canonical_id): connected components over duplicate pairs.
 
@@ -639,11 +639,15 @@ def dedup_components(
     Two tiers:
 
     - **Driver union-find** when the canonical edge list is within
-      ``driver_edge_limit`` (default 1M edges ≈ 16 MB). The edge list
-      of a thresholded duplicate graph is orders of magnitude smaller
-      than the corpus — collecting it is the same bounded-driver
-      contract as the IVF training sample, and path-compressed
-      union-find is exact and instant at any diameter.
+      ``driver_edge_limit`` (default 500k edges — streamed to the
+      driver as plain tuples; with the parent dict and label mapping
+      that bounds driver heap at roughly a couple hundred MB, sized
+      honestly rather than by the raw 16-byte-per-edge arithmetic).
+      The edge list of a thresholded duplicate graph is orders of
+      magnitude smaller than the corpus — collecting it is the same
+      bounded-driver contract as the IVF training sample, and
+      path-compressed union-find is exact and instant at any
+      diameter.
     - **Alternating large-star / small-star contraction** (Kiveris et
       al., "Connected Components in MapReduce and Beyond") beyond the
       limit: each round rewrites the edge list so every node links
@@ -663,11 +667,7 @@ def dedup_components(
         .distinct()
     )
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    from .util import truncate_lineage as _truncate
 
     E = _truncate(edges0)
     n_edges = E.count()
@@ -684,8 +684,10 @@ def dedup_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in E.collect():
-            ra, rb = find(r.lo), find(r.hi)
+        # toLocalIterator: partition-at-a-time fetch of bare tuples —
+        # no full-result Row materialization spike on the driver.
+        for lo, hi in E.toLocalIterator():
+            ra, rb = find(lo), find(hi)
             if ra != rb:
                 if rb < ra:
                     ra, rb = rb, ra
@@ -718,6 +720,12 @@ def dedup_components(
     converged = False
     prev_count = n_edges
     for _ in range(max_iters):
+        # Convergence = the FULL round (large-star then small-star) is
+        # a no-op on the edge SET. A one-sided check is wrong: states
+        # stable under large-star alone exist that small-star would
+        # still contract (any node with two smaller neighbors), and
+        # accepting them splits components silently.
+        E_start, start_cnt = E, prev_count
         for phase in ("large", "small"):
             nbr = E.select(
                 F.col("lo").alias("u"), F.col("hi").alias("v")
@@ -742,35 +750,29 @@ def dedup_components(
                 .filter(F.col("lo") != F.col("hi"))
                 .distinct()
             )
-            E.unpersist()
+            if E is not E_start:
+                E.unpersist()
             E = new_E
         cnt = E.count()
-        if cnt == prev_count:
-            # Exact confirmation (a stable count could mask churn):
-            # stars are a fixed point of large-star, so one more LS
-            # application producing no new edges proves convergence.
-            nbr = E.select(
-                F.col("lo").alias("u"), F.col("hi").alias("v")
-            ).union(
-                E.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-            )
-            m = nbr.groupBy("u").agg(F.min("v").alias("_mv")).select(
-                "u", F.least("_mv", F.col("u")).alias("m")
-            )
-            ls = (
-                nbr.join(m, "u")
-                .filter(F.col("v") > F.col("u"))
-                .select(
-                    F.least("v", "m").alias("lo"),
-                    F.greatest("v", "m").alias("hi"),
-                )
-                .filter(F.col("lo") != F.col("hi"))
-                .distinct()
-            )
-            if ls.exceptAll(E).count() == 0:
-                converged = True
-                break
+        # E is distinct, so (E \ E_start empty) + equal counts ⟺ equal
+        # sets — the round changed nothing and the state is terminal.
+        if cnt == start_cnt and E.exceptAll(E_start).count() == 0:
+            converged = True
+            E_start.unpersist()
+            break
+        E_start.unpersist()
         prev_count = cnt
+    # Belt and braces beyond the termination proof: at a true star
+    # fixpoint every non-root appears as `hi` exactly once. A node with
+    # two roots is precisely the silent-split symptom — surface it.
+    if converged:
+        dup_hi = (
+            E.groupBy("hi").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .count()
+        )
+        if dup_hi > 0:
+            converged = False
     if not converged:
         warnings.warn(
             f"dedup_components: star contraction did not converge within "

@@ -252,10 +252,13 @@ def bm25_topk(
 
     Cross-engine exactness (the oracle hash-matches bit-for-bit):
     - **idf is the rational Robertson form without the log**:
-      ``(N - df + 0.5)/(df + 0.5)`` — same monotone ranking, but exact
-      double ops on exact integer inputs instead of a libm ln() (the
-      t08 trick). The conventional ``ln(1 + ...)`` form is a one-line
-      swap a caller can make when not hash-comparing engines.
+      ``(N - df + 0.5)/(df + 0.5)`` — exact double ops on exact
+      integer inputs instead of a libm ln() (the t08 trick). Per TERM
+      the transform is monotone in df, but summed multi-term scores
+      are a DIFFERENT ranking function than log-idf BM25 (rare terms
+      weigh relatively heavier without the log compression), chosen
+      deliberately so the oracle hash-matches; treat it as BM25-shaped
+      scoring, not a drop-in for a log-idf system.
     - every double op (the one avgdl division, the tf saturation, the
       idf ratio, their product) is a fixed-order scalar expression on
       identical operands → bitwise-identical IEEE results;
@@ -283,7 +286,9 @@ def bm25_topk(
     # makes the two exchanges non-identical, so ReuseExchange can't
     # dedupe them). Truncate at the aggregated frame — n_docs·(terms+2)
     # longs, ~10⁻⁴ of corpus bytes — so the corpus is tokenized ONCE.
-    per_doc = per_doc.localCheckpoint(eager=True)
+    from .util import truncate_lineage
+
+    per_doc = truncate_lineage(per_doc)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.sum("_dl").alias("_sum_dl"),

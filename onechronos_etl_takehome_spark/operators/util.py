@@ -54,3 +54,19 @@ def spread(df: DataFrame, *, bytes_per_split: int | None = None) -> DataFrame:
     if target > 1 and df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint a frame to cut its logical plan to a leaf.
+
+    Reliable ``checkpoint()`` when the session has a checkpoint dir
+    (production — survives executor loss), else ``localCheckpoint()``
+    (executor-local block storage, fine for local mode). Shared by the
+    iterative solvers (dedup_components) and any operator whose two
+    downstream branches would otherwise re-execute a full-corpus
+    subtree (bm25_topk's per-doc frame).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

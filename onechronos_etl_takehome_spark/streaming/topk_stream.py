@@ -13,10 +13,13 @@ with global frequency > n_total/(k_counters+1) is present in its
 shard's summary (its shard sees all its occurrences and
 n_shard ≤ n_total).
 
-Emission contract (append mode): after each microbatch a shard emits
-its full current summary tagged with ``n_shard`` (items seen so far in
-the shard — strictly increasing, so rows are unique across batches and
-"latest snapshot" = rows with the max n_shard per shard). ``est_count``
+Emission contract (append mode): a shard re-emits its full current
+summary after each microbatch that contributed at least one non-null
+item, tagged with ``n_shard`` (items seen so far in the shard — then
+strictly increasing, so rows are unique across batches and "latest
+snapshot" = rows with the max n_shard per shard; a batch whose rows
+for the shard are all NULL is skipped rather than re-emitting a
+duplicate snapshot). ``est_count``
 is the MG counter: a lower bound on the value's true shard frequency,
 within n_shard/(k_counters+1) of it. The exact final answer, when a
 backfill is possible, is the batch x03 recount — tests pin that with
@@ -64,9 +67,11 @@ def heavy_hitter_stream(
             counters = dict(zip(vals, counts))
         else:
             counters, n = {}, 0
+        batch_items = 0
         for pdf in batches:
             vc = pdf[col].dropna()
             n += len(vc)
+            batch_items += len(vc)
             for value, count in vc.value_counts().items():
                 counters[value] = counters.get(value, 0) + int(count)
             if len(counters) > k_counters:
@@ -77,7 +82,9 @@ def heavy_hitter_stream(
         state.update(
             (list(counters.keys()), [int(c) for c in counters.values()], n)
         )
-        if counters:
+        # all-NULL batch: state unchanged and n_shard not advanced —
+        # re-emitting would duplicate the previous snapshot rows.
+        if counters and batch_items > 0:
             yield pd.DataFrame(
                 {
                     "shard": int(shard),

@@ -13,3 +13,14 @@ def spark():
     s = get_spark("tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def py_levenshtein(a: str, b: str) -> int:
+    """Pure-python DP model shared by the string-join test suites."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

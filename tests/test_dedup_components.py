@@ -80,3 +80,25 @@ def test_converged_run_does_not_warn(spark, limit):
             id_col="doc_id",
             driver_edge_limit=limit,
         ).collect()
+
+
+def test_distributed_path_no_premature_convergence(spark):
+    # Review repro: path 1-7-5-10-2 is ONE component, but after round 0
+    # the edge count matches the initial count and the intermediate
+    # state is large-star-stable — a one-sided convergence check split
+    # it into {1,5,7} / {2,10} with node 5 getting two conflicting
+    # labels. The full-round no-op check must keep contracting.
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 5, 7, 10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 7), (2, 10), (5, 7), (5, 10)], "id_a long, id_b long"
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        rows = dedup_components(
+            ids, pairs, id_col="doc_id", driver_edge_limit=0
+        ).collect()
+    got = {(r.doc_id, r.canonical_id) for r in rows}
+    assert len(rows) == 5, rows
+    assert got == {(1, 1), (2, 1), (5, 1), (7, 1), (10, 1)}

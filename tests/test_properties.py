@@ -487,14 +487,7 @@ def test_resample_ffill_matches_dict_model(rows):
 # ---------------------------------------------------------------------------
 
 
-def _py_lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+from .conftest import py_levenshtein as _py_lev
 
 
 @SETTINGS

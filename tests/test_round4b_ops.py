@@ -26,16 +26,7 @@ from onechronos_etl_takehome_spark.operators.strings import (
 from onechronos_etl_takehome_spark.operators.text import bm25_topk
 
 
-def _lev(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(
-                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            )
-        prev = cur
-    return prev[-1]
+from .conftest import py_levenshtein as _lev
 
 
 def _mutate(rng: random.Random, s: str) -> str:
