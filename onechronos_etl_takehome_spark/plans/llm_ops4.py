@@ -358,3 +358,88 @@ def d19_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("survivor_name"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x18 — association mining (pairwise support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_X18_ORACLE = """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM baskets GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_ab,
+           CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+           CAST(n_ab AS DOUBLE) / CAST(sa.n_a AS DOUBLE) AS confidence,
+           (CAST(n_ab AS DOUBLE) * CAST(n_users AS DOUBLE))
+             / (CAST(sa.n_a AS DOUBLE) * CAST(sb.n_a AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN singles sa ON type_a = sa.event_type
+    JOIN singles sb ON type_b = sb.event_type
+    CROSS JOIN n
+    """
+
+
+@register("x18_basket_lift", oracle=_X18_ORACLE)
+def x18_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over per-user event baskets:
+    pairwise co-occurrence support, confidence and lift (the Apriori
+    pair tier — "users who trigger A also trigger B"). Exact integer
+    counts; each metric is a fixed-order double expression on exact
+    operands (single divisions, one product pair for lift), so the
+    whole rule table hash-matches. Scale shape: distinct baskets, one
+    per-user self-join bounded by basket width (|event types|, not
+    corpus size), broadcast singles/totals."""
+    pin_semantics(spark)
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = F.broadcast(singles.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_a").alias("_na")))
+    sb = F.broadcast(singles.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_a").alias("_nb")))
+    n_ab_d = F.col("n_ab").cast("double")
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (n_ab_d / F.col("n_users").cast("double")).alias("support"),
+            (n_ab_d / F.col("_na").cast("double")).alias("confidence"),
+            (
+                (n_ab_d * F.col("n_users").cast("double"))
+                / (F.col("_na").cast("double") * F.col("_nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
