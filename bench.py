@@ -184,11 +184,12 @@ def _scaled_llm_inputs(
     doc_src = os.path.join(sf_dir, "documents.parquet")
     emb_src = os.path.join(sf_dir, "embeddings.parquet")
     cust_src = os.path.join(sf_dir, "customer.parquet")
-    src_mtime = max(
-        os.path.getmtime(doc_src),
-        os.path.getmtime(emb_src),
-        os.path.getmtime(cust_src),
-    )
+    # staleness key: only the sources this cache variant actually
+    # copies — touching customer.parquet must not invalidate the
+    # expensive docs/embeddings rebuilds (and absent tables must not
+    # be stat'ed at all).
+    _srcs = {"documents": doc_src, "embeddings": emb_src, "customer": cust_src}
+    src_mtime = max(os.path.getmtime(_srcs[t]) for t in tables)
     if os.path.exists(done) and os.path.getmtime(done) > src_mtime:
         return out
     os.makedirs(out, exist_ok=True)

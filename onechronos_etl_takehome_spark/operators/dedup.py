@@ -750,17 +750,16 @@ def dedup_components(
                 .filter(F.col("lo") != F.col("hi"))
                 .distinct()
             )
-            if E is not E_start:
-                E.unpersist()
             E = new_E
         cnt = E.count()
         # E is distinct, so (E \ E_start empty) + equal counts ⟺ equal
         # sets — the round changed nothing and the state is terminal.
+        # (Checkpointed frames need no explicit unpersist — their
+        # blocks are RDD-level and reclaimed by the ContextCleaner
+        # under cleanCheckpoints=true, pinned in session.py.)
         if cnt == start_cnt and E.exceptAll(E_start).count() == 0:
             converged = True
-            E_start.unpersist()
             break
-        E_start.unpersist()
         prev_count = cnt
     # Belt and braces beyond the termination proof: at a true star
     # fixpoint every non-root appears as `hi` exactly once. A node with
@@ -772,8 +771,20 @@ def dedup_components(
             .count()
         )
         if dup_hi > 0:
-            converged = False
-    if not converged:
+            # Reachable only if a full-round fixpoint is NOT a star
+            # set — outside the algorithm's guarantees, so more
+            # iterations cannot help; don't advise raising max_iters.
+            warnings.warn(
+                f"dedup_components: star contraction reached a fixpoint "
+                f"that is not star-shaped ({dup_hi} nodes with multiple "
+                f"roots) — labels for those nodes are ambiguous. This "
+                f"violates the contraction invariant; rerun via the "
+                f"driver union-find path (raise driver_edge_limit) and "
+                f"report the edge list.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    else:
         warnings.warn(
             f"dedup_components: star contraction did not converge within "
             f"max_iters={max_iters} rounds; components may carry multiple "

@@ -19,7 +19,10 @@ item, tagged with ``n_shard`` (items seen so far in the shard — then
 strictly increasing, so rows are unique across batches and "latest
 snapshot" = rows with the max n_shard per shard; a batch whose rows
 for the shard are all NULL is skipped rather than re-emitting a
-duplicate snapshot). ``est_count``
+duplicate snapshot, and a batch whose items were ALL pruned by the MG
+eviction leaves nothing to emit — its items still advance the n
+carried by the NEXT emission, so "latest snapshot" remains correct
+but may lag the true n_shard by the pruned batch). ``est_count``
 is the MG counter: a lower bound on the value's true shard frequency,
 within n_shard/(k_counters+1) of it. The exact final answer, when a
 backfill is possible, is the batch x03 recount — tests pin that with
