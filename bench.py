@@ -76,6 +76,7 @@ HEADLINE = [
     "t01_text_quality",
     "t15_unigram_lm_score",
     "t16_bm25_topk",
+    "t17_domain_selection",
     "t13_gopher_quality",
     "m04_binary_chunk_neardup",
     "x03_heavy_hitters",

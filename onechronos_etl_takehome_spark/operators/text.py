@@ -338,3 +338,66 @@ def bm25_topk(
         F.col("_score_dec").cast("double").alias("score"),
         "rank",
     )
+
+
+def domain_selection_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    in_domain: list[str],
+):
+    """Moore–Lewis-shaped domain data selection: score every document
+    by how much more typical its words are under the IN-DOMAIN corpus
+    (rows whose ``domain_col`` is in ``in_domain``) than under the
+    general corpus — the standard way a training pipeline mines
+    domain-relevant data out of a web-scale crawl.
+
+    Score = mean in-domain token probability − mean general token
+    probability: ``sum_tf_in/(n·T_in) − sum_tf_out/(n·T_out)``. The
+    classical formulation differences LM *cross-entropies* (log
+    probabilities); this is the same discriminative shape in the
+    probability domain, chosen — like t15's mean-token-prob — because
+    exact integer aggregates with two fixed-order double divisions and
+    one subtraction hash-match across engines, where a libm-log sum
+    cannot.
+
+    Plan shape (t15's): tokenize once; the conditional frequency table
+    is ONE groupBy on token carrying both corpus counts; totals reduce
+    it to a broadcast row; per-doc scoring is one groupBy on the id.
+    """
+    is_in = F.col(domain_col).isin(*in_domain).cast("long")
+    tok = df.select(
+        F.col(id_col),
+        is_in.alias("_in"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(
+        F.sum("_in").alias("_c_in"),
+        F.sum(F.lit(1) - F.col("_in")).alias("_c_out"),
+    )
+    totals = vocab.agg(
+        F.sum("_c_in").alias("_t_in"), F.sum("_c_out").alias("_t_out")
+    )
+    per_doc = (
+        tok.join(vocab, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("_c_in").cast("long").alias("sum_tf_in"),
+            F.sum("_c_out").cast("long").alias("sum_tf_out"),
+        )
+    )
+    n_d = F.col("n_tokens").cast("double")
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "n_tokens",
+        "sum_tf_in",
+        "sum_tf_out",
+        (
+            F.col("sum_tf_in").cast("double")
+            / (n_d * F.col("_t_in").cast("double"))
+            - F.col("sum_tf_out").cast("double")
+            / (n_d * F.col("_t_out").cast("double"))
+        ).alias("ml_score"),
+    )

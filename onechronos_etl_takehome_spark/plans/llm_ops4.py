@@ -443,3 +443,49 @@ def x18_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t17 — Moore–Lewis domain data selection
+# ---------------------------------------------------------------------------
+
+_T17_IN = ("src0", "src1")
+
+_T17_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(source IN {_T17_IN} AS BIGINT) AS is_in,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, SUM(is_in) AS c_in, SUM(1 - is_in) AS c_out
+      FROM tok GROUP BY token),
+    totals AS (SELECT SUM(c_in) AS t_in, SUM(c_out) AS t_out FROM vocab)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(c_in) AS BIGINT) AS sum_tf_in,
+      CAST(SUM(c_out) AS BIGINT) AS sum_tf_out,
+      CAST(SUM(c_in) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * (SELECT CAST(t_in AS DOUBLE) FROM totals))
+      - CAST(SUM(c_out) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * (SELECT CAST(t_out AS DOUBLE) FROM totals))
+        AS ml_score
+    FROM tok JOIN vocab USING (token)
+    GROUP BY doc_id
+    """
+
+
+@register("t17_domain_selection", oracle=_T17_ORACLE)
+def t17_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain data selection (Moore–Lewis-shaped, probability domain):
+    per-document in-domain-vs-general typicality over the corpus's own
+    token distributions, with sources src0/src1 as the in-domain seed.
+    Exact integer aggregates + fixed-order double arithmetic (see
+    operators/text.py:domain_selection_scores)."""
+    pin_semantics(spark)
+    from ..operators.text import domain_selection_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_selection_scores(
+        docs, "doc_id", "text", "source", list(_T17_IN)
+    )
