@@ -90,6 +90,13 @@ HEADLINE = [
     "x15_snapshot_diff",
     "x16_weighted_sample",
     "x17_weighted_percentiles",
+    # round-4g batch: graph census (oriented wedge join), binned
+    # interval-overlap join, one-pass profiling, EWMA, bigram LM
+    "x19_triangle_count",
+    "q57_concurrent_sessions",
+    "x21_profile_constraints",
+    "x20_ewma_smoothing",
+    "t18_bigram_lm_score",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

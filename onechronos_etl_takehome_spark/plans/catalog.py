@@ -51,6 +51,7 @@ from . import llm_ops  # noqa: E402,F401
 from . import llm_ops2  # noqa: E402,F401
 from . import llm_ops3  # noqa: E402,F401
 from . import llm_ops4  # noqa: E402,F401
+from . import llm_ops5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50
@@ -109,13 +110,13 @@ DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",  # decimal aggregation
     "q02_revenue_by_nation",  # multi-way join
     "q03_top_revenue_orders",  # deterministic top-k
-    "q04_order_priority_late",  # EXISTS semi-join
+    "x19_triangle_count",  # graph analytics (oriented wedge join)
     "q08_rollup_returns",  # ROLLUP
     "x07_window_funnel",  # ordered-step funnel over events
     "q13_json_props",  # JSON extraction
     "q18_user_sessions",  # batch sessionization
     "q19_purchase_last_view_asof",  # as-of join
-    "q23_customer_status_sets",  # set aggregation
+    "q57_concurrent_sessions",  # interval-overlap range join (binned)
     "q25_rolling_customer_spend",  # rows-frame window
     "q27_above_average_orders",  # correlated scalar subquery
     "q28_segment_status_pivot",  # native pivot
@@ -125,6 +126,16 @@ DRIVER_WINDOW: list[str] = [
     "q44_null_safe_join",  # null-safe equality join
     "q48_price_moments",  # variance/stddev/correlation
 ]
+# Round 4g: two new capability families enter — x19 (graph analytics:
+# degree-oriented triangle counting, a join family nothing else
+# witnesses) and q57 (interval-overlap range join on binned candidate
+# generation — the 1-D spatial-join shape; q19's as-of join is the
+# ordered, not overlapping, time join). Displaced: q04 EXISTS
+# (subquery family still witnessed by q27 correlated scalar + q43
+# NOT IN anti-join) and q23 set aggregation (array/set surface
+# exercised by t01/t04/t07/s01 and q43's set semantics; both stay
+# locally oracled in the full gate). New locally-oracled siblings this
+# batch: x20 EWMA, x21 one-pass profiling, t18 bigram LM.
 # Round 4d: m04 (binary block-map near-dup — the multimodal family's
 # first hash-matched dedup witness, md5-over-hex cross-engine)
 # replaces q50 FILTER-clause aggregates (conditional aggregation still

@@ -312,3 +312,105 @@ def q56_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_semantics(spark)
     register_views(spark, sf_dir)
     return spark.sql(_Q56_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q57 — interval overlap join: cross-user concurrent sessions
+# ---------------------------------------------------------------------------
+
+_Q57_SQL = """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts_us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sno
+      FROM g),
+    sess AS (
+      SELECT user_id, sno,
+             MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+      FROM s GROUP BY user_id, sno),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS ov
+      FROM sess a JOIN sess b
+        ON a.user_id < b.user_id
+       AND a.s_us <= b.e_us AND b.s_us <= a.e_us)
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap_us
+    FROM pairs GROUP BY user_a, user_b
+    """
+
+
+@register("q57_concurrent_sessions", oracle=_Q57_SQL)
+def q57_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: which user pairs were on the site at
+    the same time, and for how long.  Sessions are q18's 30-minute-gap
+    sessionization (integer-µs bounds); the overlap join is the
+    bucketed range join (operators/intervals.py) — explode each session
+    into the 6-hour time bins it touches, equi-join on the bin, verify
+    the exact predicate, dedup pairs — where the oracle (and a naive
+    Spark plan) writes the quadratic inequality join.  Hash-match
+    proves the binning lossless; inclusive endpoints (touching sessions
+    count with overlap 0) on both sides."""
+    pin_semantics(spark)
+    from ..operators.intervals import interval_overlap_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((F.unix_micros("ts") - prev_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        e.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            is_new.alias("is_new"),
+        )
+        .withColumn("sno", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "sno")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+        # interval ids must be unique AND monotone in user_id so the
+        # operator's id_a < id_b pair order implies user_a <= user_b;
+        # sno is 1-based and far below the 2^20 packing headroom.
+        .select(
+            (F.col("user_id") * F.lit(1 << 20) + F.col("sno")).alias("sid"),
+            "user_id",
+            "s_us",
+            "e_us",
+        )
+    )
+    pairs = interval_overlap_pairs(
+        sess,
+        "sid",
+        "s_us",
+        "e_us",
+        bin_us=21_600_000_000,  # 6 h ≈ typical session length ceiling
+        carry=["user_id"],
+    )
+    return (
+        pairs.filter(F.col("user_id_a") != F.col("user_id_b"))
+        .groupBy(
+            F.col("user_id_a").alias("user_a"),
+            F.col("user_id_b").alias("user_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum("overlap_us").cast("long").alias("total_overlap_us"),
+        )
+    )
