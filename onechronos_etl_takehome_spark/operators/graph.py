@@ -36,7 +36,19 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     the closing join probes the oriented edge set on (v, w).  No step
     materializes anything driver-side.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    from .util import truncate_lineage
+
+    # The edge frame feeds four branches (degrees, orientation, the
+    # edge count, and — via orientation — adjacency and closure); the
+    # oriented frame feeds three. Without lineage truncation every
+    # branch re-executes the upstream edge-construction subtree (for
+    # the catalog query: the lineitem self-join + distinct, ~36 scans
+    # in the printed plan); checkpointing both collapses that to one
+    # materialization each — the same persist-the-edge-list posture a
+    # 100-TB graph job takes.
+    e = truncate_lineage(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
 
     ends = e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
     deg = ends.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
@@ -49,12 +61,11 @@ def triangle_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # Carry the head's (degree, id) so the wedge join can order the two
-    # out-neighbors without another join back to the degree table.
-    o = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    o = truncate_lineage(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
     )
 
     # Adjacency-intersection form of the oriented wedge count: a

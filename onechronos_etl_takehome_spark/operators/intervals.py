@@ -48,11 +48,17 @@ def interval_overlap_pairs(
     occupancy — same caveat as any LSH bucket; pick bins near the
     typical interval length).
     """
+    from .util import truncate_lineage
+
     cols = [F.col(id_col).alias("_iid"),
             F.col(start_col).cast("long").alias("_s"),
             F.col(end_col).cast("long").alias("_e"),
             *[F.col(c) for c in carry]]
-    base = df.select(*cols)
+    # Both join sides read the interval frame; truncating its lineage
+    # materializes the (interval-cardinality, i.e. already reduced)
+    # input once instead of re-running the upstream plan — for q57
+    # that upstream is a full sessionization window over events.
+    base = truncate_lineage(df.select(*cols))
     binned = base.select(
         "*",
         F.explode(
