@@ -96,6 +96,7 @@ HEADLINE = [
     "q57_concurrent_sessions",
     "x21_profile_constraints",
     "x20_ewma_smoothing",
+    "x22_sequence_packing",
     "t18_bigram_lm_score",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",

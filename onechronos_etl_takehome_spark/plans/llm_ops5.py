@@ -313,3 +313,56 @@ def t18_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sum_prefix_tf").cast("double")
         ).alias("micro_cond_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x22 — sequence packing (concat-order offsets on the distributed
+# prefix sum)
+# ---------------------------------------------------------------------------
+
+_X22_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS seq_id,
+           (start_offset % 256) + n_tokens > 256 AS crosses_boundary
+    FROM c
+    """
+
+
+@register("x22_sequence_packing", oracle=_X22_ORACLE)
+def x22_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, the bookkeeping pass: concatenate
+    documents in deterministic doc_id order and assign each its token
+    start offset and the capacity-256 training sequence it opens
+    in (concat-then-chunk packing; ``crosses_boundary`` marks docs a
+    loader must split across sequences).  The cumulative offset is the
+    two-pass bucketed prefix sum (operators/sampling.py — per-bucket
+    windows + broadcast bucket offsets, no global single-task window),
+    the same machinery x16/x17 witness for sampling and percentiles,
+    here witnessed for the packing shape every LLM data loader needs.
+    All columns are exact integers / booleans."""
+    pin_semantics(spark)
+    from ..operators.sampling import prefix_sum
+    from ..operators.text import token_count
+
+    cap = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    cum = prefix_sum(docs, "doc_id", "n_tokens", "cum_tokens")
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.expr(f"(cum_tokens - n_tokens) div {cap}").alias("seq_id"),
+        ((start % cap) + F.col("n_tokens") > cap).alias("crosses_boundary"),
+    )

@@ -227,3 +227,28 @@ def test_t18_scores_natural_order_above_shuffled(spark, tmp_path):
         for r in QUERIES["t18_bigram_lm_score"](spark, str(d)).collect()
     }
     assert out[1000] > out[1001]
+
+
+def test_x22_packing_matches_sequential_model(spark):
+    # Concat-order packing must equal the single-threaded fold over
+    # documents sorted by doc_id, whatever the partitioning.
+    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.seq_id, r.crosses_boundary)
+        for r in QUERIES["x22_sequence_packing"](spark, sf).collect()
+    }
+    docs = sorted(
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    off = 0
+    for r in docs:
+        n = len(r.text.split(" "))
+        expect = (n, off, off // 256, (off % 256) + n > 256)
+        assert out[r.doc_id] == expect, r.doc_id
+        off += n
+    assert len(out) == len(docs)
