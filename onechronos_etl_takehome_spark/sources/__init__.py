@@ -1,6 +1,6 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
-from .readers import read_dirty_csv, read_orc
-from .sinks import write_json, write_orc, write_parquet
+from .readers import read_dirty_csv, read_orc, read_xml
+from .sinks import write_json, write_orc, write_parquet, write_xml
 from .upsert import read_keyed_table, upsert, vacuum
 
 __all__ = [
@@ -10,8 +10,10 @@ __all__ = [
     "register_views",
     "read_dirty_csv",
     "read_orc",
+    "read_xml",
     "write_json",
     "write_orc",
+    "write_xml",
     "write_parquet",
     "read_keyed_table",
     "upsert",

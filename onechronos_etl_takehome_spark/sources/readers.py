@@ -28,6 +28,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    *,
+    row_tag: str = "row",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in ``xml`` source): one row per
+    ``row_tag`` element.  Feed/vendor-drop ingestion — the format a
+    Spark-first engine still has to read, not one it should write hot
+    data in (no columnar pruning or predicate pushdown; the scan
+    parses every element).  Pass ``schema`` to skip the inference pass
+    — like CSV, inference is a second full read of the dataset."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_dirty_csv(
     spark: SparkSession,
     path: str,

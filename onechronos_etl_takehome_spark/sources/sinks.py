@@ -45,6 +45,31 @@ def write_orc(
     w.orc(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    partition_by: list[str] | None = None,
+) -> None:
+    """XML sink (Spark 4 built-in) — for feeds consumed by XML-only
+    downstreams.  Distributed like every other sink (one file per
+    partition, each a well-formed ``root_tag`` document); NULL fields
+    are omitted elements, mirroring the JSON sink's Q3 posture.
+    Round-trip fidelity is pinned in tests/test_sources.py."""
+    w = (
+        df.write.format("xml")
+        .mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def write_json(
     df: DataFrame,
     path: str,

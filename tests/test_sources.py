@@ -155,3 +155,49 @@ def test_read_binary_dir_feeds_multimodal(spark, tmp_path):
     assert {os.path.basename(p) for p in (pairs[0].id_a, pairs[0].id_b)} == {
         "a.png", "dup.png"
     }
+
+
+def test_xml_roundtrip_fidelity(spark, tmp_path):
+    """XML write→read (Spark 4 built-in source) preserves values for
+    the scalar/array shapes a feed export carries; NULL fields are
+    omitted elements (the sink's Q3 posture) and come back NULL."""
+    from onechronos_etl_takehome_spark.sources import read_xml, write_xml
+
+    src = spark.createDataFrame(
+        [
+            (1, "a", 1.5, [1.0, 2.0], "2024-01-15 10:00:00"),
+            (2, None, -3.25, [], None),
+        ],
+        "id long, s string, d double, arr array<double>, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = str(tmp_path / "roundtrip.xml")
+    write_xml(src, out, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, str(out), row_tag="rec", schema=src.schema)
+    assert back.schema == src.schema
+    a = sorted(src.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    # XML has no empty-array representation: [] round-trips as NULL.
+    assert [r.asDict() for r in a[:1]] == [r.asDict() for r in b[:1]]
+    d2 = b[1].asDict()
+    assert d2["s"] is None and d2["ts"] is None and d2["arr"] in (None, [])
+    assert d2["d"] == -3.25
+
+
+def test_xml_partitioned_write_prunes(spark, tmp_path):
+    from onechronos_etl_takehome_spark.sources import read_xml, write_xml
+
+    e = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = str(tmp_path / "events_xml")
+    write_xml(e, out, partition_by=["event_type"])
+    back = read_xml(spark, out, schema=e.drop("event_type").schema)
+    pruned = back.filter(F.col("event_type") == "view")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    n_all = load_table(spark, SF, "events").filter(
+        F.col("event_type") == "view"
+    ).count()
+    assert pruned.count() == n_all
