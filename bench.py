@@ -73,6 +73,10 @@ HEADLINE = [
     "s03_cosine_topk_ivf",
     "s04_cosine_topk_numpy",
     "s05_cosine_topk_pq",
+    # embedding compression: int8 quantization, zero-shuffle codegen
+    "s06_quantize_embeddings",
+    # native WITH RECURSIVE bounded-hop BFS (iterative frontier joins)
+    "q58_recursive_reachability",
     "t01_text_quality",
     "t15_unigram_lm_score",
     "t16_bm25_topk",

@@ -1080,3 +1080,39 @@ def cosine_topk_pq(
     return rer.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    The storage-reduction pass a training-data pipeline runs before
+    shipping embeddings to an ANN index or a feature store: each vector
+    is scaled by its own max-abs (symmetric, zero-preserving) and each
+    component rounded to [-127, 127].  Returns
+    ``(id, scale, q: array<int>)`` — ``x ≈ q * scale / 127``.
+
+    Everything is a JVM-side higher-order expression over the array
+    column (``transform`` / ``array_max``): no explode, no shuffle, no
+    Python — the whole operator fuses into the scan's codegen stage and
+    is embarrassingly parallel at any scale.
+
+    Cross-engine exactness: floats are cast to double (exact), and the
+    rounding is the explicit ``floor(x * 127 / scale + 0.5)`` formula —
+    identical IEEE-double expression order in Spark and DuckDB, so the
+    quantized integers are bit-identical across engines (plain round()
+    would hinge on each engine's tie convention).  An all-zero vector
+    has scale 0; ``nullif`` turns the would-be 0/0 into NULL and the
+    coalesce maps every component to 0.
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs))
+    q = F.transform(
+        xd,
+        lambda x: F.coalesce(
+            F.floor(x * F.lit(127.0) / F.nullif(scale, F.lit(0.0)) + F.lit(0.5)),
+            F.lit(0).cast("bigint"),
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))

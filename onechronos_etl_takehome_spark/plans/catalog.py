@@ -52,6 +52,7 @@ from . import llm_ops2  # noqa: E402,F401
 from . import llm_ops3  # noqa: E402,F401
 from . import llm_ops4  # noqa: E402,F401
 from . import llm_ops5  # noqa: E402,F401
+from . import llm_ops6  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50
@@ -100,7 +101,7 @@ DRIVER_WINDOW: list[str] = [
     # witness is the point.
     "s01_cosine_topk",
     "s03_cosine_topk_ivf",
-    "m01_binary_metadata",
+    "s06_quantize_embeddings",
     "m04_binary_chunk_neardup",
     "e01_hourly_event_windows",
     "x01_approx_sketches",
@@ -121,11 +122,21 @@ DRIVER_WINDOW: list[str] = [
     "q27_above_average_orders",  # correlated scalar subquery
     "q28_segment_status_pivot",  # native pivot
     "t13_gopher_quality",  # quality-gate rule battery
-    "q37_sql_entrypoint",  # spark.sql API
+    "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
     "q43_types_excluding_suppliers",  # NOT IN anti-join
     "q44_null_safe_join",  # null-safe equality join
     "q48_price_moments",  # variance/stddev/correlation
 ]
+# Round 4h: two new capability families — q58 (native WITH RECURSIVE:
+# Spark 4 executes the bounded-hop BFS itself as iterative frontier
+# joins; it is ALSO a spark.sql text query, so it subsumes q37's
+# raw-SQL-entrypoint witness, and q37 stays locally oracled in the
+# full gate) and s06 (embedding compression: symmetric int8
+# quantization as pure higher-order codegen expressions, checksummed
+# exactly cross-engine via the floor(+0.5) formula). Displaced: q37
+# (subsumed as above) and m01 binary-metadata (the multimodal family
+# keeps the strictly stronger m04 witness — binary ingestion +
+# block-map near-dup; m01 stays locally oracled in the full gate).
 # Round 4g: two new capability families enter — x19 (graph analytics:
 # degree-oriented triangle counting, a join family nothing else
 # witnesses) and q57 (interval-overlap range join on binned candidate

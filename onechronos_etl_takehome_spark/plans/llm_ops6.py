@@ -1,0 +1,168 @@
+"""LLM-data-pipeline + analytics queries, round 4 continued (batch h).
+
+Two new capability families:
+
+- **Recursive queries** (q58): Spark 4's native ``WITH RECURSIVE``
+  (SPARK-24497) runs bounded-hop BFS over a derived graph *inside the
+  engine* — no driver-side iteration loop.  The big-graph path for
+  unbounded components remains ``operators/dedup.connected_components``
+  (star-contraction); the recursive CTE is the right tool for
+  dimension-sized graphs and bounded-depth reachability, where each
+  iteration is one small shuffle and the frontier fits the cluster
+  trivially.
+- **Embedding compression** (s06): symmetric per-vector int8
+  quantization, the storage-reduction pass run before shipping
+  embeddings to an ANN index / feature store.  Pure JVM higher-order
+  expressions — no explode, no shuffle, fuses into the scan stage.
+
+Both are DuckDB-oracled hash-matched: the recursive CTE text is
+engine-portable ANSI, and the quantizer uses the explicit
+``floor(x*127/scale + 0.5)`` rounding formula so the int8 codes are
+bit-identical IEEE-double results in both engines (plain ``round()``
+would hinge on each engine's tie convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import quantize_int8
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+
+# ---------------------------------------------------------------------------
+# q58 — recursive CTE: bounded-hop reachability over the nation
+# trade-flow graph
+# ---------------------------------------------------------------------------
+
+# Engine-portable text: the SAME SQL runs on Spark (register_views +
+# spark.sql) and on the DuckDB oracle views.  Edges = directed
+# supplier-nation → customer-nation flows with above-average volume
+# (integer-only threshold arithmetic: COUNT(*) * 600 > |lineitem| keeps
+# the selectivity sf-invariant without a float divide).  The recursive
+# member enumerates bounded walks (hops < 3) from NATION_0; the final
+# aggregate folds walks into min-hop distance + walk count per nation.
+_Q58_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY sn.n_name, cn.n_name
+      HAVING COUNT(*) * 600 > (SELECT COUNT(*) FROM lineitem)
+    ),
+    reach(nation, hops) AS (
+      SELECT 'NATION_0', 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.nation
+      WHERE r.hops < 3
+    )
+    SELECT nation, CAST(MIN(hops) AS BIGINT) AS min_hops,
+           CAST(COUNT(*) AS BIGINT) AS n_walks
+    FROM reach
+    GROUP BY nation
+"""
+
+
+@register("q58_recursive_reachability", oracle=_Q58_SQL)
+def q58_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive-CTE BFS (min-hop + bounded-walk census).
+
+    Spark executes the recursion as iterative UNION-ALL stages under
+    AQE — each round joins the previous frontier (tiny: nation-sized)
+    against the broadcast edge list, so depth-d reachability costs d
+    broadcast joins over frontier-sized inputs, NOT d passes over the
+    fact table: the fact scan happens once, in the non-recursive
+    ``edges`` member.  The bounded-hop guard makes termination and the
+    walk census deterministic in both engines.
+
+    100-TB posture: the recursion operates on the *aggregated* edge
+    list (dimension-sized by construction), which is the correct use of
+    recursive CTEs at scale; unbounded-depth components over
+    billion-edge graphs go to the star-contraction solver
+    (``operators/dedup.connected_components``) instead.
+    """
+    from ..sources.tables import register_views
+
+    pin_semantics(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q58_SQL)
+
+
+# ---------------------------------------------------------------------------
+# s06 — symmetric int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+_S06_ORACLE = """
+    WITH base AS (
+      SELECT vec_id,
+        list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        embedding
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, scale,
+        unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+        generate_subscripts(embedding, 1) AS i
+      FROM base
+    ), q AS (
+      SELECT vec_id, scale, i,
+        CAST(coalesce(floor(x * 127.0 / nullif(scale, 0.0) + 0.5), 0)
+             AS BIGINT) AS qv
+      FROM ex
+    )
+    SELECT vec_id, scale,
+      CAST(SUM(qv) AS BIGINT) AS q_sum,
+      CAST(SUM(qv * qv) AS BIGINT) AS q_sq_sum,
+      CAST(SUM(qv * i) AS BIGINT) AS q_wsum,
+      CAST(COUNT(*) AS BIGINT) AS n_dims
+    FROM q
+    GROUP BY vec_id, scale
+"""
+
+
+@register("s06_quantize_embeddings", oracle=_S06_ORACLE)
+def s06_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantize every embedding; emit per-vector integer checksums.
+
+    The engine-native output is ``(vec_id, scale, q: array<int>)``
+    (:func:`operators.similarity.quantize_int8`); the driver compare
+    can't hash array cells, so this witness folds the codes into
+    order-sensitive integer checksums (sum, sum of squares,
+    position-weighted sum) — any single wrong component at any position
+    changes at least one checksum.  All arithmetic stays in the scan's
+    codegen stage: transform/aggregate higher-order expressions, zero
+    shuffles, zero Python.
+
+    The oracle unnests instead (DuckDB has no positional fold), but the
+    per-component rounding expression is textually identical — the
+    explicit floor(+0.5) formula in fixed IEEE-double order — so the
+    checksums are exact matches, not tolerances.
+    """
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = quantize_int8(emb, "vec_id", "embedding")
+    zero = F.lit(0).cast("bigint")
+    as_long = lambda c: c.cast("bigint")  # noqa: E731
+    return qdf.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", zero, lambda a, x: a + as_long(x)).alias("q_sum"),
+        F.aggregate("q", zero, lambda a, x: a + as_long(x) * as_long(x)).alias(
+            "q_sq_sum"
+        ),
+        F.aggregate(
+            F.transform("q", lambda x, i: as_long(x) * (as_long(i) + 1)),
+            zero,
+            lambda a, x: a + x,
+        ).alias("q_wsum"),
+        F.size("q").cast("bigint").alias("n_dims"),
+    )

@@ -1,0 +1,112 @@
+"""Round-4h operators: native recursive CTE (q58) and int8 embedding
+quantization (s06).  Oracle parity is covered by test_oracle_parity
+(both are registered with DuckDB oracles); these tests pin the
+operator-level semantics and the zero-shuffle scale posture."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from onechronos_etl_takehome_spark.operators.similarity import quantize_int8
+from onechronos_etl_takehome_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_quantize(vec: list[float]) -> tuple[float, list[int]]:
+    xd = np.array(vec, dtype=np.float32).astype(np.float64)
+    scale = float(np.abs(xd).max()) if len(xd) else 0.0
+    if scale == 0.0:
+        return 0.0, [0] * len(xd)
+    return scale, [int(math.floor(x * 127.0 / scale + 0.5)) for x in xd]
+
+
+def test_quantize_int8_matches_model(spark):
+    vecs = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, codes all 0
+        (2, [-3.5, 2.0, 1.0, -0.001]),
+        (3, [1e-30, -1e-30, 0.0, 1e-38]),  # denormal-ish floats
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for vid, vec in vecs:
+        scale, codes = _np_quantize(vec)
+        assert out[vid].q == codes, (vid, out[vid].q, codes)
+        assert out[vid].scale == scale
+        # symmetric int8 range is guaranteed by construction
+        assert all(-127 <= c <= 127 for c in out[vid].q)
+
+
+def test_quantize_int8_reconstruction_error_bounded(spark):
+    # |x - q*scale/127| <= 0.5 * scale/127 (+ float32 cast is exact):
+    # the defining property of symmetric round-to-nearest quantization.
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    rows = quantize_int8(emb, "vec_id", "embedding").join(
+        emb, "vec_id"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.scale == 0.0:
+            continue
+        step = r.scale / 127.0
+        for x, q in zip(r.embedding, r.q):
+            assert abs(float(x) - q * step) <= 0.5 * step + 1e-12
+
+
+def test_s06_plan_has_no_exchange(spark):
+    # The quantization witness must fuse into the scan stage: any
+    # Exchange means a higher-order expression fell out of codegen and
+    # the "embarrassingly parallel at 100 TB" claim is void.
+    df = QUERIES["s06_quantize_embeddings"](spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+
+
+def test_q58_min_hops_match_python_bfs(spark):
+    # Rebuild the same thresholded edge set via DuckDB, BFS it in
+    # python, and pin Spark's recursive-CTE min-hop output against the
+    # model (walk counts are pinned by the DuckDB oracle in the parity
+    # gate; min-hops are the graph semantics worth an independent model).
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["lineitem", "supplier", "orders", "customer", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    edges = con.execute(
+        """
+        SELECT sn.n_name AS src, cn.n_name AS dst
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY sn.n_name, cn.n_name
+        HAVING COUNT(*) * 600 > (SELECT COUNT(*) FROM lineitem)
+        """
+    ).fetchall()
+    con.close()
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {"NATION_0": 0}
+    frontier = ["NATION_0"]
+    for hop in range(1, 4):  # the query bounds walks at hops < 3
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    got = {
+        r.nation: r.min_hops
+        for r in QUERIES["q58_recursive_reachability"](spark, SF).collect()
+    }
+    assert got == dist
