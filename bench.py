@@ -102,6 +102,8 @@ HEADLINE = [
     "x20_ewma_smoothing",
     "x22_sequence_packing",
     "t18_bigram_lm_score",
+    # trained BPE: driver-sample merge learning + Arrow encode pass
+    "t19_bpe_tokenize",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

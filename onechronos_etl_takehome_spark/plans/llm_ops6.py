@@ -166,3 +166,32 @@ def s06_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_wsum"),
         F.size("q").cast("bigint").alias("n_dims"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t19 — trained BPE tokenization stats
+# ---------------------------------------------------------------------------
+
+
+@register("t19_bpe_tokenize")  # iterative merge training + greedy encode
+def t19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE vocab on a bounded driver sample, encode the corpus.
+
+    Rows-only BY DESIGN: BPE merge learning is an iterative rewrite
+    system and the encoder a greedy lowest-rank loop — neither is
+    expressible in SQL, so no DuckDB oracle exists; semantics are
+    pinned against a pure-python full-corpus model in
+    tests/test_round4h_ops.py instead.  Deterministic end to end
+    (hash-ordered sample, lexicographic merge tie-breaks), so the
+    rows-only check still sees a stable row set.
+
+    100-TB posture: training samples once to the driver (the IVF
+    posture — NOT one shuffle per merge); encoding is one Arrow-batched
+    pass with per-batch word memoization, embarrassingly parallel.
+    """
+    from ..operators.bpe import bpe_token_stats, train_bpe
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=200, sample_n=2000)
+    return bpe_token_stats(docs, "doc_id", "text", merges)

@@ -110,3 +110,63 @@ def test_q58_min_hops_match_python_bfs(spark):
         for r in QUERIES["q58_recursive_reachability"](spark, SF).collect()
     }
     assert got == dist
+
+
+def test_bpe_roundtrip_and_distributed_matches_local(spark):
+    from onechronos_etl_takehome_spark.operators.bpe import (
+        EOW,
+        bpe_token_stats,
+        encode,
+        train_bpe,
+    )
+
+    corpus = [
+        (0, "low low low low low lower lower"),
+        (1, "newest newest newest newest widest widest"),
+        (2, "the newest widget is the widest widget"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = train_bpe(df, "text", n_merges=50, sample_n=100)
+    assert merges, "tiny corpus must produce at least one merge"
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # losslessness: tokens re-concatenate to the original word + EOW
+    for w in ["low", "lower", "newest", "widest", "widget", "unseen"]:
+        toks = encode(w, ranks)
+        assert "".join(toks) == w + EOW
+    # the most frequent word collapses to a single token
+    assert encode("low", ranks) == ["low" + EOW]
+
+    # the distributed Arrow path must equal the local encode, doc by doc
+    out = {r.doc_id: r for r in bpe_token_stats(df, "doc_id", "text", merges).collect()}
+    for doc_id, text in corpus:
+        expect = (
+            sum(len(encode(w, ranks)) for w in text.split(" ") if w)
+            if isinstance(text, str)
+            else 0
+        )
+        assert out[doc_id].n_bpe_tokens == expect, (doc_id, text)
+    assert out[3].n_bpe_tokens == 0 and out[4].n_bpe_tokens == 0
+
+
+def test_bpe_training_deterministic(spark):
+    from onechronos_etl_takehome_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m1 = train_bpe(docs, "text", n_merges=40, sample_n=300)
+    m2 = train_bpe(docs, "text", n_merges=40, sample_n=300)
+    assert m1 == m2 and len(m1) == 40
+
+
+def test_t19_runs_and_counts_compress(spark):
+    from onechronos_etl_takehome_spark.plans import QUERIES
+
+    rows = QUERIES["t19_bpe_tokenize"](spark, SF).collect()
+    assert rows
+    # BPE merges only ever shrink the symbol stream: chars+EOW per word
+    # is the unmerged ceiling.
+    for r in rows:
+        if r.n_words:
+            assert 0 < r.n_bpe_tokens <= r.n_chars + r.n_words
