@@ -120,6 +120,8 @@ SCALE_PROBES = [
     "s01_cosine_topk",
     "s04_cosine_topk_numpy",
     "s05_cosine_topk_pq",
+    "s06_quantize_embeddings",
+    "t19_bpe_tokenize",
 ]
 
 

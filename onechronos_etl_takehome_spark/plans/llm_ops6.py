@@ -38,31 +38,31 @@ from .catalog import register
 # trade-flow graph
 # ---------------------------------------------------------------------------
 
-# Engine-portable text: the SAME SQL runs on Spark (register_views +
-# spark.sql) and on the DuckDB oracle views.  Edges = directed
-# supplier-nation → customer-nation flows with above-average volume
-# (integer-only threshold arithmetic: COUNT(*) * 600 > |lineitem| keeps
-# the selectivity sf-invariant without a float divide).  The recursive
-# member enumerates bounded walks (hops < 3) from NATION_0; the final
-# aggregate folds walks into min-hop distance + walk count per nation.
-_Q58_SQL = """
-    WITH RECURSIVE edges AS (
-      SELECT sn.n_name AS src, cn.n_name AS dst
-      FROM lineitem
-      JOIN supplier ON l_suppkey = s_suppkey
-      JOIN orders ON l_orderkey = o_orderkey
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation sn ON s_nationkey = sn.n_nationkey
-      JOIN nation cn ON c_nationkey = cn.n_nationkey
-      WHERE sn.n_name <> cn.n_name
-      GROUP BY sn.n_name, cn.n_name
-      HAVING COUNT(*) * 600 > (SELECT COUNT(*) FROM lineitem)
-    ),
-    reach(nation, hops) AS (
+# Edges = directed supplier-nation → customer-nation flows with
+# above-average volume (integer-only threshold arithmetic:
+# COUNT(*) * 600 > |lineitem| keeps the selectivity sf-invariant
+# without a float divide).  The recursive member enumerates bounded
+# walks (hops < 3) from NATION_0; the final aggregate folds walks into
+# min-hop distance + walk count per nation.
+_Q58_EDGES_SQL = """
+    SELECT sn.n_name AS src, cn.n_name AS dst
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name
+    HAVING COUNT(*) * 600 > (SELECT COUNT(*) FROM lineitem)
+"""
+
+_Q58_RECURSE_SQL = """
+    WITH RECURSIVE reach(nation, hops) AS (
       SELECT 'NATION_0', 0
       UNION ALL
       SELECT e.dst, r.hops + 1
-      FROM reach r JOIN edges e ON e.src = r.nation
+      FROM reach r JOIN {edges} e ON e.src = r.nation
       WHERE r.hops < 3
     )
     SELECT nation, CAST(MIN(hops) AS BIGINT) AS min_hops,
@@ -71,30 +71,41 @@ _Q58_SQL = """
     GROUP BY nation
 """
 
+# The DuckDB oracle runs the identical logic as ONE statement (edges as
+# an inline CTE — DuckDB materializes CTEs, so no re-execution there).
+_Q58_SQL = _Q58_RECURSE_SQL.replace("WITH RECURSIVE", "WITH RECURSIVE edges AS (%s)," % _Q58_EDGES_SQL, 1).format(edges="edges")
+
 
 @register("q58_recursive_reachability", oracle=_Q58_SQL)
 def q58_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native recursive-CTE BFS (min-hop + bounded-walk census).
 
-    Spark executes the recursion as iterative UNION-ALL stages under
-    AQE — each round joins the previous frontier (tiny: nation-sized)
-    against the broadcast edge list, so depth-d reachability costs d
-    broadcast joins over frontier-sized inputs, NOT d passes over the
-    fact table: the fact scan happens once, in the non-recursive
-    ``edges`` member.  The bounded-hop guard makes termination and the
-    walk census deterministic in both engines.
+    Spark executes the recursion as iterative UNION-ALL rounds — each
+    round joins the previous frontier (tiny: nation-sized) against the
+    edge list.  Spark 4.1 does NOT materialize a non-recursive CTE
+    referenced from the recursive member: an inline ``edges`` CTE
+    re-ran the whole 6-way fact join every iteration (measured 2.9 s →
+    0.9 s at sf0.1).  So the fact scan runs exactly once here: the
+    aggregated edge frame (dimension-sized by construction) is eagerly
+    local-checkpointed — the same lineage-truncation pattern as the
+    x19/x14 graph frames — and the recursion runs over the
+    checkpointed view.  The bounded-hop guard makes termination and
+    the walk census deterministic in both engines.
 
-    100-TB posture: the recursion operates on the *aggregated* edge
-    list (dimension-sized by construction), which is the correct use of
-    recursive CTEs at scale; unbounded-depth components over
-    billion-edge graphs go to the star-contraction solver
-    (``operators/dedup.connected_components``) instead.
+    100-TB posture: recursion over a dimension-sized derived graph is
+    the correct use of recursive CTEs at scale; unbounded-depth
+    components over billion-edge graphs go to the star-contraction
+    solver (``operators/dedup.connected_components``) instead.  The
+    DuckDB oracle is the identical single statement (DuckDB
+    materializes CTEs, so no re-execution on that side).
     """
     from ..sources.tables import register_views
 
     pin_semantics(spark)
     register_views(spark, sf_dir)
-    return spark.sql(_Q58_SQL)
+    edges = spark.sql(_Q58_EDGES_SQL).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("q58_edges")
+    return spark.sql(_Q58_RECURSE_SQL.format(edges="q58_edges"))
 
 
 # ---------------------------------------------------------------------------
