@@ -104,6 +104,8 @@ HEADLINE = [
     "t18_bigram_lm_score",
     # trained BPE: driver-sample merge learning + Arrow encode pass
     "t19_bpe_tokenize",
+    # model-assisted quality filter: sample-trained LR, JVM scoring
+    "t20_quality_classifier",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -206,3 +206,44 @@ def t19_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", n_merges=200, sample_n=2000)
     return bpe_token_stats(docs, "doc_id", "text", merges)
+
+
+# ---------------------------------------------------------------------------
+# t20 — model-assisted classification (trained quality/lang scorer)
+# ---------------------------------------------------------------------------
+
+
+@register("t20_quality_classifier")  # iterative gradient training
+def t20_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic scorer on a driver sample, score the corpus.
+
+    The model-assisted filtering stage of published LLM pipelines
+    (GPT-3's CommonCrawl LR filter, RefinedWeb's fastText gates): the
+    weak label is t13's Gopher rule-battery verdict, and the model
+    distills the hard AND-of-thresholds gate into a soft quality score
+    (~90% agreement vs the ~53% majority baseline on the testdata — a
+    genuinely learned signal, pinned loosely in tests).  Rows-only BY
+    DESIGN: iterative gradient training has no SQL expression;
+    determinism (hash-ordered sample, fixed float64 iteration
+    schedule) plus the distributed==numpy scoring-equality test in
+    tests/test_round4h_ops.py pin semantics.
+
+    100-TB posture: training touches one bounded driver sample;
+    scoring is a scan-stage JVM projection (featurize + dot product +
+    sigmoid), embarrassingly parallel, zero Python workers.  The
+    label join is by doc_id (featurize and the gate both derive from
+    the same scan, so AQE plans it as a local shuffle at worst).
+    """
+    from ..operators.classifier import featurize, score, train_logreg
+    from ..operators.quality import gopher_quality
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    labels = gopher_quality(docs, "doc_id", "text").select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("label")
+    )
+    feats = featurize(docs, "text").join(labels, "doc_id")
+    w, b = train_logreg(feats, "label", "doc_id")
+    return score(feats, w, b).select(
+        "doc_id", "label", "predicted", "score"
+    )

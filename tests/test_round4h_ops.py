@@ -170,3 +170,61 @@ def test_t19_runs_and_counts_compress(spark):
     for r in rows:
         if r.n_words:
             assert 0 < r.n_bpe_tokens <= r.n_chars + r.n_words
+
+
+def test_logreg_recovers_separable_rule(spark):
+    from onechronos_etl_takehome_spark.operators.classifier import (
+        featurize,
+        score,
+        train_logreg,
+    )
+
+    # label == 1 iff the doc is long: linearly separable in f_log_chars
+    rows = []
+    for i in range(60):
+        short = "word " * 5
+        long = "word " * 200
+        rows.append((2 * i, short.strip(), 0))
+        rows.append((2 * i + 1, long.strip(), 1))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    feats = featurize(df, "text")
+    w, b = train_logreg(feats, "label", "doc_id", sample_n=200)
+    out = score(feats, w, b).select("doc_id", "label", "predicted").collect()
+    assert all(r.predicted == r.label for r in out)
+
+
+def test_logreg_training_deterministic_and_scoring_matches_numpy(spark):
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.classifier import (
+        FEATURE_COLS,
+        featurize,
+        score,
+        train_logreg,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = featurize(docs, "text").withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    w1, b1 = train_logreg(feats, "label", "doc_id", sample_n=300)
+    w2, b2 = train_logreg(feats, "label", "doc_id", sample_n=300)
+    assert w1 == w2 and b1 == b2
+
+    rows = score(feats, w1, b1).select("doc_id", "score", *FEATURE_COLS).collect()
+    X = np.array([[r[c] for c in FEATURE_COLS] for r in rows], dtype=np.float64)
+    z = X @ np.array(w1) + b1
+    expect = 1.0 / (1.0 + np.exp(-z))
+    got = np.array([r.score for r in rows])
+    assert np.allclose(got, expect, rtol=0, atol=1e-12)
+
+
+def test_t20_runs_with_stable_schema(spark):
+    rows = QUERIES["t20_quality_classifier"](spark, SF).collect()
+    assert rows and set(rows[0].asDict()) == {"doc_id", "label", "predicted", "score"}
+    # distilling the Gopher gate must genuinely beat majority-class
+    # (measured ~0.90 vs ~0.51 at sf0.001; assert with slack)
+    acc = sum(r.predicted == r.label for r in rows) / len(rows)
+    base = max(sum(r.label for r in rows), sum(1 - r.label for r in rows)) / len(rows)
+    assert acc >= base + 0.15
