@@ -137,6 +137,10 @@ DRIVER_WINDOW: list[str] = [
 # (subsumed as above) and m01 binary-metadata (the multimodal family
 # keeps the strictly stronger m04 witness — binary ingestion +
 # block-map near-dup; m01 stays locally oracled in the full gate).
+# New rows-only siblings outside the window, each rows-only because
+# SQL cannot express iterative training: t19 (trained BPE tokenizer)
+# and t20 (sample-trained logistic quality classifier) — both
+# model-pinned in tests/test_round4h_ops.py.
 # Round 4g: two new capability families enter — x19 (graph analytics:
 # degree-oriented triangle counting, a join family nothing else
 # witnesses) and q57 (interval-overlap range join on binned candidate

@@ -39,11 +39,16 @@ from .catalog import register
 # ---------------------------------------------------------------------------
 
 # Edges = directed supplier-nation → customer-nation flows with
-# above-average volume (integer-only threshold arithmetic:
-# COUNT(*) * 600 > |lineitem| keeps the selectivity sf-invariant
-# without a float divide).  The recursive member enumerates bounded
-# walks (hops < 3) from NATION_0; the final aggregate folds walks into
-# min-hop distance + walk count per nation.
+# above-half-average volume (integer-only threshold arithmetic:
+# COUNT(*) * 1200 > |lineitem|, i.e. count > avg/2 over the 25×24
+# directed pairs — sf-invariant selectivity with no float divide; the
+# stricter ×600 form left the graph edgeless-from-the-source at the
+# driver SFs, a vacuous 1-row witness).  The anchor is MIN(src) —
+# NATION_0 is not a supplier nation at every sf, so a literal source
+# can be isolated by data accident.  The recursive member enumerates
+# bounded walks (hops < 3); the final aggregate folds walks into
+# min-hop distance + walk count per nation (25 rows, hop depths 0-2
+# at the driver SFs — pinned non-vacuous by the BFS model test).
 _Q58_EDGES_SQL = """
     SELECT sn.n_name AS src, cn.n_name AS dst
     FROM lineitem
@@ -54,12 +59,12 @@ _Q58_EDGES_SQL = """
     JOIN nation cn ON c_nationkey = cn.n_nationkey
     WHERE sn.n_name <> cn.n_name
     GROUP BY sn.n_name, cn.n_name
-    HAVING COUNT(*) * 600 > (SELECT COUNT(*) FROM lineitem)
+    HAVING COUNT(*) * 1200 > (SELECT COUNT(*) FROM lineitem)
 """
 
 _Q58_RECURSE_SQL = """
     WITH RECURSIVE reach(nation, hops) AS (
-      SELECT 'NATION_0', 0
+      SELECT MIN(src), 0 FROM {edges}
       UNION ALL
       SELECT e.dst, r.hops + 1
       FROM reach r JOIN {edges} e ON e.src = r.nation
