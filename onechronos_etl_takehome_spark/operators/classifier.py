@@ -118,6 +118,10 @@ def score(
     df: DataFrame, weights: list[float], bias: float, out_col: str = "score"
 ) -> DataFrame:
     """Sigmoid(w·x + b) as one JVM projection over the feature columns."""
+    if len(weights) != len(FEATURE_COLS):
+        raise ValueError(
+            f"expected {len(FEATURE_COLS)} weights, got {len(weights)}"
+        )
     z: Column = F.lit(bias)
     for c, w in zip(FEATURE_COLS, weights):
         z = z + F.col(c) * F.lit(w)

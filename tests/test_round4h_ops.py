@@ -250,3 +250,45 @@ def test_cli_list_and_run(spark, capsys):
     assert len(lines) == 3
 
     assert main(["run", "nope"], spark=spark) == 2
+
+
+def test_t20_scoring_is_streaming_compatible(spark, tmp_path):
+    """Train offline, score online: featurize+score are stateless JVM
+    projections, so the SAME code scores a readStream — the model-
+    serving posture (no separate streaming twin needed)."""
+    from pyspark.sql import functions as F
+
+    from onechronos_etl_takehome_spark.operators.classifier import (
+        featurize,
+        score,
+        train_logreg,
+    )
+    from onechronos_etl_takehome_spark.operators.quality import gopher_quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    labels = gopher_quality(docs, "doc_id", "text").select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("label")
+    )
+    feats = featurize(docs, "text").join(labels, "doc_id")
+    w, b = train_logreg(feats, "label", "doc_id", sample_n=300)
+    batch_scores = {
+        r.doc_id: r.score for r in score(featurize(docs, "text"), w, b).collect()
+    }
+
+    # the file stream source wants a directory, not a single file
+    src_dir = str(tmp_path / "docs_in")
+    docs.write.parquet(src_dir)
+    stream_in = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = (
+        score(featurize(stream_in, "text"), w, b)
+        .select("doc_id", "score")
+        .writeStream.format("memory")
+        .queryName("t20_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id: r.score for r in spark.table("t20_stream").collect()}
+    assert got == batch_scores
