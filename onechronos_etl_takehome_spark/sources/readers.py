@@ -118,3 +118,31 @@ def read_binary_dir(
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("mtime"),
     )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, *, mode: str = "file"
+) -> DataFrame:
+    """Raw ``.txt`` corpus ingestion — the classic LLM-data entry path.
+
+    - ``mode="file"``: one document per file (``wholetext``) —
+      ``(doc_path, text)``, identity = the file path.  Right for
+      article/book-shaped corpora.  Scale note: a wholetext file is
+      one task and must fit one executor's memory; shard giant files
+      upstream or use line mode.
+    - ``mode="line"``: one record per line — ``(doc_path, text)``,
+      splittable (a big file parallelizes across tasks).  Deliberately
+      returns NO synthetic line-number id: Spark's text source gives
+      no stable intra-file ordering once a file splits, so any
+      generated id would be partitioning-dependent.  Line-addressed
+      corpora should carry identity in the data itself (use the JSONL
+      reader, ``sources/jsonl.py``) or derive content-addressed ids
+      downstream (``xxhash64(doc_path, text)`` + dedup, the d01 shape).
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("file", "line"):
+        raise ValueError(f"mode must be 'file' or 'line', got {mode!r}")
+    return spark.read.text(path, wholetext=(mode == "file")).select(
+        F.input_file_name().alias("doc_path"), F.col("value").alias("text")
+    )

@@ -201,3 +201,29 @@ def test_xml_partitioned_write_prunes(spark, tmp_path):
         F.col("event_type") == "view"
     ).count()
     assert pruned.count() == n_all
+
+
+def test_read_text_corpus_modes(spark, tmp_path):
+    from onechronos_etl_takehome_spark.sources.readers import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nsecond line")
+    (d / "b.txt").write_text("solo doc")
+
+    files = read_text_corpus(spark, str(d), mode="file").collect()
+    by_name = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in files}
+    assert by_name == {"a.txt": "hello world\nsecond line", "b.txt": "solo doc"}
+
+    lines = read_text_corpus(spark, str(d), mode="line").collect()
+    got = {(r.doc_path.rsplit("/", 1)[-1], r.text) for r in lines}
+    assert got == {
+        ("a.txt", "hello world"),
+        ("a.txt", "second line"),
+        ("b.txt", "solo doc"),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_text_corpus(spark, str(d), mode="bogus")
