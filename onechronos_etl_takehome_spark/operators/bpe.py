@@ -155,7 +155,14 @@ def bpe_token_stats(
 
         return pd.Series([count(t) for t in texts], dtype="int64")
 
-    n_words = F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+    # greatest(.., 0): size() is -1 for NULL text under the pinned
+    # legacy sizeOfNull semantics; NULL and empty text both mean 0 words
+    # (keeps n_words consistent with the n_bpe_tokens=0 the encoder
+    # emits for NULL).
+    n_words = F.greatest(
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")),
+        F.lit(0),
+    )
     return df.select(
         F.col(id_col),
         _n_bpe(F.col(text_col)).alias("n_bpe_tokens"),

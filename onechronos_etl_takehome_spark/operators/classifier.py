@@ -45,12 +45,22 @@ FEATURE_COLS = [
 
 def _features(text: Column) -> dict[str, Column]:
     n_tok = tx.token_count(text)
+    # NULL text: size(split(NULL)) is -1 under the pinned legacy
+    # sizeOfNull semantics, so (-1)/(-1) ratios would read as 1.0 and
+    # the coalesce-to-0.0 in featurize would never fire. Clamp the
+    # denominator to NULL for n_tok <= 0 so every ratio goes NULL ->
+    # 0.0 for NULL text; non-NULL text always has n_tok >= 1 (split
+    # yields at least one element), so trained weights are unchanged.
+    n_tok_safe = F.nullif(F.greatest(n_tok, F.lit(0)), F.lit(0)).cast("double")
+    n_sep = n_tok - F.lit(1)
     return {
         "f_log_chars": F.log1p(F.length(text).cast("double")),
-        "f_mean_word_len": tx.avg_token_len(text),
-        "f_lex_diversity": tx.lexical_diversity(text),
+        "f_mean_word_len": (F.length(text).cast("long") - n_sep).cast("double")
+        / n_tok_safe,
+        "f_lex_diversity": tx.unique_token_count(text).cast("double")
+        / n_tok_safe,
         "f_stopword_frac": tx.marker_hits(text, tx.STOPWORDS).cast("double")
-        / n_tok.cast("double"),
+        / n_tok_safe,
         "f_digit_frac": (
             F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
             / F.greatest(F.length(text), F.lit(1)).cast("double")

@@ -124,6 +124,12 @@ _S06_ORACLE = """
                                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
         embedding
       FROM embeddings
+      -- mirror of the Spark-side guard: an empty/NULL vector has no
+      -- components to unnest here, while Spark would still emit a row
+      -- (NULL scale, zero checksums) — drop them identically on both
+      -- engines so the hash compare can never diverge on degenerate
+      -- vectors.
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
     ), ex AS (
       SELECT vec_id, scale,
         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
@@ -165,6 +171,12 @@ def s06_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_semantics(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    # Degenerate (NULL/empty) vectors: Spark would emit a row with a
+    # NULL scale and zero/-1 checksums while the oracle's unnest emits
+    # nothing — filter identically on both sides (see _S06_ORACLE).
+    emb = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     qdf = quantize_int8(emb, "vec_id", "embedding")
     zero = F.lit(0).cast("bigint")
     as_long = lambda c: c.cast("bigint")  # noqa: E731
