@@ -7,11 +7,15 @@ extraction) runs in Arrow-batched ``mapInPandas`` so batches stream
 through Python without row-at-a-time overhead, and the *schema* of the
 result is declared up front so Catalyst can prune/pushdown around it.
 
-The actual media decoders (PIL/ffmpeg/etc.) are NOT in this container —
-``decode_features`` is a clearly-marked deterministic stub: it derives
-a fake fixed-length feature vector from the payload bytes. The Spark
-plumbing (schema, partitioning, UDF signature, batch shape) is real and
-tested; swap ``_fake_decode`` for a real decoder to productionize.
+Decoders: header-simple formats decode FOR REAL with pure
+numpy/struct — uncompressed 24-bit BMP (``_decode_bmp``) and 16-bit
+PCM WAV (``_decode_wav``) — because their containers are fixed-offset
+headers plus a raw sample array; no PIL/ffmpeg needed.
+``decode_features`` sniffs each payload's magic bytes and dispatches;
+formats that genuinely need a media library (JPEG/PNG/MP4/...) fall to
+the clearly-marked deterministic stub (``_fake_decode``), or raise
+under ``require_real_decoder=True``. ``synthesize_bmp`` /
+``synthesize_wav`` build valid fixtures for tests and demos.
 """
 
 from __future__ import annotations
@@ -25,7 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BINARY_META_SCHEMA = "id long, n_bytes long, checksum string"
-FEATURE_SCHEMA = "id long, modality string, n_bytes long, features array<double>"
+FEATURE_SCHEMA = (
+    "id long, modality string, n_bytes long, decoder string, "
+    "features array<double>"
+)
 
 
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -67,14 +74,181 @@ def binary_metadata(payloads: DataFrame) -> DataFrame:
 
 
 def _fake_decode(payload: bytes, n_features: int) -> list[float]:
-    """STUB decoder — replace with a real image/audio decode.
+    """STUB decoder for formats that need a real media library.
 
     Deterministic fake: md5-seeded bytes → n_features doubles in [0,1).
-    Raises if asked for a modality a real decoder would need.
     """
     h = hashlib.md5(payload).digest()
     raw = (h * ((n_features // len(h)) + 1))[:n_features]
     return [b / 256.0 for b in raw]
+
+
+def _pad(vals: list[float], n_features: int) -> list[float]:
+    vals = [float(v) for v in vals[:n_features]]
+    return vals + [0.0] * (n_features - len(vals))
+
+
+def _decode_bmp(payload: bytes, n_features: int) -> list[float]:
+    """REAL decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER).
+
+    Fixed-offset header + raw BGR rows (bottom-up, 4-byte row padding)
+    — numpy reshapes the pixel array directly from the payload bytes.
+    Features: dims, per-channel means, gray stats, and 2×2 quadrant
+    gray means (a crude layout signature a near-dup pass can use).
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    px = (
+        np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+        .reshape(h, stride)[:, : width * 3]
+        .reshape(h, width, 3)
+        .astype(np.float64)
+    )
+    if bottom_up:
+        px = px[::-1]
+    b, g, r = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    h2, w2 = max(h // 2, 1), max(width // 2, 1)
+    return _pad(
+        [
+            width,
+            h,
+            r.mean(),
+            g.mean(),
+            b.mean(),
+            gray.mean(),
+            gray.std(),
+            gray.min(),
+            gray.max(),
+            gray[:h2, :w2].mean(),
+            gray[:h2, w2:].mean() if width > 1 else 0.0,
+            gray[h2:, :w2].mean() if h > 1 else 0.0,
+            gray[h2:, w2:].mean() if h > 1 and width > 1 else 0.0,
+            width / h,
+        ],
+        n_features,
+    )
+
+
+def _decode_wav(payload: bytes, n_features: int) -> list[float]:
+    """REAL decode of a 16-bit PCM RIFF/WAVE payload.
+
+    Proper chunk walk (fmt may be followed by LIST/fact/... before
+    data); samples load as int16 via numpy. Features: stream params
+    plus amplitude stats (RMS, peak, zero-crossing rate).
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (fmt={audio_format}, bits={bits})")
+    samples = np.frombuffer(
+        data, "<i2", count=len(data) // 2
+    ).astype(np.float64) / 32768.0
+    n_frames = len(samples) // max(n_channels, 1)
+    if n_frames == 0:
+        return _pad([n_channels, sample_rate, 0.0], n_features)
+    mono = samples[: n_frames * n_channels].reshape(n_frames, n_channels).mean(axis=1)
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return _pad(
+        [
+            n_channels,
+            sample_rate,
+            n_frames,
+            n_frames / sample_rate,
+            mono.mean(),
+            float(np.sqrt(np.mean(mono**2))),
+            float(np.abs(mono).max()),
+            zcr,
+        ],
+        n_features,
+    )
+
+
+def sniff_modality(payload: bytes) -> str:
+    """Container sniff by magic bytes: 'bmp' / 'wav' decode for real;
+    anything else is 'opaque' (stub or raise)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "opaque"
+
+
+def synthesize_bmp(width: int, height: int, seed: int) -> bytes:
+    """Deterministic valid 24-bit BMP (seeded pixels) — test/demo
+    fixture builder; the decoder above must round-trip its stats."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = px.reshape(height, width * 3)
+    pixel_bytes = rows[::-1].tobytes()  # bottom-up
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes),
+        2835, 2835, 0, 0,
+    )
+    return header + pixel_bytes
+
+
+def synthesize_wav(
+    n_frames: int, sample_rate: int, freq_hz: float, seed: int
+) -> bytes:
+    """Deterministic valid 16-bit PCM mono WAV (sine + seeded noise)."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    wave = 0.6 * np.sin(2 * np.pi * freq_hz * t) + 0.05 * rng.standard_normal(
+        n_frames
+    )
+    pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(pcm), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
 
 
 def sample_frames(
@@ -125,31 +299,81 @@ def sample_frames(
     )
 
 
+def demo_media_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10
+) -> DataFrame:
+    """Deterministic real-media payloads keyed off the id — the demo
+    stand-in for ``spark.read.format('binaryFile')`` ingestion so real
+    decodes ride the corpus queries: ``id % modulus == 0`` → BMP,
+    ``== 1`` → WAV (synthesized executor-side, id-seeded, so the frame
+    is reproducible and distributed — no driver materialization)."""
+
+    base = df.select(F.col(id_col).cast("long").alias("id")).where(
+        F.col(id_col) % modulus < 2
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content, modality = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % modulus == 0:
+                    content.append(
+                        synthesize_bmp(16 + i % 16, 8 + i % 8, seed=i % 997)
+                    )
+                    modality.append("image")
+                else:
+                    content.append(
+                        synthesize_wav(
+                            800 + i % 100, 8000, 220.0 + i % 200, seed=i % 997
+                        )
+                    )
+                    modality.append("audio")
+            yield pd.DataFrame(
+                {"id": pdf["id"], "content": content, "modality": modality}
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
 def decode_features(
     payloads: DataFrame, *, n_features: int = 16, require_real_decoder: bool = False
 ) -> DataFrame:
     """Feature-extraction stage over opaque binary payloads.
 
-    ``require_real_decoder=True`` raises NotImplementedError — the
-    media libraries are not available in this environment; the batch
-    plumbing below is the production shape.
+    Per-payload magic-byte sniff: BMP and 16-bit-PCM WAV decode FOR
+    REAL (pure numpy — see ``_decode_bmp`` / ``_decode_wav``); other
+    containers fall to the deterministic stub, or raise
+    NotImplementedError under ``require_real_decoder=True`` (JPEG/PNG/
+    MP4 need PIL/ffmpeg, which this environment doesn't ship). The
+    ``decoder`` output column says which path each row took.
     """
-    if require_real_decoder:
-        raise NotImplementedError(
-            "real media decoders (PIL/ffmpeg) are not installed; "
-            "use the deterministic stub (require_real_decoder=False)"
-        )
+
+    def decode_one(b: bytes) -> tuple[str, list[float]]:
+        kind = sniff_modality(b)
+        if kind != "opaque":
+            try:
+                dec = _decode_bmp if kind == "bmp" else _decode_wav
+                return kind, dec(b, n_features)
+            except ValueError:
+                kind = "opaque"  # matched magic, unsupported variant
+        if require_real_decoder:
+            raise NotImplementedError(
+                "payload is not a self-decodable format (BMP/WAV) and "
+                "real media decoders (PIL/ffmpeg) are not installed"
+            )
+        return "stub", _fake_decode(b, n_features)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded = [decode_one(bytes(b)) for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "features": pdf["content"].map(
-                        lambda b: _fake_decode(bytes(b), n_features)
-                    ),
+                    "decoder": [d[0] for d in decoded],
+                    "features": [d[1] for d in decoded],
                 }
             )
 

@@ -871,12 +871,35 @@ def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(mm.attach_binary(docs, "doc_id", "text"))
 
 
-@register("m02_decode_features")  # stub decoder → rows-only check
+@register("m02_decode_features")  # binary feature extraction → rows-only
 def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over a mixed binary corpus: text payloads go
+    through the documented stub, and id-seeded BMP/WAV payloads decode
+    FOR REAL (pure-numpy header parsers — operators/multimodal.py
+    _decode_bmp/_decode_wav, pinned against independent pure-python
+    recomputation in tests/test_round5_ops.py). Rows-only by design:
+    SQL cannot parse binary containers."""
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
-    feats = mm.decode_features(mm.attach_binary(docs, "doc_id", "text"), n_features=16)
-    return feats.select("id", "modality", "n_bytes", F.size("features").alias("n_features"))
+    payloads = mm.attach_binary(docs, "doc_id", "text").unionByName(
+        mm.demo_media_payloads(docs, "doc_id")
+    )
+    feats = mm.decode_features(payloads, n_features=16)
+    # fold the feature vector into a rounded checksum (arrays can't
+    # ride the driver compare; rounding keeps float jitter out)
+    return feats.select(
+        "id",
+        "modality",
+        "n_bytes",
+        "decoder",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("feature_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------

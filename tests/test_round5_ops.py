@@ -100,6 +100,147 @@ def test_bpe_stats_null_and_empty_text(spark):
     assert rows[3].n_bpe_tokens > 0
 
 
+def test_readme_catalog_counts_match_registry():
+    """README's catalog-size claim must track the live registry (round
+    4 shipped with a stale 129/119 vs actual 133/121)."""
+    import re
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "README.md")) as f:
+        readme = f.read()
+    m = re.search(r"(\d+) queries, (\d+) with DuckDB oracle", readme)
+    assert m, "README lost its catalog-count line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries, registry has {len(QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"README says {m.group(2)} oracled, registry has {len(ORACLES)}"
+    )
+
+
+def test_bmp_decode_roundtrip():
+    """The pure-numpy BMP parser must recover exact pixel statistics
+    from a synthesized 24-bit BMP (odd width exercises row padding)."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        _decode_bmp,
+        synthesize_bmp,
+    )
+
+    w, h, seed = 5, 3, 77
+    payload = synthesize_bmp(w, h, seed)
+    # independent expectation from the same seeded pixel array
+    px = np.random.RandomState(seed).randint(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    ).astype(np.float64)
+    b, g, r = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    feats = _decode_bmp(payload, 16)
+    assert feats[0] == w and feats[1] == h
+    assert feats[2] == pytest.approx(r.mean())
+    assert feats[3] == pytest.approx(g.mean())
+    assert feats[4] == pytest.approx(b.mean())
+    assert feats[5] == pytest.approx(gray.mean())
+    assert feats[6] == pytest.approx(gray.std())
+    assert feats[7] == gray.min() and feats[8] == gray.max()
+
+
+def test_bmp_decode_topdown_variant():
+    """Negative height = top-down row order; decoder must flip
+    accordingly (same stats, first-quadrant mean differs from the
+    bottom-up read if unhandled)."""
+    import struct
+
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        _decode_bmp,
+        synthesize_bmp,
+    )
+
+    w, h, seed = 4, 2, 5
+    bottom_up = synthesize_bmp(w, h, seed)
+    # rebuild as top-down: negate height, un-reverse the rows
+    px_rows = np.frombuffer(bottom_up[54:], np.uint8).reshape(h, -1)[::-1]
+    top_down = (
+        bottom_up[:22]
+        + struct.pack("<i", -h)
+        + bottom_up[26:54]
+        + px_rows.tobytes()
+    )
+    assert _decode_bmp(top_down, 16) == _decode_bmp(bottom_up, 16)
+
+
+def test_wav_decode_roundtrip():
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        _decode_wav,
+        synthesize_wav,
+    )
+
+    n, sr, f0, seed = 1600, 8000, 440.0, 9
+    payload = synthesize_wav(n, sr, f0, seed)
+    feats = _decode_wav(payload, 16)
+    assert feats[0] == 1 and feats[1] == sr and feats[2] == n
+    assert feats[3] == pytest.approx(n / sr)
+    # 0.6-amplitude sine: RMS ~ 0.6/sqrt(2), plus a little noise
+    assert feats[5] == pytest.approx(0.6 / np.sqrt(2), rel=0.05)
+    # ~2 zero crossings per cycle → zcr ~ 2*f0/sr
+    assert feats[7] == pytest.approx(2 * f0 / sr, rel=0.1)
+
+
+def test_decode_features_dispatch(spark):
+    """Mixed corpus: BMP/WAV payloads decode for real, text falls to
+    the stub; distributed features match the local decoders exactly."""
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_wav,
+        decode_features,
+        synthesize_bmp,
+        synthesize_wav,
+    )
+
+    bmp = synthesize_bmp(8, 8, 1)
+    wav = synthesize_wav(400, 8000, 100.0, 2)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(bmp), "image"),
+            (2, bytearray(wav), "audio"),
+            (3, bytearray(b"plain text bytes"), "text"),
+        ],
+        "id long, content binary, modality string",
+    )
+    rows = {r.id: r for r in decode_features(df, n_features=16).collect()}
+    assert rows[1].decoder == "bmp"
+    assert rows[1].features == _decode_bmp(bmp, 16)
+    assert rows[2].decoder == "wav"
+    assert rows[2].features == _decode_wav(wav, 16)
+    assert rows[3].decoder == "stub"
+
+    # require_real_decoder: media formats fine, opaque payloads raise
+    ok = decode_features(
+        df.where("id < 3"), n_features=8, require_real_decoder=True
+    ).collect()
+    assert {r.decoder for r in ok} == {"bmp", "wav"}
+    with pytest.raises(Exception, match="NotImplementedError|not a self-decodable"):
+        decode_features(
+            df.where("id = 3"), n_features=8, require_real_decoder=True
+        ).collect()
+
+
+def test_m02_real_decodes_in_corpus(spark):
+    """The catalog m02 witness must carry real BMP and WAV decodes."""
+    out = QUERIES["m02_decode_features"](spark, SF)
+    by_decoder = {
+        r["decoder"]: r["n"]
+        for r in out.groupBy("decoder").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_decoder.get("bmp", 0) > 0
+    assert by_decoder.get("wav", 0) > 0
+    assert by_decoder.get("stub", 0) > 0
+
+
 def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
     """NULL/empty embeddings must vanish identically in Spark and the
     DuckDB oracle (the oracle's unnest emits nothing for them)."""
