@@ -1,8 +1,17 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (driver contract — the driver tail-captures
+the last 2000 chars of output, and round 4's full per-query dict
+overflowed it, leaving the round with no machine-readable bench):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q01_...": sec, ...}, "sf": <sf>}
+   "queries": {<ETL numbers + a dozen flagship entries>}, "sf": <sf>,
+   "n_queries": N, "queries_file": "BENCH_queries.json",
+   "regressions": ["name:1.4x", ...]}
+
+The FULL record — every per-query timing, candidate-pair counts for the
+fuzzy-dedup probes, the streaming-throughput entry — goes to
+``BENCH_queries.json`` next to this file (committed per round, so it
+doubles as the vs-prev baseline when the driver record is unusable).
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no disk-write noise). JVM/session startup is excluded from per-query
@@ -59,7 +68,14 @@ HEADLINE = [
     # lossless counterpart: prefix-filtered exact pairs -> components
     "d16_exact_dedup_e2e",
     # character-level family: lossless FastSS deletion-neighborhood
-    # signature join + exact levenshtein verify
+    # signature join + exact levenshtein verify. d18 (tau=2 PassJoin)
+    # is deliberately NOT benched at sf0.1: the zero-padded customer
+    # names put ~13% of ALL pairs within lev-2 (sf0.01 candidate
+    # observation: 4.5M candidates -> 204k true pairs), so any exact
+    # tau=2 join is result-quadratic on this corpus — a data
+    # pathology, not an operator gap; d18 stays hash-matched vs brute
+    # force at the driver's sf0.01 and its candidate hook reports
+    # whenever it is benched.
     "d17_edit_distance_pairs",
     # entity-resolution composition: blocked PassJoin -> components ->
     # survivor per entity
@@ -106,9 +122,25 @@ HEADLINE = [
     "t19_bpe_tokenize",
     # model-assisted quality filter: sample-trained LR, JVM scoring
     "t20_quality_classifier",
+    # round-5 batch: z-order layout clustering, leakage-safe splits
+    "x23_zorder_layout",
+    "t21_leakage_safe_split",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
+
+# Candidate-bound fuzzy joins: wall time follows the candidate-pair
+# count, so the bench records the count (an in-job Observation at the
+# operator's candidate stage — observability.py) at 1× and 10×. A
+# candidate ratio well above the corpus ratio is a scale bug even
+# while wall time still looks linear.
+CANDIDATE_QUERIES = {
+    "d03_fast_minhash_dedup",
+    "d03_capped_minhash_dedup",
+    "d15_prefix_jaccard_pairs",
+    "d17_edit_distance_pairs",
+    "d18_passjoin_pairs",
+}
 
 # Fuzzy-dedup / ANN paths probed on a 10× corpus (see
 # _scaled_llm_inputs): caps and bucketing should keep these ~linear in
@@ -193,11 +225,13 @@ def _scaled_llm_inputs(
     import pyarrow.parquet as pq
 
     # source SF is part of the cache key — a smoke run at sf0.01 must
-    # not leave its (10× smaller) corpus behind for the sf0.1 run
+    # not leave its (10× smaller) corpus behind for the sf0.1 run.
+    # v2: customer scaling switched from tag-prefix to rotation cipher
+    # (stale v1 caches must not survive the format change).
     suffix = "" if len(tables) == 2 else "_" + "-".join(sorted(tables))
     out = (
         f"/tmp/spark_graft_llm_{copies}x_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}{suffix}"
+        f"{os.path.basename(sf_dir.rstrip('/'))}{suffix}_v2"
     )
     done = os.path.join(out, ".done")
     doc_src = os.path.join(sf_dir, "documents.parquet")
@@ -259,20 +293,41 @@ def _scaled_llm_inputs(
             os.path.join(out, "embeddings.parquet"),
         )
     if "customer" in tables:
-        # Per-copy 3-letter tag prefixed to every name: within-copy
-        # edit distances are unchanged (shared prefix), cross-copy
-        # names are >= 3 edits apart (distinct-letter tags), so the
-        # 1× near-dup pair structure replicates exactly ×copies —
-        # the d17 probe should be ~linear.
+        # Per-copy alphabet-rotation cipher over every name: a
+        # character bijection preserves within-copy edit distances
+        # EXACTLY (the 1× near-dup pair structure replicates ×copies)
+        # while cross-copy strings share no substring — critical for
+        # the PassJoin probe (d18), whose segment signatures are
+        # substrings: the previous 3-letter-tag prefix left segment
+        # boundaries aligned and segment CONTENT identical across
+        # copies, so candidates grew ×copies² (measured 52.8× at 10×)
+        # even though the tags kept every cross-copy pair out of the
+        # verified result. Rotations leave no fixed points (all names
+        # share the "Customer#" prefix, which maps to copies²-distinct
+        # strings), so cross-copy candidates vanish for d17 and d18.
+        import string
+
+        alpha = string.ascii_letters + string.digits + "#"
+
+        def _cipher(name: str, shift: int) -> str:
+            if shift == 0:
+                return name
+            return "".join(
+                alpha[(alpha.index(ch) + shift) % len(alpha)]
+                if ch in alpha
+                else ch
+                for ch in name
+            )
+
         cust_schema = pq.read_schema(cust_src)
         cust = pq.read_table(cust_src).to_pandas()
         c_parts = []
         for i in range(copies):
             c = cust.copy()
             c["c_custkey"] = cust["c_custkey"] + i * OFF
-            tag = chr(ord("a") + i) * 3
             c["c_name"] = [
-                tag + n if isinstance(n, str) else n for n in cust["c_name"]
+                _cipher(n, i * 7) if isinstance(n, str) else n
+                for n in cust["c_name"]
             ]
             c_parts.append(c)
         pq.write_table(
@@ -304,21 +359,42 @@ def main() -> None:
 
     load_table(spark, sf_dir, "lineitem").count()
 
-    def _bench_query(name: str, data_dir: str) -> float:
-        # min-of-3 for everything: the first execution of a query
+    candidate_counts: dict[str, int] = {}
+
+    def _bench_query(name: str, data_dir: str, label: str | None = None) -> float:
+        # Rep policy (rounds 3-5 of noise chasing): the first execution
         # carries one-time JIT/codegen cost (interleaved A/B on s03:
-        # rep0 6.1 s, rep1 1.9 s, rep2 1.7 s — min-of-2 recorded a
-        # cold-ish sample and read as a 1.5-1.9× "regression"), and
-        # sub-second entries need the third rep for scheduler noise.
-        # Only the very heavy 10× probes stop at min-of-2 (a ≥8 s
-        # entry's rep-to-rep jitter is far below the flag threshold).
+        # rep0 6.1 s, rep1 1.9 s, rep2 1.7 s), so everything gets >= 3
+        # reps; entries still under 1.5 s after 3 reps get 5 (round 4's
+        # q20 "1.37x regression" was min-of-3 scheduler noise on a
+        # 0.5 s CUBE — sub-second entries need the extra samples);
+        # >= 8 s probes stop at min-of-2 (their jitter is far below
+        # the flag threshold).
+        from onechronos_etl_takehome_spark.observability import (
+            capture_counts,
+            drain,
+        )
+
+        import contextlib
+
+        label = label or name
+        capture = name in CANDIDATE_QUERIES
         best = float("inf")
-        for rep in range(3):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, data_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        for rep in range(5):
+            # hooks stay inactive (identity, plan byte-identical) for
+            # everything outside CANDIDATE_QUERIES — compositions like
+            # d11/d16/d19 must not grow unread CollectMetrics nodes
+            ctx = capture_counts() if capture else contextlib.nullcontext({})
+            with ctx as sink:
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, data_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                if capture and sink:
+                    candidate_counts[label] = sum(drain(sink).values())
             if rep >= 1 and best >= 8.0:
+                break
+            if rep >= 2 and best >= 1.5:
                 break
         return round(best, 3)
 
@@ -331,13 +407,13 @@ def main() -> None:
     # stderr; ~10× time is the expectation for linear operators.
     llm10 = _scaled_llm_inputs(10, sf_dir)
     for name in SCALE_PROBES:
-        timings[f"{name}_10x"] = _bench_query(name, llm10)
-    # d17's input is the customer table — its own structure-preserving
-    # 10× copy (tagged names keep cross-copy pairs impossible).
+        timings[f"{name}_10x"] = _bench_query(name, llm10, label=f"{name}_10x")
+    # d17/d18's input is the customer table — its own structure-
+    # preserving 10× copy (tagged names keep cross-copy pairs
+    # impossible).
     cust10 = _scaled_llm_inputs(10, sf_dir, tables=("customer",))
-    timings["d17_edit_distance_pairs_10x"] = _bench_query(
-        "d17_edit_distance_pairs", cust10
-    )
+    for name in ["d17_edit_distance_pairs"]:
+        timings[f"{name}_10x"] = _bench_query(name, cust10, label=f"{name}_10x")
     for name in SCALE_PROBES + ["d17_edit_distance_pairs"]:
         if timings.get(name, 0) > 0:
             ratio = round(timings[f"{name}_10x"] / timings[name], 1)
@@ -404,78 +480,219 @@ def main() -> None:
         m["processed_trades"] / timings["etl_pipeline_100x"], 1
     )
 
+    # Streaming throughput: the trades reconciliation twin over a
+    # landing directory in availableNow mode (the only runtime surface
+    # with no bench number until round 5).
+    streaming = _streaming_bench(spark, scaled)
+    timings["streaming_trades_per_sec"] = streaming["rows_per_sec"]
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # vs_prev BEFORE overwriting the side file: last round's committed
+    # BENCH_queries.json is the preferred baseline (driver BENCH_r*.json
+    # records truncate when the full dict outgrew the tail capture).
+    vs_prev, regressions = _vs_previous_round(timings, sf, repo_dir)
+    if vs_prev:
+        with open(os.path.join(repo_dir, "BENCH_vs_prev.json"), "w") as f:
+            json.dump(vs_prev, f, indent=1)
+        print("vs_prev written to BENCH_vs_prev.json", file=sys.stderr)
+
+    # FULL record → side file (committed per round; doubles as the
+    # next round's vs-prev baseline).
+    with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as f:
+        json.dump(
+            {
+                "sf": sf,
+                "total": total,
+                "queries": timings,
+                "candidate_counts": candidate_counts,
+                "streaming": streaming,
+            },
+            f,
+            indent=1,
+        )
+
+    # The compact driver-parseable JSON is the FINAL stdout line — it
+    # MUST stay well under the driver's 2000-char tail capture (round
+    # 4's full dict overflowed it: parsed=null, no bench record).
+    compact_keys = [
+        "etl_reference_pipeline",
+        "etl_pipeline_100x",
+        "etl_100x_trades_per_sec",
+        "streaming_trades_per_sec",
+        "q01_pricing_summary",
+        "v01_validate_lineitem",
+        "q58_recursive_reachability",
+        "x19_triangle_count",
+        "d03_fast_minhash_dedup",
+        "d15_prefix_jaccard_pairs",
+        "d11_fuzzy_dedup_e2e",
+        "d17_edit_distance_pairs",
+        "t19_bpe_tokenize",
+        "s01_cosine_topk_100x",
+        "s04_cosine_topk_numpy_100x",
+    ]
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in compact_keys if k in timings},
         "sf": sf,
+        "n_queries": len(timings),
+        "queries_file": "BENCH_queries.json",
+        "regressions": regressions,
     }
-    # vs_prev goes to a side file + stderr, never the stdout line: the
-    # driver tail-captures stdout and a doubled line overflows it
-    # (round 2's BENCH record came back unparsed for exactly that).
-    vs_prev = _vs_previous_round(timings, sf)
-    if vs_prev:
-        side = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_vs_prev.json"
-        )
-        with open(side, "w") as f:
-            json.dump(vs_prev, f, indent=1)
-        print(f"vs_prev written to {side}", file=sys.stderr)
-    # The compact driver-parseable JSON is the FINAL stdout line.
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1500, f"compact line grew to {len(line)} chars"
+    print(line)
     spark.stop()
 
 
+def _streaming_bench(spark, scaled_dir: str) -> dict[str, float]:
+    """Trades streaming twin over the 100× landing zone, availableNow.
+
+    The 1.1 M-row trades CSV is split into 8 drop files (header each)
+    so maxFilesPerTrigger=4 forces multiple microbatches — the number
+    measures real incremental execution (watermarked dedup state,
+    stream-static joins, foreachBatch sinks), not one batch in
+    streaming clothes. Throughput = input rows / wall from stream
+    start to availableNow drain.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from onechronos_etl_takehome_spark.streaming.trades_stream import (
+        start_reconciliation_stream,
+    )
+
+    land = os.path.join(scaled_dir, "stream_landing")
+    done = os.path.join(land, ".done")
+    if os.path.exists(done):
+        # marker doubles as the row-count record; a stale/unparseable
+        # marker (older format) means rebuild
+        try:
+            with open(done) as f:
+                int(f.read().strip())
+        except ValueError:
+            shutil.rmtree(land, ignore_errors=True)
+    if not os.path.exists(done):
+        os.makedirs(land, exist_ok=True)
+        with open(os.path.join(scaled_dir, "trades.csv")) as f:
+            header = f.readline()
+            rows = f.readlines()
+        n_files = 8
+        per = (len(rows) + n_files - 1) // n_files
+        for i in range(n_files):
+            with open(os.path.join(land, f"trades_{i:02d}.csv"), "w") as f:
+                f.write(header)
+                f.writelines(rows[i * per : (i + 1) * per])
+        with open(done, "w") as f:
+            f.write(str(len(rows)))
+    with open(done) as f:
+        n_rows = int(f.read().strip())
+
+    out_dir = tempfile.mkdtemp(prefix="bench_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    t0 = time.perf_counter()
+    q = start_reconciliation_stream(
+        spark,
+        trades_dir=land,
+        dims_dir=scaled_dir,
+        output_dir=out_dir,
+        checkpoint_dir=ckpt,
+        available_now=True,
+        max_files_per_trigger=4,
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    # throughput numerator = LOGICAL trade rows in the landing zone
+    # (counted at split time). The progress surface's numInputRows
+    # roughly doubles it because the parseable/unparseable dedup split
+    # self-unions the file source — two scans of the same drop.
+    n_triggers = sum(1 for p in q.recentProgress if int(p["numInputRows"]) > 0)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "rows": n_rows,
+        "triggers": n_triggers,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_rows / wall, 1),
+    }
+
+
 def _vs_previous_round(
-    timings: dict[str, float], sf: float
-) -> dict[str, object] | None:
-    """Per-query ratio vs the latest recorded BENCH_r*.json (driver
-    format: our JSON line under 'parsed'). >1 = slower than the prior
-    round; regressions beyond 30% are flagged loudly on stderr so a
-    single slow query can't hide inside a healthy total."""
+    timings: dict[str, float], sf: float, repo_dir: str
+) -> tuple[dict[str, object] | None, list[str]]:
+    """Per-query ratio vs the previous recorded run.
+
+    Baseline preference: the committed ``BENCH_queries.json`` (full
+    per-query record, survives even when the driver's tail capture
+    can't parse its own BENCH_r*.json), else the newest parseable
+    BENCH_r*.json at this sf. >1 = slower.
+
+    Flag rule (round-5 calibration): REGRESSION iff ratio > 1.3 AND
+    the absolute delta is >= 0.3 s. Sub-second shuffle+agg entries
+    jitter past 1.3× from scheduler noise alone (r3 e01/t05/x03, r4
+    q20 — every one vanished on re-measure), so a pure-ratio flag on
+    them is noise; a real regression that matters at 100 TB moves the
+    needle in absolute terms too. Returns (side-file record, flagged
+    name:ratio strings — also folded into the compact stdout line so
+    the driver record shows them even if stderr scrolls away).
+    """
     import glob
     import re
 
-    benches = sorted(
-        (
-            p
-            for p in glob.glob(
-                os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")
-            )
-            if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
-        ),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    # newest record whose parsed block is usable at this sf (r02's
-    # parsed was null — skip such records instead of giving up)
     prev_path = prev_q = None
-    for cand in reversed(benches):
-        try:
-            with open(cand) as f:
-                prev = json.load(f)
-            parsed = prev.get("parsed", prev)
-            if parsed.get("sf") == sf and parsed["queries"]:
-                prev_path, prev_q = cand, parsed["queries"]
-                break
-        except (json.JSONDecodeError, KeyError, TypeError, AttributeError):
-            continue
+    side = os.path.join(repo_dir, "BENCH_queries.json")
+    try:
+        with open(side) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf and prev["queries"]:
+            prev_path, prev_q = side, prev["queries"]
+    except (OSError, json.JSONDecodeError, KeyError, TypeError):
+        pass
+
     if prev_q is None:
-        return None
+        benches = sorted(
+            (
+                p
+                for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+                if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+            ),
+            key=lambda p: int(
+                re.search(r"r(\d+)", os.path.basename(p)).group(1)
+            ),
+        )
+        # newest record whose parsed block is usable at this sf (r02/r04
+        # parsed were null — skip such records instead of giving up)
+        for cand in reversed(benches):
+            try:
+                with open(cand) as f:
+                    prev = json.load(f)
+                parsed = prev.get("parsed", prev)
+                if parsed.get("sf") == sf and parsed["queries"]:
+                    prev_path, prev_q = cand, parsed["queries"]
+                    break
+            except (json.JSONDecodeError, KeyError, TypeError, AttributeError):
+                continue
+    if prev_q is None:
+        return None, []
     ratios = {
         name: round(t / prev_q[name], 2)
         for name, t in timings.items()
-        # durations only — the trades/sec entry is a throughput, where
-        # bigger is better and a >1 ratio is an improvement.
+        # durations only — the trades/sec entries are throughputs,
+        # where bigger is better and a >1 ratio is an improvement.
         if name in prev_q and prev_q[name] > 0 and not name.endswith("_per_sec")
     }
+    flagged: list[str] = []
     for name, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
-        if r > 1.3:
+        if r > 1.3 and (timings[name] - prev_q[name]) >= 0.3:
+            flagged.append(f"{name}:{r}x")
             print(
                 f"REGRESSION {name}: {r}x vs {os.path.basename(prev_path)}",
                 file=sys.stderr,
             )
-    return {"baseline": os.path.basename(prev_path), "ratios": ratios}
+    return {"baseline": os.path.basename(prev_path), "ratios": ratios}, flagged
 
 
 if __name__ == "__main__":

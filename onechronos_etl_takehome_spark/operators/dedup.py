@@ -441,6 +441,8 @@ def minhash_dedup_pairs(
     each side's (id, shingle-array) row once and intersects in the
     projection — no pair×shingle fan-out ever shuffles.
     """
+    from ..observability import observe_count
+
     cands = minhash_lsh_candidates(
         df,
         id_col,
@@ -451,6 +453,7 @@ def minhash_dedup_pairs(
         max_bucket_size=max_bucket_size,
         hash_family=hash_family,
     )
+    cands = observe_count("minhash_lsh.candidates", cands)
     return verify_jaccard_pairs_arrays(
         df, cands, id_col=id_col, text_col=text_col, n=n, threshold=threshold
     )
@@ -605,9 +608,12 @@ def prefix_jaccard_pairs(
     ``ngram_jaccard_pairs`` on every input — the full inverted index
     is the oracle — but high-df shingles never enter the candidate
     join and surviving pairs verify map-side."""
+    from ..observability import observe_count
+
     cands = prefix_filter_candidates(
         df, id_col, text_col, n=n, threshold=threshold
     )
+    cands = observe_count("prefix_filter.candidates", cands)
     return verify_jaccard_pairs_arrays(
         df, cands, id_col=id_col, text_col=text_col, n=n, threshold=threshold
     )

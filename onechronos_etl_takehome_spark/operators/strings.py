@@ -103,6 +103,9 @@ def edit_distance_join(
     # more candidates than survivors on customer names), so filtering
     # first shrinks the dedup exchange by the same factor. A pair's
     # duplicates all carry the same dist, so dedup-after is identical.
+    from ..observability import observe_count
+
+    cand = observe_count("fastss.candidates", cand)
     return (
         cand.withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
         .filter(F.col("dist") <= 1)
@@ -300,8 +303,10 @@ def passjoin_pairs(
     # Verify before dedup (same reasoning as edit_distance_join): the
     # map-side levenshtein filter discards most signature collisions,
     # shrinking the one dedup exchange to the survivor multiset.
+    from ..observability import observe_count
+
     return (
-        cand.unionByName(tiny_cand)
+        observe_count("passjoin.candidates", cand.unionByName(tiny_cand))
         .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
         .filter(F.col("dist") <= tau)
         .dropDuplicates(["id_a", "id_b"])

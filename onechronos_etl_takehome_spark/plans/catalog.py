@@ -53,6 +53,7 @@ from . import llm_ops3  # noqa: E402,F401
 from . import llm_ops4  # noqa: E402,F401
 from . import llm_ops5  # noqa: E402,F401
 from . import llm_ops6  # noqa: E402,F401
+from . import llm_ops7  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50

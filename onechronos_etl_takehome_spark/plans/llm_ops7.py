@@ -1,0 +1,168 @@
+"""Round-5 operator batch: data layout + corpus splitting.
+
+Two capability families a 100-TB training-data pipeline needs that the
+catalog didn't witness yet:
+
+- **Z-order layout** (x23): Morton-interleaved multi-column sort keys
+  (the clustering behind Delta/Iceberg ``OPTIMIZE ZORDER BY``) so
+  parquet min-max pruning works on EVERY clustered column at once.
+  The witness computes the key as pure shift/mask integer arithmetic
+  (identical formula both engines — hash-matched) and measures the
+  clustering quality it buys: per-z-bucket coordinate spans, which
+  collapse from ~full-domain (hash layout) to tiny hyper-rectangles.
+- **Leakage-safe splits** (t21): deterministic train/val/test
+  assignment hashed on the exact-dup GROUP key, so duplicate
+  documents can never straddle splits (self-inflicted test-set
+  contamination — the split-time complement of d09's decontamination).
+  Portable md5-hex-boundary bucketing → fully hash-matched oracle.
+
+Both are scan-stage projections + one aggregation: no new shuffle
+shapes, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.splits import assign_split, split_column_sql
+from ..sources.layout import zorder_key, zorder_key_sql
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# x23 — z-order layout clustering
+# ---------------------------------------------------------------------------
+
+# 5-bit 32×32 grid, bucket at the top 3 bits of each dim (zkey >> 4):
+# 64 buckets of ≤4×4 cells — every bucket's span is ≤3 in BOTH
+# dimensions vs the 0-31 domain, which is the whole pruning argument.
+_X23_BITS = 5
+_X23_ZSQL = zorder_key_sql(
+    ["l_partkey % 32", "l_suppkey % 32"], bits=_X23_BITS
+)
+
+_X23_ORACLE = f"""
+    WITH keyed AS (
+      SELECT l_partkey % 32 AS px, l_suppkey % 32 AS sx,
+             {_X23_ZSQL} AS zkey
+      FROM lineitem
+    )
+    SELECT CAST(zkey >> 4 AS BIGINT) AS z_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(MIN(px) AS BIGINT) AS part_lo,
+      CAST(MAX(px) AS BIGINT) AS part_hi,
+      CAST(MIN(sx) AS BIGINT) AS supp_lo,
+      CAST(MAX(sx) AS BIGINT) AS supp_hi,
+      CAST(MAX(px) - MIN(px) AS BIGINT) AS part_span,
+      CAST(MAX(sx) - MIN(sx) AS BIGINT) AS supp_span
+    FROM keyed
+    GROUP BY 1
+"""
+
+
+@register("x23_zorder_layout", oracle=_X23_ORACLE)
+def x23_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering witness: Morton key over (l_partkey,
+    l_suppkey) on a 32×32 grid, bucketed at the top z-bits (zkey >> 4
+    — the file-boundary granularity ``write_zordered`` would
+    range-partition on), with per-bucket min/max coordinate spans.
+
+    The spans ARE the scan-pruning story: every z-bucket covers a ≤4×4
+    hyper-rectangle in BOTH dimensions (span ≤ 3 vs the 0-31 domain —
+    the per-bucket part_span/supp_span columns prove it), so a
+    predicate on either column eliminates ~7/8 of buckets by min-max
+    alone; a single-column sort gets tight spans in one dimension and
+    full-domain spans in the other. The key is pure shift/mask codegen
+    (sources/layout.py:zorder_key) — identical arithmetic as the
+    oracle, hence hash-matched.
+    """
+    pin_semantics(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 32).alias("px"),
+        (F.col("l_suppkey") % 32).alias("sx"),
+    ).withColumn("zkey", zorder_key(["px", "sx"], bits=_X23_BITS))
+    return (
+        keyed.groupBy(
+            F.shiftright("zkey", 4).cast("bigint").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("px").cast("bigint").alias("part_lo"),
+            F.max("px").cast("bigint").alias("part_hi"),
+            F.min("sx").cast("bigint").alias("supp_lo"),
+            F.max("sx").cast("bigint").alias("supp_hi"),
+            (F.max("px") - F.min("px")).cast("bigint").alias("part_span"),
+            (F.max("sx") - F.min("sx")).cast("bigint").alias("supp_span"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t21 — leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+_T21_SPLIT_SQL = split_column_sql("md5(text)", seed="s1")
+
+_T21_ORACLE = f"""
+    WITH labeled AS (
+      SELECT doc_id, md5(text) AS grp, {_T21_SPLIT_SQL} AS split
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+      CAST(SUM(CASE WHEN n_splits_of_group > 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS leaked_docs
+    FROM (
+      SELECT doc_id, grp, split,
+        COUNT(DISTINCT split) OVER (PARTITION BY grp) AS n_splits_of_group
+      FROM labeled
+    )
+    GROUP BY split
+"""
+
+
+@register("t21_leakage_safe_split", oracle=_T21_ORACLE)
+def t21_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split hashed on the exact-dup group
+    key (md5 of text), plus the leakage audit: ``leaked_docs`` counts
+    docs whose dup group spans >1 split — structurally zero here
+    because the split is a pure function of the group key (the audit
+    column PROVES the invariant rather than assuming it; an id-hashed
+    split shows nonzero leaks on any corpus with dups).
+
+    Scale: split assignment is a scan-stage projection; the audit is
+    one groupBy over group keys. Fuzzy-group splitting reuses the same
+    mechanism keyed on ``dedup_components`` representatives
+    (test_round5_ops pins that composition).
+    """
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    labeled = assign_split(
+        docs.select("doc_id", F.md5("text").alias("grp")),
+        F.col("grp"),
+        seed="s1",
+    )
+    from pyspark.sql.window import Window
+
+    audited = labeled.withColumn(
+        "n_splits_of_group",
+        F.size(
+            F.collect_set("split").over(Window.partitionBy("grp"))
+        ),
+    )
+    return audited.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("grp").cast("bigint").alias("n_groups"),
+        F.sum(
+            F.when(F.col("n_splits_of_group") > 1, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaked_docs"),
+    )

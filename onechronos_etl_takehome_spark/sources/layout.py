@@ -75,6 +75,20 @@ def zorder_key(cols: list[str], *, bits: int = 8) -> "F.Column":
     return z
 
 
+def zorder_key_sql(col_sqls: list[str], *, bits: int = 8) -> str:
+    """The identical Morton interleave as engine-portable ANSI SQL
+    (the x23 oracle builder; + replaces | — the terms occupy disjoint
+    bit positions, so OR == +). Same contract as :func:`zorder_key`:
+    inputs already bucketed to ``[0, 2^bits)``."""
+    n = len(col_sqls)
+    terms = [
+        f"(((CAST({col_sqls[i]} AS BIGINT) >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

@@ -241,6 +241,75 @@ def test_m02_real_decodes_in_corpus(spark):
     assert by_decoder.get("stub", 0) > 0
 
 
+def test_zorder_key_matches_reference_morton(spark):
+    """The Column-expression interleave (sources/layout.py — also the
+    x23 witness's key) must equal a bit-twiddling reference
+    implementation on exhaustive small inputs. (File-level pruning
+    power is pinned separately in test_layout.py.)"""
+    from onechronos_etl_takehome_spark.sources.layout import zorder_key
+
+    def morton2(x: int, y: int, bits: int) -> int:
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", zorder_key(["x", "y"], bits=3)
+    )
+    for r in df.collect():
+        assert r.z == morton2(r.x, r.y, 3), (r.x, r.y, r.z)
+
+
+def test_split_proportions_and_determinism(spark):
+    from onechronos_etl_takehome_spark.operators.splits import assign_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(
+        F.col("id"), F.col("id").cast("string").alias("key")
+    )
+    out = assign_split(df, F.col("key"))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] == pytest.approx(20000 * 230 / 256, rel=0.05)
+    assert counts["val"] == pytest.approx(20000 * 13 / 256, rel=0.25)
+    # deterministic across evaluations; a new seed reshuffles
+    a = {r.id: r.split for r in out.collect()}
+    b = {r.id: r.split for r in assign_split(df, F.col("key")).collect()}
+    assert a == b
+    c = {
+        r.id: r.split
+        for r in assign_split(df, F.col("key"), seed="other").collect()
+    }
+    assert any(a[k] != c[k] for k in a)
+
+
+def test_split_leakage_safety_with_fuzzy_groups(spark):
+    """Exact dups AND fuzzy-dup cluster members must co-travel when the
+    split hashes the group representative from dedup_components."""
+    from onechronos_etl_takehome_spark.operators.dedup import (
+        dedup_components,
+    )
+    from onechronos_etl_takehome_spark.operators.splits import assign_split
+    from pyspark.sql import functions as F
+
+    # 3 fuzzy clusters: (1,2,3), (4,5), (6)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    groups = dedup_components(ids, pairs, id_col="id")
+    rep_col = [c for c in groups.columns if c != "id"][0]
+    out = assign_split(groups, F.col(rep_col).cast("string"))
+    by_group = (
+        out.groupBy(rep_col)
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in by_group)
+
+
 def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
     """NULL/empty embeddings must vanish identically in Spark and the
     DuckDB oracle (the oracle's unnest emits nothing for them)."""
