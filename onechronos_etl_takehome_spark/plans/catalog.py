@@ -124,10 +124,22 @@ DRIVER_WINDOW: list[str] = [
     "q28_segment_status_pivot",  # native pivot
     "t13_gopher_quality",  # quality-gate rule battery
     "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
-    "q43_types_excluding_suppliers",  # NOT IN anti-join
-    "q44_null_safe_join",  # null-safe equality join
+    "x23_zorder_layout",  # z-order data layout (Morton clustering)
+    "t21_leakage_safe_split",  # leakage-safe train/val/test split
     "q48_price_moments",  # variance/stddev/correlation
 ]
+# Round 5: two new capability families enter — x23 (data-layout
+# clustering: Morton/z-order keys with per-bucket min-max span
+# evidence, the OPTIMIZE ZORDER BY shape nothing else witnesses) and
+# t21 (corpus splitting: deterministic leakage-safe train/val/test
+# assignment with an in-query audit column — the split-time complement
+# of d09's decontamination). Displaced: q43 NOT IN anti-join (the
+# anti-join shape is still witnessed in-window by d09's broadcast
+# LEFT ANTI decontamination and the subquery family by q27; q43 stays
+# locally oracled in the full gate) and q44 null-safe equality join
+# (NULL 3VL semantics are witnessed by the byte-exact golden ETL
+# parity suite — quirks P4/F14 — and x15's null-safe CDC comparison
+# in the full gate; q44 stays locally oracled there too).
 # Round 4h: two new capability families — q58 (native WITH RECURSIVE:
 # Spark 4 executes the bounded-hop BFS itself as iterative frontier
 # joins; it is ALSO a spark.sql text query, so it subsumes q37's
