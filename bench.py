@@ -99,6 +99,12 @@ HEADLINE = [
     "t17_domain_selection",
     "t13_gopher_quality",
     "m04_binary_chunk_neardup",
+    # content-defined chunking (oracle-exact md5 form; ~5 s at sf0.1
+    # because HOF lambdas run interpreted — the per-byte boundary
+    # predicate is the honest cost of the portable hash). m06's CDC
+    # near-dup join rides m04's bench shape and stays out of the
+    # headline for wall-time budget.
+    "m05_cdc_chunks",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",

@@ -424,6 +424,113 @@ def chunk_fingerprints(
     )
 
 
+def cdc_chunk_arrays(
+    payloads: DataFrame, *, window: int = 8, boundary_prefix: str = "00"
+) -> DataFrame:
+    """Content-defined chunking: (id, n_bytes, chashes array) with
+    chunk boundaries decided by CONTENT, not position.
+
+    A boundary falls after byte ``p`` iff the md5 of the trailing
+    ``window``-byte context ends a chunk — here: md5 of the hex of
+    bytes (p-window, p] starts with ``boundary_prefix`` ('00' → 1/256
+    of positions → ~256-byte mean chunks). Because the predicate sees
+    only a local window, inserting or deleting bytes re-aligns
+    boundaries within one window of the edit and every later chunk
+    hash is PRESERVED — the property fixed-offset blocks
+    (:func:`chunk_fingerprints`) lose, where a one-byte insert shifts
+    and invalidates every subsequent block (rsync/LBFS/restic-style
+    dedup vs ZFS-style).
+
+    Everything is higher-order Column expressions over the hexed
+    payload (hex once, same trick as m04): positions → filter →
+    boundary list → zip_with chunk hashes. Zero Python, zero shuffle
+    — fuses into the scan stage, and the identical
+    md5-over-hex-substring arithmetic runs as the DuckDB oracle, so
+    CDC is fully hash-matched cross-engine (m05/m06).
+
+    Production note: real CDC replaces md5 with a gear/buzhash
+    (one multiply+shift per byte) and adds min/max chunk bounds (a
+    sequential constraint); md5-over-hex is the portability choice
+    that makes the oracle exact, and the unbounded form keeps every
+    boundary position-independent — which is precisely what makes it
+    SQL-expressible.
+    """
+    # Each intermediate is MATERIALIZED as a column before any lambda
+    # references it: higher-order functions evaluate interpreted (no
+    # whole-stage codegen, no common-subexpression elimination), so a
+    # lambda capturing the hex() EXPRESSION would re-hex the whole
+    # payload once per array element — measured O(len²) per doc, 100×
+    # slower. Capturing the column reference reads the row's computed
+    # value instead.
+    w2 = 2 * window
+    hx, nn = F.col("_hex"), F.col("_n")
+    staged = (
+        payloads.where(F.length("content") > 0)
+        .withColumn("_hex", F.hex(F.col("content")))
+        .withColumn("_n", (F.length("_hex") / 2).cast("int"))
+        .withColumn(
+            "_bpos",
+            F.filter(
+                F.when(
+                    nn >= window, F.sequence(F.lit(window), nn)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda p: F.md5(
+                    hx.substr((p - window) * 2 + 1, F.lit(w2))
+                ).startswith(boundary_prefix),
+            ),
+        )
+        # final chunk always ends at n (unless a boundary already
+        # does). try_element_at: the queries self-pin non-ANSI
+        # semantics, but the operator must also survive a vanilla ANSI
+        # session, where element_at on an empty boundary list throws.
+        .withColumn(
+            "_ends",
+            F.when(
+                F.try_element_at(F.col("_bpos"), F.lit(-1)) == nn,
+                F.col("_bpos"),
+            ).otherwise(F.array_append(F.col("_bpos"), nn)),
+        )
+        .withColumn(
+            "_starts",
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ends")),
+                lambda i: F.when(i == 1, F.lit(1)).otherwise(
+                    F.try_element_at(F.col("_ends"), (i - 1).cast("int")) + 1
+                ),
+            ),
+        )
+    )
+    chashes = F.zip_with(
+        F.col("_starts"),
+        F.col("_ends"),
+        lambda s, e: F.md5(hx.substr((s - 1) * 2 + 1, (e - s + 1) * 2)),
+    )
+    sizes = F.zip_with(
+        F.col("_starts"),
+        F.col("_ends"),
+        lambda s, e: (e - s + 1).cast("bigint"),
+    )
+    return staged.select(
+        F.col("id"),
+        nn.cast("bigint").alias("n_bytes"),
+        chashes.alias("chashes"),
+        sizes.alias("chunk_sizes"),
+    )
+
+
+def cdc_chunk_fingerprints(
+    payloads: DataFrame, *, window: int = 8, boundary_prefix: str = "00"
+) -> DataFrame:
+    """(id, chash) rows — CDC counterpart of :func:`chunk_fingerprints`
+    (set semantics per payload), ready for the inverted-index join."""
+    ch = cdc_chunk_arrays(
+        payloads, window=window, boundary_prefix=boundary_prefix
+    )
+    return ch.select(
+        "id", F.explode(F.array_distinct("chashes")).alias("chash")
+    )
+
+
 def binary_chunk_neardup(
     payloads: DataFrame,
     *,
@@ -451,9 +558,44 @@ def binary_chunk_neardup(
     ``ngram_jaccard_pairs(max_shingle_df=...)``. ``None`` (default)
     is the exact oracle form.
     """
+    ch = chunk_fingerprints(payloads, chunk_bytes=chunk_bytes)
+    return chunk_pair_join(
+        ch, min_containment=min_containment, max_block_df=max_block_df
+    )
+
+
+def cdc_chunk_neardup(
+    payloads: DataFrame,
+    *,
+    window: int = 8,
+    boundary_prefix: str = "00",
+    min_containment: float = 0.5,
+    max_block_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shared CONTENT-DEFINED chunks — the
+    same inverted-index join as :func:`binary_chunk_neardup`, fed by
+    :func:`cdc_chunk_fingerprints`. Catches append/insert/truncate
+    duplication that shifts byte offsets (where fixed blocks lose
+    every post-edit block; pinned by the shift-robustness test)."""
+    ch = cdc_chunk_fingerprints(
+        payloads, window=window, boundary_prefix=boundary_prefix
+    )
+    return chunk_pair_join(
+        ch, min_containment=min_containment, max_block_df=max_block_df
+    )
+
+
+def chunk_pair_join(
+    ch: DataFrame,
+    *,
+    min_containment: float,
+    max_block_df: int | None = None,
+) -> DataFrame:
+    """Shared inverted-index pair join over any (id, chash) frame
+    (fixed-block or CDC fingerprints); see
+    :func:`binary_chunk_neardup` for the posture notes."""
     from pyspark.sql.window import Window
 
-    ch = chunk_fingerprints(payloads, chunk_bytes=chunk_bytes)
     sizes = ch.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
     chs = ch.join(sizes, "id")
     if max_block_df is not None:

@@ -85,7 +85,7 @@ DRIVER_WINDOW: list[str] = [
     # Text analysis.
     "t01_text_quality",
     "t02_lang_id",
-    "t03_token_top20",
+    "m05_cdc_chunks",
     "t04_rolling_fingerprint",
     "t05_token_estimates",
     "x16_weighted_sample",
@@ -128,6 +128,13 @@ DRIVER_WINDOW: list[str] = [
     "t21_leakage_safe_split",  # leakage-safe train/val/test split
     "q48_price_moments",  # variance/stddev/correlation
 ]
+# Round 5b: m05 (content-defined chunking — boundaries chosen by a
+# rolling content hash, fully md5-over-hex hash-matched; the
+# shift-robust dedup family that fixed-block m04 cannot witness)
+# replaces t03 token-top20: token counting is witnessed in-window by
+# t05 token_estimates and top-k ranking by q03/x03/t16's BM25; t03
+# stays locally oracled in the full gate. m06 (CDC near-dup join)
+# shares m04's join shape and stays locally oracled outside.
 # Round 5: two new capability families enter — x23 (data-layout
 # clustering: Morton/z-order keys with per-bucket min-max span
 # evidence, the OPTIMIZE ZORDER BY shape nothing else witnesses) and

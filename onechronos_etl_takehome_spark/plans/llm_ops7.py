@@ -101,6 +101,122 @@ def x23_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# m05/m06 — content-defined chunking (CDC) + CDC near-dup join
+# ---------------------------------------------------------------------------
+
+# 8-byte window, '0' boundary prefix (1/16 of positions → ~16-byte
+# mean chunks — sized to this corpus's ~300-byte docs; a media corpus
+# would use a longer mask for KB-scale chunks).  The chunk extraction
+# CTE chain is the exact SQL mirror of operators/multimodal.py:
+# cdc_chunk_arrays — same md5-over-hex-substring arithmetic, so every
+# chunk hash matches bit-for-bit.
+_CDC_EXTRACT_SQL = """
+    p AS (SELECT doc_id AS id, hex(CAST(text AS BLOB)) AS h
+          FROM documents WHERE text IS NOT NULL AND len(text) > 0),
+    b AS (
+      SELECT id, h, CAST(len(h)/2 AS INT) AS n,
+        list_filter(generate_series(8, CAST(len(h)/2 AS INT)),
+                    p -> md5(substring(h, (p-8)*2+1, 16)) LIKE '0%') AS bpos
+      FROM p),
+    e AS (
+      SELECT id, h, n,
+        CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+             ELSE list_append(bpos, n) END AS ends
+      FROM b),
+    s AS (
+      SELECT id, h, n, ends,
+        list_transform(generate_series(1, len(ends)),
+          i -> CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) AS starts
+      FROM e),
+    c AS (
+      SELECT id, n, ends, starts,
+        list_transform(generate_series(1, len(ends)),
+          i -> md5(substring(h, (starts[i]-1)*2+1,
+                             (ends[i]-starts[i]+1)*2))) AS chs
+      FROM s)
+"""
+
+_M05_ORACLE = f"""
+    WITH {_CDC_EXTRACT_SQL}
+    SELECT id, CAST(n AS BIGINT) AS n_bytes,
+      CAST(len(chs) AS BIGINT) AS n_chunks,
+      md5(array_to_string(chs, '')) AS cdc_digest,
+      CAST(list_max(list_transform(generate_series(1, len(ends)),
+                                   i -> ends[i] - starts[i] + 1))
+           AS BIGINT) AS max_chunk_bytes
+    FROM c
+"""
+
+
+@register("m05_cdc_chunks", oracle=_M05_ORACLE)
+def m05_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking witness: per-doc chunk count, an
+    order-sensitive digest over the chunk-hash sequence, and the max
+    chunk size — all from ``cdc_chunk_arrays``'s pure-Column pipeline
+    (boundaries chosen by a rolling content hash, so byte inserts
+    re-align within one window instead of shifting every later chunk
+    — the property m04's fixed blocks lack, pinned by the
+    shift-robustness test). Hash-matched: the boundary predicate and
+    chunk hashes are the same md5-over-hex arithmetic in both engines.
+    """
+    from ..operators import multimodal as mm
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    ch = mm.cdc_chunk_arrays(
+        mm.attach_binary(docs, "doc_id", "text"), boundary_prefix="0"
+    )
+    return ch.select(
+        "id",
+        "n_bytes",
+        F.size("chashes").cast("bigint").alias("n_chunks"),
+        F.md5(F.array_join("chashes", "")).alias("cdc_digest"),
+        F.array_max("chunk_sizes").cast("bigint").alias("max_chunk_bytes"),
+    )
+
+
+_M06_ORACLE = f"""
+    WITH {_CDC_EXTRACT_SQL},
+    ch AS (SELECT id, unnest(list_distinct(chs)) AS chash FROM c),
+    sizes AS (SELECT id, COUNT(*) AS n FROM ch GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+      FROM ch a JOIN ch b ON a.chash = b.chash AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(cnt AS BIGINT) AS shared_chunks,
+      CAST(cnt AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes na ON id_a = na.id
+    JOIN sizes nb ON id_b = nb.id
+    WHERE CAST(cnt AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= 0.5
+"""
+
+
+@register("m06_cdc_neardup", oracle=_M06_ORACLE)
+def m06_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate binary payloads by shared CONTENT-DEFINED chunks
+    — the same inverted-index + containment join as m04, fed by CDC
+    fingerprints, so append/insert/truncate duplication that shifts
+    byte offsets still collides (rsync/restic-style dedup). Shares
+    m04's posture notes: posting-cap lever (``max_block_df``) for
+    ubiquitous-chunk skew, exact containment arithmetic both engines.
+    """
+    from ..operators import multimodal as mm
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return mm.cdc_chunk_neardup(
+        mm.attach_binary(docs, "doc_id", "text"),
+        boundary_prefix="0",
+        min_containment=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
 # t21 — leakage-safe train/val/test split
 # ---------------------------------------------------------------------------
 

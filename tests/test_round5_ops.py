@@ -310,6 +310,55 @@ def test_split_leakage_safety_with_fuzzy_groups(spark):
     assert all(r.k == 1 for r in by_group)
 
 
+def test_cdc_shift_robustness_vs_fixed_blocks(spark):
+    """The CDC property, demonstrated: a 3-byte prefix insert shifts
+    every byte offset, so fixed-block fingerprints share ~nothing,
+    while content-defined boundaries re-align within one window and
+    ~99% of chunks survive."""
+    import random
+
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+
+    rng = random.Random(1)
+    base = "".join(rng.choice("abcdefghij klmnop") for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, base), (2, "XYZ" + base)], "doc_id long, text string"
+    )
+    p = mm.attach_binary(df, "doc_id", "text")
+    cdc = mm.cdc_chunk_neardup(p, boundary_prefix="0", min_containment=0.5)
+    rows = cdc.collect()
+    assert len(rows) == 1 and rows[0].containment > 0.9, rows
+    fixed = mm.binary_chunk_neardup(p, min_containment=0.5).collect()
+    assert fixed == []  # every 64-byte block shifted → no shared hash
+
+
+def test_cdc_chunks_concatenation_consistent(spark):
+    """Chunk hashes are a pure function of local content: chunks of a
+    payload reappear when the payload is embedded after a boundary in
+    a larger payload (interior chunks agree; only the splice-edge
+    chunks may differ)."""
+    import random
+
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    a = "".join(rng.choice("abcdefgh stuvwxyz") for _ in range(1500))
+    b = "".join(rng.choice("ijklmnop qrcdefgh") for _ in range(1500))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a + b)], "doc_id long, text string"
+    )
+    ch = {
+        r.id: set(r.chashes)
+        for r in mm.cdc_chunk_arrays(
+            mm.attach_binary(df, "doc_id", "text"), boundary_prefix="0"
+        ).collect()
+    }
+    # the concatenation shares most of both parts' chunks
+    overlap = len(ch[3] & (ch[1] | ch[2])) / len(ch[3])
+    assert overlap > 0.8, overlap
+
+
 def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
     """NULL/empty embeddings must vanish identically in Spark and the
     DuckDB oracle (the oracle's unnest emits nothing for them)."""
