@@ -105,6 +105,10 @@ HEADLINE = [
     # near-dup join rides m04's bench shape and stays out of the
     # headline for wall-time budget.
     "m05_cdc_chunks",
+    # gear-hash production CDC (vectorized rolling hash + min/max
+    # bounds): ~3× the md5 oracle form warm — the fast-path/oracle
+    # pairing, same as d03_fast vs d03
+    "m07_cdc_gear_fast",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",

@@ -518,6 +518,138 @@ def cdc_chunk_arrays(
     )
 
 
+_GEAR_TABLE = None
+
+
+def _gear_table():
+    """Seeded 256-entry uint64 gear table (deterministic)."""
+    global _GEAR_TABLE
+    if _GEAR_TABLE is None:
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        # two 32-bit draws per entry — RandomState has no uint64 draw
+        hi = rng.randint(0, 2**32, size=256, dtype=np.uint64)
+        lo = rng.randint(0, 2**32, size=256, dtype=np.uint64)
+        _GEAR_TABLE = (hi << np.uint64(32)) | lo
+    return _GEAR_TABLE
+
+
+def gear_boundaries(data: bytes, *, mask_bits: int) -> "list[int]":
+    """Natural gear-hash boundary positions (1-based byte index of a
+    chunk END) — the vectorized closed form of the canonical iterative
+    gear ``h = (h << 1 + G[b]) mod 2^64``: since each shift ages a
+    byte one bit, only the trailing 64 bytes contribute, so
+    ``h_p = Σ_{k<64} G[b_{p-k}] << k`` — 64 numpy vector ops per
+    payload instead of a per-byte Python loop. Boundary where the low
+    ``mask_bits`` bits are zero (mean chunk ≈ 2^mask_bits bytes)."""
+    import numpy as np
+
+    g = _gear_table()[np.frombuffer(data, np.uint8)]
+    acc = np.zeros(len(data), np.uint64)
+    for k in range(min(64, len(data))):
+        if k == 0:
+            acc += g
+        else:
+            acc[k:] += g[:-k] << np.uint64(k)
+    mask = np.uint64((1 << mask_bits) - 1)
+    return (np.nonzero((acc & mask) == 0)[0] + 1).tolist()
+
+
+def cdc_gear_chunks(
+    payloads: DataFrame,
+    *,
+    mask_bits: int = 6,
+    min_chunk: int = 16,
+    max_chunk: int = 1024,
+) -> DataFrame:
+    """PRODUCTION-path CDC: gear rolling hash (integer multiply-free
+    vector math — ~100× cheaper per byte than the md5 oracle form in
+    :func:`cdc_chunk_arrays`) WITH real min/max chunk bounds.
+
+    The bounds are a sequential constraint — a boundary is accepted
+    only ≥ ``min_chunk`` bytes after the previously ACCEPTED one, and
+    a cut is forced at ``max_chunk`` — which no per-position SQL
+    predicate can express; that is exactly why this operator is
+    rows-only (m07) while the unbounded md5 twin (m05) carries the
+    cross-engine hash match. The suppression loop walks only the
+    candidate list (O(chunks), not O(bytes)); the per-byte work is
+    vectorized numpy inside Arrow batches.
+
+    Output shape matches m05: (id, n_bytes, n_chunks, cdc_digest,
+    max_chunk_bytes).
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = {
+            "id": [],
+            "n_bytes": [],
+            "n_chunks": [],
+            "cdc_digest": [],
+            "max_chunk_bytes": [],
+        }
+
+        def flush():
+            df = pd.DataFrame(
+                {
+                    "id": pd.Series(out_cols["id"], dtype="int64"),
+                    "n_bytes": pd.Series(out_cols["n_bytes"], dtype="int64"),
+                    "n_chunks": pd.Series(
+                        out_cols["n_chunks"], dtype="int64"
+                    ),
+                    "cdc_digest": out_cols["cdc_digest"],
+                    "max_chunk_bytes": pd.Series(
+                        out_cols["max_chunk_bytes"], dtype="int64"
+                    ),
+                }
+            )
+            for k in out_cols:
+                out_cols[k] = []
+            return df
+
+        for pdf in batches:
+            for i, b in zip(pdf["id"], pdf["content"]):
+                data = bytes(b)
+                n = len(data)
+                if n == 0:
+                    continue
+                natural = gear_boundaries(data, mask_bits=mask_bits)
+                # sequential min/max suppression over candidates only
+                ends: list[int] = []
+                last = 0
+                for p in natural:
+                    while p - last > max_chunk:
+                        last += max_chunk
+                        ends.append(last)
+                    if p - last >= min_chunk:
+                        ends.append(p)
+                        last = p
+                while n - last > max_chunk:
+                    last += max_chunk
+                    ends.append(last)
+                if not ends or ends[-1] != n:
+                    ends.append(n)
+                digest = hashlib.md5()
+                max_len = 0
+                prev = 0
+                for e in ends:
+                    digest.update(hashlib.md5(data[prev:e]).digest())
+                    max_len = max(max_len, e - prev)
+                    prev = e
+                out_cols["id"].append(int(i))
+                out_cols["n_bytes"].append(n)
+                out_cols["n_chunks"].append(len(ends))
+                out_cols["cdc_digest"].append(digest.hexdigest())
+                out_cols["max_chunk_bytes"].append(max_len)
+            yield flush()
+
+    return payloads.mapInPandas(
+        compute,
+        schema="id long, n_bytes long, n_chunks long, cdc_digest string, "
+        "max_chunk_bytes long",
+    )
+
+
 def cdc_chunk_fingerprints(
     payloads: DataFrame, *, window: int = 8, boundary_prefix: str = "00"
 ) -> DataFrame:

@@ -216,6 +216,26 @@ def m06_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("m07_cdc_gear_fast")  # sequential min/max bounds → rows-only
+def m07_cdc_gear_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production CDC fast path: vectorized gear rolling hash with
+    true min/max chunk bounds (``operators/multimodal.py:
+    cdc_gear_chunks``). Rows-only BY DESIGN: the min/max suppression
+    is a sequential constraint (each accepted boundary depends on the
+    previous accepted one) that no per-position SQL predicate can
+    express — the md5 twin m05 carries the cross-engine hash match
+    for the chunk-extraction arithmetic, and m07 is pinned against an
+    independent iterative pure-python gear implementation plus chunk
+    bound/shift-robustness properties in tests/test_round5_ops.py."""
+    from ..operators import multimodal as mm
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    return mm.cdc_gear_chunks(mm.attach_binary(docs, "doc_id", "text"))
+
+
 # ---------------------------------------------------------------------------
 # t21 — leakage-safe train/val/test split
 # ---------------------------------------------------------------------------

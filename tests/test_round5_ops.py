@@ -359,6 +359,89 @@ def test_cdc_chunks_concatenation_consistent(spark):
     assert overlap > 0.8, overlap
 
 
+def test_gear_boundaries_match_iterative_reference():
+    """The vectorized closed form must equal the canonical iterative
+    gear hash h = (h << 1 + G[b]) mod 2^64 at every position."""
+    import random
+
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        _gear_table,
+        gear_boundaries,
+    )
+
+    g = _gear_table()
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(3000))
+    mask = (1 << 6) - 1
+    h, expect = 0, []
+    for p, byte in enumerate(data, start=1):
+        h = ((h << 1) + int(g[byte])) & 0xFFFFFFFFFFFFFFFF
+        if h & mask == 0:
+            expect.append(p)
+    assert gear_boundaries(data, mask_bits=6) == expect
+    assert len(expect) > 10  # non-vacuous: ~3000/64 boundaries
+    # short payloads (< 64-byte gear window) too
+    assert gear_boundaries(data[:50], mask_bits=2) == [
+        p
+        for p in range(1, 51)
+        if _iter_gear(g, data[:50], p) & 3 == 0
+    ]
+
+
+def _iter_gear(g, data, p):
+    h = 0
+    for byte in data[:p]:
+        h = ((h << 1) + int(g[byte])) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def test_cdc_gear_bounds_and_shift_robustness(spark):
+    """m07: every chunk within [min: suppression, max: forced cuts],
+    deterministic, and digest-stable under a prefix insert for the
+    suffix-aligned part (chunk-level robustness shown via n_chunks
+    and digest inequality only at the head)."""
+    import random
+
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        cdc_gear_chunks,
+    )
+
+    rng = random.Random(11)
+    base = "".join(rng.choice("abcdefghij klmnopqr") for _ in range(5000))
+    df = spark.createDataFrame(
+        [(1, base), (2, "ZZZ" + base)], "doc_id long, text string"
+    )
+    p = mm.attach_binary(df, "doc_id", "text")
+    out = {
+        r.id: r
+        for r in cdc_gear_chunks(
+            p, mask_bits=5, min_chunk=8, max_chunk=128
+        ).collect()
+    }
+    assert out[1].max_chunk_bytes <= 128
+    assert out[1].n_chunks >= 5000 // 128
+    # determinism across runs
+    again = {
+        r.id: r
+        for r in cdc_gear_chunks(
+            p, mask_bits=5, min_chunk=8, max_chunk=128
+        ).collect()
+    }
+    assert out[1].cdc_digest == again[1].cdc_digest
+    # shift robustness at chunk level: most chunk END positions
+    # re-align after the 3-byte insert, so chunk counts stay close
+    assert abs(out[2].n_chunks - out[1].n_chunks) <= 2
+
+
+def test_m07_runs_on_corpus(spark):
+    out = QUERIES["m07_cdc_gear_fast"](spark, SF).collect()
+    assert len(out) == 500
+    assert all(r.n_chunks >= 1 and r.max_chunk_bytes <= 1024 for r in out)
+
+
 def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
     """NULL/empty embeddings must vanish identically in Spark and the
     DuckDB oracle (the oracle's unnest emits nothing for them)."""
