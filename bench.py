@@ -132,9 +132,11 @@ HEADLINE = [
     "t19_bpe_tokenize",
     # model-assisted quality filter: sample-trained LR, JVM scoring
     "t20_quality_classifier",
-    # round-5 batch: z-order layout clustering, leakage-safe splits
+    # round-5 batch: z-order layout clustering, leakage-safe splits,
+    # budgeted per-domain token mixing (grouped two-pass prefix sum)
     "x23_zorder_layout",
     "t21_leakage_safe_split",
+    "t22_corpus_mixing",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

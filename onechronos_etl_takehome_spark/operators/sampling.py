@@ -44,11 +44,13 @@ def prefix_sum(
     *,
     n_buckets: int = 32,
     tiebreak_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``out`` = inclusive prefix sum of ``value_col`` in
     ``(key_col, *tiebreak_cols)`` order. ``key_col`` must be numeric
-    and non-null; the composite order must be unique. Without
-    tiebreaks the key itself must be unique.
+    and non-null; the composite order must be unique (within each
+    partition when ``partition_cols`` is given). Without tiebreaks the
+    key itself must be unique.
 
     Two-pass distributed shape (see module docstring): no global
     single-task window; the widest exchange is the per-bucket window,
@@ -57,7 +59,14 @@ def prefix_sum(
     with tiebreaks still yields a well-defined global order. Bucket
     skew follows key-space skew (dense surrogate keys → near-uniform);
     crank ``n_buckets`` to the cluster's parallelism at scale.
+
+    ``partition_cols``: independent prefix sums per group (e.g. one
+    running token total per corpus domain). Bucket boundaries stay
+    global (one broadcast range aggregate); the offset frame grows to
+    |groups|·n_buckets rows — broadcast-small for dimension-like
+    group counts, which is the intended regime.
     """
+    parts = partition_cols or []
     order = [key_col, *(tiebreak_cols or [])]
     key = F.col(key_col)
     rng = df.agg(
@@ -76,24 +85,28 @@ def prefix_sum(
         ).cast("int"),
     ).drop("_lo", "_hi")
     w_local = (
-        Window.partitionBy("_bkt")
+        Window.partitionBy(*parts, "_bkt")
         .orderBy(*[F.col(c) for c in order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.withColumn("_cum_local", F.sum(value_col).over(w_local))
-    totals = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    totals = bucketed.groupBy(*parts, "_bkt").agg(
+        F.sum(value_col).alias("_tot")
+    )
     w_bkt = (
-        Window.orderBy("_bkt")
+        (Window.partitionBy(*parts) if parts else Window)
+        .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # n_buckets rows — the single-task window is driver-small by
-    # construction.
+    # |groups|·n_buckets rows — the offset window is driver-small by
+    # construction (and parallel across groups when partitioned).
     offsets = totals.select(
+        *parts,
         "_bkt",
         (F.sum("_tot").over(w_bkt) - F.col("_tot")).alias("_off"),
     )
     return (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(offsets), [*parts, "_bkt"])
         .withColumn(out, F.col("_cum_local") + F.col("_off"))
         .drop("_bkt", "_cum_local", "_off")
     )

@@ -237,6 +237,110 @@ def m07_cdc_gear_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t22 — budgeted corpus mixing (per-domain token quotas)
+# ---------------------------------------------------------------------------
+
+# per-source token budget: a deterministic function of the source id
+# so every domain exercises a different fill level at test scale
+_T22_BUDGET_SQL = "(200 + 37 * CAST(substring(source, 4) AS INT))"
+# deterministic selection priority: 48-bit integer from the md5 hex
+# (portable VALUE: Spark computes it via conv(,16,10), DuckDB via a
+# 0x-prefixed cast — different syntax, bit-identical result)
+_T22_PRI_SQL = (
+    "CAST(concat('0x', substring(md5('mix1' || CAST(doc_id AS VARCHAR)),"
+    " 1, 12)) AS BIGINT)"
+)
+
+_T22_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        {_T22_PRI_SQL} AS pri,
+        {_T22_BUDGET_SQL} AS budget
+      FROM documents
+      WHERE text IS NOT NULL
+    ), c AS (
+      SELECT *, SUM(n_tok) OVER (
+        PARTITION BY source ORDER BY pri, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT source,
+      CAST(MIN(budget) AS BIGINT) AS budget_tokens,
+      CAST(COUNT(*) FILTER (WHERE cum - n_tok < budget) AS BIGINT)
+        AS n_docs_selected,
+      CAST(COALESCE(SUM(n_tok) FILTER (WHERE cum - n_tok < budget), 0)
+           AS BIGINT) AS tokens_selected,
+      CAST(COUNT(*) AS BIGINT) AS n_docs_total
+    FROM c
+    GROUP BY source
+"""
+
+
+@register("t22_corpus_mixing", oracle=_T22_ORACLE)
+def t22_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus mixing: fill each domain's TOKEN quota (the
+    data-mixture stage of LLM training — so-many-tokens of web vs
+    code vs books) with a deterministic hash-ordered running total;
+    a doc is selected while its domain's cumulative count is under
+    budget (the boundary doc crosses it, matching the usual
+    take-until-full loader).
+
+    Scale: the running totals ride the bucketed two-pass prefix sum
+    (``operators/sampling.py:prefix_sum`` with ``partition_cols`` —
+    independent sums per domain, parallel across domains AND key
+    buckets, no single-task window even inside one giant domain).
+    The hash priority makes the selection stable under corpus
+    append: a new doc displaces at most the boundary docs of its own
+    domain, never reshuffling other domains.
+    """
+    from ..operators.sampling import prefix_sum
+    from ..operators.text import token_count
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix1"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("pri"),
+        (
+            F.lit(200)
+            + F.lit(37) * F.substring("source", 4, 10).cast("int")
+        ).alias("budget"),
+    )
+    cum = prefix_sum(
+        base,
+        "pri",
+        "n_tok",
+        "cum",
+        partition_cols=["source"],
+        tiebreak_cols=["doc_id"],
+    )
+    sel = F.col("cum") - F.col("n_tok") < F.col("budget")
+    return cum.groupBy("source").agg(
+        F.min("budget").cast("bigint").alias("budget_tokens"),
+        F.sum(sel.cast("int")).cast("bigint").alias("n_docs_selected"),
+        F.coalesce(F.sum(F.when(sel, F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t21 — leakage-safe train/val/test split
 # ---------------------------------------------------------------------------
 

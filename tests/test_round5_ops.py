@@ -359,6 +359,36 @@ def test_cdc_chunks_concatenation_consistent(spark):
     assert overlap > 0.8, overlap
 
 
+def test_grouped_prefix_sum(spark):
+    """prefix_sum(partition_cols=...) must equal an independent
+    per-group running total in (key, tiebreak) order — the t22
+    corpus-mixing substrate."""
+    import random
+
+    from onechronos_etl_takehome_spark.operators.sampling import prefix_sum
+
+    rng = random.Random(2)
+    rows = [
+        (i, f"g{i % 3}", rng.randrange(1, 100), rng.randrange(1000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w long, k long")
+    got = {
+        (r.grp, r.id): r.c
+        for r in prefix_sum(
+            df, "k", "w", "c", partition_cols=["grp"], tiebreak_cols=["id"]
+        ).collect()
+    }
+    by_grp: dict = {}
+    for i, g, w, k in rows:
+        by_grp.setdefault(g, []).append((k, i, w))
+    for g, items in by_grp.items():
+        acc = 0
+        for k, i, w in sorted(items):
+            acc += w
+            assert got[(g, i)] == acc, (g, i)
+
+
 def test_gear_boundaries_match_iterative_reference():
     """The vectorized closed form must equal the canonical iterative
     gear hash h = (h << 1 + G[b]) mod 2^64 at every position."""
