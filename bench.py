@@ -539,6 +539,9 @@ def main() -> None:
         "d15_prefix_jaccard_pairs",
         "d11_fuzzy_dedup_e2e",
         "d17_edit_distance_pairs",
+        "m05_cdc_chunks",
+        "m07_cdc_gear_fast",
+        "x23_zorder_layout",
         "t19_bpe_tokenize",
         "s01_cosine_topk_100x",
         "s04_cosine_topk_numpy_100x",
