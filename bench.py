@@ -109,6 +109,9 @@ HEADLINE = [
     # bounds): ~3× the md5 oracle form warm — the fast-path/oracle
     # pairing, same as d03_fast vs d03
     "m07_cdc_gear_fast",
+    # perceptual image near-dup: real BMP decode -> dHash -> banded
+    # Hamming join
+    "m08_image_dhash_neardup",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",

@@ -205,15 +205,13 @@ def sniff_modality(payload: bytes) -> str:
     return "opaque"
 
 
-def synthesize_bmp(width: int, height: int, seed: int) -> bytes:
-    """Deterministic valid 24-bit BMP (seeded pixels) — test/demo
-    fixture builder; the decoder above must round-trip its stats."""
+def bmp_from_pixels(px: "object") -> bytes:
+    """Serialize an (h, w, 3) uint8 BGR array as a valid 24-bit BMP."""
     import struct
 
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    px = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    height, width = px.shape[:2]
     stride = (width * 3 + 3) // 4 * 4
     rows = np.zeros((height, stride), dtype=np.uint8)
     rows[:, : width * 3] = px.reshape(height, width * 3)
@@ -225,6 +223,17 @@ def synthesize_bmp(width: int, height: int, seed: int) -> bytes:
         2835, 2835, 0, 0,
     )
     return header + pixel_bytes
+
+
+def synthesize_bmp(width: int, height: int, seed: int) -> bytes:
+    """Deterministic valid 24-bit BMP (seeded pixels) — test/demo
+    fixture builder; the decoder above must round-trip its stats."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return bmp_from_pixels(
+        rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    )
 
 
 def synthesize_wav(
@@ -297,6 +306,207 @@ def sample_frames(
         frames,
         schema="id long, frame_idx long, byte_offset long, frame_checksum string",
     )
+
+
+def dhash64(gray: "object") -> int:
+    """64-bit difference hash of a grayscale image array: nearest-
+    neighbor downsample to 9×8, then one bit per horizontal gradient
+    sign. The classic perceptual hash — stable under re-encoding,
+    mild noise, and resizing; Hamming distance ≈ visual distance."""
+    import numpy as np
+
+    h, w = gray.shape
+    # nearest-neighbor sample grid (works for any input size ≥ 1×1)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    small = gray[np.ix_(ys, xs)]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def image_dhash(payloads: DataFrame) -> DataFrame:
+    """(id, dhash BIGINT, width, height) per decodable image payload
+    (currently BMP — the real decoder); non-image payloads are
+    dropped. Arrow-batched; per-image work is pure numpy."""
+    import struct
+
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, ws, hs = [], [], [], []
+            for i, b in zip(pdf["id"], pdf["content"]):
+                data = bytes(b)
+                if sniff_modality(data) != "bmp":
+                    continue
+                try:
+                    data_off = struct.unpack_from("<I", data, 10)[0]
+                    width = struct.unpack_from("<i", data, 18)[0]
+                    height = struct.unpack_from("<i", data, 22)[0]
+                    bottom_up = height > 0
+                    hh = abs(height)
+                    stride = (width * 3 + 3) // 4 * 4
+                    px = (
+                        np.frombuffer(
+                            data, np.uint8, count=stride * hh, offset=data_off
+                        )
+                        .reshape(hh, stride)[:, : width * 3]
+                        .reshape(hh, width, 3)
+                        .astype(np.float64)
+                    )
+                    if bottom_up:
+                        px = px[::-1]
+                    gray = (
+                        0.299 * px[..., 2]
+                        + 0.587 * px[..., 1]
+                        + 0.114 * px[..., 0]
+                    )
+                except (ValueError, struct.error):
+                    continue
+                ids.append(int(i))
+                # store as signed BIGINT (Spark has no unsigned 64)
+                hashes.append(
+                    int(np.uint64(dhash64(gray)).astype(np.int64))
+                )
+                ws.append(width)
+                hs.append(hh)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        compute, schema="id long, dhash long, width long, height long"
+    )
+
+
+def dhash_near_pairs(
+    hashed: DataFrame, *, max_hamming: int = 10, bands: int = 4
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs of perceptually-similar images.
+
+    Banded pigeonhole blocking, same scheme as the SimHash text path
+    (``operators/dedup.simhash_near_pairs``): split the 64-bit hash
+    into ``bands`` 16-bit chunks — any pair within ``max_hamming``
+    ≤ bands-1 differing CHUNKS must collide on at least one intact
+    chunk, so candidates come from equality joins on (chunk_idx,
+    chunk_value), never an all-pairs scan. Verify with exact popcount
+    (bit_count of XOR — JVM codegen).
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("dhash", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    sig = hashed.select(
+        F.col("id"), F.col("dhash"), F.explode(chunks).alias("c")
+    ).select("id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.dhash").alias("_ha"),
+            F.col("b.dhash").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _smooth_image(seed: int, h: int = 40, w: int = 54) -> "object":
+    """Seeded blocky grayscale scene as (h, w, 3) uint8: an 8×9 random
+    grid upsampled 5×6. Distinct scenes then carry ~independent dHash
+    bits (cross-scene Hamming ≈ 32), while the wide inter-block value
+    margins mean mild pixel noise flips almost no gradient signs —
+    the contrast a perceptual-hash fixture needs. (The first sinusoid
+    version of this fixture aliased under the 9×8 dHash downsample:
+    different scenes collided at Hamming 0.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    grid = rng.randint(0, 256, size=(8, 9))
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 9) // w
+    img = grid[np.ix_(ys, xs)]
+    return np.repeat(img[..., None], 3, axis=2).astype(np.uint8)
+
+
+def _variant_image(seed: int, h: int = 40, w: int = 54) -> "object":
+    """The near-dup sibling of :func:`_smooth_image`: same scene with
+    two blocks re-lit (±96 — enough to flip the adjacent gradient
+    signs, i.e. 1-4 dHash bits) plus faint pixel noise that stays
+    inside the block margins. Perceptually 'the same photo, slightly
+    different exposure patch' — what dHash is built to catch."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    grid = rng.randint(0, 256, size=(8, 9))
+    vrng = np.random.RandomState(seed + 70_001)
+    for _ in range(2):
+        r, c = vrng.randint(0, 8), vrng.randint(0, 9)
+        grid[r, c] = (grid[r, c] + 96) % 256
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 9) // w
+    img = grid[np.ix_(ys, xs)].astype(np.int64)
+    noise_mask = vrng.rand(h, w) < 0.03
+    img = np.clip(img + noise_mask * vrng.randint(-8, 9, (h, w)), 0, 255)
+    return np.repeat(img[..., None], 3, axis=2).astype(np.uint8)
+
+
+def demo_noisy_image_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10
+) -> DataFrame:
+    """Perceptual near-dup image fixture stream: ``id % modulus == 0``
+    rows each get a BMP; consecutive qualifying ids pair up
+    (``id // (2·modulus)`` shares a base scene) and the odd member
+    carries mild sensor noise — one visually-near-duplicate pair per
+    group, distinct scenes across groups. Executor-side, id-seeded."""
+    base = df.select(F.col(id_col).cast("long").alias("id")).where(
+        F.col(id_col) % modulus == 0
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                grp = i // (2 * modulus)
+                if (i // modulus) % 2 == 1:
+                    px = _variant_image(grp % 9973)
+                else:
+                    px = _smooth_image(grp % 9973)
+                content.append(bmp_from_pixels(px))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["image"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")
 
 
 def demo_media_payloads(

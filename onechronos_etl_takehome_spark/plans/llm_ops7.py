@@ -236,6 +236,25 @@ def m07_cdc_gear_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.cdc_gear_chunks(mm.attach_binary(docs, "doc_id", "text"))
 
 
+@register("m08_image_dhash_neardup")  # binary image decode → rows-only
+def m08_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: REAL BMP decode → 64-bit dHash →
+    banded pigeonhole Hamming join (``operators/multimodal.py:
+    image_dhash``/``dhash_near_pairs`` — same blocking scheme as the
+    SimHash text path: ham ≤ bands-1 guarantees an intact 16-bit
+    chunk, so candidates come from equality joins, never all-pairs).
+    Rows-only BY DESIGN (SQL cannot parse BMP containers); the
+    fixture stream plants one noisy near-dup pair per scene group and
+    the gate pins the banded join's pair set against a brute-force
+    Hamming scan."""
+    from ..operators import multimodal as mm
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = mm.demo_noisy_image_payloads(docs, "doc_id")
+    return mm.dhash_near_pairs(mm.image_dhash(payloads), max_hamming=3, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # t22 — budgeted corpus mixing (per-domain token quotas)
 # ---------------------------------------------------------------------------

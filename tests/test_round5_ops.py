@@ -472,6 +472,53 @@ def test_m07_runs_on_corpus(spark):
     assert all(r.n_chunks >= 1 and r.max_chunk_bytes <= 1024 for r in out)
 
 
+def test_dhash_banded_join_matches_bruteforce(spark):
+    """The pigeonhole-banded Hamming join must find EXACTLY the pairs
+    a brute-force all-pairs scan finds at max_hamming <= bands-1
+    (lossless by the pigeonhole guarantee: <= 3 differing bits cannot
+    touch all 4 16-bit chunks)."""
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hashed = mm.image_dhash(mm.demo_noisy_image_payloads(docs, "doc_id"))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.dhash_near_pairs(hashed, max_hamming=3, bands=4).collect()
+    }
+    rows = hashed.collect()
+    brute = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            ham = bin((a.dhash ^ b.dhash) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= 3:
+                x, y = sorted((a.id, b.id))
+                brute.add((x, y, ham))
+    assert got == brute and len(brute) >= 5, (len(got), len(brute))
+
+
+def test_dhash_perceptual_properties(spark):
+    """dHash invariants: identical image → 0; re-lit variant → small
+    Hamming; different scene → far (>> threshold)."""
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        _smooth_image,
+        _variant_image,
+        dhash64,
+    )
+
+    def gray(px):
+        return (
+            0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
+        )
+
+    a = dhash64(gray(_smooth_image(1).astype(float)))
+    a2 = dhash64(gray(_smooth_image(1).astype(float)))
+    v = dhash64(gray(_variant_image(1).astype(float)))
+    b = dhash64(gray(_smooth_image(2).astype(float)))
+    assert a == a2
+    assert bin(a ^ v).count("1") <= 4
+    assert bin(a ^ b).count("1") >= 15
+
+
 def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
     """NULL/empty embeddings must vanish identically in Spark and the
     DuckDB oracle (the oracle's unnest emits nothing for them)."""
