@@ -112,6 +112,8 @@ HEADLINE = [
     # perceptual image near-dup: real BMP decode -> dHash -> banded
     # Hamming join
     "m08_image_dhash_neardup",
+    # audio fingerprint match: WAV decode -> STFT landmarks -> join
+    "m09_audio_landmark_match",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",

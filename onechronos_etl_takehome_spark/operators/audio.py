@@ -1,0 +1,201 @@
+"""Audio fingerprinting: spectral-peak landmark constellation.
+
+The audio member of the multimodal near-dup family (image → m08 dHash,
+binary → m04/m06 chunk maps): the Shazam-style scheme — STFT, a few
+dominant spectral peaks per frame, landmark hashes from (anchor-freq,
+target-freq, frame-delta) pairs — gives fingerprints that survive
+amplitude scaling, additive noise, and (hop-aligned) time shifts,
+because every landmark is a RELATIVE fact about two nearby peaks.
+
+Pipeline shape on Spark: decode + FFT + peak-pick runs in Arrow-batched
+``mapInPandas`` (numpy rfft over a strided frame matrix — vectorized
+per payload, no Python-per-sample work), emitting (id, lhash) rows;
+matching is the same inverted-index + containment join every other
+chunk-map operator uses (``multimodal.chunk_pair_join``), so the
+100-TB posture notes (posting-cap lever for ubiquitous hashes, no
+all-pairs scan) carry over unchanged.
+
+Rows-only at the catalog (m09): SQL has no FFT. Pinned instead by
+invariance properties (scale/noise/shift) and a brute-force match
+check in tests/test_round5_ops.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .multimodal import chunk_pair_join, sniff_modality, wav_samples
+
+
+def spectral_landmarks(
+    data: bytes,
+    *,
+    frame: int = 256,
+    hop: int = 128,
+    peaks_per_frame: int = 3,
+    fanout: int = 3,
+) -> list[int]:
+    """Landmark hash list for one PCM payload.
+
+    Frames the mono signal (hann window, ``hop`` stride), takes the
+    ``peaks_per_frame`` strongest rfft bins per frame, then hashes
+    every (anchor, target) peak pair within ``fanout`` following
+    frames as ``f1 << 20 | f2 << 8 | dt`` — frequencies are bin
+    indices (< 2^12 for frame ≤ 8192), dt < 2^8. Set semantics
+    (sorted unique) so repeated motifs don't inflate containment.
+    """
+    import numpy as np
+
+    n_channels, _, samples = wav_samples(data)
+    n_frames_total = len(samples) // max(n_channels, 1)
+    mono = (
+        samples[: n_frames_total * n_channels]
+        .reshape(n_frames_total, n_channels)
+        .mean(axis=1)
+    )
+    if len(mono) < frame:
+        return []
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    windowed = mono[idx] * np.hanning(frame)[None, :]
+    mags = np.abs(np.fft.rfft(windowed, axis=1))
+    mags[:, 0] = 0.0  # DC carries no melody
+    # top-k bins per frame, descending magnitude
+    k = min(peaks_per_frame, mags.shape[1])
+    peak_bins = np.argsort(-mags, axis=1)[:, :k]
+    hashes: set[int] = set()
+    for t1 in range(n_frames):
+        for f1 in peak_bins[t1]:
+            for dt in range(1, fanout + 1):
+                t2 = t1 + dt
+                if t2 >= n_frames:
+                    break
+                for f2 in peak_bins[t2]:
+                    hashes.add((int(f1) << 20) | (int(f2) << 8) | dt)
+    return sorted(hashes)
+
+
+def _tone_clip(seed: int, *, n: int = 8192, sr: int = 8000) -> "object":
+    """Seeded 3-chirp melody clip. Chirps (linear frequency sweeps),
+    not steady tones: a constant tone collapses to a handful of
+    repeated landmarks under set semantics (two songs sharing one
+    similar tone then overlap heavily — measured cross-song
+    containment up to 0.68), while sweeps move the peak bin every few
+    frames, giving each song a large distinctive constellation."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n, dtype=np.float64) / sr
+    dur = n / sr
+    wave = np.zeros(n, dtype=np.float64)
+    for _ in range(3):
+        f0, f1 = rng.uniform(200, 3200, 2)
+        amp = rng.uniform(0.2, 0.5)
+        # linear chirp f0 → f1 across the clip
+        phase = 2 * np.pi * (f0 * t + (f1 - f0) / (2 * dur) * t * t)
+        wave += amp * np.sin(phase + rng.uniform(0, 6.28))
+    return wave
+
+
+def demo_noisy_audio_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, hop: int = 128
+) -> DataFrame:
+    """Near-dup audio fixture stream (the audio twin of
+    ``multimodal.demo_noisy_image_payloads``): ``id % modulus == 0``
+    rows each get a WAV; paired ids share a 'song', and the odd member
+    is the same recording re-captured — attenuated 0.7×, additive
+    noise, and a 2-hop silence lead-in (hop-aligned shift, which the
+    frame-relative landmarks survive)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .multimodal import wav_from_samples
+
+    base = df.select(F.col(id_col).cast("long").alias("id")).where(
+        F.col(id_col) % modulus == 0
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                grp = i // (2 * modulus)
+                wave = _tone_clip(grp % 9973)
+                if (i // modulus) % 2 == 1:
+                    nrng = np.random.RandomState(20_000 + grp % 9973)
+                    wave = 0.7 * wave + 0.01 * nrng.standard_normal(len(wave))
+                    wave = np.concatenate([np.zeros(2 * hop), wave])
+                content.append(wav_from_samples(wave, 8000))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["audio"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def audio_fingerprints(
+    payloads: DataFrame,
+    *,
+    frame: int = 256,
+    hop: int = 128,
+    peaks_per_frame: int = 3,
+    fanout: int = 3,
+) -> DataFrame:
+    """(id, chash) landmark rows per decodable WAV payload (non-audio
+    payloads are dropped). Column is named ``chash`` so the frame
+    plugs straight into ``multimodal.chunk_pair_join``."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, b in zip(pdf["id"], pdf["content"]):
+                data = bytes(b)
+                if sniff_modality(data) != "wav":
+                    continue
+                try:
+                    lms = spectral_landmarks(
+                        data,
+                        frame=frame,
+                        hop=hop,
+                        peaks_per_frame=peaks_per_frame,
+                        fanout=fanout,
+                    )
+                except ValueError:
+                    continue
+                ids.extend([int(i)] * len(lms))
+                hashes.extend(lms)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "chash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(compute, schema="id long, chash long")
+
+
+def audio_match_pairs(
+    payloads: DataFrame,
+    *,
+    min_containment: float = 0.3,
+    max_hash_df: int | None = None,
+    **fp_kwargs,
+) -> DataFrame:
+    """(id_a < id_b, shared_chunks, containment) pairs of audio
+    payloads sharing landmark fingerprints — same join/posture as the
+    binary chunk maps; ``max_hash_df`` is the posting cap for
+    ubiquitous landmarks (steady hums, silence)."""
+    fp = audio_fingerprints(payloads, **fp_kwargs)
+    return chunk_pair_join(
+        fp, min_containment=min_containment, max_block_df=max_hash_df
+    )

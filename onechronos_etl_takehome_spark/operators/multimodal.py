@@ -144,13 +144,11 @@ def _decode_bmp(payload: bytes, n_features: int) -> list[float]:
     )
 
 
-def _decode_wav(payload: bytes, n_features: int) -> list[float]:
-    """REAL decode of a 16-bit PCM RIFF/WAVE payload.
-
+def wav_samples(payload: bytes) -> tuple[int, int, "object"]:
+    """Parse a 16-bit PCM RIFF/WAVE payload → (n_channels,
+    sample_rate, float64 samples in [-1, 1), channel-interleaved).
     Proper chunk walk (fmt may be followed by LIST/fact/... before
-    data); samples load as int16 via numpy. Features: stream params
-    plus amplitude stats (RMS, peak, zero-crossing rate).
-    """
+    data). Raises ValueError for non-WAV / unsupported encodings."""
     import struct
 
     import numpy as np
@@ -175,6 +173,16 @@ def _decode_wav(payload: bytes, n_features: int) -> list[float]:
     samples = np.frombuffer(
         data, "<i2", count=len(data) // 2
     ).astype(np.float64) / 32768.0
+    return n_channels, sample_rate, samples
+
+
+def _decode_wav(payload: bytes, n_features: int) -> list[float]:
+    """REAL decode of a 16-bit PCM RIFF/WAVE payload (see
+    :func:`wav_samples`): stream params plus amplitude stats (RMS,
+    peak, zero-crossing rate)."""
+    import numpy as np
+
+    n_channels, sample_rate, samples = wav_samples(payload)
     n_frames = len(samples) // max(n_channels, 1)
     if n_frames == 0:
         return _pad([n_channels, sample_rate, 0.0], n_features)
@@ -236,19 +244,12 @@ def synthesize_bmp(width: int, height: int, seed: int) -> bytes:
     )
 
 
-def synthesize_wav(
-    n_frames: int, sample_rate: int, freq_hz: float, seed: int
-) -> bytes:
-    """Deterministic valid 16-bit PCM mono WAV (sine + seeded noise)."""
+def wav_from_samples(wave: "object", sample_rate: int) -> bytes:
+    """Serialize float samples in [-1, 1] as a 16-bit PCM mono WAV."""
     import struct
 
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    t = np.arange(n_frames, dtype=np.float64) / sample_rate
-    wave = 0.6 * np.sin(2 * np.pi * freq_hz * t) + 0.05 * rng.standard_normal(
-        n_frames
-    )
     pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     return (
@@ -258,6 +259,20 @@ def synthesize_wav(
         + struct.pack("<4sI", b"data", len(pcm))
         + pcm
     )
+
+
+def synthesize_wav(
+    n_frames: int, sample_rate: int, freq_hz: float, seed: int
+) -> bytes:
+    """Deterministic valid 16-bit PCM mono WAV (sine + seeded noise)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    wave = 0.6 * np.sin(2 * np.pi * freq_hz * t) + 0.05 * rng.standard_normal(
+        n_frames
+    )
+    return wav_from_samples(wave, sample_rate)
 
 
 def sample_frames(

@@ -255,6 +255,26 @@ def m08_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.dhash_near_pairs(mm.image_dhash(payloads), max_hamming=3, bands=4)
 
 
+@register("m09_audio_landmark_match")  # FFT fingerprints → rows-only
+def m09_audio_landmark_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup by spectral-peak landmark constellation
+    (``operators/audio.py``): real WAV decode → vectorized STFT →
+    (anchor, target, Δt) landmark hashes → the shared inverted-index
+    containment join. Rows-only BY DESIGN (SQL has no FFT); pinned by
+    scale/noise/hop-shift invariance properties and a brute-force
+    match check in tests/test_round5_ops.py. The fixture stream
+    plants one re-captured (attenuated + noisy + shifted) twin per
+    song group; measured separation at sf0.01: twins ≥ 0.94
+    containment, different songs ≤ ~0.33 — the 0.6 threshold sits in
+    the gap."""
+    from ..operators import audio as au
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = au.demo_noisy_audio_payloads(docs, "doc_id")
+    return au.audio_match_pairs(payloads, min_containment=0.6)
+
+
 # ---------------------------------------------------------------------------
 # t22 — budgeted corpus mixing (per-domain token quotas)
 # ---------------------------------------------------------------------------

@@ -519,6 +519,54 @@ def test_dhash_perceptual_properties(spark):
     assert bin(a ^ b).count("1") >= 15
 
 
+def test_audio_landmark_invariances():
+    """Landmark fingerprints must survive amplitude scaling exactly,
+    and noise + hop-aligned shift approximately; different songs must
+    share little."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.audio import (
+        _tone_clip,
+        spectral_landmarks,
+    )
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        wav_from_samples,
+    )
+
+    base = _tone_clip(1)
+    lm = set(spectral_landmarks(wav_from_samples(base, 8000)))
+    assert len(lm) > 100
+    # amplitude scale: argsort of magnitudes unchanged → identical set
+    lm_scaled = set(
+        spectral_landmarks(wav_from_samples(0.5 * base, 8000))
+    )
+    assert lm_scaled == lm
+    # re-capture (noise + 2-hop lead-in): high containment
+    rng = np.random.RandomState(0)
+    recap = np.concatenate(
+        [np.zeros(256), 0.7 * base + 0.01 * rng.standard_normal(len(base))]
+    )
+    lm_recap = set(spectral_landmarks(wav_from_samples(recap, 8000)))
+    contain = len(lm & lm_recap) / min(len(lm), len(lm_recap))
+    assert contain > 0.8, contain
+    # different song: low overlap
+    other = set(
+        spectral_landmarks(wav_from_samples(_tone_clip(2), 8000))
+    )
+    assert len(lm & other) / min(len(lm), len(other)) < 0.5
+
+
+def test_m09_matches_exactly_the_planted_twins(spark):
+    """The catalog witness must return exactly one pair per song
+    group (the planted re-capture), none across songs."""
+    out = QUERIES["m09_audio_landmark_match"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.id_b - r.id_a == 10 and r.id_a // 20 == r.id_b // 20, r
+    groups = {r.id_a // 20 for r in out}
+    assert len(groups) == len(out)  # one pair per group
+
+
 def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
     """NULL/empty embeddings must vanish identically in Spark and the
     DuckDB oracle (the oracle's unnest emits nothing for them)."""
