@@ -310,6 +310,49 @@ def test_split_leakage_safety_with_fuzzy_groups(spark):
     assert all(r.k == 1 for r in by_group)
 
 
+def test_cdc_chunks_match_pure_python_reference(spark):
+    """Independent pure-python replay of the CDC contract: boundaries
+    from md5 over the trailing 8-byte hex window, chunks exactly tile
+    the payload, chunk hashes are md5 of the hex slices."""
+    import hashlib
+
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+
+    texts = {1: "hello world " * 40, 2: "abc", 3: "x" * 7}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r.id: r
+        for r in mm.cdc_chunk_arrays(
+            mm.attach_binary(df, "doc_id", "text"), boundary_prefix="0"
+        ).collect()
+    }
+    for did, text in texts.items():
+        hx = text.encode().hex().upper()
+        n = len(hx) // 2
+        bpos = [
+            p
+            for p in range(8, n + 1)
+            if hashlib.md5(
+                hx[(p - 8) * 2 : (p - 8) * 2 + 16].encode()
+            ).hexdigest().startswith("0")
+        ]
+        ends = bpos if (bpos and bpos[-1] == n) else [*bpos, n]
+        starts = [1] + [e + 1 for e in ends[:-1]]
+        chs = [
+            hashlib.md5(hx[(s - 1) * 2 : e * 2].encode()).hexdigest()
+            for s, e in zip(starts, ends)
+        ]
+        r = got[did]
+        assert r.n_bytes == n
+        assert list(r.chashes) == chs, did
+        assert sum(r.chunk_sizes) == n  # chunks tile the payload
+        assert list(r.chunk_sizes) == [
+            e - s + 1 for s, e in zip(starts, ends)
+        ]
+
+
 def test_cdc_shift_robustness_vs_fixed_blocks(spark):
     """The CDC property, demonstrated: a 3-byte prefix insert shifts
     every byte offset, so fixed-block fingerprints share ~nothing,
