@@ -142,6 +142,7 @@ HEADLINE = [
     "x23_zorder_layout",
     "t21_leakage_safe_split",
     "t22_corpus_mixing",
+    "t23_k_anonymize",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

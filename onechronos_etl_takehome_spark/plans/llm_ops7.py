@@ -380,6 +380,65 @@ def t22_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t23 — k-anonymity release gate
+# ---------------------------------------------------------------------------
+
+_T23_K = 10
+
+_T23_ORACLE = f"""
+    WITH sized AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+        COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS k
+      FROM customer
+    ), anon AS (
+      SELECT CASE WHEN k >= {_T23_K} THEN c_nationkey END AS nationkey,
+             CASE WHEN k >= {_T23_K} THEN c_mktsegment END AS mktsegment,
+             (k < {_T23_K}) AS suppressed
+      FROM sized
+    )
+    SELECT mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_suppressed,
+      CAST(COUNT(DISTINCT nationkey) AS BIGINT) AS n_nations
+    FROM anon
+    GROUP BY mktsegment
+"""
+
+
+@register("t23_k_anonymize", oracle=_T23_ORACLE)
+def t23_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate over quasi-identifiers (nation ×
+    market segment, k=10): combinations covering < k rows are
+    SUPPRESSED (quasi columns nulled, rows retained) — the
+    re-identification complement of t10's direct-PII redaction
+    (``operators/privacy.py:k_anonymize``). The witness is the
+    released shape itself: per released segment (suppressed rows
+    collapse into the NULL group), row / suppressed / distinct-nation
+    counts — 1,221 kept vs 279 suppressed at sf0.01. One window
+    exchange + scan-stage whens; fully hash-matched.
+    """
+    from ..operators.privacy import k_anonymize
+
+    pin_semantics(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    anon = k_anonymize(
+        cust, ["c_nationkey", "c_mktsegment"], k=_T23_K
+    )
+    return anon.groupBy(
+        F.col("c_mktsegment").alias("mktsegment")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("suppressed").cast("int"))
+        .cast("bigint")
+        .alias("n_suppressed"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t21 — leakage-safe train/val/test split
 # ---------------------------------------------------------------------------
 

@@ -562,6 +562,25 @@ def test_dhash_perceptual_properties(spark):
     assert bin(a ^ b).count("1") >= 15
 
 
+def test_k_anonymize_suppresses_small_groups_only(spark):
+    from onechronos_etl_takehome_spark.operators.privacy import k_anonymize
+
+    rows = (
+        [(i, "US", "AUTO") for i in range(5)]
+        + [(10 + i, "US", "RETAIL") for i in range(2)]
+        + [(20, None, "AUTO")]
+    )
+    df = spark.createDataFrame(rows, "id long, nation string, seg string")
+    out = {r.id: r for r in k_anonymize(df, ["nation", "seg"], k=3).collect()}
+    assert len(out) == len(rows)  # suppression keeps every row
+    for i in range(5):  # big group intact
+        assert out[i].nation == "US" and out[i].seg == "AUTO"
+        assert out[i].suppressed is False
+    for i in (10, 11, 20):  # small groups nulled, flagged
+        assert out[i].nation is None and out[i].seg is None
+        assert out[i].suppressed is True
+
+
 def test_audio_landmark_invariances():
     """Landmark fingerprints must survive amplitude scaling exactly,
     and noise + hop-aligned shift approximately; different songs must
