@@ -10,8 +10,18 @@ from .dedup import (
     simhash,
     simhash_near_pairs,
 )
+from .audio import audio_match_pairs, spectral_landmarks
+from .multimodal import (
+    cdc_chunk_neardup,
+    cdc_gear_chunks,
+    decode_features,
+    dhash_near_pairs,
+    image_dhash,
+)
+from .privacy import k_anonymize
 from .similarity import cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_join
+from .splits import assign_split
 
 __all__ = [
     "asof_join",
@@ -28,4 +38,13 @@ __all__ = [
     "cosine_topk_ivf",
     "cosine_topk_lsh",
     "salted_join",
+    "audio_match_pairs",
+    "spectral_landmarks",
+    "cdc_chunk_neardup",
+    "cdc_gear_chunks",
+    "decode_features",
+    "dhash_near_pairs",
+    "image_dhash",
+    "k_anonymize",
+    "assign_split",
 ]
