@@ -18,6 +18,7 @@ from .multimodal import (
     dhash_near_pairs,
     image_dhash,
 )
+from .fusion import rrf_fuse
 from .privacy import k_anonymize
 from .similarity import cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_join
@@ -46,5 +47,6 @@ __all__ = [
     "dhash_near_pairs",
     "image_dhash",
     "k_anonymize",
+    "rrf_fuse",
     "assign_split",
 ]

@@ -1,0 +1,89 @@
+"""Rank fusion for hybrid retrieval.
+
+Reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher 2009): combine
+the top-N shortlists of heterogeneous retrievers (dense ANN, sparse
+BM25, ...) into one ranking using only each list's RANKS — no score
+calibration across retrievers, which is exactly why production hybrid
+search (OpenSearch/Vespa/Azure AI Search all ship it) uses it.
+
+Cross-engine exactness: the classical fused score Σ 1/(k + rank) is a
+sum of rationals; evaluated as floating point its value depends on
+nothing here (two terms, exact operands) but we keep the catalog's
+integer-only discipline anyway and fuse on
+``Σ (SCALE div (k + rank))`` with ``SCALE = 10^12`` — pure BIGINT
+arithmetic in both engines (Spark ``div``, DuckDB ``//``), so the
+fused ordering hash-matches any SQL oracle bit-for-bit. With k = 60
+and top-1000 lists the per-list contribution is ≤ 10^12/61 ≈ 1.6e10;
+hundreds of lists still fit a BIGINT with 10^8 headroom.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SCALE = 10**12
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    query_cols: list[str] | None = None,
+    k: int = 60,
+    topk: int = 15,
+) -> DataFrame:
+    """Fuse named ranked shortlists into one RRF ranking.
+
+    ``ranked`` is ``[(name, df), ...]`` where each frame carries
+    ``id_col`` and an integer ``rank_col`` (1-based, from that
+    retriever). Output: one row per doc appearing in ANY list, with a
+    nullable ``<name>_rank`` per retriever, the integer ``rrf_score``
+    ``Σ (10^12 div (k + rank))`` (absent list → contributes 0), and
+    the fused 1-based ``rank`` (ties broken on doc id), truncated to
+    ``topk``. ``query_cols`` makes the fusion per-query: lists join on
+    ``query_cols + [id_col]`` and the fused ranking windows per query.
+
+    Scale posture: the inputs are top-N shortlists — each retriever
+    already reduced the corpus to N rows (per query), so the fusion
+    joins and the final ranking window run on N·retrievers rows (per
+    query), never on corpus-sized data; with ``query_cols`` the window
+    partitions by query, so fusing a million queries is
+    embarrassingly parallel. The heavy lifting stays in the upstream
+    retrievers (s01-s05 ANN, t16 BM25), which carry their own 100-TB
+    postures.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    qcols = list(query_cols or [])
+    keys = qcols + ["_id"]
+    frames = [
+        df.select(
+            *qcols,
+            F.col(id_col).alias("_id"),
+            F.col(rank_col).cast("long").alias(f"{name}_rank"),
+        )
+        for name, df in ranked
+    ]
+    joined = reduce(lambda a, b: a.join(b, on=keys, how="full_outer"), frames)
+    contribs = [
+        F.coalesce(
+            F.expr(f"{_SCALE} div ({k} + {name}_rank)"), F.lit(0).cast("long")
+        )
+        for name, _ in ranked
+    ]
+    scored = joined.withColumn(
+        "rrf_score", reduce(lambda a, b: a + b, contribs).cast("long")
+    )
+    w = Window.partitionBy(*qcols).orderBy(
+        F.col("rrf_score").desc(), F.col("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= topk)
+        .withColumnRenamed("_id", id_col)
+    )

@@ -439,6 +439,131 @@ def t23_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s07 — hybrid retrieval with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_S07_N = 50  # per-retriever shortlist length
+_S07_K = 60  # classic RRF smoothing constant
+_S07_TOPK = 15
+
+
+def _s07_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    from .llm_ops import _cos_sql
+    from .llm_ops4 import _T16_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in _T16_TERMS)
+    # Sparse branch: t16's BM25 oracle verbatim (same rational idf,
+    # same DECIMAL(28,12) per-term quantization — llm_ops4._t16_oracle)
+    # with the query doc excluded and the shortlist widened to N.
+    # Dense branch: s01's list_reduce cosine with vec 0 as the query.
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id <> 0),
+    dl AS (SELECT doc_id, COUNT(*) AS dl_n FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl_n) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf_n FROM tok
+           WHERE token IN ({terms}) GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df_n FROM tf GROUP BY token),
+    sscored AS (
+      SELECT t.doc_id,
+        SUM(CAST(
+          ((CAST(n_docs AS DOUBLE) - CAST(df_n AS DOUBLE) + 0.5)
+             / (CAST(df_n AS DOUBLE) + 0.5))
+          * ((CAST(tf_n AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))
+             / (CAST(tf_n AS DOUBLE) + CAST({k1!r} AS DOUBLE)
+                * (CAST({1.0 - b!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)
+                   * (CAST(dl_n AS DOUBLE)
+                      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          AS DECIMAL(28,12))) AS score_dec
+      FROM tf t JOIN dfreq USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY t.doc_id),
+    stop_ AS (
+      SELECT doc_id, rn FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS rn
+        FROM sscored)
+      WHERE rn <= {_S07_N}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+      SELECT vec_id AS doc_id, {_cos_sql('qv', 'embedding')} AS dscore
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+    dtop AS (
+      SELECT doc_id, rn FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY dscore DESC, doc_id) AS rn
+        FROM dscored)
+      WHERE rn <= {_S07_N}),
+    fused AS (
+      SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+             d.rn AS dense_rank, s.rn AS sparse_rank,
+             COALESCE(1000000000000 // ({_S07_K} + d.rn), 0)
+             + COALESCE(1000000000000 // ({_S07_K} + s.rn), 0) AS rrf_score
+      FROM dtop d FULL JOIN stop_ s ON d.doc_id = s.doc_id)
+    SELECT doc_id,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           CAST(sparse_rank AS BIGINT) AS sparse_rank,
+           CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= {_S07_TOPK}
+    """
+
+
+@register("s07_hybrid_rrf", oracle=_s07_oracle())
+def s07_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the dense top-50 (exact cosine vs the
+    vec-0 query embedding — s01's scorer) and the sparse top-50 (t16's
+    BM25 over the fixed term bag) with reciprocal-rank fusion
+    (``operators/fusion.py:rrf_fuse``) — the standard way production
+    search combines ANN and keyword retrieval without score
+    calibration. Doc 0 (the dense query's own document) is excluded
+    from both branches.
+
+    Output is ALL-INTEGER (per-retriever ranks + the ``10^12 div
+    (60+rank)`` fused score), so the whole pipeline hash-matches: the
+    dense ranks via s01's proven float-identical cosine folds, the
+    sparse ranks via t16's decimal-quantized BM25, the fusion via pure
+    BIGINT division in both engines.
+
+    Scale: each retriever reduces the corpus to a 50-row shortlist
+    before the fusion ever runs — the RRF join and final window touch
+    ≤100 rows (per query; ``rrf_fuse(query_cols=...)`` partitions for
+    batch query workloads), so the fused stage costs nothing at any
+    corpus size; the retrievers carry the scale story (s02-s05 swap in
+    for s01 when the corpus outgrows brute force).
+    """
+    from ..operators.fusion import rrf_fuse
+    from ..operators.text import bm25_topk
+    from ..operators.similarity import cosine_topk_bruteforce
+    from .llm_ops4 import _T16_TERMS
+
+    pin_semantics(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") != 0)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    dense = cosine_topk_bruteforce(queries, corpus, k=_S07_N).select(
+        F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    sparse = bm25_topk(
+        docs, "doc_id", "text", list(_T16_TERMS), topk=_S07_N
+    ).select("doc_id", "rank")
+    return rrf_fuse(
+        [("dense", dense), ("sparse", sparse)],
+        id_col="doc_id",
+        k=_S07_K,
+        topk=_S07_TOPK,
+    )
+
+
+# ---------------------------------------------------------------------------
 # t21 — leakage-safe train/val/test split
 # ---------------------------------------------------------------------------
 

@@ -665,3 +665,59 @@ def test_s06_drops_degenerate_vectors_cross_engine(spark, tmp_path):
 
     report = compare(sdf, con, ORACLES["s06_quantize_embeddings"])
     assert report["errors"] == [], report["errors"]
+
+
+def test_s07_rrf_matches_python_replay(spark):
+    """The fused ranking must equal an independent pure-python RRF over
+    the two retriever shortlists (integer 10^12 // (60+rank) fusion,
+    doc-id tie-break) — pins rrf_fuse's join/coalesce/window wiring
+    separately from the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from onechronos_etl_takehome_spark.operators.fusion import rrf_fuse
+    from onechronos_etl_takehome_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from onechronos_etl_takehome_spark.operators.text import bm25_topk
+    from onechronos_etl_takehome_spark.plans.llm_ops4 import _T16_TERMS
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    docs = load_table(spark, SF, "documents").where(F.col("doc_id") != 0)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    dense = cosine_topk_bruteforce(queries, corpus, k=50).select(
+        F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    sparse = bm25_topk(docs, "doc_id", "text", list(_T16_TERMS), topk=50).select(
+        "doc_id", "rank"
+    )
+    drank = {r.doc_id: r.rank for r in dense.collect()}
+    srank = {r.doc_id: r.rank for r in sparse.collect()}
+    assert len(drank) == 50 and 0 < len(srank) <= 50
+
+    def contrib(rank):
+        return 10**12 // (60 + rank) if rank is not None else 0
+
+    expected = sorted(
+        (
+            (-(contrib(drank.get(d)) + contrib(srank.get(d))), d)
+            for d in set(drank) | set(srank)
+        ),
+    )[:15]
+    got = (
+        rrf_fuse([("dense", dense), ("sparse", sparse)], id_col="doc_id")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [d for _, d in expected]
+    assert [r.rrf_score for r in got] == [-s for s, _ in expected]
+    assert [r.rank for r in got] == list(range(1, 16))
+    # per-retriever ranks survive the fuse (nullable where absent)
+    for r in got:
+        assert r.dense_rank == drank.get(r.doc_id)
+        assert r.sparse_rank == srank.get(r.doc_id)
