@@ -100,7 +100,7 @@ DRIVER_WINDOW: list[str] = [
     # SQL can't express them (recall<1 approximate search;
     # engine-specific sketch), not for convenience — the capability
     # witness is the point.
-    "s01_cosine_topk",
+    "s07_hybrid_rrf",
     "s03_cosine_topk_ivf",
     "s06_quantize_embeddings",
     "m04_binary_chunk_neardup",
@@ -128,6 +128,14 @@ DRIVER_WINDOW: list[str] = [
     "t21_leakage_safe_split",  # leakage-safe train/val/test split
     "q48_price_moments",  # variance/stddev/correlation
 ]
+# Round 5c: s07 (hybrid retrieval — reciprocal-rank fusion of the
+# dense cosine top-50 and the BM25 top-50, all-integer fused scores)
+# replaces s01: s07's dense ranks ARE s01's exact cosine ranking
+# (same scorer, k=50 instead of 5), so the cosine arithmetic stays
+# hash-match-witnessed in-window, and the row additionally witnesses
+# t16's decimal-quantized BM25 and the new rank-fusion family. s01
+# stays locally oracled in the full gate and remains the documented
+# exactness baseline for s02-s05.
 # Round 5b: m05 (content-defined chunking — boundaries chosen by a
 # rolling content hash, fully md5-over-hex hash-matched; the
 # shift-robust dedup family that fixed-block m04 cannot witness)
