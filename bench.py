@@ -91,6 +91,9 @@ HEADLINE = [
     "s05_cosine_topk_pq",
     # embedding compression: int8 quantization, zero-shuffle codegen
     "s06_quantize_embeddings",
+    # hybrid retrieval: dense top-50 + BM25 top-50 fused by integer
+    # RRF — the fusion itself touches only shortlist-sized frames
+    "s07_hybrid_rrf",
     # native WITH RECURSIVE bounded-hop BFS (iterative frontier joins)
     "q58_recursive_reachability",
     "t01_text_quality",
@@ -114,6 +117,8 @@ HEADLINE = [
     "m08_image_dhash_neardup",
     # audio fingerprint match: WAV decode -> STFT landmarks -> join
     "m09_audio_landmark_match",
+    # video near-dup: AVI decode -> per-frame dHash -> containment
+    "m10_video_neardup",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
     "x07_window_funnel",

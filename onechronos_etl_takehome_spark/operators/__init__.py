@@ -20,6 +20,7 @@ from .multimodal import (
 )
 from .fusion import rrf_fuse
 from .privacy import k_anonymize
+from .video import avi_frames, avi_from_frames, video_match_pairs
 from .similarity import cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh
 from .skew import salted_join
 from .splits import assign_split
@@ -48,5 +49,8 @@ __all__ = [
     "image_dhash",
     "k_anonymize",
     "rrf_fuse",
+    "avi_frames",
+    "avi_from_frames",
+    "video_match_pairs",
     "assign_split",
 ]

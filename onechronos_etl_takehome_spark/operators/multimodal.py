@@ -210,6 +210,8 @@ def sniff_modality(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "opaque"
 
 

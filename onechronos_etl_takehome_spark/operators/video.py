@@ -1,0 +1,282 @@
+"""Video near-duplicate detection: real AVI decode → per-frame dHash
+→ frame-set containment join.
+
+The video member of the multimodal near-dup family (image → m08 dHash
++ banded Hamming, audio → m09 spectral landmarks, raw binary →
+m04/m06 chunk maps). A video fingerprint here is the SET of per-frame
+64-bit dHashes — the "frame constellation" — so two uploads match
+when they share frames perceptually, regardless of byte-level
+re-encoding and regardless of temporal edits (trims, appended intros/
+outros): containment on the frame-hash set is exactly the trimmed-
+re-upload detector the CDC chunk map is for byte streams.
+
+Container: minimal uncompressed RIFF/AVI ('vids'/'DIB ' stream,
+'00db' raw-BGR frame chunks — the original Microsoft AVI layout).
+``avi_from_frames`` writes it and ``avi_frames`` parses it for real:
+a RIFF chunk walker + the same bottom-up stride-padded DIB pixel
+reshape the BMP decoder uses. No codec — raw frames — which is the
+honest scope of a pure-numpy environment; a production deployment
+swaps ``avi_frames`` for an ffmpeg-backed frame sampler behind the
+same (id, content) → (id, chash) contract.
+
+Pipeline shape on Spark: decode + dHash runs in Arrow-batched
+``mapInPandas`` emitting (id, chash) rows; matching is the shared
+inverted-index + containment join (``multimodal.chunk_pair_join``),
+so the 100-TB posture notes (posting-cap for ubiquitous frames — title
+cards, black frames — no all-pairs scan) carry over unchanged.
+
+Rows-only at the catalog (m10): SQL cannot parse RIFF containers.
+Pinned instead by an exact container round-trip, a brute-force
+set-intersection replay, and temporal-edit robustness properties in
+tests/test_round5_ops.py. m08 witnesses TOLERANT (banded Hamming)
+hash matching at the image level; m10 deliberately pins frame hashes
+exactly and exercises the temporal-set dimension.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .multimodal import chunk_pair_join, dhash64, sniff_modality
+
+
+def avi_from_frames(frames: "object", *, fps: int = 10) -> bytes:
+    """Serialize an (n, h, w, 3) uint8 BGR array as a minimal valid
+    uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,
+    strf}} → LIST(movi){'00db' raw DIB frame ×n}. Frames are stored
+    exactly like BMP pixel data (bottom-up rows, 4-byte stride)."""
+    import numpy as np
+
+    n, h, w = frames.shape[:3]
+    stride = (w * 3 + 3) // 4 * 4
+    frame_bytes = []
+    for k in range(n):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = frames[k].reshape(h, w * 3)
+        frame_bytes.append(rows[::-1].tobytes())
+    fsize = stride * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        fsize * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags (AVIF_HASINDEX off, 0x10 = was captured; benign)
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        fsize,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII4h", 0, 0, 0, 0, 1, fps, 0, n, fsize,
+                      0xFFFFFFFF, 0, 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frames(payload: bytes) -> "object":
+    """REAL decode of the minimal uncompressed AVI: RIFF chunk walk →
+    (width, height) from avih → every '00db' chunk reshaped from
+    bottom-up stride-padded BGR rows. Returns (n, h, w, 3) uint8."""
+    import numpy as np
+
+    if sniff_modality(payload) != "avi":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    frames = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal w, h
+        while off + 8 <= end:
+            fourcc = payload[off:off + 4]
+            size = struct.unpack_from("<I", payload, off + 4)[0]
+            data_off = off + 8
+            if fourcc == b"LIST":
+                walk(data_off + 4, data_off + size)
+            elif fourcc == b"avih":
+                w = struct.unpack_from("<I", payload, data_off + 32)[0]
+                h = struct.unpack_from("<I", payload, data_off + 36)[0]
+            elif fourcc == b"00db":
+                if w is None or h is None:
+                    raise ValueError("frame chunk before avih header")
+                stride = (w * 3 + 3) // 4 * 4
+                px = (
+                    np.frombuffer(
+                        payload, np.uint8, count=stride * h, offset=data_off
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)
+                )
+                frames.append(px[::-1])
+            off = data_off + size + (size % 2)
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if not frames:
+        raise ValueError("AVI has no frames")
+    return np.stack(frames)
+
+
+def frame_dhashes(payload: bytes) -> list[int]:
+    """Sorted-unique per-frame dHash set for one AVI payload, as
+    signed BIGINT (Spark has no unsigned 64 — same two's-complement
+    reinterpretation as ``image_dhash``). Set semantics: a looped/
+    duplicated frame adds nothing, mirroring the landmark sets of
+    m09."""
+    import numpy as np
+
+    px = avi_frames(payload).astype("float64")
+    b, g, r = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    return sorted(
+        {
+            int(np.uint64(dhash64(gray[k])).astype(np.int64))
+            for k in range(gray.shape[0])
+        }
+    )
+
+
+def video_fingerprints(payloads: DataFrame) -> DataFrame:
+    """(id, chash) frame-hash rows per decodable AVI payload
+    (non-video payloads dropped). Column named ``chash`` so the frame
+    plugs straight into ``multimodal.chunk_pair_join``."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, bpayload in zip(pdf["id"], pdf["content"]):
+                data = bytes(bpayload)
+                if sniff_modality(data) != "avi":
+                    continue
+                try:
+                    fhs = frame_dhashes(data)
+                except ValueError:
+                    continue
+                ids.extend([int(i)] * len(fhs))
+                hashes.extend(fhs)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "chash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(compute, schema="id long, chash long")
+
+
+def video_match_pairs(
+    payloads: DataFrame,
+    *,
+    min_containment: float = 0.6,
+    max_hash_df: int | None = None,
+) -> DataFrame:
+    """(id_a < id_b, shared_chunks, containment) pairs of videos
+    sharing per-frame dHashes — same join/posture as the chunk maps;
+    ``max_hash_df`` is the posting cap for ubiquitous frames (black
+    frames, title cards)."""
+    fp = video_fingerprints(payloads)
+    return chunk_pair_join(
+        fp, min_containment=min_containment, max_block_df=max_hash_df
+    )
+
+
+def _scene_frame(scene_seed: int, frame_idx: int) -> "object":
+    """One frame of a synthetic 'scene': the blocky random grid of
+    multimodal._smooth_image, re-seeded per frame (fixture frames are
+    temporally independent — enough to exercise set containment; real
+    footage correlates, which only makes frame hashes MORE stable)."""
+    from .multimodal import _smooth_image
+
+    return _smooth_image((scene_seed * 31 + frame_idx) % 99_991)
+
+
+def _offlattice_noise(px: "object", seed: int) -> "object":
+    """Mild pixel noise that avoids the 9×8 dHash sampling lattice, so
+    the frame's BYTES change (byte-level dedup like m04/m06 misses it)
+    while its dHash is bit-stable. Deliberate fixture design: m08
+    already witnesses hash-TOLERANT (banded Hamming) matching; m10
+    pins frame hashes exactly to isolate the temporal-set dimension."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(h, w) < 0.05
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    mask[np.ix_(ys, xs)] = False
+    noise = rng.randint(-6, 7, (h, w, 1)) * mask[..., None]
+    return np.clip(px.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+
+
+def demo_noisy_video_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, n_frames: int = 8
+) -> DataFrame:
+    """Near-dup video fixture stream (the video twin of
+    ``demo_noisy_image_payloads``/``demo_noisy_audio_payloads``):
+    ``id % modulus == 0`` rows each get an AVI; paired ids share a
+    scene and the odd member is a re-encoded RE-CUT — the lead frame
+    trimmed, a fresh outro frame appended, and off-lattice pixel noise
+    on every kept frame (bytes differ, frame dHashes survive). Shared
+    frames: n_frames-1 of n_frames → containment 0.875 at the default
+    8 frames, vs ~0 across scenes (independent random grids)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    base = df.select(F.col(id_col).cast("long").alias("id")).where(
+        F.col(id_col) % modulus == 0
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                grp = i // (2 * modulus)
+                scene = grp % 9973
+                frames = [
+                    _scene_frame(scene, k) for k in range(n_frames)
+                ]
+                if (i // modulus) % 2 == 1:
+                    kept = [
+                        _offlattice_noise(f, 50_000 + scene * 97 + k)
+                        for k, f in enumerate(frames[1:])
+                    ]
+                    kept.append(_scene_frame(scene + 7919, n_frames))
+                    frames = kept
+                content.append(avi_from_frames(np.stack(frames)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["video"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")

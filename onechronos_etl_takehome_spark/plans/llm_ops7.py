@@ -275,6 +275,28 @@ def m09_audio_landmark_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return au.audio_match_pairs(payloads, min_containment=0.6)
 
 
+@register("m10_video_neardup")  # RIFF/AVI container decode → rows-only
+def m10_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by frame-constellation containment
+    (``operators/video.py``): REAL minimal-AVI decode (RIFF chunk walk
+    → raw-DIB frames) → per-frame 64-bit dHash → the shared
+    inverted-index containment join. Completes the multimodal triad
+    (m08 image, m09 audio, m10 video). Rows-only BY DESIGN (SQL cannot
+    parse RIFF containers); pinned by an exact container round-trip, a
+    brute-force set-intersection replay, and trim/append/noise
+    robustness in tests/test_round5_ops.py. The fixture plants one
+    re-cut re-encoded twin per scene group (lead frame trimmed, outro
+    appended, off-lattice pixel noise): twins share 7 of 8 frame
+    hashes → containment 0.875; distinct scenes share ~0 — the 0.6
+    threshold sits in the gap."""
+    from ..operators import video as vid
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = vid.demo_noisy_video_payloads(docs, "doc_id")
+    return vid.video_match_pairs(payloads, min_containment=0.6)
+
+
 # ---------------------------------------------------------------------------
 # t22 — budgeted corpus mixing (per-domain token quotas)
 # ---------------------------------------------------------------------------

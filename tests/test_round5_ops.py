@@ -721,3 +721,63 @@ def test_s07_rrf_matches_python_replay(spark):
     for r in got:
         assert r.dense_rank == drank.get(r.doc_id)
         assert r.sparse_rank == srank.get(r.doc_id)
+
+
+def test_avi_container_roundtrip():
+    """avi_from_frames → avi_frames must recover exact pixels,
+    including odd widths (stride padding) and multiple frames."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.video import (
+        avi_frames,
+        avi_from_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    fr = rng.randint(0, 256, size=(4, 13, 19, 3), dtype=np.uint8)
+    back = avi_frames(avi_from_frames(fr))
+    assert back.shape == fr.shape
+    assert (back == fr).all()
+    with pytest.raises(ValueError):
+        avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_m10_video_neardup_matches_bruteforce(spark):
+    """The distributed containment join must equal a pure-python
+    set-intersection replay over the same fingerprints, and the pair
+    set must be exactly the planted re-cut twins (trim + append +
+    off-lattice noise robustness, cross-scene separation)."""
+    from onechronos_etl_takehome_spark.operators.video import (
+        demo_noisy_video_payloads,
+        frame_dhashes,
+        video_match_pairs,
+    )
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    payloads = demo_noisy_video_payloads(docs, "doc_id")
+    got = {
+        (r.id_a, r.id_b): (r.shared_chunks, r.containment)
+        for r in video_match_pairs(payloads, min_containment=0.6).collect()
+    }
+    # brute-force replay on the driver (bounded: ~50 payloads at sf0.001)
+    sets = {
+        int(r.id): set(frame_dhashes(bytes(r.content)))
+        for r in payloads.collect()
+    }
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / min(len(sets[a]), len(sets[b])) >= 0.6:
+                expect[(a, b)] = (
+                    inter,
+                    inter / min(len(sets[a]), len(sets[b])),
+                )
+    assert got == expect and len(got) > 0
+    # every matched pair is a planted twin (consecutive qualifying ids
+    # sharing a scene group), at the designed 7/8 containment
+    for (a, b), (shared, cont) in got.items():
+        assert a // 20 == b // 20, f"cross-scene match {a},{b}"
+        assert shared == 7 and cont == pytest.approx(0.875)
