@@ -179,6 +179,10 @@ SCALE_PROBES = [
     "s05_cosine_topk_pq",
     "s06_quantize_embeddings",
     "t19_bpe_tokenize",
+    # hybrid fusion: the retrievers scale, the fuse stays shortlist-sized
+    "s07_hybrid_rrf",
+    # video containment join over 10x the payload stream
+    "m10_video_neardup",
 ]
 
 

@@ -781,3 +781,35 @@ def test_m10_video_neardup_matches_bruteforce(spark):
     for (a, b), (shared, cont) in got.items():
         assert a // 20 == b // 20, f"cross-scene match {a},{b}"
         assert shared == 7 and cont == pytest.approx(0.875)
+
+
+def test_rrf_fuse_per_query_partitioning(spark):
+    """query_cols must fuse and rank independently per query: same doc
+    ids across two queries get separate rank sequences, and a doc
+    absent from one retriever's list for one query still fuses."""
+    from onechronos_etl_takehome_spark.operators.fusion import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [("q1", 101, 1), ("q1", 102, 2), ("q2", 102, 1), ("q2", 103, 2)],
+        "qid string, doc_id long, rank long",
+    )
+    sparse = spark.createDataFrame(
+        [("q1", 102, 1), ("q1", 104, 2), ("q2", 103, 1)],
+        "qid string, doc_id long, rank long",
+    )
+    got = {
+        (r.qid, r.doc_id): (r.dense_rank, r.sparse_rank, r.rrf_score, r.rank)
+        for r in rrf_fuse(
+            [("dense", dense), ("sparse", sparse)],
+            query_cols=["qid"],
+            k=60,
+            topk=3,
+        ).collect()
+    }
+    c = lambda r: 10**12 // (60 + r)
+    assert got[("q1", 102)] == (2, 1, c(2) + c(1), 1)
+    assert got[("q1", 101)] == (1, None, c(1), 2)
+    assert got[("q1", 104)] == (None, 2, c(2), 3)
+    assert got[("q2", 103)] == (2, 1, c(2) + c(1), 1)
+    assert got[("q2", 102)] == (1, None, c(1), 2)
+    assert len(got) == 5
