@@ -461,6 +461,49 @@ def t23_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x24 — bucketed co-located join (shuffle elimination by layout)
+# ---------------------------------------------------------------------------
+
+_X24_ORACLE = """
+    SELECT c_mktsegment AS mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_buyers,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@register("x24_bucketed_join", oracle=_X24_ORACLE)
+def x24_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-to-dim join over BUCKETED storage
+    (``sources/bucketing.py``): customer and orders land once as
+    bucketBy(custkey)+sortBy tables, and the equi-join then plans with
+    ZERO Exchange on either side (asserted on the executed plan in
+    tests/test_round5_ops.py) — x23's z-order witness is min-max scan
+    pruning; this is its join-side sibling, the layout investment that
+    stops a 100-TB fact table from re-shuffling on every query. The
+    result is layout-invariant, so the oracle runs on the raw parquet;
+    the per-segment DECIMAL revenue re-aggregation makes it
+    hash-exact."""
+    from ..sources.bucketing import bucketed_pair
+
+    pin_semantics(spark)
+    cust, orders = bucketed_pair(spark, sf_dir)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_buyers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # s07 — hybrid retrieval with reciprocal-rank fusion
 # ---------------------------------------------------------------------------
 

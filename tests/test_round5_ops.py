@@ -813,3 +813,41 @@ def test_rrf_fuse_per_query_partitioning(spark):
     assert got[("q2", 103)] == (2, 1, c(2) + c(1), 1)
     assert got[("q2", 102)] == (1, None, c(1), 2)
     assert len(got) == 5
+
+
+def test_x24_bucketed_join_has_no_exchange(spark):
+    """The whole point of the bucketed layout: the custkey equi-join
+    must plan WITHOUT any Exchange (both sides pre-bucketed on the
+    key), while the unbucketed parquet join of the same tables does
+    shuffle — proving the layout, not the optimizer, removed it."""
+    from pyspark.sql import functions as F
+
+    from onechronos_etl_takehome_spark.sources.bucketing import bucketed_pair
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    cust, orders = bucketed_pair(spark, SF)
+    # force the sort-merge path on both joins: at test scale Catalyst
+    # rightly broadcasts the tiny dim (and skips bucketing entirely);
+    # the capability under test is the big-big join a 100-TB run hits
+    joined = (
+        cust.hint("merge")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .select("c_custkey", "o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+
+    raw = (
+        load_table(spark, SF, "customer")
+        .hint("merge")
+        .join(
+            load_table(spark, SF, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("c_custkey", "o_orderkey")
+    )
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in raw_plan, "control join unexpectedly shuffle-free"
+    # and the bucketed result matches the raw join
+    assert joined.count() == raw.count()
