@@ -429,8 +429,10 @@ def main() -> None:
                     candidate_counts[label] = sum(drain(sink).values())
             if rep >= 1 and best >= 8.0:
                 break
+        run_spec[label] = (name, data_dir)
         return round(best, 3)
 
+    run_spec: dict[str, tuple[str, str]] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = _bench_query(name, sf_dir)
@@ -459,7 +461,9 @@ def main() -> None:
     # paths must pull ahead — this records that crossover every round.
     emb100 = _scaled_llm_inputs(100, sf_dir, tables=("embeddings",))
     for name in ["s01_cosine_topk", "s04_cosine_topk_numpy", "s05_cosine_topk_pq"]:
-        timings[f"{name}_100x"] = _bench_query(name, emb100)
+        timings[f"{name}_100x"] = _bench_query(
+            name, emb100, label=f"{name}_100x"
+        )
     print(
         "crossover100x interpreted s01 "
         f"{timings['s01_cosine_topk_100x']}s vs BLAS s04 "
@@ -524,6 +528,36 @@ def main() -> None:
     # BENCH_queries.json is the preferred baseline (driver BENCH_r*.json
     # records truncate when the full dict outgrew the tail capture).
     vs_prev, regressions = _vs_previous_round(timings, sf, repo_dir)
+    # Confirm-by-re-measure: a REAL regression reproduces minutes later;
+    # a transient load window (the dominant flag cause on this box —
+    # rounds 3-5 each saw 1-2 different 1-4 s entries flag at 1.3-1.5x
+    # and vanish on the next otherwise-identical run) does not. Each
+    # flagged catalog entry is re-benched once after the full sweep and
+    # keeps its best time; only survivors stay flagged. ETL/streaming
+    # entries (min-of-2 long runs) are not re-measured.
+    remeasured = [
+        n for n in (r.split(":", 1)[0] for r in regressions) if n in run_spec
+    ]
+    if remeasured:
+        for label in remeasured:
+            qname, data_dir = run_spec[label]
+            timings[label] = min(
+                timings[label], _bench_query(qname, data_dir, label=label)
+            )
+        total = round(
+            sum(
+                v
+                for k, v in timings.items()
+                if not k.endswith("_per_sec")
+            ),
+            3,
+        )
+        vs_prev, regressions = _vs_previous_round(timings, sf, repo_dir)
+        print(
+            f"re-measured {len(remeasured)} flagged entries; "
+            f"{len(regressions)} confirmed",
+            file=sys.stderr,
+        )
     if vs_prev:
         with open(os.path.join(repo_dir, "BENCH_vs_prev.json"), "w") as f:
             json.dump(vs_prev, f, indent=1)

@@ -59,6 +59,9 @@ def rrf_fuse(
     """
     if not ranked:
         raise ValueError("rrf_fuse needs at least one ranked list")
+    names = [name for name, _ in ranked]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate retriever names: {names}")
     qcols = list(query_cols or [])
     keys = qcols + ["_id"]
     frames = [

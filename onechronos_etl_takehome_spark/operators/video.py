@@ -176,7 +176,9 @@ def video_fingerprints(payloads: DataFrame) -> DataFrame:
                     continue
                 try:
                     fhs = frame_dhashes(data)
-                except ValueError:
+                except (ValueError, struct.error):
+                    # truncated/corrupt container: skip the payload,
+                    # same contract as image_dhash/audio_fingerprints
                     continue
                 ids.extend([int(i)] * len(fhs))
                 hashes.extend(fhs)
