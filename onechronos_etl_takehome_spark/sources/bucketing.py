@@ -14,10 +14,12 @@ Mechanics: ``bucketBy(n, key)`` + ``sortBy(key)`` + ``saveAsTable``
 (bucketed tables need the session catalog — plain ``parquet(path)``
 drops the bucket spec). Reads come back through ``spark.table``;
 Catalyst then plans SortMergeJoin with NO Exchange on either side
-(tests/test_round5_ops.py asserts the executed plan is
-Exchange-free). Bucket counts must match across join sides; data
-lands under an explicit ``path`` so re-registration in a fresh
-session is cheap.
+(tests/test_bucketing.py and tests/test_round5_ops.py assert the
+executed plan). Bucket count rules of thumb: target ~128-512 MB per
+bucket at full scale; both sides of a join must use the same count
+(or a divisor) for bucket-wise joins to engage. An explicit ``path``
+makes the table external, so re-registration in a fresh session is a
+metadata operation over the surviving files.
 """
 
 from __future__ import annotations
@@ -30,22 +32,28 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
     *,
+    bucket_by: list[str],
     n_buckets: int,
-    path: str,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed+sorted parquet table in the
-    session catalog (overwrites both catalog entry and files)."""
+    session catalog (managed, or external when ``path`` is given;
+    overwrite replaces both catalog entry and files)."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    (
-        df.write.mode("overwrite")
-        .bucketBy(n_buckets, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", path)
-        .saveAsTable(table)
-    )
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    writer = writer.sortBy(*(sort_by or bucket_by))
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
 
 
 def bucketed_pair(
@@ -69,15 +77,15 @@ def bucketed_pair(
         write_bucketed(
             load_table(spark, sf_dir, "customer"),
             cust_t,
-            "c_custkey",
+            bucket_by=["c_custkey"],
             n_buckets=n_buckets,
             path=os.path.join(base, "customer"),
         )
         write_bucketed(
             load_table(spark, sf_dir, "orders"),
             ord_t,
-            "o_custkey",
+            bucket_by=["o_custkey"],
             n_buckets=n_buckets,
             path=os.path.join(base, "orders"),
         )
-    return spark.table(cust_t), spark.table(ord_t)
+    return read_bucketed(spark, cust_t), read_bucketed(spark, ord_t)
