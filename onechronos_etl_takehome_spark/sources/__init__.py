@@ -1,6 +1,7 @@
 from .tables import TABLE_NAMES, load_table, load_tables, register_views
 from .readers import read_dirty_csv, read_orc, read_xml
 from .sinks import write_json, write_orc, write_parquet, write_xml
+from .bucketing import read_bucketed, write_bucketed
 from .upsert import read_keyed_table, upsert, vacuum
 
 __all__ = [
@@ -15,6 +16,8 @@ __all__ = [
     "write_orc",
     "write_xml",
     "write_parquet",
+    "read_bucketed",
+    "write_bucketed",
     "read_keyed_table",
     "upsert",
     "vacuum",
