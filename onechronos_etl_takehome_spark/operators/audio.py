@@ -116,8 +116,14 @@ def demo_noisy_audio_payloads(
 
     from .multimodal import wav_from_samples
 
-    base = df.select(F.col(id_col).cast("long").alias("id")).where(
-        F.col(id_col) % modulus == 0
+    from .util import spread
+
+    # payload synthesis + downstream decode are pure-CPU per-id work:
+    # spread the (scan-shaped) id frame so they use every core
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

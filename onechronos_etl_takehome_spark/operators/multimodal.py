@@ -38,8 +38,16 @@ FEATURE_SCHEMA = (
 def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Demo payload builder: utf-8 bytes of a text column as the opaque
     binary + modality tag. Real ingestion would read image/audio bytes
-    via spark.read.format('binaryFile')."""
-    return df.select(
+    via spark.read.format('binaryFile').
+
+    The input must be scan-shaped (every call site passes a
+    freshly-loaded table — the ``spread`` contract): downstream
+    consumers are CPU-bound per-payload stages (interpreted CDC
+    lambdas, Arrow decode), which otherwise run at the file-split
+    count of a small corpus — one task at bench scale."""
+    from .util import spread
+
+    return spread(df).select(
         F.col(id_col).alias("id"),
         F.encode(F.col(text_col), "UTF-8").alias("content"),
         F.lit("text").alias("modality"),
@@ -500,8 +508,14 @@ def demo_noisy_image_payloads(
     (``id // (2·modulus)`` shares a base scene) and the odd member
     carries mild sensor noise — one visually-near-duplicate pair per
     group, distinct scenes across groups. Executor-side, id-seeded."""
-    base = df.select(F.col(id_col).cast("long").alias("id")).where(
-        F.col(id_col) % modulus == 0
+    from .util import spread
+
+    # payload synthesis + downstream decode are pure-CPU per-id work:
+    # spread the (scan-shaped) id frame so they use every core
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -954,6 +968,16 @@ def chunk_pair_join(
     (fixed-block or CDC fingerprints); see
     :func:`binary_chunk_neardup` for the posture notes."""
     from pyspark.sql.window import Window
+
+    from .util import truncate_lineage
+
+    # The sizes/a/b branches below would re-execute the fingerprint
+    # subtree per branch — for the media operators that subtree is the
+    # expensive decode (PLANS.md showed m09/m10 running their Arrow
+    # stages 4×; measured 4.5→2.3 s on m10). Materialize it once.
+    # Streaming callers keep their lineage (checkpoint is batch-only).
+    if not ch.isStreaming:
+        ch = truncate_lineage(ch)
 
     sizes = ch.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
     chs = ch.join(sizes, "id")

@@ -251,8 +251,14 @@ def demo_noisy_video_payloads(
 
     from pyspark.sql import functions as F
 
-    base = df.select(F.col(id_col).cast("long").alias("id")).where(
-        F.col(id_col) % modulus == 0
+    from .util import spread
+
+    # payload synthesis + downstream decode are pure-CPU per-id work:
+    # spread the (scan-shaped) id frame so they use every core
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
