@@ -102,15 +102,14 @@ HEADLINE = [
     "t17_domain_selection",
     "t13_gopher_quality",
     "m04_binary_chunk_neardup",
-    # content-defined chunking (oracle-exact md5 form; ~5 s at sf0.1
-    # because HOF lambdas run interpreted — the per-byte boundary
-    # predicate is the honest cost of the portable hash). m06's CDC
-    # near-dup join rides m04's bench shape and stays out of the
-    # headline for wall-time budget.
+    # content-defined chunking (oracle-exact md5 form; interpreted
+    # HOF lambdas are the honest cost of the portable per-byte
+    # boundary hash — ~0.4 s at sf0.1 once the corpus is spread
+    # across cores). m06's CDC near-dup join rides m04's bench shape
+    # and stays out of the headline for wall-time budget.
     "m05_cdc_chunks",
     # gear-hash production CDC (vectorized rolling hash + min/max
-    # bounds): ~3× the md5 oracle form warm — the fast-path/oracle
-    # pairing, same as d03_fast vs d03
+    # bounds) — the fast-path/oracle pairing, same as d03_fast vs d03
     "m07_cdc_gear_fast",
     # perceptual image near-dup: real BMP decode -> dHash -> banded
     # Hamming join
