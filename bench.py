@@ -150,6 +150,8 @@ HEADLINE = [
     "t21_leakage_safe_split",
     "t22_corpus_mixing",
     "t23_k_anonymize",
+    # windowed histogram drift (log-free TVD, integer L1 numerator)
+    "x25_distribution_drift",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -18,6 +18,7 @@ from .multimodal import (
     dhash_near_pairs,
     image_dhash,
 )
+from .drift import histogram_drift
 from .fusion import rrf_fuse
 from .privacy import k_anonymize
 from .video import avi_frames, avi_from_frames, video_match_pairs
@@ -49,6 +50,7 @@ __all__ = [
     "image_dhash",
     "k_anonymize",
     "rrf_fuse",
+    "histogram_drift",
     "avi_frames",
     "avi_from_frames",
     "video_match_pairs",

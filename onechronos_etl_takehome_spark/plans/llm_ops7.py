@@ -298,6 +298,64 @@ def m10_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x25 — distribution drift monitor (windowed histogram shift)
+# ---------------------------------------------------------------------------
+
+_X25_ORACLE = """
+    WITH cutoff AS (SELECT MIN(ts) + INTERVAL 15 DAY AS c FROM events),
+    v AS (
+      SELECT event_type,
+        CAST(floor(value * 100) AS BIGINT) AS cents,
+        ts >= (SELECT c FROM cutoff) AS is_b
+      FROM events),
+    mx AS (SELECT MAX(cents) AS maxc FROM v),
+    g AS (
+      SELECT event_type,
+        GREATEST(0, LEAST(9, (cents * 10) // (maxc + 1))) AS bin,
+        SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS n_a_bin,
+        SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS n_b_bin
+      FROM v CROSS JOIN mx GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n_a_bin) AS na, SUM(n_b_bin) AS nb
+          FROM g GROUP BY 1)
+    SELECT g.event_type AS event_type,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      CAST(SUM(CASE WHEN n_a_bin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS bins_a,
+      CAST(SUM(CASE WHEN n_b_bin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS bins_b,
+      CAST(SUM(ABS(n_a_bin * nb - n_b_bin * na)) AS BIGINT) AS l1_num,
+      CAST(SUM(ABS(n_a_bin * nb - n_b_bin * na)) AS DOUBLE)
+        / (2.0 * na * nb) AS tvd
+    FROM g JOIN t USING (event_type)
+    GROUP BY g.event_type, na, nb
+"""
+
+
+@register("x25_distribution_drift", oracle=_X25_ORACLE)
+def x25_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (``operators/drift.py``): per
+    event type, the total-variation distance between the value
+    histograms of the first 15 days and the rest — the PSI-style
+    retraining gate of a continuously-fed pipeline, in the catalog's
+    log-free all-integer form (exact BIGINT L1 numerator over the
+    common denominator; one final double division mirrored
+    operand-for-operand). Complements x21 (one snapshot's constraints)
+    and x12 (per-point anomalies): this watches the SHAPE move between
+    windows. Planted-shift separation is pinned in
+    tests/test_round5_ops.py; the catalog row hash-matches the oracle
+    on the naturally-split (≈no-drift) corpus."""
+    from ..operators.drift import histogram_drift
+
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("c"))
+    ec = e.join(F.broadcast(cutoff))
+    a = ec.filter(F.col("ts") < F.col("c"))
+    b = ec.filter(F.col("ts") >= F.col("c"))
+    return histogram_drift(a, b, "value", ["event_type"])
+
+
+# ---------------------------------------------------------------------------
 # t22 — budgeted corpus mixing (per-domain token quotas)
 # ---------------------------------------------------------------------------
 

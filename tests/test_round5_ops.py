@@ -851,3 +851,29 @@ def test_x24_bucketed_join_has_no_exchange(spark):
     assert "Exchange" in raw_plan, "control join unexpectedly shuffle-free"
     # and the bucketed result matches the raw join
     assert joined.count() == raw.count()
+
+
+def test_histogram_drift_separates_shift_from_identity(spark):
+    """Identical windows must score tvd == 0 exactly (integer L1 is 0);
+    a planted location shift must push tvd near 1; and tvd is bounded
+    in [0, 1] with the documented l1_num/(2·n_a·n_b) relation."""
+    from onechronos_etl_takehome_spark.operators.drift import histogram_drift
+
+    base = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "grp string, value double"
+    )
+    same = histogram_drift(base, base, "value", ["grp"]).collect()[0]
+    assert same.l1_num == 0 and same.tvd == 0.0
+    assert same.n_a == same.n_b == 100
+
+    shifted = spark.createDataFrame(
+        [("g", float(v + 900)) for v in range(1, 101)],
+        "grp string, value double",
+    )
+    drift = histogram_drift(base, shifted, "value", ["grp"]).collect()[0]
+    assert drift.tvd == pytest.approx(
+        drift.l1_num / (2.0 * drift.n_a * drift.n_b)
+    )
+    # windows land in disjoint bins of the shared grid -> full drift
+    assert drift.tvd > 0.9
+    assert 0.0 <= drift.tvd <= 1.0
