@@ -262,10 +262,15 @@ def _scaled_llm_inputs(
     # not leave its (10× smaller) corpus behind for the sf0.1 run.
     # v2: customer scaling switched from tag-prefix to rotation cipher
     # (stale v1 caches must not survive the format change).
+    # v3: cipher multiplier 7 → 5 (7 divides the 63-char alphabet, so
+    # copy 9's shift was 63 ≡ 0 — byte-identical to copy 0,
+    # reintroducing the cross-copy exact-dup pairs the cipher exists
+    # to eliminate; 5 is coprime with 63, so shifts are distinct and
+    # nonzero mod 63 for every copy index < 63).
     suffix = "" if len(tables) == 2 else "_" + "-".join(sorted(tables))
     out = (
         f"/tmp/spark_graft_llm_{copies}x_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}{suffix}_v2"
+        f"{os.path.basename(sf_dir.rstrip('/'))}{suffix}_v3"
     )
     done = os.path.join(out, ".done")
     doc_src = os.path.join(sf_dir, "documents.parquet")
@@ -356,11 +361,17 @@ def _scaled_llm_inputs(
         cust_schema = pq.read_schema(cust_src)
         cust = pq.read_table(cust_src).to_pandas()
         c_parts = []
+        # shift multiplier must be coprime with len(alpha)=63 so every
+        # copy's shift is distinct AND nonzero mod 63 (7 wasn't: copy 9
+        # collapsed to shift 0 = an exact duplicate of copy 0).
+        assert copies < len(alpha)
         for i in range(copies):
+            shift = (i * 5) % len(alpha)
+            assert i == 0 or shift != 0
             c = cust.copy()
             c["c_custkey"] = cust["c_custkey"] + i * OFF
             c["c_name"] = [
-                _cipher(n, i * 7) if isinstance(n, str) else n
+                _cipher(n, shift) if isinstance(n, str) else n
                 for n in cust["c_name"]
             ]
             c_parts.append(c)

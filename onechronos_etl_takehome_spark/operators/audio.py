@@ -22,6 +22,7 @@ check in tests/test_round5_ops.py.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -176,7 +177,9 @@ def audio_fingerprints(
                         peaks_per_frame=peaks_per_frame,
                         fanout=fanout,
                     )
-                except ValueError:
+                except (ValueError, struct.error):
+                    # same malformed-payload skip contract as video.py:
+                    # one corrupt WAV is dropped, never a job crash
                     continue
                 ids.extend([int(i)] * len(lms))
                 hashes.extend(lms)

@@ -169,6 +169,12 @@ def wav_samples(payload: bytes) -> tuple[int, int, "object"]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # truncated fmt chunk behind valid RIFF/WAVE magic:
+                # honor the documented ValueError contract (a raw
+                # struct.error here would escape every caller's
+                # malformed-payload skip path and kill the job).
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -410,7 +416,7 @@ def image_dhash(payloads: DataFrame) -> DataFrame:
 
 
 def dhash_near_pairs(
-    hashed: DataFrame, *, max_hamming: int = 10, bands: int = 4
+    hashed: DataFrame, *, max_hamming: int | None = None, bands: int = 4
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs of perceptually-similar images.
 
@@ -421,7 +427,22 @@ def dhash_near_pairs(
     chunk, so candidates come from equality joins on (chunk_idx,
     chunk_value), never an all-pairs scan. Verify with exact popcount
     (bit_count of XOR — JVM codegen).
+
+    The blocking is lossless ONLY for ``max_hamming <= bands - 1``
+    (the pigeonhole bound: a pair may flip one bit in every chunk
+    once the distance reaches ``bands``), so the default tracks
+    ``bands`` and a wider threshold raises rather than silently
+    returning incomplete recall — callers who want a lossy wide
+    radius must raise ``bands`` to ``max_hamming + 1`` instead.
     """
+    if max_hamming is None:
+        max_hamming = bands - 1
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded blocking is lossless only for max_hamming <= "
+            f"bands-1 ({bands - 1}); got {max_hamming} — raise bands "
+            f"to at least {max_hamming + 1}"
+        )
     chunks = F.array(
         *[
             F.struct(
@@ -590,14 +611,18 @@ def decode_features(
     ``decoder`` output column says which path each row took.
     """
 
+    import struct
+
     def decode_one(b: bytes) -> tuple[str, list[float]]:
         kind = sniff_modality(b)
         if kind != "opaque":
             try:
                 dec = _decode_bmp if kind == "bmp" else _decode_wav
                 return kind, dec(b, n_features)
-            except ValueError:
-                kind = "opaque"  # matched magic, unsupported variant
+            except (ValueError, struct.error):
+                # matched magic, unsupported/corrupt variant — one bad
+                # payload must fall to the stub, not crash the job
+                kind = "opaque"
         if require_real_decoder:
             raise NotImplementedError(
                 "payload is not a self-decodable format (BMP/WAV) and "

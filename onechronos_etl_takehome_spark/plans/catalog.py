@@ -70,13 +70,11 @@ DRIVER_WINDOW: list[str] = [
     # Deduplication (exact, deterministic, n-gram Jaccard, MinHash+LSH,
     # SimHash, embedding near-dup, connected components, corpus clean).
     "d01_dedup_exact",
-    "d02_ngram_jaccard_pairs",
     "d03_capped_minhash_dedup",
     "d04_simhash_near_pairs",
     "d05_deterministic_dedup",
     "d06_embedding_neardup_pairs",
     "d07_dedup_groups",
-    "d08_corpus_clean",
     "d09_decontaminate",
     "d11_fuzzy_dedup_e2e",
     "d12_duplicate_ngram_spans",
@@ -127,7 +125,23 @@ DRIVER_WINDOW: list[str] = [
     "x23_zorder_layout",  # z-order data layout (Morton clustering)
     "t21_leakage_safe_split",  # leakage-safe train/val/test split
     "q48_price_moments",  # variance/stddev/correlation
+    "x24_bucketed_join",  # co-located join over bucketed storage
+    "x25_distribution_drift",  # windowed histogram drift (TVD)
 ]
+# Round 6 (per the round-5 verdict's top item): the two round-5
+# oracled families with no driver-visible evidence enter the window —
+# x24 (bucketed co-located join: the shuffle-elimination layout
+# investment, with the executed-plan no-Exchange assertion staying in
+# the gate, tests/test_bucketing.py) and x25 (distribution drift
+# monitor, now in its single-pass flagged-column form — the round-5
+# 12-scan plan defect is fixed in operators/drift.py). Displaced:
+# d02 n-gram Jaccard pairs (subsumed IN-WINDOW by d15, which
+# hash-matches d02's oracle VERBATIM through the prefix-filtered
+# exact join — the capability witness is strictly stronger; d02 stays
+# locally oracled in the full gate) and d08 corpus-clean (the
+# rule-battery capability is witnessed in-window by t13's Gopher
+# quality gate and t01's quality signals; d08 stays locally oracled
+# in the full gate).
 # Round 5c: s07 (hybrid retrieval — reciprocal-rank fusion of the
 # dense cosine top-50 and the BM25 top-50, all-integer fused scores)
 # replaces s01: s07's dense ranks ARE s01's exact cosine ranking

@@ -301,6 +301,11 @@ def m10_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x25 — distribution drift monitor (windowed histogram shift)
 # ---------------------------------------------------------------------------
 
+# DuckDB accumulates the cross products in HUGEINT (SUM(BIGINT) is
+# already int128) — the exact twin of the Spark side's DECIMAL(38,0)
+# per the huge-accumulator rule; l1_num reports the final cast of the
+# exact integer to DOUBLE on both engines, and tvd NULL-guards the
+# group-absent-from-one-window case identically on both.
 _X25_ORACLE = """
     WITH cutoff AS (SELECT MIN(ts) + INTERVAL 15 DAY AS c FROM events),
     v AS (
@@ -323,9 +328,11 @@ _X25_ORACLE = """
         AS bins_a,
       CAST(SUM(CASE WHEN n_b_bin > 0 THEN 1 ELSE 0 END) AS BIGINT)
         AS bins_b,
-      CAST(SUM(ABS(n_a_bin * nb - n_b_bin * na)) AS BIGINT) AS l1_num,
-      CAST(SUM(ABS(n_a_bin * nb - n_b_bin * na)) AS DOUBLE)
-        / (2.0 * na * nb) AS tvd
+      CAST(SUM(ABS(n_a_bin * nb - n_b_bin * na)) AS DOUBLE) AS l1_num,
+      CASE WHEN na > 0 AND nb > 0 THEN
+        CAST(SUM(ABS(n_a_bin * nb - n_b_bin * na)) AS DOUBLE)
+          / (2.0 * na * nb)
+      END AS tvd
     FROM g JOIN t USING (event_type)
     GROUP BY g.event_type, na, nb
 """
@@ -343,16 +350,22 @@ def x25_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and x12 (per-point anomalies): this watches the SHAPE move between
     windows. Planted-shift separation is pinned in
     tests/test_round5_ops.py; the catalog row hash-matches the oracle
-    on the naturally-split (≈no-drift) corpus."""
-    from ..operators.drift import histogram_drift
+    on the naturally-split (≈no-drift) corpus.
+
+    Round 6: switched to the single-pass flagged-column core — the
+    window membership is a boolean column over ONE events scan (plus
+    the 1-row cutoff broadcast), fixing the round-5 plan defect where
+    the two-frame form re-executed the input ~6× (12 scans / 8 BNLJ
+    → 2 scans)."""
+    from ..operators.drift import histogram_drift_flagged
 
     pin_semantics(spark)
     e = load_table(spark, sf_dir, "events")
     cutoff = e.agg((F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("c"))
-    ec = e.join(F.broadcast(cutoff))
-    a = ec.filter(F.col("ts") < F.col("c"))
-    b = ec.filter(F.col("ts") >= F.col("c"))
-    return histogram_drift(a, b, "value", ["event_type"])
+    flagged = e.join(F.broadcast(cutoff)).withColumn(
+        "is_b", F.col("ts") >= F.col("c")
+    )
+    return histogram_drift_flagged(flagged, "value", ["event_type"], "is_b")
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,8 @@ metadata operation over the surviving files.
 from __future__ import annotations
 
 import os
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,6 +58,17 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+# One bucketed layout per (Spark application, sf_dir): the names and
+# paths carry a uuid minted at write time, so two CONCURRENT
+# processes (the driver and a local bench, say) each land their own
+# files instead of racing a fixed /tmp path on drop/recreate; sibling
+# sessions inside one application (spark.newSession() shares the
+# catalog and this process's cache) reuse one layout, serialized by
+# the lock.
+_LAYOUT_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_LAYOUT_LOCK = threading.Lock()
+
+
 def bucketed_pair(
     spark: SparkSession,
     sf_dir: str,
@@ -64,16 +77,24 @@ def bucketed_pair(
 ) -> tuple[DataFrame, DataFrame]:
     """(customer, orders) read back from bucketed tables keyed on
     custkey — the co-located join fixture. The layout write runs once
-    per (session, sf_dir); subsequent calls reuse the registered
-    tables (the amortization that makes the layout pay for itself)."""
+    per (application, sf_dir); subsequent calls reuse the registered
+    tables (the amortization that makes the layout pay for itself).
+    Paths and table names are uuid-scoped per write, never a shared
+    fixed /tmp location (concurrent sessions must not clobber each
+    other's files)."""
     from .tables import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    cust_t, ord_t = f"cust_bkt_{tag}", f"ord_bkt_{tag}"
-    base = f"/tmp/spark_graft_buckets_{tag}"
-    if not (
-        spark.catalog.tableExists(cust_t) and spark.catalog.tableExists(ord_t)
-    ):
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    with _LAYOUT_LOCK:
+        if key in _LAYOUT_CACHE:
+            cust_t, ord_t = _LAYOUT_CACHE[key]
+            if spark.catalog.tableExists(cust_t) and spark.catalog.tableExists(
+                ord_t
+            ):
+                return read_bucketed(spark, cust_t), read_bucketed(spark, ord_t)
+        uid = uuid.uuid4().hex[:12]
+        cust_t, ord_t = f"cust_bkt_{uid}", f"ord_bkt_{uid}"
+        base = f"/tmp/spark_graft_buckets_{key[0]}_{uid}"
         write_bucketed(
             load_table(spark, sf_dir, "customer"),
             cust_t,
@@ -88,4 +109,5 @@ def bucketed_pair(
             n_buckets=n_buckets,
             path=os.path.join(base, "orders"),
         )
+        _LAYOUT_CACHE[key] = (cust_t, ord_t)
     return read_bucketed(spark, cust_t), read_bucketed(spark, ord_t)
