@@ -561,6 +561,55 @@ def demo_noisy_image_payloads(
     return base.mapInPandas(gen, schema="id long, content binary, modality string")
 
 
+def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
+    """Land the m08 fixture BMPs as REAL FILES on disk, once per
+    ``sf_dir`` — the corpus behind the m11 catalog row, whose point is
+    the *ingestion lineage* (``binaryFile`` scan → decode → near-dup
+    join): a real deployment starts from files that already exist, so
+    the write here is test scaffolding only, NOT part of the measured
+    data plane. Content is byte-for-byte the stream
+    :func:`demo_noisy_image_payloads` fabricates (a pure function of
+    doc_id), so m11's pair set must equal m08's — pinned in the gate.
+
+    Concurrency: the corpus is built in a private temp dir and
+    atomically renamed into place; a session that loses the race to a
+    concurrent builder just uses the winner's (identical) files.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v1"
+    if os.path.isdir(out):
+        return out
+    # driver-side fixture write: bounded at n_docs/modulus small files
+    # (500 at sf0.01) — generation scaffolding, not a data-plane loop
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_pylist()
+    )
+    tmp = tempfile.mkdtemp(dir="/tmp", prefix="spark_graft_media_build_")
+    for i in sorted(int(x) for x in ids if int(x) % modulus == 0):
+        grp = i // (2 * modulus)
+        if (i // modulus) % 2 == 1:
+            px = _variant_image(grp % 9973)
+        else:
+            px = _smooth_image(grp % 9973)
+        with open(os.path.join(tmp, f"doc_{i:09d}.bmp"), "wb") as f:
+            f.write(bmp_from_pixels(px))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out
+
+
 def demo_media_payloads(
     df: DataFrame, id_col: str, *, modulus: int = 10
 ) -> DataFrame:

@@ -255,6 +255,35 @@ def m08_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.dhash_near_pairs(mm.image_dhash(payloads), max_hamming=3, bands=4)
 
 
+@register("m11_binaryfile_image_neardup")  # disk ingestion → rows-only
+def m11_binaryfile_image_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multimodal pipeline end-to-end FROM DISK: the lineage
+    starts at a real ``binaryFile`` scan (``sources/readers.py:
+    read_binary_dir`` — distributed file listing, pathGlobFilter
+    pruning BEFORE bytes are read) over a materialized BMP corpus,
+    then the same decode → dHash → banded Hamming join as m08. The
+    corpus holds byte-identical files to m08's synthesized stream
+    (``multimodal.materialize_demo_image_corpus``), so the gate pins
+    m11's pair set == m08's — proving the disk path and the in-query
+    path are the same operator. Rows-only BY DESIGN (SQL cannot read
+    a binary file tree, let alone parse BMP containers)."""
+    from ..operators import multimodal as mm
+    from ..sources.readers import read_binary_dir
+
+    pin_semantics(spark)
+    corpus = mm.materialize_demo_image_corpus(sf_dir)
+    payloads = read_binary_dir(spark, corpus, glob="*.bmp").select(
+        F.regexp_extract("id", r"doc_(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("id"),
+        "content",
+        "modality",
+    )
+    return mm.dhash_near_pairs(mm.image_dhash(payloads), max_hamming=3, bands=4)
+
+
 @register("m09_audio_landmark_match")  # FFT fingerprints → rows-only
 def m09_audio_landmark_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup by spectral-peak landmark constellation

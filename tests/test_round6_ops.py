@@ -180,6 +180,37 @@ def test_dhash_near_pairs_rejects_lossy_radius(spark):
 
 
 # ---------------------------------------------------------------------------
+# m11: multimodal ingestion from disk via binaryFile
+# ---------------------------------------------------------------------------
+
+
+def test_m11_lineage_starts_at_binaryfile_scan(spark):
+    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+
+    df = QUERIES["m11_binaryfile_image_neardup"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "binaryFile" in plan  # real disk ingestion, not demo synth
+
+
+def test_m11_matches_m08_pair_set(spark):
+    """The disk path and the in-query synthesis path are the same
+    operator: identical corpus content (pure function of doc_id) must
+    give identical near-dup pairs."""
+    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+
+    m11 = sorted(
+        map(tuple, QUERIES["m11_binaryfile_image_neardup"](spark, SF).collect())
+    )
+    m08 = sorted(
+        map(tuple, QUERIES["m08_image_dhash_neardup"](spark, SF).collect())
+    )
+    assert m11 == m08
+    assert len(m11) > 0  # non-vacuous: the planted pairs are found
+
+
+# ---------------------------------------------------------------------------
 # bucketed layout: session-scoped, concurrency-safe
 # ---------------------------------------------------------------------------
 
