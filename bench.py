@@ -167,6 +167,9 @@ CANDIDATE_QUERIES = {
     "d15_prefix_jaccard_pairs",
     "d17_edit_distance_pairs",
     "d18_passjoin_pairs",
+    # media family (round 6): banded-Hamming / inverted-index pairs
+    "m08_image_dhash_neardup",
+    "m10_video_neardup",
 }
 
 # Fuzzy-dedup / ANN paths probed on a 10× corpus (see
@@ -185,11 +188,15 @@ SCALE_PROBES = [
     "t19_bpe_tokenize",
     # hybrid fusion: the retrievers scale, the fuse stays shortlist-sized
     "s07_hybrid_rrf",
-    # m10 is deliberately NOT probed at 10x: its 10x wall (~42 s) is
-    # dominated by python fixture synthesis (500 AVIs x 8 frames), not
-    # the containment join, which is the same machinery m04/m06 share
-    # — the probe would spend a minute of bench wall measuring the
-    # fixture generator.
+    # media family (round 6): decode-bound (m08, Arrow BMP decode +
+    # banded Hamming join) and join-bound (m10, AVI decode feeding the
+    # inverted-index containment join) regimes, each with candidate
+    # counts. m10's 10× wall includes the distributed python fixture
+    # synthesis (5000 AVIs × 8 frames at sf0.1) — the per-round ratio
+    # plus its candidate count is the scaling evidence; m09 shares
+    # m08's decode regime and m10's join machinery, so it stays 1×.
+    "m08_image_dhash_neardup",
+    "m10_video_neardup",
 ]
 
 

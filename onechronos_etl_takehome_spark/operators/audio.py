@@ -133,9 +133,12 @@ def demo_noisy_audio_payloads(
             for i in pdf["id"]:
                 i = int(i)
                 grp = i // (2 * modulus)
-                wave = _tone_clip(grp % 9973)
+                # seed = grp directly — a modulus would wrap bench's
+                # 10× id-offset copies onto the same songs (cross-copy
+                # twins that distort the scale probe); grp fits uint32
+                wave = _tone_clip(grp)
                 if (i // modulus) % 2 == 1:
-                    nrng = np.random.RandomState(20_000 + grp % 9973)
+                    nrng = np.random.RandomState(20_000 + grp)
                     wave = 0.7 * wave + 0.01 * nrng.standard_normal(len(wave))
                     wave = np.concatenate([np.zeros(2 * hop), wave])
                 content.append(wav_from_samples(wave, 8000))

@@ -473,6 +473,9 @@ def dhash_near_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    from ..observability import observe_count
+
+    cand = observe_count("dhash.candidates", cand)
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return (
         cand.withColumn("hamming", ham.cast("long"))
@@ -545,10 +548,15 @@ def demo_noisy_image_payloads(
             for i in pdf["id"]:
                 i = int(i)
                 grp = i // (2 * modulus)
+                # seed = grp DIRECTLY (fits uint32 at any probed
+                # corpus size): a modulus here (the old % 9973) makes
+                # bench's 10× copies — offset by 10M ids — wrap onto
+                # the same seed ring, planting cross-copy identical
+                # scenes that blow the scale probe superlinear
                 if (i // modulus) % 2 == 1:
-                    px = _variant_image(grp % 9973)
+                    px = _variant_image(grp)
                 else:
-                    px = _smooth_image(grp % 9973)
+                    px = _smooth_image(grp)
                 content.append(bmp_from_pixels(px))
             yield pd.DataFrame(
                 {
@@ -582,7 +590,8 @@ def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
     import pyarrow.parquet as pq
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v1"
+    # v2: scene seeds switched from grp % 9973 to grp (copy-safe)
+    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v2"
     if os.path.isdir(out):
         return out
     # driver-side fixture write: bounded at n_docs/modulus small files
@@ -598,9 +607,9 @@ def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
     for i in sorted(int(x) for x in ids if int(x) % modulus == 0):
         grp = i // (2 * modulus)
         if (i // modulus) % 2 == 1:
-            px = _variant_image(grp % 9973)
+            px = _variant_image(grp)
         else:
-            px = _smooth_image(grp % 9973)
+            px = _smooth_image(grp)
         with open(os.path.join(tmp, f"doc_{i:09d}.bmp"), "wb") as f:
             f.write(bmp_from_pixels(px))
     try:
@@ -1071,7 +1080,9 @@ def chunk_pair_join(
     containment = F.col("shared_chunks").cast("double") / F.least(
         "n_a", "n_b"
     ).cast("double")
-    return (
+    from ..observability import observe_count
+
+    pairs = (
         a.join(
             b, (a["chash"] == b["chash"]) & (F.col("id_a") < F.col("id_b"))
         )
@@ -1081,11 +1092,13 @@ def chunk_pair_join(
             F.min("n_a").alias("n_a"),
             F.min("n_b").alias("n_b"),
         )
-        .select(
-            "id_a",
-            "id_b",
-            "shared_chunks",
-            containment.alias("containment"),
-        )
-        .filter(F.col("containment") >= min_containment)
     )
+    # bench observability: distinct candidate PAIRS surviving the
+    # inverted-index join, before the containment threshold
+    pairs = observe_count("chunk_join.candidates", pairs)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "shared_chunks",
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= min_containment)

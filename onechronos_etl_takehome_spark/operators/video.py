@@ -215,7 +215,10 @@ def _scene_frame(scene_seed: int, frame_idx: int) -> "object":
     footage correlates, which only makes frame hashes MORE stable)."""
     from .multimodal import _smooth_image
 
-    return _smooth_image((scene_seed * 31 + frame_idx) % 99_991)
+    # no modulus: scene_seed·31+idx fits uint32 at any probed corpus
+    # size, and a wrap here would plant cross-copy identical frames
+    # in bench's 10× fixture (same trap as the old % 9973 scene seed)
+    return _smooth_image(scene_seed * 31 + frame_idx)
 
 
 def _offlattice_noise(px: "object", seed: int) -> "object":
@@ -267,7 +270,8 @@ def demo_noisy_video_payloads(
             for i in pdf["id"]:
                 i = int(i)
                 grp = i // (2 * modulus)
-                scene = grp % 9973
+                # copy-safe direct seed (see the image/audio twins)
+                scene = grp
                 frames = [
                     _scene_frame(scene, k) for k in range(n_frames)
                 ]

@@ -1,0 +1,212 @@
+"""Round-6 operator batch: dimension versioning + contrastive sampling.
+
+Two capability families a 100-TB warehouse / training-data pipeline
+needs that the catalog didn't witness yet:
+
+- **SCD2 dimension build** (x26): compress a change log into a
+  type-2 slowly-changing dimension — one versioned row per state RUN
+  with ``[valid_from, valid_to)`` effective ranges and an
+  ``is_current`` flag. x15's snapshot diff detects WHAT changed
+  between two snapshots; x13's transition matrix aggregates the
+  Markov view; this materializes the HISTORY table every as-of join
+  (q19) and point-in-time feature lookup runs against. Two windows
+  over the same per-key partitioning (change detection, then range
+  stitching on the much smaller change frame — Catalyst reuses the
+  exchange), no global window, no self-join.
+
+- **Contrastive negative sampling** (t24): k deterministic pseudo-
+  random negatives per anchor for embedding/contrastive training —
+  the hash-RING construction: order docs by a salted portable hash,
+  pair each anchor with the k successors on the ring that fall
+  outside its exact-dup group. Deterministic (reproducible epochs,
+  stable under re-runs), uniform-without-replacement-ish (ring
+  neighbors under an independent hash are a uniform draw), and
+  join-shaped for scale: positions come from the bucketed two-pass
+  prefix sum (no single-task global window — same machinery as
+  t22/x16) and negatives attach via an EQUALITY join on dense
+  integer positions, never a cross join or per-anchor sampling loop.
+  Excluding same-group ring successors drops at most a few anchors
+  below k negatives (exactly mirrored in the oracle) instead of
+  resampling — at training scale a 1e-6 shortfall is noise, a
+  resampling loop is a shuffle per retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# x26 — SCD2 dimension build (type-2 versioning from a change log)
+# ---------------------------------------------------------------------------
+
+_X26_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT user_id, state, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> state),
+    v AS (
+      SELECT user_id, state, ts AS vf,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM c)
+    SELECT user_id, CAST(version AS BIGINT) AS version, state,
+      strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+      vt IS NULL AS is_current
+    FROM v
+"""
+
+
+@register("x26_scd2_dimension", oracle=_X26_ORACLE)
+def x26_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the events change log:
+    per user, consecutive runs of the same ``event_type`` collapse to
+    one versioned row with ``[valid_from, valid_to)`` effective range
+    (half-open: a version ends the instant the next begins),
+    ``valid_to = 'current'`` + ``is_current`` on the open version.
+
+    Scale: change detection is one lag() window on (user, ts,
+    event_id); range stitching (lead + version numbers) runs on the
+    CHANGE frame — typically orders of magnitude smaller than the log
+    — under the same partitioning, so Catalyst plans one exchange for
+    both windows. Timestamps render as strings per the cross-engine
+    exactness rules (functions/exact.py)."""
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("_prev"),
+        )
+        # null-safe run-start test: first row per user starts a run
+        .filter(
+            F.coalesce(F.col("_prev") != F.col("state"), F.lit(True))
+        )
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wc).cast("long").alias("version"),
+        "state",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(wc), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t24 — contrastive negative sampling on the hash ring
+# ---------------------------------------------------------------------------
+
+_T24_K = 3
+# salted portable 48-bit hash (t22's conv/0x-cast trick): same VALUE
+# in both engines, different spelling
+_T24_PRI_SQL = (
+    "CAST(concat('0x', substring(md5('neg1' || CAST(doc_id AS VARCHAR)),"
+    " 1, 12)) AS BIGINT)"
+)
+
+_T24_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS grp, {_T24_PRI_SQL} AS pri
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id, grp,
+        ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS pos,
+        COUNT(*) OVER () AS n
+      FROM d),
+    offs AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(j)),
+    cand AS (
+      SELECT a.doc_id AS anchor_id, offs.j AS j,
+        ((a.pos - 1 + offs.j) % a.n) + 1 AS tpos, a.grp AS agrp
+      FROM p a CROSS JOIN offs)
+    SELECT c.anchor_id, CAST(c.j AS BIGINT) AS j, b.doc_id AS neg_id
+    FROM cand c JOIN p b ON b.pos = c.tpos AND b.grp <> c.agrp
+"""
+
+
+@register("t24_contrastive_negatives", oracle=_T24_ORACLE)
+def t24_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 deterministic negatives per anchor document for contrastive
+    training: docs are arranged on a ring ordered by a salted portable
+    hash; each anchor takes its next k ring successors whose exact-dup
+    group (md5 of the text) differs — a same-content doc can never be
+    drawn as its own "negative". See the module docstring for why the
+    ring form is the 100-TB shape (prefix-sum positions + equality
+    join on dense ints; no cross join, no rejection loop)."""
+    from ..operators.sampling import prefix_sum
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("grp"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("neg1"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("pri"),
+        F.lit(1).alias("_one"),
+    )
+    # pos = inclusive count prefix in (pri, doc_id) order == the global
+    # ring position, via the bucketed two-pass prefix sum (no
+    # single-task window)
+    pos = prefix_sum(
+        base, "pri", "_one", "pos", tiebreak_cols=["doc_id"]
+    ).select("doc_id", "grp", F.col("pos").cast("bigint").alias("pos"))
+    n = pos.agg(F.count(F.lit(1)).alias("_n"))
+    offs = F.explode(
+        F.array(*[F.lit(j) for j in range(1, _T24_K + 1)])
+    ).alias("j")
+    anchors = (
+        pos.join(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("grp").alias("agrp"),
+            "pos",
+            "_n",
+            offs,
+        )
+        .select(
+            "anchor_id",
+            "agrp",
+            F.col("j").cast("long").alias("j"),
+            ((F.col("pos") - 1 + F.col("j")) % F.col("_n") + 1).alias("tpos"),
+        )
+    )
+    b = pos.select(
+        F.col("pos").alias("tpos"),
+        F.col("doc_id").alias("neg_id"),
+        F.col("grp").alias("bgrp"),
+    )
+    return (
+        anchors.join(b, "tpos")
+        .filter(F.col("bgrp") != F.col("agrp"))
+        .select("anchor_id", "j", "neg_id")
+    )

@@ -180,6 +180,70 @@ def test_dhash_near_pairs_rejects_lossy_radius(spark):
 
 
 # ---------------------------------------------------------------------------
+# x26: SCD2 dimension build
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_versions_are_contiguous_and_collapse_runs(spark):
+    """Per user: versions number 1..n in time order, each version's
+    valid_to equals the next version's valid_from (half-open ranges
+    tile the timeline), exactly ONE open version, and consecutive
+    versions never share a state (runs collapsed)."""
+    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["x26_scd2_dimension"](spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(v.is_current for v in vs) == 1
+        assert vs[-1].is_current and vs[-1].valid_to == "current"
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state  # runs collapsed
+
+
+# ---------------------------------------------------------------------------
+# t24: contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_t24_negatives_never_share_anchor_group(spark):
+    """Each anchor draws at most k=3 negatives; a negative never comes
+    from the anchor's exact-dup group (its own content can't be its
+    negative); and the draw is deterministic across runs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    out = QUERIES["t24_contrastive_negatives"](spark, SF)
+    rows = out.collect()
+    grp = {
+        r.doc_id: r.g
+        for r in load_table(spark, SF, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("g"))
+        .collect()
+    }
+    per_anchor: dict[int, set] = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor_id, set()).add(r.neg_id)
+        assert grp[r.anchor_id] != grp[r.neg_id]
+        assert r.neg_id != r.anchor_id
+    assert per_anchor
+    assert max(len(v) for v in per_anchor.values()) <= 3
+    # determinism: a second build returns the identical sample
+    again = sorted(
+        map(tuple, QUERIES["t24_contrastive_negatives"](spark, SF).collect())
+    )
+    assert again == sorted(map(tuple, rows))
+
+
+# ---------------------------------------------------------------------------
 # m11: multimodal ingestion from disk via binaryFile
 # ---------------------------------------------------------------------------
 
