@@ -3,16 +3,19 @@
 Two capability families a 100-TB warehouse / training-data pipeline
 needs that the catalog didn't witness yet:
 
-- **SCD2 dimension build** (x26): compress a change log into a
-  type-2 slowly-changing dimension — one versioned row per state RUN
-  with ``[valid_from, valid_to)`` effective ranges and an
-  ``is_current`` flag. x15's snapshot diff detects WHAT changed
+- **SCD2 dimension build + incremental maintenance** (x26/x27):
+  compress a change log into a type-2 slowly-changing dimension —
+  one versioned row per state RUN with ``[valid_from, valid_to)``
+  effective ranges and an ``is_current`` flag — and keep it current
+  by merging append batches WITHOUT rebuilding history
+  (``operators/scd2.py``). x15's snapshot diff detects WHAT changed
   between two snapshots; x13's transition matrix aggregates the
   Markov view; this materializes the HISTORY table every as-of join
   (q19) and point-in-time feature lookup runs against. Two windows
   over the same per-key partitioning (change detection, then range
   stitching on the much smaller change frame — Catalyst reuses the
-  exchange), no global window, no self-join.
+  exchange), no global window, no self-join; x27's hash match
+  against x26's full-rebuild SQL proves incremental == batch.
 
 - **Contrastive negative sampling** (t24): k deterministic pseudo-
   random negatives per anchor for embedding/contrastive training —
@@ -35,7 +38,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..session import pin_semantics
 from ..sources.tables import load_table
@@ -68,48 +70,69 @@ _X26_ORACLE = """
 """
 
 
+def _render_scd2(dim: DataFrame) -> DataFrame:
+    """Driver-facing rendering of a typed SCD2 frame: timestamps as
+    strings per the cross-engine exactness rules (functions/exact.py),
+    the open version's ``valid_to`` as the literal 'current'."""
+    return dim.select(
+        "user_id",
+        "version",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
 @register("x26_scd2_dimension", oracle=_X26_ORACLE)
 def x26_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 slowly-changing dimension from the events change log:
-    per user, consecutive runs of the same ``event_type`` collapse to
-    one versioned row with ``[valid_from, valid_to)`` effective range
-    (half-open: a version ends the instant the next begins),
-    ``valid_to = 'current'`` + ``is_current`` on the open version.
+    """Type-2 slowly-changing dimension from the events change log
+    (``operators/scd2.py:scd2_build``): per user, consecutive runs of
+    the same ``event_type`` collapse to one versioned row with
+    ``[valid_from, valid_to)`` effective range (half-open: a version
+    ends the instant the next begins), ``valid_to = 'current'`` +
+    ``is_current`` on the open version.
 
     Scale: change detection is one lag() window on (user, ts,
     event_id); range stitching (lead + version numbers) runs on the
     CHANGE frame — typically orders of magnitude smaller than the log
     — under the same partitioning, so Catalyst plans one exchange for
-    both windows. Timestamps render as strings per the cross-engine
-    exactness rules (functions/exact.py)."""
+    both windows."""
+    from ..operators.scd2 import scd2_build
+
     pin_semantics(spark)
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        e.select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            "ts",
-            "event_id",
-            F.lag("event_type").over(w).alias("_prev"),
-        )
-        # null-safe run-start test: first row per user starts a run
-        .filter(
-            F.coalesce(F.col("_prev") != F.col("state"), F.lit(True))
-        )
+    return _render_scd2(
+        scd2_build(e, "user_id", "event_type", "ts", "event_id")
     )
-    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return changes.select(
-        "user_id",
-        F.row_number().over(wc).cast("long").alias("version"),
-        "state",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
-        F.coalesce(
-            F.date_format(F.lead("ts").over(wc), "yyyy-MM-dd HH:mm:ss"),
-            F.lit("current"),
-        ).alias("valid_to"),
-        F.lead("ts").over(wc).isNull().alias("is_current"),
-    )
+
+
+@register("x27_scd2_incremental", oracle=_X26_ORACLE)
+def x27_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (``operators/scd2.py:scd2_apply``):
+    the dimension is built from the first 15 days of the log, then the
+    remainder is merged as an append batch — open versions close at
+    the key's first genuinely-new change, continuing runs extend
+    rather than duplicate, and history is never rescanned. The oracle
+    is x26's FULL-REBUILD SQL over the whole log: the hash match IS
+    the proof that incremental apply equals batch rebuild exactly
+    (including the run-continuation edge across the cutoff)."""
+    from ..operators.scd2 import scd2_apply, scd2_build
+
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg((F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("c"))
+    ec = e.join(F.broadcast(cutoff))
+    hist = ec.filter(F.col("ts") < F.col("c"))
+    inc = ec.filter(F.col("ts") >= F.col("c"))
+    dim = scd2_build(hist, "user_id", "event_type", "ts", "event_id")
+    merged = scd2_apply(dim, inc, "user_id", "event_type", "ts", "event_id")
+    return _render_scd2(merged)
 
 
 # ---------------------------------------------------------------------------
