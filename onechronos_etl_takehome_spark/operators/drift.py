@@ -109,6 +109,15 @@ def histogram_drift_flagged(
             F.sum("n_b_c").cast("long").alias("n_b_bin"),
         )
     )
+    return drift_from_binned(j, group_cols)
+
+
+def drift_from_binned(j: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Report tail shared by the batch core and the streaming monitor:
+    ``j`` carries one row per (group_cols..., _bin) with ``n_a_bin`` /
+    ``n_b_bin`` counts (already complete per group — missing bins may
+    simply be absent); returns the per-group drift report. Everything
+    here is dimension-sized (groups × bins rows in, groups rows out)."""
     w = Window.partitionBy(*group_cols)
     j = j.select(
         *group_cols,
