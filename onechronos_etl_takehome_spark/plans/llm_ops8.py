@@ -136,6 +136,95 @@ def x27_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x28 — point-in-time lookup against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_X28_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'),
+    c AS (
+      SELECT user_id, state, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> state),
+    v AS (
+      SELECT user_id, state, ts AS vf,
+        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS version
+      FROM c)
+    SELECT f.event_id, f.user_id,
+      strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      COALESCE(d.state, 'none') AS state_at_purchase,
+      CAST(COALESCE(d.version, 0) AS BIGINT) AS state_version,
+      COALESCE(strftime(d.vf, '%Y-%m-%d %H:%M:%S'), 'never') AS state_since
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') f
+    LEFT JOIN v d
+      ON d.user_id = f.user_id AND f.ts >= d.vf
+      AND (d.vt IS NULL OR f.ts < d.vt)
+"""
+
+
+@register("x28_scd2_pointintime", oracle=_X28_ORACLE)
+def x28_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query the SCD2 dimension
+    (x26/x27) exists to serve: each purchase event is enriched with the
+    user's activity state AS OF the purchase instant (the half-open
+    ``[valid_from, valid_to)`` version containing ``ts``), version
+    number, and the instant that state began. Purchases before a user's
+    first state change keep ``('none', 0, 'never')`` via the left join.
+
+    Scale: the fact side joins the dimension on KEY EQUALITY
+    (user_id); the validity-range predicate is a join residual
+    evaluated inside each key group, so this plans as a plain
+    sort-merge (or broadcast — the dimension is dimension-sized, not
+    log-sized) equi-join, never an interval cross product. Half-open
+    ranges guarantee at most one matching version per fact, so the
+    join cannot amplify rows. Unlike q19's union+window as-of trick
+    (which rewrites the probe stream), this shape keeps the fact
+    table untouched — the right pattern when facts are 100 TB and
+    versions are millions."""
+    from ..operators.scd2 import scd2_build
+
+    pin_semantics(spark)
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_build(
+        e.filter(F.col("event_type") != "purchase"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    )
+    # rename the fact-side key: both frames descend from the same scan,
+    # and a self-join on identically-named attributes degrades the
+    # equi-key to a trivially-true predicate (BNLJ instead of SMJ)
+    f_ = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("_fuid"),
+        F.col("ts").alias("_fts"),
+    )
+    cond = (
+        (F.col("_fuid") == dim["user_id"])
+        & (F.col("_fts") >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (F.col("_fts") < dim["valid_to"]))
+    )
+    return f_.join(dim, cond, "left").select(
+        f_["event_id"],
+        F.col("_fuid").alias("user_id"),
+        F.date_format("_fts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.coalesce(dim["state"], F.lit("none")).alias("state_at_purchase"),
+        F.coalesce(dim["version"], F.lit(0))
+        .cast("long")
+        .alias("state_version"),
+        F.coalesce(
+            F.date_format(dim["valid_from"], "yyyy-MM-dd HH:mm:ss"),
+            F.lit("never"),
+        ).alias("state_since"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # t24 — contrastive negative sampling on the hash ring
 # ---------------------------------------------------------------------------
 

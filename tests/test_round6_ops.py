@@ -363,3 +363,51 @@ def test_bucketed_pair_concurrent_sessions_no_clobber(spark):
     assert not errors
     assert results[0] == results[1]
     assert len(results[0]) == 5  # one row per mktsegment
+
+
+def test_x28_pointintime_semantics(spark):
+    """Point-in-time lookup invariants on the catalog row: every
+    purchase joins at most one dimension version; the joined state is
+    the LATEST state change at-or-before the purchase; purchases
+    before any state change read ('none', 0, 'never')."""
+    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["x28_scd2_pointintime"](spark, SF).collect()
+    assert rows
+    # one output row per purchase event (half-open ranges can't
+    # amplify the fact side)
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+    dim = {
+        (r.user_id, r.version): r
+        for r in QUERIES["x26_scd2_dimension"](spark, SF).collect()
+        if r.state != "purchase"
+    }
+    # rebuild the non-purchase dimension independently per user:
+    # state_since must be the max valid_from <= purchase_ts among
+    # non-purchase versions of that user
+    by_user: dict[int, list] = {}
+    e = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            "event_id",
+        )
+        .collect()
+    )
+    for r in e:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    for r in rows:
+        hist = sorted(t for t in by_user.get(r.user_id, []) if t[0] <= r.purchase_ts)
+        if not hist:
+            assert (r.state_at_purchase, r.state_version, r.state_since) == (
+                "none",
+                0,
+                "never",
+            )
+        else:
+            assert r.state_at_purchase == hist[-1][2]
+            assert r.state_since <= r.purchase_ts
