@@ -68,9 +68,8 @@ from . import llm_ops8  # noqa: E402,F401
 DRIVER_WINDOW: list[str] = [
     # Reference-pipeline + validation witnesses.
     "v01_validate_lineitem",
-    # Deduplication (exact, deterministic, n-gram Jaccard, MinHash+LSH,
+    # Deduplication (deterministic exact, n-gram Jaccard, MinHash+LSH,
     # SimHash, embedding near-dup, connected components, corpus clean).
-    "d01_dedup_exact",
     "d03_capped_minhash_dedup",
     "d04_simhash_near_pairs",
     "d05_deterministic_dedup",
@@ -85,7 +84,6 @@ DRIVER_WINDOW: list[str] = [
     "t01_text_quality",
     "t02_lang_id",
     "m05_cdc_chunks",
-    "t04_rolling_fingerprint",
     "t05_token_estimates",
     "x16_weighted_sample",
     "t07_text_normalize",
@@ -128,7 +126,23 @@ DRIVER_WINDOW: list[str] = [
     "q48_price_moments",  # variance/stddev/correlation
     "x24_bucketed_join",  # co-located join over bucketed storage
     "x25_distribution_drift",  # windowed histogram drift (TVD)
+    "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
+    "x28_scd2_pointintime",  # point-in-time lookup against the SCD2 dim
 ]
+# Round 6b: the new SCD2 dimension-versioning family gets driver
+# evidence — x27 (incremental maintenance hash-matched against the
+# FULL-REBUILD oracle: the match IS the incremental==batch proof, and
+# the row also witnesses x26's build, which x27 runs internally) and
+# x28 (point-in-time as-of lookup against the versioned dimension —
+# the key-equality + half-open-range join shape that serves every
+# event-time feature lookup). Displaced: d01 exact dedup (the exact
+# hash-groupBy machinery is witnessed in-window by d05's deterministic
+# dedup over the same exact groups, d07's group ids, and d11's e2e;
+# d01 stays locally oracled in the full gate) and t04 rolling
+# fingerprint (the rolling-hash family is witnessed in-window by
+# m05's content-defined chunking, whose boundaries come from the same
+# rolling-hash construction, fully hash-matched; t04 stays locally
+# oracled in the full gate).
 # Round 6 (per the round-5 verdict's top item): the two round-5
 # oracled families with no driver-visible evidence enter the window —
 # x24 (bucketed co-located join: the shuffle-elimination layout
