@@ -152,6 +152,13 @@ HEADLINE = [
     "t23_k_anonymize",
     # windowed histogram drift (log-free TVD, integer L1 numerator)
     "x25_distribution_drift",
+    # round-6 batch: SCD2 dimension versioning (build / incremental
+    # apply vs full-rebuild oracle / point-in-time lookup) and
+    # hash-ring contrastive negative sampling
+    "x26_scd2_dimension",
+    "x27_scd2_incremental",
+    "x28_scd2_pointintime",
+    "t24_contrastive_negatives",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -495,31 +495,43 @@ def prefix_filter_candidates(
        min(|A|,|B|) >= alpha — free in the same aggregate.
 
     Shuffle shape: document frequency is a window over the same
-    ``shingle`` partitioning the self-join uses; the per-document rank
+    shingle-key partitioning the self-join uses; the per-document rank
     adds one exchange on ``id``; the positional bound rides the pair
     groupBy as min() aggregates (no extra exchange).
+
+    Shuffle VOLUME: every exchange and the self-join carry
+    ``xxhash64(shingle)`` (8 bytes) instead of the raw n-word shingle
+    string (tens of bytes) — identical strings hash identically, so
+    the shared global order and every truly-common shingle survive
+    unchanged (no new false negatives); a 64-bit collision can only
+    (a) merge two df counts — df ordering stays a consistent total
+    order on keys — or (b) admit a spurious candidate, which the exact
+    string-array verify stage removes. Lossless end-to-end, ~3-4×
+    fewer exchange bytes on the two wide shuffles.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n, with_size=True)
-    wdf = Window.partitionBy("shingle")
-    wdoc = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    sh = _exploded_shingles(df, id_col, text_col, n, with_size=True).select(
+        F.col(id_col), F.xxhash64("shingle").alias("_sk"), "_n"
+    )
+    wdf = Window.partitionBy("_sk")
+    wdoc = Window.partitionBy(id_col).orderBy("_df", "_sk")
     prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
     pref = (
         sh.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .withColumn("_rk", F.row_number().over(wdoc))
         .filter(F.col("_rk") <= prefix_len)
-        .select(F.col(id_col), "shingle", F.col("_rk").alias("_pos"), "_n")
+        .select(F.col(id_col), "_sk", F.col("_rk").alias("_pos"), "_n")
     )
     # merge hint: same Generate-underestimation guard as the full
     # inverted index (ngram_jaccard_pairs).
     a = pref.select(
         F.col(id_col).alias("id_a"),
-        "shingle",
+        "_sk",
         F.col("_pos").alias("_pa"),
         F.col("_n").alias("n_a"),
     ).hint("merge")
     b = pref.select(
         F.col(id_col).alias("id_b"),
-        "shingle",
+        F.col("_sk").alias("_skb"),
         F.col("_pos").alias("_pb"),
         F.col("_n").alias("n_b"),
     )
@@ -527,7 +539,7 @@ def prefix_filter_candidates(
     return (
         a.join(
             b,
-            (a["shingle"] == b["shingle"]) & (F.col("id_a") < F.col("id_b")),
+            (a["_sk"] == b["_skb"]) & (F.col("id_a") < F.col("id_b")),
         )
         .groupBy("id_a", "id_b")
         .agg(
@@ -574,14 +586,49 @@ def verify_jaccard_pairs_arrays(
     case for documents: ~10² shingles). Integer intersection + one
     double division — same cross-engine-exact jaccard as every other
     form.
+
+    Two stages: the candidate-sized join intersects ``xxhash64``'d
+    arrays (8-byte elements instead of n-word strings — ~3× less
+    join-side volume, cheaper equality), and only its survivors reach
+    the exact STRING-array jaccard that this function reports. The
+    hashed prefilter is LOSSLESS at any collision rate: every common
+    string stays a common hash (intersection never shrinks) and
+    ``array_distinct`` can only shrink the union, so hashed jaccard
+    >= true jaccard — a pair at threshold can't be dropped, and the
+    exact stage (true-pair-sized, ~10³ rows) removes any inflated
+    false positive and fixes the reported value.
+
+    ``_spread`` before the array build: HOF lambdas run INTERPRETED,
+    and the sets frame otherwise inherits the scan's few input splits
+    — the measured d15_10x bottleneck was this projection evaluating
+    ~1 ms/doc on 4 partitions under the join's broadcast subtree
+    (~15 s), not the join or the intersect (<1 s each).
     """
-    sets = df.select(
+    sets = _spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_set")
+    )
+    hsets = sets.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("_set", lambda x: F.xxhash64(x))
+        ).alias("_hset"),
+    )
+    ha = hsets.select(F.col(id_col).alias("id_a"), F.col("_hset").alias("_ha"))
+    hb = hsets.select(F.col(id_col).alias("id_b"), F.col("_hset").alias("_hb"))
+    hc = F.size(F.array_intersect("_ha", "_hb"))
+    rough = (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .filter(
+            hc.cast("double")
+            >= F.lit(threshold) * (F.size("_ha") + F.size("_hb") - hc).cast("double")
+        )
+        .select("id_a", "id_b")
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     return (
-        cands.join(sa, "id_a")
+        rough.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
