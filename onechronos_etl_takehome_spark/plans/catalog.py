@@ -85,7 +85,7 @@ DRIVER_WINDOW: list[str] = [
     "t02_lang_id",
     "m05_cdc_chunks",
     "t05_token_estimates",
-    "x16_weighted_sample",
+    "t22_corpus_mixing",
     "t07_text_normalize",
     "t08_salient_terms",
     "t09_chunk_documents",
@@ -108,7 +108,7 @@ DRIVER_WINDOW: list[str] = [
     # Relational witnesses — one per capability class.
     "q01_pricing_summary",  # decimal aggregation
     "q02_revenue_by_nation",  # multi-way join
-    "q03_top_revenue_orders",  # deterministic top-k
+    "t23_k_anonymize",  # k-anonymity release gate (privacy family)
     "x19_triangle_count",  # graph analytics (oriented wedge join)
     "q08_rollup_returns",  # ROLLUP
     "x07_window_funnel",  # ordered-step funnel over events
@@ -129,6 +129,18 @@ DRIVER_WINDOW: list[str] = [
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
     "x28_scd2_pointintime",  # point-in-time lookup against the SCD2 dim
 ]
+# Round 6c: the two remaining round-5 oracled families without driver
+# evidence (the round-5 verdict's "missing #1") rotate in — t22
+# budgeted corpus mixing and t23 k-anonymity release gate. Displaced:
+# x16 weighted PPS sampling (t22 runs the strictly more general
+# grouped two-pass prefix sum — per-domain partitions vs x16's global
+# order — so the distributed-prefix-sum machinery stays witnessed
+# in-window; the PPS weighting itself stays locally oracled in the
+# full gate) and q03 top-revenue-orders (deterministic top-k with
+# tie-breakers is witnessed in-window by s07's integer rank fusion —
+# two exact top-50 rankings per query — and x03's capped heavy
+# hitters; the 3-table join family by q02; q03 stays locally oracled
+# in the full gate).
 # Round 6b: the new SCD2 dimension-versioning family gets driver
 # evidence — x27 (incremental maintenance hash-matched against the
 # FULL-REBUILD oracle: the match IS the incremental==batch proof, and

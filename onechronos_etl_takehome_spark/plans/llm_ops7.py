@@ -518,13 +518,11 @@ _T23_ORACLE = f"""
              (k < {_T23_K}) AS suppressed
       FROM sized
     )
-    SELECT mktsegment,
+    SELECT CAST(nationkey AS BIGINT) AS nationkey, mktsegment,
       CAST(COUNT(*) AS BIGINT) AS n_rows,
-      CAST(SUM(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_suppressed,
-      CAST(COUNT(DISTINCT nationkey) AS BIGINT) AS n_nations
+      bool_and(suppressed) AS suppressed
     FROM anon
-    GROUP BY mktsegment
+    GROUP BY nationkey, mktsegment
 """
 
 
@@ -535,9 +533,11 @@ def t23_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUPPRESSED (quasi columns nulled, rows retained) — the
     re-identification complement of t10's direct-PII redaction
     (``operators/privacy.py:k_anonymize``). The witness is the
-    released shape itself: per released segment (suppressed rows
-    collapse into the NULL group), row / suppressed / distinct-nation
-    counts — 1,221 kept vs 279 suppressed at sf0.01. One window
+    released table at full group granularity: every surviving
+    (nation, segment) equivalence class with its exact size — each
+    class size IS its k, so one row mis-suppressed flips a group in
+    or out of the release — plus the single all-NULL bucket holding
+    the suppressed rows (279 of 1,500 at sf0.01). One window
     exchange + scan-stage whens; fully hash-matched.
     """
     from ..operators.privacy import k_anonymize
@@ -550,13 +550,11 @@ def t23_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, ["c_nationkey", "c_mktsegment"], k=_T23_K
     )
     return anon.groupBy(
-        F.col("c_mktsegment").alias("mktsegment")
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("suppressed").cast("int"))
-        .cast("bigint")
-        .alias("n_suppressed"),
-        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.expr("bool_and(suppressed)").alias("suppressed"),
     )
 
 
