@@ -90,3 +90,79 @@ def rrf_fuse(
         .where(F.col("rank") <= topk)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    score_col: str = "score",
+    vec_col: str = "corpus_vec",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell/Goldstein 1998):
+    greedily pick ``k`` items per query maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected`` —
+    the standard diversity pass between retrieval and a context
+    window / labeling budget.
+
+    ``shortlist`` carries one row per (query, candidate) with the
+    candidate's relevance score and embedding — the output of any
+    top-N retriever (s01-s05), so per-query groups are shortlist-sized
+    BY CONSTRUCTION (N ≈ 10-1000). The greedy loop is inherently
+    sequential per query, so it runs as one Arrow-batched
+    ``applyInPandas`` over query groups: O(k·N) dot products per query
+    on a dense numpy matrix, parallel across queries — the per-query
+    work is constant, the query set is what scales.
+
+    Determinism: candidates are pre-sorted by (−relevance, id); ties
+    in the greedy argmax resolve to the earlier row, so output is a
+    pure function of the input set (rows-only driver check; pinned by
+    the brute-force replay in tests).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, rank long, {id_col} long, "
+        "relevance double, mmr_score double"
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        take = min(k, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        picked_score: list[float] = []
+        for _ in range(take):
+            if selected:
+                cand = lam * rel - (1.0 - lam) * max_sim
+            else:
+                cand = lam * rel  # no diversity term for the first pick
+            cand[selected] = -np.inf
+            i = int(np.argmax(cand))  # first max → (−rel, id) tie-break
+            picked_score.append(float(cand[i]))
+            selected.append(i)
+            sims = unit @ unit[i]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[selected].to_numpy(),
+                "rank": np.arange(1, take + 1, dtype=np.int64),
+                id_col: pdf[id_col].iloc[selected].to_numpy(),
+                "relevance": rel[selected],
+                "mmr_score": np.array(picked_score, dtype=np.float64),
+            }
+        )
+
+    return shortlist.groupBy(query_col).applyInPandas(per_query, out_schema)

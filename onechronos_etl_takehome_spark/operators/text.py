@@ -401,3 +401,74 @@ def domain_selection_scores(
             / (n_d * F.col("_t_out").cast("double"))
         ).alias("ml_score"),
     )
+
+
+def segment_dedup(
+    docs,  # DataFrame
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 8,
+    max_segs: int = 64,
+):
+    """Corpus-wide segment-level exact dedup (the C4/CCNet line-dedup
+    primitive): split every document into consecutive ``seg_tokens``-
+    token segments, keep only each distinct segment's FIRST occurrence
+    (corpus order = (id, segment index)), and reassemble the surviving
+    segments into a cleaned document.
+
+    Returns (id_col, n_segs, n_kept, cleaned_text) — one row per input
+    document (documents whose every segment was seen earlier come back
+    with ``n_kept = 0`` and an empty string, so the caller decides the
+    drop threshold).
+
+    Scale shape: the segment explode is a JVM one-to-many projection
+    (no shuffle); first-occurrence selection is a grouped MIN over a
+    packed (id·max_segs + idx) BIGINT — map-side partial combine, so a
+    segment repeated 1e9 times costs its partition count, not a
+    single-task window (the row_number-per-segment form would funnel
+    every occurrence of a hot segment through one task); the verify
+    join is an equality join on the segment text; reassembly is one
+    grouped ordered fold per document. Two shuffles end-to-end.
+
+    ``max_segs`` bounds segments per document for the pack to stay
+    collision-free (raise it for long documents; 2^63 leaves ~1e17
+    documents of headroom at 64).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("_idx"),
+        )
+        .select(
+            id_col,
+            F.col("_idx").cast("long").alias("_idx"),
+            F.array_join(
+                F.slice("_toks", F.col("_idx") * seg_tokens + 1, seg_tokens),
+                " ",
+            ).alias("_seg"),
+            (F.col(id_col) * max_segs + F.col("_idx")).alias("_pack"),
+        )
+    )
+    firsts = segs.groupBy("_seg").agg(F.min("_pack").alias("_first"))
+    kept = segs.join(firsts, "_seg").withColumn(
+        "_keep", F.col("_pack") == F.col("_first")
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_idx", "_seg"))
+                    )
+                ),
+                lambda x: x["_seg"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -55,6 +55,7 @@ from . import llm_ops5  # noqa: E402,F401
 from . import llm_ops6  # noqa: E402,F401
 from . import llm_ops7  # noqa: E402,F401
 from . import llm_ops8  # noqa: E402,F401
+from . import llm_ops9  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50

@@ -1,0 +1,275 @@
+"""Round-6b operator tests: compaction planner, column stats, IVM
+merge, segment dedup, and the MMR re-rank (brute-force replay pin for
+the rows-only s08)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from onechronos_etl_takehome_spark.operators.compaction import (
+    column_stats,
+    compaction_plan,
+)
+from onechronos_etl_takehome_spark.operators.fusion import mmr_rerank
+from onechronos_etl_takehome_spark.operators.text import segment_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# x29 compaction planner
+# ---------------------------------------------------------------------------
+
+
+def _toy_inventory(spark, sizes):
+    rows = [(f"f{i:03d}", i, int(s)) for i, s in enumerate(sizes)]
+    return spark.createDataFrame(
+        rows, "file_id string, ord long, bytes long"
+    )
+
+
+def test_compaction_bins_are_contiguous_and_full(spark):
+    sizes = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    plan = compaction_plan(
+        _toy_inventory(spark, sizes),
+        order_key="ord",
+        target_bytes=100,
+    )
+    rows = plan.orderBy("file_id").collect()
+    # reference model: bin = exclusive-prior-bytes div target
+    prior, want = 0, []
+    for s in sizes:
+        want.append(prior // 100)
+        prior += s
+    assert [r.bin_id for r in rows] == want
+    # bins are contiguous in file order
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+    # greedy-fill guarantee: cumulative bytes through every non-last
+    # bin cross that bin's upper boundary (a single bin's own total can
+    # be short only because an earlier bin overshot with a big file)
+    by_bin: dict[int, int] = {}
+    for r in rows:
+        by_bin[r.bin_id] = by_bin.get(r.bin_id, 0) + r.bytes
+    last = max(by_bin)
+    cum = 0
+    for b in sorted(by_bin):
+        cum += by_bin[b]
+        if b != last:
+            assert cum >= (b + 1) * 100, (b, cum)
+
+
+def test_compaction_one_giant_file_gets_its_own_growth(spark):
+    # a file larger than target doesn't disturb neighbors' packing
+    plan = compaction_plan(
+        _toy_inventory(spark, [10, 1000, 10, 10]),
+        order_key="ord",
+        target_bytes=100,
+    )
+    got = {r.file_id: r.bin_id for r in plan.collect()}
+    assert got == {"f000": 0, "f001": 0, "f002": 10, "f003": 10}
+
+
+# ---------------------------------------------------------------------------
+# x31 column stats
+# ---------------------------------------------------------------------------
+
+
+def test_column_stats_matches_numpy_model(spark):
+    vals = [1.25, 7.5, 3.0, None, 0.75, 3.0, 9.0, 2.5]
+    df = spark.createDataFrame([(v,) for v in vals], "m double")
+    got = column_stats(df, ["m"]).collect()[0]
+    arr = np.array([v for v in vals if v is not None])
+    cents = np.floor(arr * 100).astype(np.int64)
+    assert got.n == len(arr)
+    assert got.n_null == 1
+    assert got.ndv == len(set(cents.tolist()))
+    assert got.min_value == cents.min() / 100.0
+    assert got.max_value == cents.max() / 100.0
+    s = np.sort(cents)
+    for pct, name in ((25, "p25"), (50, "p50"), (75, "p75")):
+        k = -(-pct * len(s) // 100)  # ceil
+        assert getattr(got, name) == s[k - 1] / 100.0, name
+
+
+def test_column_stats_single_pass_scan(spark):
+    """The unpivot feeds all columns from ONE scan of the input."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = column_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan  # stats + nulls branches
+
+
+# ---------------------------------------------------------------------------
+# x30 IVM merge (incremental == rebuild at every cutoff)
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_merge_equals_rebuild_on_every_cutoff(spark):
+    from onechronos_etl_takehome_spark.plans.llm_ops9 import _x30_partial
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").limit(300).cache()
+    full = sorted(map(tuple, _x30_partial(orders).collect()))
+    for cutoff in ("1996-01-01", "1998-07-16", "2000-02-10"):
+        c = F.lit(cutoff).cast("timestamp")
+        merged = (
+            _x30_partial(orders.filter(F.col("o_orderdate") < c))
+            .unionByName(
+                _x30_partial(orders.filter(F.col("o_orderdate") >= c))
+            )
+            .groupBy("month", "status")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("_rev_dec").alias("_rev_dec"),
+                F.min("_mn").alias("_mn"),
+                F.max("_mx").alias("_mx"),
+            )
+        )
+        assert sorted(map(tuple, merged.collect())) == full, cutoff
+    orders.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# t25 segment dedup
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_unique_corpus_is_identity(spark):
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "iota kappa lambda mu nu xi omicron pi rho sigma"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(df, "doc_id", "text", seg_tokens=8).collect()
+    }
+    for doc_id, text in texts:
+        assert got[doc_id].cleaned_text == text
+        assert got[doc_id].n_kept == got[doc_id].n_segs
+
+
+def test_segment_dedup_drops_later_occurrence_only(spark):
+    dup = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (0, dup + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (1, dup),  # exact repeat of doc 0's first segment
+            (2, "unique tokens here completely fresh words only truly"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(df, "doc_id", "text", seg_tokens=8).collect()
+    }
+    assert got[0].n_kept == got[0].n_segs == 2  # first occurrence keeps all
+    assert got[1].n_kept == 0 and got[1].cleaned_text == ""
+    assert got[2].n_kept == got[2].n_segs == 1
+    # corpus-wide: each distinct segment survives exactly once
+    kept_all = " ".join(
+        got[i].cleaned_text for i in range(3) if got[i].cleaned_text
+    ).split(" ")
+    assert len(kept_all) == len(set(kept_all))
+
+
+def test_segment_dedup_no_single_task_window(spark):
+    """First-occurrence selection must be a grouped MIN (map-side
+    combine), not a row_number window over the segment key."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        segment_dedup(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "RunningWindowFunction" not in plan
+    assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# s08 MMR re-rank: brute-force replay + invariances
+# ---------------------------------------------------------------------------
+
+
+def _mmr_model(ids, scores, vecs, k, lam):
+    """Greedy MMR reference: sorted by (-score, id); first max wins."""
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+    ids = [ids[i] for i in order]
+    rel = np.array([scores[i] for i in order])
+    unit = np.stack([vecs[i] for i in order]).astype(np.float64)
+    n = np.linalg.norm(unit, axis=1)
+    n[n == 0] = 1.0
+    unit = unit / n[:, None]
+    sel: list[int] = []
+    max_sim = np.full(len(ids), -np.inf)
+    out = []
+    for _ in range(min(k, len(ids))):
+        cand = lam * rel - (0 if not sel else (1 - lam) * max_sim)
+        cand = np.where(
+            np.isin(np.arange(len(ids)), sel), -np.inf, cand
+        )
+        i = int(np.argmax(cand))
+        out.append((ids[i], float(cand[i])))
+        sel.append(i)
+        max_sim = np.maximum(max_sim, unit @ unit[i])
+    return out
+
+
+def test_mmr_matches_bruteforce_replay(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    model_in: dict[int, tuple[list, list, list]] = {}
+    for q in range(3):
+        ids = list(range(100, 120))
+        scores = [round(float(s), 6) for s in rng.rand(20)]
+        vecs = [rng.randn(16).tolist() for _ in range(20)]
+        model_in[q] = (ids, scores, vecs)
+        rows += [
+            (q, i, s, v) for i, s, v in zip(ids, scores, vecs)
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, corpus_id long, score double, corpus_vec array<double>",
+    )
+    got = mmr_rerank(df, k=8, lam=0.7).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.corpus_id, r.mmr_score))
+    for q, (ids, scores, vecs) in model_in.items():
+        want = _mmr_model(ids, scores, vecs, 8, 0.7)
+        assert [p[0] for p in by_q[q]] == [p[0] for p in want], q
+        for (gi, gs), (wi, ws) in zip(by_q[q], want):
+            assert abs(gs - ws) < 1e-12
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Two near-identical high-relevance docs: MMR keeps one, then
+    picks the orthogonal lower-relevance doc before the twin."""
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0, 0.0]),
+        (0, 2, 0.98, [1.0, 0.001, 0.0]),  # near-twin of 1
+        (0, 3, 0.60, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, corpus_id long, score double, corpus_vec array<double>",
+    )
+    got = [r.corpus_id for r in mmr_rerank(df, k=3, lam=0.5).orderBy("rank").collect()]
+    assert got == [1, 3, 2]
+
+
+def test_mmr_rank1_is_pure_relevance(spark):
+    rows = [
+        (0, 9, 0.5, [1.0, 0.0]),
+        (0, 4, 0.9, [0.5, 0.5]),
+        (0, 7, 0.9, [0.0, 1.0]),  # tie with 4 → lower id wins
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "query_id long, corpus_id long, score double, corpus_vec array<double>",
+    )
+    top = mmr_rerank(df, k=1, lam=0.7).collect()[0]
+    assert top.corpus_id == 4 and top.rank == 1
