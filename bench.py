@@ -159,6 +159,14 @@ HEADLINE = [
     "x27_scd2_incremental",
     "x28_scd2_pointintime",
     "t24_contrastive_negatives",
+    # round-6b batch: lakehouse maintenance (compaction planning, CBO
+    # column stats, incremental aggregate maintenance) + corpus
+    # hygiene (C4-style segment dedup) + MMR diversity re-rank
+    "x29_compaction_plan",
+    "x30_rollup_ivm_merge",
+    "x31_column_stats",
+    "t25_segment_dedup",
+    "s08_mmr_rerank",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
@@ -204,6 +212,9 @@ SCALE_PROBES = [
     # m08's decode regime and m10's join machinery, so it stays 1×.
     "m08_image_dhash_neardup",
     "m10_video_neardup",
+    # segment dedup: per-copy word tags keep copies' segment universes
+    # disjoint, so segments (and wall) should scale exactly ×copies
+    "t25_segment_dedup",
 ]
 
 

@@ -78,7 +78,7 @@ DRIVER_WINDOW: list[str] = [
     "d07_dedup_groups",
     "d09_decontaminate",
     "d11_fuzzy_dedup_e2e",
-    "d12_duplicate_ngram_spans",
+    "t25_segment_dedup",
     "d15_prefix_jaccard_pairs",
     "d18_passjoin_pairs",
     # Text analysis.
@@ -87,7 +87,7 @@ DRIVER_WINDOW: list[str] = [
     "m05_cdc_chunks",
     "t05_token_estimates",
     "t22_corpus_mixing",
-    "t07_text_normalize",
+    "x31_column_stats",
     "t08_salient_terms",
     "t09_chunk_documents",
     "t10_pii_redaction",
@@ -142,6 +142,24 @@ DRIVER_WINDOW: list[str] = [
 # two exact top-50 rankings per query — and x03's capped heavy
 # hitters; the 3-table join family by q02; q03 stays locally oracled
 # in the full gate).
+# Round 6c (batch 2): two of the four new round-6b oracled families
+# get driver evidence — t25 segment dedup (the C4-style sub-document
+# corpus REWRITE: grouped-MIN first-occurrence selection + ordered
+# reassembly, a strictly richer witness of the sub-document exact
+# n-gram machinery than d12's span REPORT, whose sort-merge-on-hash
+# join shape stays witnessed in-window by d15/d18; d12 stays locally
+# oracled in the full gate) and x31 column statistics (ANALYZE-style
+# exact NDV/null/min-max/equi-depth boundaries — the CBO stats-
+# collection family nothing else witnesses). Displaced alongside d12:
+# t07 text normalization (the chained-regex string-transform
+# machinery is witnessed in-window by t10's regexp_replace redaction
+# battery and the scan-stage column batteries of t01/t02/t13; t07
+# stays locally oracled in the full gate). x29 compaction planning
+# and x30 IVM merge stay gate-only this round: x29's metadata-plane
+# prefix-sum is witnessed in-window by t22's grouped two-pass prefix
+# sum, and x30's incremental==rebuild hash proof by x27's — the
+# capability *composition* is new, the machinery is not; both are
+# full-gate oracled and benched, and are the natural next rotation.
 # Round 6b: the new SCD2 dimension-versioning family gets driver
 # evidence — x27 (incremental maintenance hash-matched against the
 # FULL-REBUILD oracle: the match IS the incremental==batch proof, and
