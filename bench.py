@@ -166,7 +166,11 @@ HEADLINE = [
     "x30_rollup_ivm_merge",
     "x31_column_stats",
     "t25_segment_dedup",
+    "t26_incremental_segment_dedup",
     "s08_mmr_rerank",
+    # IVFADC: IVF routing × PQ codes × exact rerank — the production
+    # billion-vector composition of s03 and s05
+    "s09_cosine_topk_ivfpq",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

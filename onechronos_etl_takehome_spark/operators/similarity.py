@@ -1116,3 +1116,178 @@ def quantize_int8(
         ).cast("int"),
     )
     return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    n_probe: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    centroids: DataFrame | None = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the production FAISS IVFADC shape
+    (Jégou et al., PAMI'11): coarse IVF routing prunes the corpus to
+    each query's ``n_probe`` nearest clusters, PQ asymmetric-distance
+    scoring ranks ONLY the probed clusters' 1-byte/subspace codes, and
+    the per-query top-``rerank`` shortlist joins back to raw vectors
+    for an exact cosine rerank (emitted scores are exact; IVF+PQ only
+    decide who reaches the rerank).
+
+    Composes the two index structures the catalog already carries
+    separately: s03's cluster routing (``train_ivf_centroids`` /
+    ``assign_clusters``) and s05's code scoring (``train_pq_codebooks``
+    / ``pq_encode``). 100-TB shape: the scan side is the persisted
+    cluster-partitioned code frame (8 bytes/vector) and each query
+    touches n_probe/n_clusters of it — both prunings compound, which
+    is why IVFADC is what actually ships at billion-vector scale.
+    Recall < 1 (either pruning can drop a true neighbor); bounded vs
+    bruteforce in tests/test_round6b_ops.py.
+    """
+    import pyarrow as pa
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            driver_sample=4096,
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+            n_subspaces=n_subspaces,
+            n_codes=n_codes,
+        )
+    n_subspaces, n_codes, sub_dim = codebooks.shape
+
+    # The persisted IVFADC index: cluster-partitioned 1-byte/subspace
+    # codes (at scale: written once, partitioned BY _cluster on disk).
+    assigned = assign_clusters(
+        corpus, centroids, id_col=corpus_id, vec_col=corpus_vec
+    ).select(corpus_id, "_cluster")
+    index = pq_encode(
+        corpus, codebooks, corpus_id=corpus_id, corpus_vec=corpus_vec
+    ).join(assigned, corpus_id)
+
+    # Driver-side probe routing + ADC lookup tables (queries are
+    # driver-small by construction — same posture as cosine_topk_pq).
+    q_rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    lut = np.einsum(
+        "qsd,scd->qsc", qn.reshape(len(qn), n_subspaces, sub_dim), codebooks
+    )
+    c_rows = centroids.collect()
+    c_ids = np.array([r["_cent_id"] for r in c_rows], dtype=np.int64)
+    c_mat = np.array([r["_cent_vec"] for r in c_rows], dtype=np.float64)
+    c_unit = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    probe_rows = []
+    for qi in range(len(q_ids)):
+        cos = c_unit @ qn[qi]
+        order = np.lexsort((c_ids, -cos))[:n_probe]
+        probe_rows += [(int(q_ids[qi]), int(c_ids[ci])) for ci in order]
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id} long, _cluster long"
+    )
+    q_pos = {int(i): p for p, i in enumerate(q_ids)}
+
+    pruned = index.join(F.broadcast(probes), "_cluster").filter(
+        F.col(query_id) != F.col(corpus_id)
+    )
+
+    def adc(batches):
+        # score[i] = Σ_s LUT[q_i, s, codes_i[s]] — one fancy-indexed
+        # gather per batch, then per-query top-``rerank`` (lexsort:
+        # ties must not depend on batch boundaries; smallest id wins).
+        s_idx = np.arange(n_subspaces)[None, :]
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            ids = (
+                batch.column(corpus_id)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            qids = (
+                batch.column(query_id)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            codes = (
+                batch.column("codes")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, n_subspaces)
+            )
+            qpos = np.array([q_pos[q] for q in qids], dtype=np.int64)
+            scores = lut[qpos[:, None], s_idx, codes].sum(axis=1)
+            out_q, out_c, out_s = [], [], []
+            for q in np.unique(qids):
+                mask = qids == q
+                row_ids, row_sc = ids[mask], scores[mask]
+                take = min(rerank, len(row_ids))
+                top = np.lexsort((row_ids, -row_sc))[:take]
+                out_q.append(np.full(take, q))
+                out_c.append(row_ids[top])
+                out_s.append(row_sc[top])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_c)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=[query_id, corpus_id, "_approx"],
+            )
+
+    shortlisted = pruned.mapInArrow(
+        adc, schema=f"{query_id} long, {corpus_id} long, _approx double"
+    )
+    w_short = Window.partitionBy(query_id).orderBy(
+        F.col("_approx").desc(), F.col(corpus_id)
+    )
+    survivors = (
+        shortlisted.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= rerank)
+        .select(query_id, corpus_id)
+    )
+
+    # Exact rerank: only queries×rerank raw vectors are touched.
+    qdf = F.broadcast(
+        with_norm(
+            queries.select(query_id, query_vec), query_vec, "_qn"
+        )
+    )
+    rer = (
+        survivors.join(
+            with_norm(corpus, corpus_vec, "_cn"), corpus_id
+        )
+        .join(qdf, query_id)
+        .select(
+            query_id,
+            corpus_id,
+            (
+                _dot(F.col(query_vec), F.col(corpus_vec))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(corpus_id)
+    )
+    return rer.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -435,28 +435,37 @@ def segment_dedup(
     collision-free (raise it for long documents; 2^63 leaves ~1e17
     documents of headroom at 64).
     """
-    toks = F.split(F.col(text_col), " ")
-    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
-    segs = (
-        docs.select(
-            F.col(id_col),
-            toks.alias("_toks"),
-            F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("_idx"),
-        )
-        .select(
-            id_col,
-            F.col("_idx").cast("long").alias("_idx"),
-            F.array_join(
-                F.slice("_toks", F.col("_idx") * seg_tokens + 1, seg_tokens),
-                " ",
-            ).alias("_seg"),
-            (F.col(id_col) * max_segs + F.col("_idx")).alias("_pack"),
-        )
-    )
+    segs = _segments(docs, id_col, text_col, seg_tokens, max_segs)
     firsts = segs.groupBy("_seg").agg(F.min("_pack").alias("_first"))
     kept = segs.join(firsts, "_seg").withColumn(
         "_keep", F.col("_pack") == F.col("_first")
     )
+    return _reassemble(kept, id_col)
+
+
+def _segments(docs, id_col, text_col, seg_tokens, max_segs):
+    """One row per ``seg_tokens``-token segment: (id, _idx, _seg,
+    _pack) with ``_pack = id·max_segs + _idx`` — the collision-free
+    BIGINT that makes (id, idx) order a single-column MIN."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    return docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("_idx"),
+    ).select(
+        id_col,
+        F.col("_idx").cast("long").alias("_idx"),
+        F.array_join(
+            F.slice("_toks", F.col("_idx") * seg_tokens + 1, seg_tokens),
+            " ",
+        ).alias("_seg"),
+        (F.col(id_col) * max_segs + F.col("_idx")).alias("_pack"),
+    )
+
+
+def _reassemble(kept, id_col):
+    """Per-doc report + ordered reassembly of the ``_keep`` survivors."""
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_segs"),
         F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
@@ -472,3 +481,59 @@ def segment_dedup(
             " ",
         ).alias("cleaned_text"),
     )
+
+
+def segment_index(
+    docs,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 8,
+    max_segs: int = 64,
+):
+    """The persistable side of incremental segment dedup: one row per
+    DISTINCT segment of the already-ingested corpus with its first-
+    occurrence pack — grouped MIN, map-side combine. In production
+    this frame is written once (partitioned by segment hash) and each
+    ingest batch appends its new segments."""
+    return (
+        _segments(docs, id_col, text_col, seg_tokens, max_segs)
+        .groupBy("_seg")
+        .agg(F.min("_pack").alias("_first"))
+    )
+
+
+def segment_dedup_incremental(
+    new_docs,
+    index,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_tokens: int = 8,
+    max_segs: int = 64,
+):
+    """Incremental :func:`segment_dedup`: clean only the DELTA batch
+    against a persisted :func:`segment_index` of everything ingested
+    before it. A delta segment survives iff it is absent from the
+    index AND is its own first occurrence within the delta. Only the
+    delta is exploded; the index joins by segment equality (at scale:
+    both sides pre-partitioned by segment hash — no corpus re-scan,
+    no index shuffle). Same output contract as ``segment_dedup``;
+    equals the full-corpus run restricted to the delta whenever delta
+    ids sort after ingested ids (packs are id-ordered)."""
+    segs = _segments(new_docs, id_col, text_col, seg_tokens, max_segs)
+    within = segs.groupBy("_seg").agg(F.min("_pack").alias("_first_new"))
+    kept = (
+        segs.join(within, "_seg")
+        .join(
+            index.select("_seg", F.lit(True).alias("_in_index")),
+            "_seg",
+            "left",
+        )
+        .withColumn(
+            "_keep",
+            (F.col("_pack") == F.col("_first_new"))
+            & F.col("_in_index").isNull(),
+        )
+    )
+    return _reassemble(kept, id_col)

@@ -326,3 +326,101 @@ def s08_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_vecs = shortlist.join(corpus, "corpus_id")
     return mmr_rerank(with_vecs, k=10, lam=0.7).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# s09 — IVF-PQ (IVFADC) approximate top-k (rows-only: recall < 1)
+# ---------------------------------------------------------------------------
+
+
+@register("s09_cosine_topk_ivfpq")  # approximate (recall<1) → rows-only
+def s09_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production billion-vector ANN shape: IVF routing × PQ
+    asymmetric-distance codes × exact rerank, composing s03's cluster
+    index with s05's code index (recall bounded vs s01 in
+    tests/test_round6b_ops.py; training is deterministic, so the
+    rows-only driver check is stable across runs)."""
+    pin_semantics(spark)
+    from ..operators.similarity import cosine_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    return cosine_topk_ivfpq(queries, corpus, k=5).select(
+        "query_id", "corpus_id", "score", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# t26 — incremental segment dedup (delta vs a persisted segment index)
+# ---------------------------------------------------------------------------
+
+_T26_NEW_FROM = 400  # doc_id >= this = the "new batch"
+
+# The oracle is t25's global first-occurrence semantics restricted to
+# the new batch — legal because old packs are strictly smaller than
+# new packs (doc_id-ordered), so "first occurrence anywhere" and
+# "absent from the old index, first within the delta" coincide.
+_T26_ORACLE = f"""
+    WITH segs AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS seg_idx,
+        array_to_string(list_slice(string_split(text, ' '),
+          (i - 1) * {_T25_SEG} + 1, (i - 1) * {_T25_SEG} + {_T25_SEG}),
+          ' ') AS seg
+      FROM documents,
+        unnest(generate_series(1, CAST(ceil(
+          len(string_split(text, ' ')) / {_T25_SEG}.0) AS BIGINT))) AS t(i)),
+    p AS (
+      SELECT doc_id, seg_idx, seg,
+             doc_id * {_T25_MAXSEGS} + seg_idx AS pack
+      FROM segs),
+    f AS (SELECT seg, MIN(pack) AS first_pack FROM p GROUP BY seg)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_segs,
+      CAST(SUM(CASE WHEN pack = first_pack THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      COALESCE(string_agg(CASE WHEN pack = first_pack THEN seg END,
+                          ' ' ORDER BY seg_idx), '') AS cleaned_text
+    FROM p JOIN f USING (seg)
+    WHERE doc_id >= {_T26_NEW_FROM}
+    GROUP BY doc_id
+    """
+
+
+@register("t26_incremental_segment_dedup", oracle=_T26_ORACLE)
+def t26_incremental_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of t25 (the d14 discipline, sub-document):
+    only the DELTA batch is exploded and cleaned — its segments check
+    against the persisted first-occurrence index of the already-
+    ingested corpus (here rebuilt from the old docs; in production the
+    index from the last run persists, partitioned by segment hash) and
+    against earlier occurrences within the delta itself. The oracle is
+    the FULL-CORPUS t25 semantics restricted to the delta, so the hash
+    match proves incremental == batch. At 100 TB the delta explode is
+    a day's ingest, not the corpus."""
+    pin_semantics(spark)
+    from ..operators.text import segment_dedup_incremental, segment_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") >= _T26_NEW_FROM
+    index = segment_index(
+        docs.filter(~is_new),
+        "doc_id",
+        "text",
+        seg_tokens=_T25_SEG,
+        max_segs=_T25_MAXSEGS,
+    )
+    return segment_dedup_incremental(
+        docs.filter(is_new),
+        index,
+        "doc_id",
+        "text",
+        seg_tokens=_T25_SEG,
+        max_segs=_T25_MAXSEGS,
+    )
