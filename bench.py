@@ -171,6 +171,9 @@ HEADLINE = [
     # IVFADC: IVF routing × PQ codes × exact rerank — the production
     # billion-vector composition of s03 and s05
     "s09_cosine_topk_ivfpq",
+    # partition-pruned scan over the Hive-partitioned layout (rep 1
+    # pays the one-time partitionBy write; the min is the pruned scan)
+    "x32_partition_pruned_scan",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

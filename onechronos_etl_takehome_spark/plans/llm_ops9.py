@@ -424,3 +424,51 @@ def t26_incremental_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         seg_tokens=_T25_SEG,
         max_segs=_T25_MAXSEGS,
     )
+
+
+# ---------------------------------------------------------------------------
+# x32 — partition-pruned scan over a Hive-partitioned layout
+# ---------------------------------------------------------------------------
+
+_X32_LO, _X32_HI = "2024-01-08", "2024-01-14"
+
+_X32_ORACLE = f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{_X32_LO}' AND DATE '{_X32_HI}'
+    GROUP BY 1, 2
+    """
+
+
+@register("x32_partition_pruned_scan", oracle=_X32_ORACLE)
+def x32_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range aggregation over the Hive-partitioned events layout
+    (``sources/partitioned.py``): the ``event_date`` predicate resolves
+    against the directory listing (``PartitionFilters`` in the scan,
+    pruned-partition count asserted in tests/test_round6c_ops.py), so
+    only 7 of 30 day directories are opened — on a 100-TB event table
+    this is the difference between scanning a week and scanning
+    years. Completes the layout-investment triad: x23 clusters within
+    files, x24 buckets by key, x32 partitions by directory."""
+    pin_semantics(spark)
+    from ..sources.partitioned import partitioned_events
+
+    ev = partitioned_events(spark, sf_dir)
+    # partition discovery infers event_date as DATE — filter on the
+    # date (that's what reaches PartitionFilters), render as string
+    # only in the output per the cross-engine exactness rules
+    lo, hi = (F.lit(s).cast("date") for s in (_X32_LO, _X32_HI))
+    return (
+        ev.filter(F.col("event_date").between(lo, hi))
+        .groupBy(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
+        )
+    )
