@@ -162,3 +162,42 @@ def column_stats(
             "p75",
         )
     )
+
+
+def compact_files(
+    spark,
+    assignments: list[tuple[str, int]],
+    out_dir: str,
+) -> None:
+    """Execute a compaction plan: rewrite the planned parquet files as
+    ``bin_id=<n>/`` directories with ONE file per bin.
+
+    ``assignments`` is the materialized planner output — (file path,
+    bin_id) pairs from :func:`compaction_plan` joined to the physical
+    listing. One distributed read of all planned files, one shuffle
+    keyed on bin_id (each task holds exactly one bin, so ``partitionBy``
+    emits exactly one file per bin directory), one write. Row-level
+    provenance rides ``input_file_name`` — no per-file driver loop, so
+    a million-file backlog compacts as one job.
+    """
+    paths = [p for p, _ in assignments]
+    bins = spark.createDataFrame(
+        [(_norm_path(p), b) for p, b in assignments], "_file string, bin_id long"
+    )
+    df = (
+        spark.read.parquet(*paths)
+        .withColumn(
+            "_file",
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        )
+        .join(F.broadcast(bins), "_file")
+        .drop("_file")
+    )
+    df.repartition("bin_id").write.mode("overwrite").partitionBy(
+        "bin_id"
+    ).parquet(out_dir)
+
+
+def _norm_path(p: str) -> str:
+    p = p.removeprefix("file:")
+    return "/" + p.lstrip("/")
