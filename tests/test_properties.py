@@ -515,3 +515,78 @@ def test_fastss_join_lossless_on_arbitrary_strings(strings):
         if i < j and _py_lev(a, b) <= 1
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup vs a pure-Python first-occurrence model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=7
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    seg=st.integers(2, 3),
+)
+def test_segment_dedup_matches_python_model(docs, seg):
+    """Tiny vocabulary + short docs force heavy segment collisions;
+    the engine must agree with the obvious sequential model."""
+    from onechronos_etl_takehome_spark.operators.text import segment_dedup
+
+    spark = _spark()
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.cleaned_text)
+        for r in segment_dedup(
+            df, "doc_id", "text", seg_tokens=seg
+        ).collect()
+    }
+    seen: set[str] = set()
+    for i, toks in enumerate(docs):
+        segs = [
+            " ".join(toks[j : j + seg]) for j in range(0, len(toks), seg)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        assert got[i] == (len(segs), len(kept), " ".join(kept)), i
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan vs the sequential greedy model
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    sizes=st.lists(st.integers(0, 300), min_size=1, max_size=12),
+    target=st.integers(1, 200),
+)
+def test_compaction_plan_matches_python_model(sizes, target):
+    from onechronos_etl_takehome_spark.operators.compaction import (
+        compaction_plan,
+    )
+
+    spark = _spark()
+    inv = spark.createDataFrame(
+        [(f"f{i:03d}", i, s) for i, s in enumerate(sizes)],
+        "file_id string, ord long, bytes long",
+    )
+    got = {
+        r.file_id: r.bin_id
+        for r in compaction_plan(
+            inv, order_key="ord", target_bytes=target
+        ).collect()
+    }
+    prior = 0
+    for i, s in enumerate(sizes):
+        assert got[f"f{i:03d}"] == prior // target, i
+        prior += s
