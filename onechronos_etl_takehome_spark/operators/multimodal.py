@@ -218,10 +218,12 @@ def _decode_wav(payload: bytes, n_features: int) -> list[float]:
 
 
 def sniff_modality(payload: bytes) -> str:
-    """Container sniff by magic bytes: 'bmp' / 'wav' decode for real;
-    anything else is 'opaque' (stub or raise)."""
+    """Container sniff by magic bytes: 'bmp' / 'png' / 'wav' / 'avi'
+    decode for real; anything else is 'opaque' (stub or raise)."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -625,11 +627,12 @@ def demo_media_payloads(
     """Deterministic real-media payloads keyed off the id — the demo
     stand-in for ``spark.read.format('binaryFile')`` ingestion so real
     decodes ride the corpus queries: ``id % modulus == 0`` → BMP,
-    ``== 1`` → WAV (synthesized executor-side, id-seeded, so the frame
-    is reproducible and distributed — no driver materialization)."""
+    ``== 1`` → WAV, ``== 2`` → PNG (synthesized executor-side,
+    id-seeded, so the frame is reproducible and distributed — no
+    driver materialization)."""
 
     base = df.select(F.col(id_col).cast("long").alias("id")).where(
-        F.col(id_col) % modulus < 2
+        F.col(id_col) % modulus < 3
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -640,6 +643,11 @@ def demo_media_payloads(
                 if i % modulus == 0:
                     content.append(
                         synthesize_bmp(16 + i % 16, 8 + i % 8, seed=i % 997)
+                    )
+                    modality.append("image")
+                elif i % modulus == 2:
+                    content.append(
+                        synthesize_png(12 + i % 12, 6 + i % 6, seed=i % 997)
                     )
                     modality.append("image")
                 else:
@@ -661,30 +669,33 @@ def decode_features(
 ) -> DataFrame:
     """Feature-extraction stage over opaque binary payloads.
 
-    Per-payload magic-byte sniff: BMP and 16-bit-PCM WAV decode FOR
-    REAL (pure numpy — see ``_decode_bmp`` / ``_decode_wav``); other
-    containers fall to the deterministic stub, or raise
-    NotImplementedError under ``require_real_decoder=True`` (JPEG/PNG/
-    MP4 need PIL/ffmpeg, which this environment doesn't ship). The
-    ``decoder`` output column says which path each row took.
+    Per-payload magic-byte sniff: BMP, PNG (stdlib-zlib inflate +
+    per-row unfilter — a REAL compressed format) and 16-bit-PCM WAV
+    decode FOR REAL (pure numpy — see ``_decode_bmp`` / ``_decode_png``
+    / ``_decode_wav``); other containers fall to the deterministic
+    stub, or raise NotImplementedError under
+    ``require_real_decoder=True`` (JPEG/MP4 need PIL/ffmpeg, which
+    this environment doesn't ship). The ``decoder`` output column says
+    which path each row took.
     """
 
     import struct
 
+    real = {"bmp": _decode_bmp, "png": _decode_png, "wav": _decode_wav}
+
     def decode_one(b: bytes) -> tuple[str, list[float]]:
         kind = sniff_modality(b)
-        if kind != "opaque":
+        if kind in real:
             try:
-                dec = _decode_bmp if kind == "bmp" else _decode_wav
-                return kind, dec(b, n_features)
+                return kind, real[kind](b, n_features)
             except (ValueError, struct.error):
                 # matched magic, unsupported/corrupt variant — one bad
                 # payload must fall to the stub, not crash the job
                 kind = "opaque"
         if require_real_decoder:
             raise NotImplementedError(
-                "payload is not a self-decodable format (BMP/WAV) and "
-                "real media decoders (PIL/ffmpeg) are not installed"
+                "payload is not a self-decodable format (BMP/PNG/WAV) "
+                "and real media decoders (PIL/ffmpeg) are not installed"
             )
         return "stub", _fake_decode(b, n_features)
 
@@ -1102,3 +1113,177 @@ def chunk_pair_join(
         "shared_chunks",
         containment.alias("containment"),
     ).filter(F.col("containment") >= min_containment)
+
+
+# ---------------------------------------------------------------------------
+# PNG: a REAL compressed-format decoder (stdlib zlib + numpy)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_pixels(payload: bytes) -> "object":
+    """REAL decode of an 8-bit PNG (grayscale / gray+alpha / RGB /
+    RGBA, non-interlaced) to an (h, w, 3) uint8 RGB array.
+
+    PNG is chunked zlib-compressed scanlines with a per-row predictor
+    (None/Sub/Up/Average/Paeth). Chunk walk + ``zlib.decompress`` are
+    stdlib; unfiltering runs row-by-row (the format is sequential by
+    construction — each row's predictor references the row above), with
+    the channel arithmetic vectorized per row. Raises ValueError on
+    non-PNG magic and unsupported variants (16-bit, palette,
+    interlaced), so callers' corrupt-payload contract (fall to the
+    stub, never crash the job) holds — same as ``_decode_bmp``.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width = len(_PNG_MAGIC), None
+    idat = b""
+    try:
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if bit_depth != 8 or interlace != 0:
+                    raise ValueError(
+                        f"unsupported PNG (depth={bit_depth}, interlace={interlace})"
+                    )
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+                if channels is None:
+                    raise ValueError(f"unsupported PNG color type {color_type}")
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError(f"truncated PNG chunk: {e}") from e
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=row_off + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = pv[i]
+                if ftype == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = pv[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pr) & 0xFF
+            cur = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha → drop alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGB / RGBA → RGB
+
+
+def png_from_pixels(px: "object") -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array as a valid PNG
+    (filter-None scanlines, one zlib IDAT, CRC'd chunks) — stdlib-only
+    encoder for fixtures; ``png_pixels`` must round-trip it exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    height, width = px.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rows = np.concatenate(
+        [
+            np.zeros((height, 1), dtype=np.uint8),  # filter type 0
+            px.reshape(height, width * 3),
+        ],
+        axis=1,
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(width: int, height: int, seed: int) -> bytes:
+    """Deterministic valid 8-bit RGB PNG (seeded pixels)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return png_from_pixels(
+        rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    )
+
+
+def _decode_png(payload: bytes, n_features: int) -> list[float]:
+    """Feature battery over a real PNG decode — same signature as
+    ``_decode_bmp`` (dims, channel means, gray stats, quadrant means),
+    channel order adjusted (PNG is RGB, BMP is BGR)."""
+    import numpy as np
+
+    px = png_pixels(payload).astype(np.float64)
+    h, width = px.shape[:2]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    h2, w2 = max(h // 2, 1), max(width // 2, 1)
+    return _pad(
+        [
+            width,
+            h,
+            r.mean(),
+            g.mean(),
+            b.mean(),
+            gray.mean(),
+            gray.std(),
+            gray.min(),
+            gray.max(),
+            gray[:h2, :w2].mean(),
+            gray[:h2, w2:].mean() if width > 1 else 0.0,
+            gray[h2:, :w2].mean() if h > 1 else 0.0,
+            gray[h2:, w2:].mean() if h > 1 and width > 1 else 0.0,
+            width / h,
+        ],
+        n_features,
+    )

@@ -874,11 +874,12 @@ def m03_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("m02_decode_features")  # binary feature extraction → rows-only
 def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over a mixed binary corpus: text payloads go
-    through the documented stub, and id-seeded BMP/WAV payloads decode
-    FOR REAL (pure-numpy header parsers — operators/multimodal.py
-    _decode_bmp/_decode_wav, pinned against independent pure-python
-    recomputation in tests/test_round5_ops.py). Rows-only by design:
-    SQL cannot parse binary containers."""
+    through the documented stub, and id-seeded BMP/WAV/PNG payloads
+    decode FOR REAL (pure-numpy header parsers + the stdlib-zlib PNG
+    inflate/unfilter — operators/multimodal.py _decode_bmp/_decode_wav/
+    _decode_png, pinned against independent pure-python recomputation
+    in tests/test_round5_ops.py and tests/test_round6c_ops.py).
+    Rows-only by design: SQL cannot parse binary containers."""
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
     payloads = mm.attach_binary(docs, "doc_id", "text").unionByName(

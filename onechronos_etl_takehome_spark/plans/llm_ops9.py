@@ -448,7 +448,7 @@ def x32_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-range aggregation over the Hive-partitioned events layout
     (``sources/partitioned.py``): the ``event_date`` predicate resolves
     against the directory listing (``PartitionFilters`` in the scan,
-    pruned-partition count asserted in tests/test_round6c_ops.py), so
+    pruned-partition count asserted in tests/test_round6b_ops.py), so
     only 7 of 30 day directories are opened — on a 100-TB event table
     this is the difference between scanning a week and scanning
     years. Completes the layout-investment triad: x23 clusters within

@@ -1,0 +1,154 @@
+"""Round-6c: the real PNG decoder (stdlib zlib + numpy) — round-trip,
+all five predictor filters, all supported color types, corrupt-payload
+contract, and the decode_features dispatch."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from onechronos_etl_takehome_spark.operators.multimodal import (
+    _decode_png,
+    png_from_pixels,
+    png_pixels,
+    sniff_modality,
+    synthesize_png,
+)
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _png(width, height, color_type, channels, scanlines: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scanlines))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _filter_row(ftype, cur, prev, channels):
+    """Forward PNG filtering (encoder side) — the spec's reference."""
+    out = np.zeros_like(cur, dtype=np.int32)
+    c32, p32 = cur.astype(np.int32), prev.astype(np.int32)
+    for i in range(len(cur)):
+        a = c32[i - channels] if i >= channels else 0
+        b = p32[i]
+        c = p32[i - channels] if i >= channels else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (c32[i] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def test_png_roundtrip_various_shapes():
+    rng = np.random.RandomState(5)
+    for h, w in ((1, 1), (1, 9), (9, 1), (16, 16), (13, 31)):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (png_pixels(png_from_pixels(px)) == px).all(), (h, w)
+
+
+def test_png_every_filter_type_decodes():
+    """Encode with each predictor explicitly (spec-reference forward
+    filter) and require exact reconstruction."""
+    rng = np.random.RandomState(9)
+    h, w, ch = 6, 7, 3
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = px.reshape(h, w * ch)
+    for ftype in range(5):
+        lines = b""
+        prev = np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            lines += bytes([ftype]) + _filter_row(
+                ftype, flat[y], prev, ch
+            ).tobytes()
+            prev = flat[y]
+        got = png_pixels(_png(w, h, 2, ch, lines))
+        assert (got == px).all(), f"filter {ftype}"
+
+
+def test_png_color_types():
+    rng = np.random.RandomState(2)
+    h, w = 5, 4
+    # grayscale (type 0)
+    g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    lines = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+    got = png_pixels(_png(w, h, 0, 1, lines))
+    assert (got == np.repeat(g[..., None], 3, axis=2)).all()
+    # gray + alpha (type 4): alpha dropped
+    ga = rng.randint(0, 256, size=(h, w, 2), dtype=np.uint8)
+    lines = b"".join(
+        b"\x00" + ga[y].reshape(-1).tobytes() for y in range(h)
+    )
+    got = png_pixels(_png(w, h, 4, 2, lines))
+    assert (got == np.repeat(ga[..., :1], 3, axis=2)).all()
+    # RGBA (type 6): alpha dropped
+    rgba = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+    lines = b"".join(
+        b"\x00" + rgba[y].reshape(-1).tobytes() for y in range(h)
+    )
+    got = png_pixels(_png(w, h, 6, 4, lines))
+    assert (got == rgba[..., :3]).all()
+
+
+def test_png_rejects_bad_payloads():
+    with pytest.raises(ValueError):
+        png_pixels(b"not a png at all")
+    good = synthesize_png(8, 8, 1)
+    with pytest.raises(ValueError):  # corrupt zlib stream
+        png_pixels(good[:40] + b"\x00" * 8 + good[48:])
+    with pytest.raises(ValueError):  # truncated
+        png_pixels(good[:30])
+    # palette (type 3) and 16-bit are declared unsupported
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError):
+        png_pixels(_MAGIC + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b""))
+
+
+def test_png_sniff_and_feature_battery():
+    payload = synthesize_png(12, 10, 7)
+    assert sniff_modality(payload) == "png"
+    feats = _decode_png(payload, 16)
+    px = png_pixels(payload).astype(np.float64)
+    gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert feats[0] == 12.0 and feats[1] == 10.0
+    assert feats[2] == pytest.approx(px[..., 0].mean())
+    assert feats[5] == pytest.approx(gray.mean())
+    assert feats[13] == pytest.approx(12 / 10)
+
+
+def test_decode_features_dispatches_png(spark):
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    rows = [
+        (0, synthesize_png(8, 8, 0), "image"),
+        (1, b"\x89PNG\r\n\x1a\n garbage after magic", "image"),  # corrupt
+        (2, b"utterly opaque bytes", "blob"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary, modality string")
+    got = {r.id: r for r in decode_features(df).collect()}
+    assert got[0].decoder == "png"
+    assert got[1].decoder == "stub"  # corrupt PNG falls to stub, no crash
+    assert got[2].decoder == "stub"
+    assert got[0].features[0] == 8.0
