@@ -357,12 +357,50 @@ def dhash64(gray: "object") -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
-def image_dhash(payloads: DataFrame) -> DataFrame:
-    """(id, dhash BIGINT, width, height) per decodable image payload
-    (currently BMP — the real decoder); non-image payloads are
-    dropped. Arrow-batched; per-image work is pure numpy."""
+def image_gray(payload: bytes) -> "object":
+    """Decode any supported image container (24-bit BMP or 8-bit PNG)
+    to a float64 grayscale array — the shared front door of the
+    perceptual-hash family, so a BMP and a PNG of the SAME pixels hash
+    identically (re-encoding invariance is the point of dHash).
+    Raises ValueError on non-image / unsupported payloads."""
     import struct
 
+    import numpy as np
+
+    kind = sniff_modality(payload)
+    if kind == "png":
+        px = png_pixels(payload).astype(np.float64)  # RGB
+        return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    if kind != "bmp":
+        raise ValueError(f"not a decodable image container ({kind})")
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = struct.unpack_from("<i", payload, 22)[0]
+        bottom_up = height > 0
+        hh = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        px = (
+            np.frombuffer(
+                payload, np.uint8, count=stride * hh, offset=data_off
+            )
+            .reshape(hh, stride)[:, : width * 3]
+            .reshape(hh, width, 3)
+            .astype(np.float64)
+        )
+    except (ValueError, struct.error) as e:
+        raise ValueError(f"corrupt BMP: {e}") from e
+    if bottom_up:
+        px = px[::-1]
+    # BMP rows are BGR
+    return 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
+
+
+def image_dhash(payloads: DataFrame) -> DataFrame:
+    """(id, dhash BIGINT, width, height) per decodable image payload
+    (BMP or PNG — both real decoders, shared ``image_gray`` front
+    door); non-image payloads are dropped. Arrow-batched; per-image
+    work is pure numpy."""
     import numpy as np
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,32 +408,11 @@ def image_dhash(payloads: DataFrame) -> DataFrame:
             ids, hashes, ws, hs = [], [], [], []
             for i, b in zip(pdf["id"], pdf["content"]):
                 data = bytes(b)
-                if sniff_modality(data) != "bmp":
-                    continue
                 try:
-                    data_off = struct.unpack_from("<I", data, 10)[0]
-                    width = struct.unpack_from("<i", data, 18)[0]
-                    height = struct.unpack_from("<i", data, 22)[0]
-                    bottom_up = height > 0
-                    hh = abs(height)
-                    stride = (width * 3 + 3) // 4 * 4
-                    px = (
-                        np.frombuffer(
-                            data, np.uint8, count=stride * hh, offset=data_off
-                        )
-                        .reshape(hh, stride)[:, : width * 3]
-                        .reshape(hh, width, 3)
-                        .astype(np.float64)
-                    )
-                    if bottom_up:
-                        px = px[::-1]
-                    gray = (
-                        0.299 * px[..., 2]
-                        + 0.587 * px[..., 1]
-                        + 0.114 * px[..., 0]
-                    )
-                except (ValueError, struct.error):
+                    gray = image_gray(data)
+                except ValueError:
                     continue
+                hh, width = gray.shape
                 ids.append(int(i))
                 # store as signed BIGINT (Spark has no unsigned 64)
                 hashes.append(
@@ -593,7 +610,11 @@ def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     # v2: scene seeds switched from grp % 9973 to grp (copy-safe)
-    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v2"
+    # v3: every other file lands as PNG instead of BMP — SAME pixels,
+    # different container, so the pair set still equals m08's (dHash
+    # is encoding-invariant) while the lineage proves mixed-format
+    # disk ingestion through one binaryFile scan
+    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v3"
     if os.path.isdir(out):
         return out
     # driver-side fixture write: bounded at n_docs/modulus small files
@@ -612,8 +633,12 @@ def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
             px = _variant_image(grp)
         else:
             px = _smooth_image(grp)
-        with open(os.path.join(tmp, f"doc_{i:09d}.bmp"), "wb") as f:
-            f.write(bmp_from_pixels(px))
+        if (i // modulus) % 2 == 0:
+            with open(os.path.join(tmp, f"doc_{i:09d}.png"), "wb") as f:
+                f.write(png_from_pixels(px[..., ::-1].copy()))  # BGR→RGB
+        else:
+            with open(os.path.join(tmp, f"doc_{i:09d}.bmp"), "wb") as f:
+                f.write(bmp_from_pixels(px))
     try:
         os.rename(tmp, out)
     except OSError:

@@ -262,20 +262,22 @@ def m11_binaryfile_image_neardup(
     """The multimodal pipeline end-to-end FROM DISK: the lineage
     starts at a real ``binaryFile`` scan (``sources/readers.py:
     read_binary_dir`` — distributed file listing, pathGlobFilter
-    pruning BEFORE bytes are read) over a materialized BMP corpus,
-    then the same decode → dHash → banded Hamming join as m08. The
-    corpus holds byte-identical files to m08's synthesized stream
-    (``multimodal.materialize_demo_image_corpus``), so the gate pins
-    m11's pair set == m08's — proving the disk path and the in-query
+    pruning BEFORE bytes are read) over a materialized MIXED-FORMAT
+    corpus (scenes land alternately as .bmp and .png — the PNG half
+    exercises the real zlib-inflate decoder), then the same decode →
+    dHash → banded Hamming join as m08. The pixels are identical to
+    m08's synthesized stream (``materialize_demo_image_corpus``) and
+    dHash is encoding-invariant, so the gate pins m11's pair set ==
+    m08's — proving the disk path, both containers, and the in-query
     path are the same operator. Rows-only BY DESIGN (SQL cannot read
-    a binary file tree, let alone parse BMP containers)."""
+    a binary file tree, let alone parse image containers)."""
     from ..operators import multimodal as mm
     from ..sources.readers import read_binary_dir
 
     pin_semantics(spark)
     corpus = mm.materialize_demo_image_corpus(sf_dir)
-    payloads = read_binary_dir(spark, corpus, glob="*.bmp").select(
-        F.regexp_extract("id", r"doc_(\d+)\.bmp$", 1)
+    payloads = read_binary_dir(spark, corpus, glob="*.{bmp,png}").select(
+        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png)$", 1)
         .cast("long")
         .alias("id"),
         "content",

@@ -152,3 +152,27 @@ def test_decode_features_dispatches_png(spark):
     assert got[1].decoder == "stub"  # corrupt PNG falls to stub, no crash
     assert got[2].decoder == "stub"
     assert got[0].features[0] == 8.0
+
+
+def test_dhash_is_encoding_invariant(spark):
+    """The SAME pixels encoded as BMP and as PNG must produce the SAME
+    64-bit dHash — re-encoding invariance is what makes the perceptual
+    hash usable across a mixed-format corpus."""
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        bmp_from_pixels,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for i in range(6):
+        px_rgb = rng.randint(0, 256, size=(16, 20, 3), dtype=np.uint8)
+        rows.append((2 * i, png_from_pixels(px_rgb), "image"))
+        rows.append(
+            (2 * i + 1, bmp_from_pixels(px_rgb[..., ::-1].copy()), "image")
+        )  # BMP stores BGR
+    df = spark.createDataFrame(rows, "id long, content binary, modality string")
+    got = {r.id: r.dhash for r in image_dhash(df).collect()}
+    assert len(got) == 12
+    for i in range(6):
+        assert got[2 * i] == got[2 * i + 1], i
