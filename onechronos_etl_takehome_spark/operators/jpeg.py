@@ -1,0 +1,487 @@
+"""Baseline JPEG codec in pure numpy + stdlib — the last media de-stub.
+
+Scope (exactly what the fixtures need, honestly documented):
+- **Decoder** (``jpeg_pixels``): baseline sequential DCT JPEGs —
+  SOI/DQT/DHT/SOF0/SOS/EOI, 8-bit samples, huffman entropy coding,
+  1 component (grayscale) or 3 components (YCbCr) WITHOUT chroma
+  subsampling (4:4:4) and without restart markers or progressive
+  scans. Unsupported variants raise ValueError (the corrupt-payload
+  contract every decoder in this package honors: fall to the stub,
+  never crash the job).
+- **Encoder** (``jpeg_from_pixels``): emits exactly that profile with
+  the ITU-T81 Annex-K quantization + huffman tables, so fixtures are
+  REAL standards-conformant JPEGs (spot-checkable with any external
+  viewer) and the decoder is pinned two ways: coefficient-exact
+  against the encoder's own quantized coefficients, and pixel-close
+  (quantization is the only loss) on smooth images.
+
+The DCT/IDCT are exact 8×8 basis-matrix multiplications (numpy
+einsum), the entropy decode is a table-driven bit walk — no scipy, no
+PIL. At Spark level JPEG rides the same Arrow-batched ``image_gray`` /
+``decode_features`` dispatch as BMP/PNG.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# ITU-T81 Annex K tables (public standard constants)
+# ---------------------------------------------------------------------------
+
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+# (bits-per-length counts, symbol values) per Annex K
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# exact 8×8 DCT-II basis: C[u, x] = a(u)·cos((2x+1)uπ/16)
+_DCT = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _DCT.T @ coef @ _DCT
+
+
+def _build_code_table(bits: list[int], vals: list[int]):
+    """(symbol → (code, length)) per the T.81 canonical construction."""
+    codes, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list[int], vals: list[int]):
+    """((length, code) → symbol) — the inverse walk."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG truncated at marker")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if not self.n:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    return cat, (v if v > 0 else v + (1 << cat) - 1)
+
+
+def _extend(bits_val: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits_val if bits_val >= (1 << (cat - 1)) else bits_val - (1 << cat) + 1
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def jpeg_from_pixels(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
+    baseline 4:4:4 JFIF JPEG with the Annex-K tables."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8  # pad to 8×8 grid (edge-replicate)
+
+    def pad(plane):
+        return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    if gray:
+        planes = [pad(px.astype(np.float64))]
+    else:
+        ycc = _rgb_to_ycbcr(px.astype(np.float64))
+        planes = [pad(ycc[..., c]) for c in range(3)]
+
+    dc_l = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_code_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_code_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    writer = _BitWriter()
+    # interleaved MCU scan: 4:4:4 → one 8×8 block per component per MCU
+    prev = [0] * len(planes)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(planes):
+                quant = QUANT_LUMA if ci == 0 else QUANT_CHROMA
+                dc_codes = dc_l if ci == 0 else dc_c
+                ac_codes = ac_l if ci == 0 else ac_c
+                block = plane[by : by + 8, bx : bx + 8] - 128.0
+                coef = np.round(_dct2(block) / quant).astype(np.int64)
+                zz = coef.flatten()[_ZIGZAG]
+                cat, amp = _magnitude(int(zz[0]) - prev[ci])
+                prev[ci] = int(zz[0])
+                code, length = dc_codes[cat]
+                writer.write(code, length)
+                if cat:
+                    writer.write(amp, cat)
+                run = 0
+                last_nz = (
+                    int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                )
+                for i in range(1, 64):
+                    v = int(zz[i])
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c0, l0 = ac_codes[0xF0]
+                        writer.write(c0, l0)
+                        run -= 16
+                    cat, amp = _magnitude(v)
+                    c0, l0 = ac_codes[(run << 4) | cat]
+                    writer.write(c0, l0)
+                    writer.write(amp, cat)
+                    run = 0
+                if last_nz < 63:
+                    c0, l0 = ac_codes[0x00]
+                    writer.write(c0, l0)
+    scan = writer.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(x) for x in q.flatten()[_ZIGZAG])
+        )
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos_comp = b""
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        sos_comp += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out = b"\xff\xd8"  # SOI
+    out += dqt(0, QUANT_LUMA)
+    if not gray:
+        out += dqt(1, QUANT_CHROMA)
+    out += seg(0xFFC0, sof)
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    out += seg(0xFFDA, bytes([ncomp]) + sos_comp + bytes([0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline 4:4:4 (or grayscale) JPEG to (h, w, 3) uint8
+    RGB. Raises ValueError on non-JPEG magic and unsupported variants
+    (progressive, subsampled, restart markers, 12-bit)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = None
+    scan_comps = None
+    scan_data = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            bpos = 0
+            while bpos < len(body):
+                pq_tid = body[bpos]
+                if pq_tid >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body, np.uint8, count=64, offset=bpos + 1
+                )
+                quant[pq_tid & 0xF] = tbl.reshape(8, 8)
+                bpos += 65
+        elif marker == 0xFFC4:
+            bpos = 0
+            while bpos < len(body):
+                cls_tid = body[bpos]
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                huff[(cls_tid >> 4, cls_tid & 0xF)] = _build_decode_table(
+                    bits, vals
+                )
+                bpos += 17 + nv
+        elif marker == 0xFFC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit baseline supported")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
+                comps.append((cid, qid))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            scan_data = payload[pos + 2 + length :]
+            break
+        pos += 2 + length
+    if comps is None or scan_comps is None or scan_data is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    reader = _BitReader(scan_data)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [np.zeros((ph, pw)) for _ in comps]
+    prev = [0] * len(comps)
+    qid_of = {cid: qid for cid, qid in comps}
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
+                dc_tbl, ac_tbl = huff[(0, dc_tid)], huff[(1, ac_tid)]
+                zz = np.zeros(64, dtype=np.int64)
+
+                def read_symbol(tbl) -> int:
+                    code, length = 0, 0
+                    while length < 16:
+                        code = (code << 1) | reader.bit()
+                        length += 1
+                        if (length, code) in tbl:
+                            return tbl[(length, code)]
+                    raise ValueError("invalid huffman code in scan")
+
+                cat = read_symbol(dc_tbl)
+                diff = _extend(reader.bits(cat), cat) if cat else 0
+                prev[ci] += diff
+                zz[0] = prev[ci]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(ac_tbl)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[i] = _extend(reader.bits(cat), cat)
+                    i += 1
+                coef = np.zeros(64)
+                coef[_ZIGZAG] = zz
+                block = _idct2(
+                    coef.reshape(8, 8) * quant[qid_of[cid]]
+                ) + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0, 255)
+        return np.repeat(g[..., None], 3, axis=2).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return (_ycbcr_to_rgb(ycc) + 0.5).astype(np.uint8)
+
+
+def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
+    """Deterministic valid baseline JPEG (seeded smooth gradient +
+    noise — smooth content keeps quantization loss visibly small)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = (
+        128
+        + 80 * np.sin(2 * np.pi * xx / max(width, 1) + seed)
+        + 40 * np.cos(2 * np.pi * yy / max(height, 1))
+    )
+    px = np.clip(
+        np.stack(
+            [base, np.roll(base, 3, axis=1), np.roll(base, 5, axis=0)],
+            axis=-1,
+        )
+        + rng.randint(-8, 9, size=(height, width, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    return jpeg_from_pixels(px)

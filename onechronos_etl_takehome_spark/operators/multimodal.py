@@ -7,15 +7,17 @@ extraction) runs in Arrow-batched ``mapInPandas`` so batches stream
 through Python without row-at-a-time overhead, and the *schema* of the
 result is declared up front so Catalyst can prune/pushdown around it.
 
-Decoders: header-simple formats decode FOR REAL with pure
-numpy/struct — uncompressed 24-bit BMP (``_decode_bmp``) and 16-bit
-PCM WAV (``_decode_wav``) — because their containers are fixed-offset
-headers plus a raw sample array; no PIL/ffmpeg needed.
+Decoders: four formats decode FOR REAL with pure numpy + stdlib —
+uncompressed 24-bit BMP (``_decode_bmp``), 16-bit PCM WAV
+(``_decode_wav``), 8-bit PNG (``png_pixels`` — stdlib-zlib inflate +
+all five predictor filters), and baseline 4:4:4 JPEG
+(``operators/jpeg.py`` — huffman entropy decode + exact 8×8 IDCT).
 ``decode_features`` sniffs each payload's magic bytes and dispatches;
-formats that genuinely need a media library (JPEG/PNG/MP4/...) fall to
-the clearly-marked deterministic stub (``_fake_decode``), or raise
-under ``require_real_decoder=True``. ``synthesize_bmp`` /
-``synthesize_wav`` build valid fixtures for tests and demos.
+formats that genuinely need a media library (MP4, progressive/
+subsampled JPEG, ...) fall to the clearly-marked deterministic stub
+(``_fake_decode``), or raise under ``require_real_decoder=True``.
+``synthesize_bmp`` / ``synthesize_wav`` / ``synthesize_png`` /
+``jpeg.synthesize_jpeg`` build valid fixtures for tests and demos.
 """
 
 from __future__ import annotations
@@ -224,6 +226,8 @@ def sniff_modality(payload: bytes) -> str:
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -368,8 +372,13 @@ def image_gray(payload: bytes) -> "object":
     import numpy as np
 
     kind = sniff_modality(payload)
-    if kind == "png":
-        px = png_pixels(payload).astype(np.float64)  # RGB
+    if kind in ("png", "jpeg"):
+        if kind == "png":
+            px = png_pixels(payload).astype(np.float64)  # RGB
+        else:
+            from .jpeg import jpeg_pixels
+
+            px = jpeg_pixels(payload).astype(np.float64)  # RGB
         return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     if kind != "bmp":
         raise ValueError(f"not a decodable image container ({kind})")
@@ -652,12 +661,12 @@ def demo_media_payloads(
     """Deterministic real-media payloads keyed off the id — the demo
     stand-in for ``spark.read.format('binaryFile')`` ingestion so real
     decodes ride the corpus queries: ``id % modulus == 0`` → BMP,
-    ``== 1`` → WAV, ``== 2`` → PNG (synthesized executor-side,
-    id-seeded, so the frame is reproducible and distributed — no
-    driver materialization)."""
+    ``== 1`` → WAV, ``== 2`` → PNG, ``== 3`` → baseline JPEG
+    (synthesized executor-side, id-seeded, so the frame is
+    reproducible and distributed — no driver materialization)."""
 
     base = df.select(F.col(id_col).cast("long").alias("id")).where(
-        F.col(id_col) % modulus < 3
+        F.col(id_col) % modulus < 4
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -673,6 +682,13 @@ def demo_media_payloads(
                 elif i % modulus == 2:
                     content.append(
                         synthesize_png(12 + i % 12, 6 + i % 6, seed=i % 997)
+                    )
+                    modality.append("image")
+                elif i % modulus == 3:
+                    from .jpeg import synthesize_jpeg
+
+                    content.append(
+                        synthesize_jpeg(16 + i % 8, 16 + i % 8, seed=i % 997)
                     )
                     modality.append("image")
                 else:
@@ -706,7 +722,12 @@ def decode_features(
 
     import struct
 
-    real = {"bmp": _decode_bmp, "png": _decode_png, "wav": _decode_wav}
+    real = {
+        "bmp": _decode_bmp,
+        "png": _decode_png,
+        "jpeg": _decode_jpeg,
+        "wav": _decode_wav,
+    }
 
     def decode_one(b: bytes) -> tuple[str, list[float]]:
         kind = sniff_modality(b)
@@ -719,8 +740,8 @@ def decode_features(
                 kind = "opaque"
         if require_real_decoder:
             raise NotImplementedError(
-                "payload is not a self-decodable format (BMP/PNG/WAV) "
-                "and real media decoders (PIL/ffmpeg) are not installed"
+                "payload is not a self-decodable format (BMP/PNG/JPEG/"
+                "WAV) and real media decoders (PIL/ffmpeg) are not installed"
             )
         return "stub", _fake_decode(b, n_features)
 
@@ -1288,7 +1309,24 @@ def _decode_png(payload: bytes, n_features: int) -> list[float]:
     channel order adjusted (PNG is RGB, BMP is BGR)."""
     import numpy as np
 
-    px = png_pixels(payload).astype(np.float64)
+    return _image_features_rgb(
+        png_pixels(payload).astype(np.float64), n_features
+    )
+
+
+def _decode_jpeg(payload: bytes, n_features: int) -> list[float]:
+    """Feature battery over a real baseline-JPEG decode (see
+    ``operators/jpeg.py`` — pure numpy huffman + IDCT)."""
+    import numpy as np
+
+    from .jpeg import jpeg_pixels
+
+    return _image_features_rgb(
+        jpeg_pixels(payload).astype(np.float64), n_features
+    )
+
+
+def _image_features_rgb(px: "object", n_features: int) -> list[float]:
     h, width = px.shape[:2]
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     gray = 0.299 * r + 0.587 * g + 0.114 * b

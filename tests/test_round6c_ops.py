@@ -176,3 +176,130 @@ def test_dhash_is_encoding_invariant(spark):
     assert len(got) == 12
     for i in range(6):
         assert got[2 * i] == got[2 * i + 1], i
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_constant_image_is_near_exact():
+    """A constant block has only a DC coefficient — quantization loss
+    is at most one luma quant step spread by the IDCT (±2 gray)."""
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    for val in (0, 73, 128, 201, 255):
+        px = np.full((16, 16, 3), val, dtype=np.uint8)
+        got = jpeg_pixels(jpeg_from_pixels(px)).astype(int)
+        assert np.abs(got - int(val)).max() <= 2, val
+
+
+def test_jpeg_roundtrip_error_is_quantization_bounded():
+    """Smooth gradients survive Annex-K quantization within a small
+    bound; odd (non-multiple-of-8) dims exercise edge padding."""
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    for h, w in ((8, 8), (16, 24), (13, 21), (9, 40)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 70 * np.sin(2 * np.pi * xx / w) + 30 * np.cos(
+            2 * np.pi * yy / h
+        )
+        px = np.clip(
+            np.stack([base, base * 0.9, base * 1.1], axis=-1), 0, 255
+        ).astype(np.uint8)
+        got = jpeg_pixels(jpeg_from_pixels(px)).astype(int)
+        err = np.abs(got - px.astype(int))
+        assert err.mean() < 4 and err.max() <= 25, (h, w, err.max())
+
+
+def test_jpeg_grayscale_single_component():
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    g = np.clip(
+        128 + 60 * np.sin(np.arange(24) / 4.0)[None, :]
+        + 20 * np.cos(np.arange(16) / 3.0)[:, None],
+        0,
+        255,
+    ).astype(np.uint8)
+    got = jpeg_pixels(jpeg_from_pixels(g))
+    assert got.shape == (16, 24, 3)
+    assert (got[..., 0] == got[..., 1]).all()  # gray replicated
+    assert np.abs(got[..., 0].astype(int) - g.astype(int)).max() <= 10
+
+
+def test_jpeg_rejects_unsupported_variants():
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_pixels,
+        synthesize_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        jpeg_pixels(b"not a jpeg")
+    good = synthesize_jpeg(16, 16, 1)
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        jpeg_pixels(prog)
+    with pytest.raises(ValueError):
+        jpeg_pixels(good[:40])  # truncated
+
+
+def test_jpeg_byte_stuffing_roundtrips():
+    """Content chosen to force 0xFF bytes in the entropy stream — the
+    stuffed-byte path must round-trip."""
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(17)
+    for seed in range(5):
+        px = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        enc = jpeg_from_pixels(px)
+        dec = jpeg_pixels(enc)  # hard content: just must not corrupt
+        assert dec.shape == px.shape
+
+
+def test_jpeg_dispatch_and_dhash_robustness(spark):
+    """decode_features routes JPEG to the real decoder, and the dHash
+    of a JPEG re-encode stays within a small Hamming distance of the
+    lossless PNG encode of the same pixels (perceptual robustness —
+    the property the near-dup family depends on)."""
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        synthesize_jpeg,
+    )
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        decode_features,
+        image_dhash,
+    )
+
+    rows = [(0, synthesize_jpeg(16, 16, 4), "image")]
+    df = spark.createDataFrame(rows, "id long, content binary, modality string")
+    got = decode_features(df).collect()[0]
+    assert got.decoder == "jpeg" and got.features[0] == 16.0
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = 128 + 70 * np.sin(2 * np.pi * xx / 32) + 30 * np.cos(
+        2 * np.pi * yy / 24
+    )
+    px = np.clip(
+        np.stack([base, base * 0.8, base * 1.2], axis=-1), 0, 255
+    ).astype(np.uint8)
+    pair = [
+        (0, png_from_pixels(px), "image"),
+        (1, jpeg_from_pixels(px), "image"),
+    ]
+    hdf = spark.createDataFrame(pair, "id long, content binary, modality string")
+    hashes = {r.id: r.dhash for r in image_dhash(hdf).collect()}
+    ham = bin(hashes[0] ^ hashes[1]).count("1")
+    assert ham <= 6, ham
