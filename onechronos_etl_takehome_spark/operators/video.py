@@ -10,14 +10,16 @@ re-encoding and regardless of temporal edits (trims, appended intros/
 outros): containment on the frame-hash set is exactly the trimmed-
 re-upload detector the CDC chunk map is for byte streams.
 
-Container: minimal uncompressed RIFF/AVI ('vids'/'DIB ' stream,
-'00db' raw-BGR frame chunks — the original Microsoft AVI layout).
-``avi_from_frames`` writes it and ``avi_frames`` parses it for real:
-a RIFF chunk walker + the same bottom-up stride-padded DIB pixel
-reshape the BMP decoder uses. No codec — raw frames — which is the
-honest scope of a pure-numpy environment; a production deployment
-swaps ``avi_frames`` for an ffmpeg-backed frame sampler behind the
-same (id, content) → (id, chash) contract.
+Container: minimal RIFF/AVI. ``avi_from_frames`` writes and
+``avi_frames`` parses two codecs for real: 'DIB ' ('00db' raw-BGR
+frame chunks, the original Microsoft layout — a RIFF chunk walker +
+the same bottom-up stride-padded pixel reshape the BMP decoder uses)
+and 'MJPG' ('00dc' compressed chunks, each frame a standalone
+baseline JPEG decoded by ``operators/jpeg.py`` — the Motion-JPEG
+layout real capture hardware emits). Codecs beyond those (H.264/HEVC)
+still need ffmpeg; a production deployment swaps ``avi_frames`` for
+an ffmpeg-backed frame sampler behind the same (id, content) →
+(id, chash) contract.
 
 Pipeline shape on Spark: decode + dHash runs in Arrow-batched
 ``mapInPandas`` emitting (id, chash) rows; matching is the shared
@@ -45,20 +47,35 @@ from pyspark.sql import DataFrame
 from .multimodal import chunk_pair_join, dhash64, sniff_modality
 
 
-def avi_from_frames(frames: "object", *, fps: int = 10) -> bytes:
+def avi_from_frames(
+    frames: "object", *, fps: int = 10, codec: str = "DIB"
+) -> bytes:
     """Serialize an (n, h, w, 3) uint8 BGR array as a minimal valid
-    uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh,
-    strf}} → LIST(movi){'00db' raw DIB frame ×n}. Frames are stored
-    exactly like BMP pixel data (bottom-up rows, 4-byte stride)."""
+    AVI: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh, strf}} →
+    LIST(movi){frame chunks ×n}. ``codec='DIB'`` stores raw
+    uncompressed frames ('00db' chunks, exactly BMP pixel layout:
+    bottom-up rows, 4-byte stride); ``codec='MJPG'`` stores each frame
+    as a baseline JPEG ('00dc' compressed chunks — the Motion-JPEG
+    layout real capture hardware emits), encoded by
+    ``operators/jpeg.py``."""
     import numpy as np
 
     n, h, w = frames.shape[:3]
     stride = (w * 3 + 3) // 4 * 4
     frame_bytes = []
-    for k in range(n):
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = frames[k].reshape(h, w * 3)
-        frame_bytes.append(rows[::-1].tobytes())
+    if codec == "MJPG":
+        from .jpeg import jpeg_from_pixels
+
+        for k in range(n):
+            # frames carry BGR (the BMP/DIB convention); JPEG is RGB
+            frame_bytes.append(jpeg_from_pixels(frames[k][..., ::-1]))
+    elif codec == "DIB":
+        for k in range(n):
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = frames[k].reshape(h, w * 3)
+            frame_bytes.append(rows[::-1].tobytes())
+    else:
+        raise ValueError(f"unsupported AVI codec {codec!r}")
     fsize = stride * h
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -84,7 +101,7 @@ def avi_from_frames(frames: "object", *, fps: int = 10) -> bytes:
     )
     strh = (
         b"vids"
-        + b"DIB "
+        + (b"MJPG" if codec == "MJPG" else b"DIB ")
         + struct.pack("<IHHIIIIIIII4h", 0, 0, 0, 0, 1, fps, 0, n, fsize,
                       0xFFFFFFFF, 0, 0, 0, w, h)
     )
@@ -96,15 +113,18 @@ def avi_from_frames(frames: "object", *, fps: int = 10) -> bytes:
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    tag = b"00dc" if codec == "MJPG" else b"00db"
+    movi = lst(b"movi", b"".join(chunk(tag, fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def avi_frames(payload: bytes) -> "object":
-    """REAL decode of the minimal uncompressed AVI: RIFF chunk walk →
-    (width, height) from avih → every '00db' chunk reshaped from
-    bottom-up stride-padded BGR rows. Returns (n, h, w, 3) uint8."""
+    """REAL decode of the minimal AVI: RIFF chunk walk → (width,
+    height) from avih → every '00db' chunk reshaped from bottom-up
+    stride-padded BGR rows, every '00dc' chunk decoded as a
+    Motion-JPEG frame (operators/jpeg.py). Returns (n, h, w, 3)
+    uint8 BGR."""
     import numpy as np
 
     if sniff_modality(payload) != "avi":
@@ -135,6 +155,16 @@ def avi_frames(payload: bytes) -> "object":
                     .reshape(h, w, 3)
                 )
                 frames.append(px[::-1])
+            elif fourcc == b"00dc":
+                # compressed frame chunk: Motion-JPEG (each frame a
+                # standalone baseline JPEG — decoded by operators/jpeg)
+                from .jpeg import jpeg_pixels
+
+                data = payload[data_off : data_off + size]
+                if data[:3] != b"\xff\xd8\xff":
+                    raise ValueError("unsupported compressed AVI codec")
+                rgb = jpeg_pixels(data)
+                frames.append(rgb[..., ::-1])  # contract is BGR
             off = data_off + size + (size % 2)
 
     walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])

@@ -303,3 +303,84 @@ def test_jpeg_dispatch_and_dhash_robustness(spark):
     hashes = {r.id: r.dhash for r in image_dhash(hdf).collect()}
     ham = bin(hashes[0] ^ hashes[1]).count("1")
     assert ham <= 6, ham
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI ('00dc' compressed frame chunks)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_frames(n=4, h=16, w=24):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            np.clip(
+                np.stack(
+                    [
+                        128 + 60 * np.sin(2 * np.pi * (xx + 3 * k) / w),
+                        100 + 50 * np.cos(2 * np.pi * yy / h),
+                        np.full((h, w), 80 + 10 * k, dtype=float),
+                    ],
+                    axis=-1,
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            for k in range(n)
+        ]
+    )
+
+
+def test_mjpeg_avi_roundtrip_is_quantization_bounded():
+    from onechronos_etl_takehome_spark.operators.video import (
+        avi_frames,
+        avi_from_frames,
+    )
+
+    frames = _smooth_frames()
+    dib = avi_from_frames(frames, codec="DIB")
+    mjpg = avi_from_frames(frames, codec="MJPG")
+    assert (avi_frames(dib) == frames).all()  # raw stays exact
+    got = avi_frames(mjpg)
+    err = np.abs(got.astype(int) - frames.astype(int))
+    assert got.shape == frames.shape and err.mean() < 6 and err.max() <= 30
+
+
+def test_mjpeg_avi_frame_dhashes_match_raw():
+    """Perceptual frame hashes survive the MJPEG re-encode: every
+    frame's dHash lands within a small Hamming distance of the raw
+    encode's — the property the m10 containment join needs to match a
+    re-encoded upload against the original."""
+    from onechronos_etl_takehome_spark.operators.video import (
+        avi_from_frames,
+        frame_dhashes,
+    )
+
+    frames = _smooth_frames(n=5)
+    raw = frame_dhashes(avi_from_frames(frames, codec="DIB"))
+    mj = frame_dhashes(avi_from_frames(frames, codec="MJPG"))
+    assert len(mj) == len(raw)
+    # sets are sorted numerically, not temporally — match each raw
+    # hash to its nearest re-encoded hash; random 64-bit pairs expect
+    # Hamming ~32, so <=12 is a decisive perceptual match
+    for a in raw:
+        best = min(bin(a ^ b).count("1") for b in mj)
+        assert best <= 12, hex(a)
+
+
+def test_avi_unknown_compressed_codec_raises():
+    from onechronos_etl_takehome_spark.operators.video import (
+        avi_frames,
+        avi_from_frames,
+    )
+
+    frames = _smooth_frames(n=1)
+    mjpg = avi_from_frames(frames, codec="MJPG")
+    # corrupt the JPEG magic inside the 00dc chunk → ValueError
+    bad = mjpg.replace(b"00dc", b"00dc", 1)
+    idx = bad.index(b"\xff\xd8\xff", 12)
+    bad = bad[:idx] + b"\x00\x00\x00" + bad[idx + 3 :]
+    with pytest.raises(ValueError):
+        avi_frames(bad)
+    with pytest.raises(ValueError):
+        avi_from_frames(frames, codec="H264")
