@@ -174,6 +174,8 @@ HEADLINE = [
     # partition-pruned scan over the Hive-partitioned layout (rep 1
     # pays the one-time partitionBy write; the min is the pruned scan)
     "x32_partition_pruned_scan",
+    # mergeSchema read over a two-generation (column-added) layout
+    "x33_schema_evolution_read",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

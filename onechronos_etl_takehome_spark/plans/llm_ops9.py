@@ -472,3 +472,47 @@ def x32_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 14, 2)).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x33 — schema-evolution read (mergeSchema over a column-added layout)
+# ---------------------------------------------------------------------------
+
+_X33_CUT = "2024-01-16"  # files before this date predate the 'value' column
+
+_X33_ORACLE = f"""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_X33_CUT}'
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_legacy,
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_X33_CUT}'
+                    THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE)
+        AS sum_value
+    FROM events
+    GROUP BY event_type
+    """
+
+
+@register("x33_schema_evolution_read", oracle=_X33_ORACLE)
+def x33_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution, the lakehouse way: the events table is
+    re-materialized as two parquet generations — files BEFORE the
+    cutover predate the ``value`` column (it simply isn't in their
+    schema), files after carry it — and read back through ONE
+    ``mergeSchema`` scan, which back-fills the missing column with
+    NULLs. The aggregation proves the semantics: legacy-file rows
+    count into ``n_legacy`` and contribute NULL (not 0) to
+    ``sum_value``, matching the oracle's recomputation from the
+    unsplit source. At 100 TB this is how a new column ships without
+    rewriting years of history."""
+    pin_semantics(spark)
+    from ..sources.partitioned import evolved_events
+
+    ev = evolved_events(spark, sf_dir, cutover=_X33_CUT)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").isNull().cast("long"))
+        .cast("long")
+        .alias("n_legacy"),
+        F.sum(dec("value", 14, 2)).cast("double").alias("sum_value"),
+    )

@@ -60,3 +60,35 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_partitioned(ev, path, partition_by=["event_date"])
             _LAYOUT_CACHE[key] = path
     return spark.read.parquet(path)
+
+
+_EVOLVED_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def evolved_events(
+    spark: SparkSession, sf_dir: str, *, cutover: str
+) -> DataFrame:
+    """Events as a two-generation parquet layout: rows with
+    ``to_date(ts) < cutover`` are written WITHOUT the ``value`` column
+    (the pre-evolution schema), the rest with it; read back through
+    one ``mergeSchema`` scan, which null-fills the legacy files.
+    Written once per (application, sf_dir, cutover) — same uuid-scoped
+    concurrency discipline as :func:`partitioned_events`."""
+    from .tables import load_table
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), cutover)
+    with _LAYOUT_LOCK:
+        path = _EVOLVED_CACHE.get(key)
+        if path is None or not os.path.exists(path):
+            path = f"/tmp/spark_graft_evo_{key[0]}_{uuid.uuid4().hex[:12]}"
+            ev = load_table(spark, sf_dir, "events")
+            cut = F.lit(cutover).cast("date")
+            legacy = ev.filter(F.to_date("ts") < cut).drop("value")
+            legacy.write.mode("overwrite").parquet(f"{path}/gen=1")
+            ev.filter(F.to_date("ts") >= cut).write.mode("overwrite").parquet(
+                f"{path}/gen=2"
+            )
+            _EVOLVED_CACHE[key] = path
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )

@@ -510,3 +510,29 @@ def test_compaction_execute_end_to_end(spark, tmp_path):
     a = sorted(map(tuple, before.select("event_id", "value").collect()))
     b = sorted(map(tuple, after.select("event_id", "value").collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# x33 schema-evolution read
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_nullfills_legacy_files(spark):
+    """The mergeSchema scan must expose 'value' on legacy-file rows as
+    NULL (never 0), and the two-generation layout must really have
+    divergent physical schemas on disk."""
+    from onechronos_etl_takehome_spark.sources.partitioned import (
+        evolved_events,
+    )
+
+    ev = evolved_events(spark, SF, cutover="2024-01-16")
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    assert ev.count() == src.count()
+    legacy = ev.filter(F.to_date("ts") < F.lit("2024-01-16").cast("date"))
+    modern = ev.filter(F.to_date("ts") >= F.lit("2024-01-16").cast("date"))
+    assert legacy.filter(F.col("value").isNotNull()).count() == 0
+    assert modern.filter(F.col("value").isNull()).count() == 0
+    # physical divergence: gen=1 files lack the column entirely
+    gen1 = sorted({f for f in ev.inputFiles() if "/gen=1/" in f})
+    assert gen1
+    assert "value" not in spark.read.parquet(gen1[0]).columns
