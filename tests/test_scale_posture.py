@@ -108,9 +108,16 @@ def test_t08_builds_without_driver_actions(spark):
     tracker = spark.sparkContext._jsc.sc().statusTracker()
 
     def jobs_to_build(name):
-        before = len(tracker.getJobIdsForGroup(None))
-        QUERIES[name](spark, SF)
-        return len(tracker.getJobIdsForGroup(None)) - before
+        # min of two measurements: an async job leaked by an earlier
+        # test (checkpoint cleanup, listener flush) can land between
+        # the counters and inflate a single reading — construction
+        # itself is deterministic, so the min is the true count
+        counts = []
+        for _ in range(2):
+            before = len(tracker.getJobIdsForGroup(None))
+            QUERIES[name](spark, SF)
+            counts.append(len(tracker.getJobIdsForGroup(None)) - before)
+        return min(counts)
 
     baseline = jobs_to_build("t01_text_quality")
     assert jobs_to_build("t08_salient_terms") == baseline
