@@ -94,12 +94,17 @@ DRIVER_WINDOW: list[str] = [
     # Similarity search, multimodal, event-time windows, sketches.
     # x03 (oracled heavy hitters) witnesses sketches instead of the
     # rows-only x02 — stronger evidence for the same capability class.
-    # s03 (trained IVF) and x01 (HLL++ sketches) are rows-only BECAUSE
+    # s09 (IVF-PQ) and x01 (HLL++ sketches) are rows-only BECAUSE
     # SQL can't express them (recall<1 approximate search;
     # engine-specific sketch), not for convenience — the capability
-    # witness is the point.
+    # witness is the point. Round 6d: s09 replaces s03 in-window —
+    # the IVFADC composition runs s03's trained cluster routing AND
+    # s05's PQ code scoring inside one query (strictly the stronger
+    # witness of the same rows-only ANN class; s03/s05 stay
+    # recall-bounded in the gate, tests/test_sketches.py and
+    # tests/test_round6b_ops.py).
     "s07_hybrid_rrf",
-    "s03_cosine_topk_ivf",
+    "s09_cosine_topk_ivfpq",
     "s06_quantize_embeddings",
     "m04_binary_chunk_neardup",
     "e01_hourly_event_windows",
