@@ -176,6 +176,8 @@ HEADLINE = [
     "x32_partition_pruned_scan",
     # mergeSchema read over a two-generation (column-added) layout
     "x33_schema_evolution_read",
+    # cross-codec video near-dup: MJPEG decode + banded-Hamming frames
+    "m12_crosscodec_video_neardup",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -322,3 +322,151 @@ def demo_noisy_video_payloads(
             )
 
     return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def video_match_pairs_tolerant(
+    payloads: DataFrame,
+    *,
+    max_hamming: int = 7,
+    bands: int = 8,
+    min_containment: float = 0.6,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Cross-CODEC video near-dup: (id_a < id_b, shared_frames, n_a,
+    n_b, containment) where frames match within ``max_hamming`` bits
+    of dHash instead of exactly.
+
+    The tolerant sibling of :func:`video_match_pairs`: a lossy
+    re-encode (MJPEG of the same footage) perturbs every frame hash by
+    a few bits, so the exact containment join sees ~zero shared
+    hashes; here frame pairs come from banded pigeonhole blocking over
+    the 64-bit hash (the m08/d04 scheme — lossless for ``max_hamming
+    <= bands-1``; the default 8×8-bit bands tolerates 7 bits, sized to
+    measured JPEG dHash drift) and verify with one JVM popcount.
+    Containment counts each of the smaller video's frames at most once
+    (distinct matched hashes / min(n_a, n_b)).
+
+    Scale posture: candidates are equality joins on (chunk_idx,
+    8-bit value) — narrower chunks mean denser postings than m08's
+    16-bit bands, so at corpus scale set ``max_chunk_df`` to cap
+    ubiquitous chunk buckets (black frames, title cards), exactly the
+    posting-cap lever of the exact form's ``max_hash_df``.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded blocking is lossless only for max_hamming <= "
+            f"bands-1 ({bands - 1}); got {max_hamming}"
+        )
+    from pyspark.sql import functions as F
+
+    fp = video_fingerprints(payloads)  # (id, chash), distinct per video
+    sizes = fp.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("chash", width * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
+            )
+            for i in range(bands)
+        ]
+    )
+    sig = fp.select("id", "chash", F.explode(chunks).alias("c")).select(
+        "id", "chash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    if max_chunk_df is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("ci", "cv").orderBy("id", "chash")
+        sig = (
+            sig.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_chunk_df)
+            .drop("_rn")
+        )
+    a, b = sig.alias("a"), sig.alias("b")
+    ver = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.chash").alias("_ha"),
+            F.col("b.chash").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b", "_ha", "_hb"])
+        .filter(
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            )
+            <= max_hamming
+        )
+    )
+    matched = ver.groupBy("id_a", "id_b").agg(
+        F.count_distinct("_ha").cast("long").alias("shared_frames")
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        matched.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("shared_frames").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "shared_frames", "n_a", "n_b", "containment")
+    )
+
+
+def demo_crosscodec_video_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, n_frames: int = 8
+) -> DataFrame:
+    """Cross-codec near-dup fixture: paired ids share a scene; the
+    even member is the raw-DIB AVI, the odd member is the SAME footage
+    re-encoded as Motion-JPEG with the lead frame trimmed — bytes and
+    frame hashes both drift (JPEG quantization IS the perturbation),
+    so only hash-tolerant matching can pair them."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .util import spread
+
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                scene = i // (2 * modulus)
+                frames = [_scene_frame(scene, k) for k in range(n_frames)]
+                if (i // modulus) % 2 == 1:
+                    content.append(
+                        avi_from_frames(
+                            np.stack(frames[1:]), codec="MJPG"
+                        )
+                    )
+                else:
+                    content.append(avi_from_frames(np.stack(frames)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["video"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")

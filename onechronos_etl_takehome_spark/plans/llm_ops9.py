@@ -516,3 +516,30 @@ def x33_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_legacy"),
         F.sum(dec("value", 14, 2)).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m12 — cross-codec video near-dup (rows-only: RIFF/JPEG parsing)
+# ---------------------------------------------------------------------------
+
+
+@register("m12_crosscodec_video_neardup")  # container+codec decode → rows-only
+def m12_crosscodec_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec video near-dup: each planted twin is the SAME
+    footage re-encoded as Motion-JPEG (trimmed lead frame) — JPEG
+    quantization perturbs every frame dHash by a few bits, so m10's
+    exact containment join finds ZERO pairs (asserted in the gate)
+    while the banded-Hamming frame matching
+    (``operators/video.py:video_match_pairs_tolerant``, 8×8-bit
+    pigeonhole bands, lossless to 7 bits) recovers exactly the planted
+    twins at containment ≥ 0.85. The detector a real platform needs:
+    re-uploads never come back in the original codec. Rows-only BY
+    DESIGN (SQL cannot parse RIFF containers or JPEG entropy streams);
+    pinned by the exact-vs-tolerant contrast + planted-twin recovery
+    in tests/test_round6c_ops.py."""
+    from ..operators import video as vid
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = vid.demo_crosscodec_video_payloads(docs, "doc_id")
+    return vid.video_match_pairs_tolerant(payloads, min_containment=0.6)

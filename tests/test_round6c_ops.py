@@ -19,6 +19,7 @@ from onechronos_etl_takehome_spark.operators.multimodal import (
 )
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
+SF = "/root/testdata/sf0.001"
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -384,3 +385,42 @@ def test_avi_unknown_compressed_codec_raises():
         avi_frames(bad)
     with pytest.raises(ValueError):
         avi_from_frames(frames, codec="H264")
+
+
+# ---------------------------------------------------------------------------
+# m12 cross-codec video near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_crosscodec_twins_found_only_by_tolerant_matcher(spark):
+    """The planted MJPEG re-encodes defeat exact frame-hash
+    containment (m10's join) and are recovered — all of them, and
+    nothing else — by the banded-Hamming tolerant matcher."""
+    from onechronos_etl_takehome_spark.operators import video as vid
+    from onechronos_etl_takehome_spark.session import pin_semantics
+
+    pin_semantics(spark)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pay = vid.demo_crosscodec_video_payloads(docs, "doc_id")
+    assert vid.video_match_pairs(pay, min_containment=0.6).count() == 0
+    rows = vid.video_match_pairs_tolerant(pay, min_containment=0.6).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    want = {(40 * g, 40 * g + 10) for g in range(13)} | {
+        (40 * g + 20, 40 * g + 30) for g in range(12)
+    }
+    assert got == want
+    for r in rows:
+        assert r.containment >= 0.6 and r.n_b == r.n_a - 1
+    # aggregate quality: most twins match nearly every surviving frame
+    # (an occasional high-detail frame drifts past the 7-bit radius)
+    strong = sum(1 for r in rows if r.containment >= 0.85)
+    assert strong >= len(rows) * 0.8, (strong, len(rows))
+
+
+def test_tolerant_matcher_rejects_lossy_radius(spark):
+    from onechronos_etl_takehome_spark.operators import video as vid
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pay = vid.demo_crosscodec_video_payloads(docs, "doc_id")
+    with pytest.raises(ValueError):
+        vid.video_match_pairs_tolerant(pay, max_hamming=9, bands=8)
