@@ -240,7 +240,7 @@ def contamination_stats(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_contaminated"),
-            # F.size is int32; counts are BIGINT cross-engine (CLAUDE.md)
+            # F.size is int32; counts are BIGINT cross-engine (functions/exact.py)
             F.min("_n").cast("long").alias("n_shingles"),
         )
         .select(
