@@ -196,6 +196,8 @@ CANDIDATE_QUERIES = {
     # media family (round 6): banded-Hamming / inverted-index pairs
     "m08_image_dhash_neardup",
     "m10_video_neardup",
+    # round 7: the tolerant cross-codec frame join gets its own count
+    "m12_crosscodec_video_neardup",
 }
 
 # Fuzzy-dedup / ANN paths probed on a 10× corpus (see
@@ -223,6 +225,14 @@ SCALE_PROBES = [
     # m08's decode regime and m10's join machinery, so it stays 1×.
     "m08_image_dhash_neardup",
     "m10_video_neardup",
+    # round 7: m12 — the most expensive 1× catalog entry (16 python
+    # stages of pure-numpy JPEG entropy decode per MJPEG frame) gets
+    # scaling evidence: decode is embarrassingly parallel across
+    # Arrow batches, so wall should grow ~linearly and the tolerant
+    # banded-Hamming candidate count rides the same per-copy scene
+    # disjointness as m08/m10 (plus the same documented cross-copy
+    # 8-bit-chunk birthday term — see the m08 decomposition below).
+    "m12_crosscodec_video_neardup",
     # segment dedup: per-copy word tags keep copies' segment universes
     # disjoint, so segments (and wall) should scale exactly ×copies
     "t25_segment_dedup",
@@ -423,6 +433,57 @@ def _scaled_llm_inputs(
     return out
 
 
+def _m08_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
+    """(within_copy, cross_copy) candidate counts of m08's banded
+    dHash join over the 10× image fixture. Copy identity is the bench
+    fixture's 10M doc_id block (``_scaled_llm_inputs`` OFF), so the
+    decomposition lives here, not in the operator: within-copy pairs
+    replicate the 1× structure exactly ×copies (linearity pin), the
+    cross-copy remainder is the banded-blocking birthday term."""
+    from pyspark.sql import functions as F
+
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+    hashed = mm.image_dhash(mm.demo_noisy_image_payloads(docs, "doc_id"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("dhash", 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for i in range(4)
+        ]
+    )
+    sig = hashed.select("id", F.explode(chunks).alias("c")).select(
+        "id", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    row = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.floor(F.col("id_a") / 10_000_000)
+                    != F.floor(F.col("id_b") / 10_000_000)
+                ).cast("long")
+            ).alias("cross"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"] - row["cross"]), int(row["cross"])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -501,6 +562,34 @@ def main() -> None:
         if timings.get(name, 0) > 0:
             ratio = round(timings[f"{name}_10x"] / timings[name], 1)
             print(f"scale10x {name}: {ratio}x its 1x time", file=sys.stderr)
+
+    # m08's 10× candidate TOTAL grows superlinearly (round-6 flag:
+    # 286 → 5,440 = 19×) while its verified pair count stays ~linear —
+    # adjudicated in round 7: the excess is entirely CROSS-COPY
+    # collisions between unrelated scenes (the C(N,2)/2^16-per-band
+    # birthday term of 16-bit banded blocking, amplified by
+    # non-uniform perceptual-hash bits), NOT fixture contamination.
+    # Decompose and pin every round: within-copy candidates (ids in
+    # the same 10M block) must stay ~linear vs the 1× count; the
+    # cross-copy remainder is the documented birthday term whose
+    # 100-TB levers are the posting cap / wider bands (operator
+    # docstring). Round-7 measurement: within 2,842 = 9.9×, cross
+    # 2,598, verified 245 → 2,410 = 9.8×.
+    m08_split = _m08_candidate_split(spark, llm10)
+    candidate_counts["m08_image_dhash_neardup_10x_within_copy"] = m08_split[0]
+    candidate_counts["m08_image_dhash_neardup_10x_cross_copy"] = m08_split[1]
+    if (
+        timings.get("m08_image_dhash_neardup", 0) > 0
+        and candidate_counts.get("m08_image_dhash_neardup", 0) > 0
+    ):
+        w_ratio = m08_split[0] / candidate_counts["m08_image_dhash_neardup"]
+        verdict = "linear OK" if w_ratio <= 13.0 else "NONLINEAR — scale bug"
+        print(
+            f"m08 10x candidates: within-copy {m08_split[0]} "
+            f"({w_ratio:.1f}x of 1x; {verdict}), cross-copy birthday "
+            f"term {m08_split[1]}",
+            file=sys.stderr,
+        )
 
     # 100× embeddings (500k × 64): the GEMM-vs-interpreted crossover.
     # At sf0.1's 5k vectors every similarity query is python-worker /

@@ -170,6 +170,9 @@ class _BitWriter:
             if byte == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
             self.n -= 8
+        # drop emitted high bits — otherwise every shift above is
+        # O(bytes written so far) and encode goes quadratic
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:
@@ -197,7 +200,7 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
-        self.acc = (self.acc << 8) | b
+        self.acc = ((self.acc << 8) | b) & ((1 << (self.n + 8)) - 1)
         self.n += 8
 
     def bit(self) -> int:
@@ -343,10 +346,21 @@ def jpeg_from_pixels(px: np.ndarray) -> bytes:
 
 def jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline 4:4:4 (or grayscale) JPEG to (h, w, 3) uint8
-    RGB. Raises ValueError on non-JPEG magic and unsupported variants
-    (progressive, subsampled, restart markers, 12-bit)."""
+    RGB. Raises ValueError on non-JPEG magic, unsupported variants
+    (progressive, subsampled, restart markers, 12-bit), AND any
+    truncated/corrupt payload — callers rely on ValueError being the
+    only decode failure mode (the fall-to-stub contract)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    try:
+        return _jpeg_pixels_checked(payload)
+    except (IndexError, struct.error, KeyError) as e:
+        # truncated marker segments / missing huffman tables surface as
+        # raw container errors from the walk below — normalize them
+        raise ValueError(f"corrupt JPEG payload: {type(e).__name__}: {e}")
+
+
+def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}

@@ -1,0 +1,288 @@
+"""ISO BMFF (MP4) container codec in pure stdlib + numpy — the last
+media container de-stub.
+
+Scope (exactly what the fixtures and the cross-container near-dup
+family need, honestly documented):
+
+- **Writer** (``mp4_from_frames``): a minimal standards-conformant
+  ISO/IEC 14496-12 file — ``ftyp`` (isom) → ``mdat`` (concatenated
+  samples) → ``moov`` with a full sample-table suite (``stsd stts
+  stsc stsz stco``), one video track whose samples are baseline JPEGs
+  from ``operators/jpeg.py`` (the ``'jpeg'`` VisualSampleEntry —
+  Motion-JPEG-in-MP4, the layout QuickTime and capture pipelines
+  emit). The output is a REAL .mp4 any external player can open.
+- **Parser** (``mp4_frames``): a real box walk — top-level boxes →
+  ``moov`` → each ``trak`` → ``hdlr`` (video tracks only) → ``stbl``,
+  then the FULL sample-location algorithm of the spec: ``stsc`` runs
+  (sample-to-chunk mapping) × ``stco``/``co64`` chunk offsets ×
+  ``stsz`` sample sizes resolve every sample to an absolute byte
+  range, each decoded by the pure-numpy JPEG codec. Codecs beyond
+  MJPEG (``avc1``/``hvc1``/``mp4v``) raise ValueError — a production
+  deployment swaps the sample decoder for ffmpeg behind the same
+  contract, exactly the ``avi_frames`` note in ``operators/video.py``.
+
+Corrupt/truncated payloads raise ValueError only (the fall-to-stub
+contract every decoder in this package honors — one bad upload must
+never crash a 100-TB scan).
+
+At Spark level MP4 rides the SAME Arrow-batched fingerprint stage as
+AVI (``video.video_fingerprints`` sniffs the container per payload),
+so a mixed .avi/.mp4 corpus flows through ONE binaryFile scan and one
+decode stage — the m13 catalog row is the witness.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def mp4_from_frames(frames: "object", *, fps: int = 10) -> bytes:
+    """Serialize an (n, h, w, 3) uint8 BGR array as a minimal valid
+    MP4 with one Motion-JPEG video track (``'jpeg'`` sample entry).
+    BGR input mirrors ``avi_from_frames`` so the two writers are
+    drop-in container swaps of the same footage."""
+    from .jpeg import jpeg_from_pixels
+
+    n, h, w = frames.shape[:3]
+    samples = [jpeg_from_pixels(frames[k][..., ::-1]) for k in range(n)]
+    sizes = [len(s) for s in samples]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    # mdat directly after ftyp → first sample's absolute offset is
+    # len(ftyp) + 8 (the mdat header); all samples land in ONE chunk.
+    mdat = _box(b"mdat", b"".join(samples))
+    chunk_off = len(ftyp) + 8
+
+    # ---- moov ----------------------------------------------------
+    timescale = 1000
+    duration = n * timescale // fps
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)  # times
+        + struct.pack(">iHH", 0x00010000, 0x0100, 0)  # rate, volume
+        + b"\x00" * 8  # reserved
+        + struct.pack(  # identity matrix (16.16 / 2.30 fixed)
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        3,  # enabled + in movie
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed dims
+    )
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, fps, n)  # media timescale=fps → Δ=1
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full_box(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    # VisualSampleEntry for 'jpeg' (ISO 14496-12 §12.1.3)
+    entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)  # reserved
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _iter_boxes(payload: bytes, off: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the sibling boxes in
+    [off, end); handles 64-bit largesize boxes. Malformed sizes raise
+    ValueError (never walk past the buffer or loop forever)."""
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", payload, off)[0]
+        fourcc = payload[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            if off + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack_from(">Q", payload, off + 8)[0]
+            body = off + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+        if size < body - off or off + size > end:
+            raise ValueError(f"box {fourcc!r} overruns its container")
+        yield fourcc, body, off + size
+        off += size
+
+
+def _find(payload: bytes, off: int, end: int, fourcc: bytes):
+    for fc, b, e in _iter_boxes(payload, off, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def mp4_frames(payload: bytes) -> "object":
+    """REAL decode of an MJPEG MP4: box walk → video trak → sample
+    table → per-sample JPEG decode. Returns (n, h, w, 3) uint8 BGR
+    (the ``avi_frames`` contract, so fingerprinting is container-
+    agnostic). ValueError on non-MP4 magic, non-MJPEG codecs, and any
+    truncated/corrupt structure."""
+    import numpy as np
+
+    from .jpeg import jpeg_pixels
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    try:
+        frames = _mp4_frames_checked(payload, jpeg_pixels, np)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt MP4 payload: {type(e).__name__}: {e}")
+    if not frames:
+        raise ValueError("MP4 has no decodable video samples")
+    return np.stack(frames)
+
+
+def _mp4_frames_checked(payload: bytes, jpeg_pixels, np) -> list:
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    frames: list = []
+    for fc, tb, te in _iter_boxes(payload, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(payload, *mdia, b"minf")
+        stbl = minf and _find(payload, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("video trak missing stbl")
+        stsd = _find(payload, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("stbl missing stsd")
+        codec = payload[stsd[0] + 12 : stsd[0] + 16]
+        if codec not in (b"jpeg", b"mjpa", b"MJPG"):
+            raise ValueError(
+                f"unsupported MP4 codec {codec!r} (MJPEG only; AVC/HEVC "
+                "need ffmpeg)"
+            )
+        sizes = _parse_stsz(payload, stbl)
+        offsets = _parse_chunk_offsets(payload, stbl)
+        runs = _parse_stsc(payload, stbl)
+        # resolve every sample to an absolute byte range: walk chunks
+        # in order, each chunk's samples laid out back-to-back from
+        # its stco offset, samples-per-chunk given by the active stsc
+        # run (a run covers [first_chunk, next run's first_chunk)).
+        si = 0
+        for ci in range(len(offsets)):
+            spc = _samples_in_chunk(runs, ci + 1)
+            pos = offsets[ci]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                data = payload[pos : pos + sizes[si]]
+                if len(data) != sizes[si]:
+                    raise ValueError("sample overruns mdat")
+                rgb = jpeg_pixels(data)
+                frames.append(rgb[..., ::-1])  # contract is BGR
+                pos += sizes[si]
+                si += 1
+    return frames
+
+
+def _parse_stsz(payload: bytes, stbl) -> list[int]:
+    stsz = _find(payload, *stbl, b"stsz")
+    if stsz is None:
+        raise ValueError("stbl missing stsz")
+    b = stsz[0]
+    fixed, count = struct.unpack_from(">II", payload, b + 4)
+    if fixed:
+        return [fixed] * count
+    return list(struct.unpack_from(f">{count}I", payload, b + 12))
+
+
+def _parse_chunk_offsets(payload: bytes, stbl) -> list[int]:
+    stco = _find(payload, *stbl, b"stco")
+    if stco is not None:
+        b = stco[0]
+        count = struct.unpack_from(">I", payload, b + 4)[0]
+        return list(struct.unpack_from(f">{count}I", payload, b + 8))
+    co64 = _find(payload, *stbl, b"co64")
+    if co64 is None:
+        raise ValueError("stbl missing stco/co64")
+    b = co64[0]
+    count = struct.unpack_from(">I", payload, b + 4)[0]
+    return list(struct.unpack_from(f">{count}Q", payload, b + 8))
+
+
+def _parse_stsc(payload: bytes, stbl) -> list[tuple[int, int]]:
+    stsc = _find(payload, *stbl, b"stsc")
+    if stsc is None:
+        raise ValueError("stbl missing stsc")
+    b = stsc[0]
+    count = struct.unpack_from(">I", payload, b + 4)[0]
+    runs = []
+    for i in range(count):
+        first, spc, _desc = struct.unpack_from(">III", payload, b + 8 + 12 * i)
+        runs.append((first, spc))
+    if not runs or runs[0][0] != 1:
+        raise ValueError("stsc must start at chunk 1")
+    return runs
+
+
+def _samples_in_chunk(runs: list[tuple[int, int]], chunk_no: int) -> int:
+    spc = runs[0][1]
+    for first, n in runs:
+        if first <= chunk_no:
+            spc = n
+        else:
+            break
+    return spc

@@ -220,8 +220,9 @@ def _decode_wav(payload: bytes, n_features: int) -> list[float]:
 
 
 def sniff_modality(payload: bytes) -> str:
-    """Container sniff by magic bytes: 'bmp' / 'png' / 'wav' / 'avi'
-    decode for real; anything else is 'opaque' (stub or raise)."""
+    """Container sniff by magic bytes: 'bmp' / 'png' / 'jpeg' / 'wav'
+    / 'avi' / 'mp4' decode for real; anything else is 'opaque' (stub
+    or raise)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -232,6 +233,8 @@ def sniff_modality(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "opaque"
 
 
@@ -711,12 +714,15 @@ def decode_features(
     """Feature-extraction stage over opaque binary payloads.
 
     Per-payload magic-byte sniff: BMP, PNG (stdlib-zlib inflate +
-    per-row unfilter — a REAL compressed format) and 16-bit-PCM WAV
-    decode FOR REAL (pure numpy — see ``_decode_bmp`` / ``_decode_png``
-    / ``_decode_wav``); other containers fall to the deterministic
-    stub, or raise NotImplementedError under
-    ``require_real_decoder=True`` (JPEG/MP4 need PIL/ffmpeg, which
-    this environment doesn't ship). The ``decoder`` output column says
+    per-row unfilter — a REAL compressed format), baseline JPEG (the
+    pure-numpy huffman + IDCT codec in ``operators/jpeg.py``), MJPEG
+    MP4 (the ISO-BMFF box walk in ``operators/mp4.py`` — features of
+    the lead frame) and 16-bit-PCM WAV decode FOR REAL (see
+    ``_decode_bmp`` / ``_decode_png`` / ``_decode_jpeg`` /
+    ``_decode_mp4`` / ``_decode_wav``); the remaining variants
+    (AVC/HEVC sample codecs, progressive/subsampled JPEG) fall to
+    the deterministic stub, or raise NotImplementedError under
+    ``require_real_decoder=True``. The ``decoder`` output column says
     which path each row took.
     """
 
@@ -726,6 +732,7 @@ def decode_features(
         "bmp": _decode_bmp,
         "png": _decode_png,
         "jpeg": _decode_jpeg,
+        "mp4": _decode_mp4,
         "wav": _decode_wav,
     }
 
@@ -741,7 +748,8 @@ def decode_features(
         if require_real_decoder:
             raise NotImplementedError(
                 "payload is not a self-decodable format (BMP/PNG/JPEG/"
-                "WAV) and real media decoders (PIL/ffmpeg) are not installed"
+                "MJPEG-MP4/WAV) and real media decoders (PIL/ffmpeg) "
+                "are not installed"
             )
         return "stub", _fake_decode(b, n_features)
 
@@ -1323,6 +1331,23 @@ def _decode_jpeg(payload: bytes, n_features: int) -> list[float]:
 
     return _image_features_rgb(
         jpeg_pixels(payload).astype(np.float64), n_features
+    )
+
+
+def _decode_mp4(payload: bytes, n_features: int) -> list[float]:
+    """REAL decode of an MJPEG MP4 (ISO-BMFF box walk + sample-table
+    resolution in ``operators/mp4.py``): features of the LEAD frame —
+    the still-image signature convention for video containers (a
+    thumbnail-grade layout fingerprint; full frame-set matching is
+    the video_fingerprints path)."""
+    import numpy as np
+
+    from .mp4 import mp4_frames
+
+    # frames come back BGR (the avi_frames contract) → flip for the
+    # shared RGB feature extractor
+    return _image_features_rgb(
+        mp4_frames(payload)[0][..., ::-1].astype(np.float64), n_features
     )
 
 

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .util import truncate_lineage
+
 
 def prefix_sum(
     df: DataFrame,
@@ -45,6 +47,7 @@ def prefix_sum(
     n_buckets: int = 32,
     tiebreak_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """Add ``out`` = inclusive prefix sum of ``value_col`` in
     ``(key_col, *tiebreak_cols)`` order. ``key_col`` must be numeric
@@ -65,7 +68,18 @@ def prefix_sum(
     global (one broadcast range aggregate); the offset frame grows to
     |groups|·n_buckets rows — broadcast-small for dimension-like
     group counts, which is the intended regime.
+
+    ``truncate`` (default True): the three internal branches (range
+    aggregate, per-bucket window, bucket totals) each re-execute the
+    input's lineage; when that lineage is expensive (t24's md5/conv
+    priority subtree re-scanned `documents` 12×), the 3× re-derive is
+    the dominant cost at scale, so the input is eagerly
+    lineage-truncated ONCE up front and all three branches read the
+    materialized frame. Pass False only when the input is already a
+    checkpoint/cache leaf (x29 truncates its file inventory itself).
     """
+    if truncate:
+        df = truncate_lineage(df)
     parts = partition_cols or []
     order = [key_col, *(tiebreak_cols or [])]
     key = F.col(key_col)
@@ -136,8 +150,16 @@ def systematic_pps_sample(
     difference — a heavy row can legitimately be drawn into several
     strata, which is exactly PPS-with-replacement semantics.
     """
-    cum = prefix_sum(df, key_col, weight_col, "_cum", n_buckets=n_buckets)
-    total = df.agg(F.sum(weight_col).alias("_total"))
+    cum = truncate_lineage(
+        prefix_sum(df, key_col, weight_col, "_cum", n_buckets=n_buckets)
+    )
+    # non-negative weights → the inclusive cumsum is non-decreasing, so
+    # max(_cum) IS Σweight; aggregating cum (not df) keeps the original
+    # input lineage evaluated exactly once (inside prefix_sum's
+    # truncation), not re-derived for a second total pass — and cum is
+    # itself truncated so the total branch and the selection branch
+    # share ONE window execution
+    total = cum.agg(F.max("_cum").alias("_total"))
     sel_hi = F.expr(f"_cum * {n} div _total")
     sel_lo = F.expr(f"(_cum - {weight_col}) * {n} div _total")
     return (
@@ -173,15 +195,20 @@ def weighted_percentiles(
     (distributed, see ``prefix_sum``), one broadcast total, one tiny
     aggregate per cut. No global window, no sort of the full table.
     """
-    cum = prefix_sum(
-        df,
-        value_col,
-        weight_col,
-        "_cum",
-        n_buckets=n_buckets,
-        tiebreak_cols=tiebreak_cols,
+    cum = truncate_lineage(
+        prefix_sum(
+            df,
+            value_col,
+            weight_col,
+            "_cum",
+            n_buckets=n_buckets,
+            tiebreak_cols=tiebreak_cols,
+        )
     )
-    total = df.agg(F.sum(weight_col).alias("_total"))
+    # max of the inclusive cumsum == Σweight (weights non-negative);
+    # see systematic_pps_sample — one window execution shared by the
+    # total branch and the percentile filter
+    total = cum.agg(F.max("_cum").alias("_total"))
     pcts = F.explode(
         F.array(*[F.lit(int(p)) for p in percentiles])
     ).alias("pct")

@@ -66,10 +66,20 @@ def scd2_apply(
     state_col: str,
     ts_col: str,
     tiebreak_col: str,
+    *,
+    truncate: bool = True,
 ) -> DataFrame:
     """Merge an append batch into an SCD2 dimension built by
     :func:`scd2_build`. Every ``inc`` row must order strictly after
-    the key's open ``valid_from`` (append-only log contract)."""
+    the key's open ``valid_from`` (append-only log contract).
+
+    ``truncate`` (default True) lineage-truncates the kept-changes
+    frame, which fans out into BOTH the close-stamp aggregate and the
+    new-version rows — without the cut each branch re-derives the
+    increment window AND the open-slice join against ``dim``, which is
+    how the x27 composition reached 10 input scans. The frame is
+    increment-sized (the nightly batch), so the materialization is
+    cheap by contract."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     ic = inc.select(
         key_col,
@@ -99,6 +109,10 @@ def scd2_apply(
         )
         .drop("_rn0")
     )
+    if truncate:
+        from .util import truncate_lineage
+
+        kept = truncate_lineage(kept)
     # close each touched key's open version at its first KEPT change
     closes = kept.groupBy(key_col).agg(
         F.min(F.struct("valid_from", "_tb")).getField("valid_from").alias(

@@ -483,6 +483,23 @@ def _segments(docs, id_col, text_col, seg_tokens, max_segs):
     BIGINT that makes (id, idx) order a single-column MIN."""
     toks = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    # _pack is collision-free ONLY while _idx < max_segs; a longer
+    # document would silently alias into the next doc's pack range and
+    # corrupt first-occurrence selection, so refuse it loudly (the
+    # package's raise-on-unsupported convention) instead
+    checked_idx = F.when(
+        F.col("_idx") < max_segs, F.col("_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("segment index overflows max_segs="),
+                F.lit(str(max_segs)),
+                F.lit(" for doc id "),
+                F.col(id_col).cast("string"),
+                F.lit(" — raise max_segs or pre-chunk long documents"),
+            )
+        ).cast("long")
+    )
     return docs.select(
         F.col(id_col),
         toks.alias("_toks"),
@@ -494,7 +511,7 @@ def _segments(docs, id_col, text_col, seg_tokens, max_segs):
             F.slice("_toks", F.col("_idx") * seg_tokens + 1, seg_tokens),
             " ",
         ).alias("_seg"),
-        (F.col(id_col) * max_segs + F.col("_idx")).alias("_pack"),
+        (F.col(id_col) * max_segs + checked_idx).alias("_pack"),
     )
 
 

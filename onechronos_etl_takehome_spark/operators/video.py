@@ -174,14 +174,20 @@ def avi_frames(payload: bytes) -> "object":
 
 
 def frame_dhashes(payload: bytes) -> list[int]:
-    """Sorted-unique per-frame dHash set for one AVI payload, as
-    signed BIGINT (Spark has no unsigned 64 — same two's-complement
-    reinterpretation as ``image_dhash``). Set semantics: a looped/
-    duplicated frame adds nothing, mirroring the landmark sets of
-    m09."""
+    """Sorted-unique per-frame dHash set for one video payload (AVI
+    or MP4 — the container is sniffed per payload, so one decode
+    stage serves a mixed corpus), as signed BIGINT (Spark has no
+    unsigned 64 — same two's-complement reinterpretation as
+    ``image_dhash``). Set semantics: a looped/duplicated frame adds
+    nothing, mirroring the landmark sets of m09."""
     import numpy as np
 
-    px = avi_frames(payload).astype("float64")
+    if sniff_modality(payload) == "mp4":
+        from .mp4 import mp4_frames
+
+        px = mp4_frames(payload).astype("float64")
+    else:
+        px = avi_frames(payload).astype("float64")
     b, g, r = px[..., 0], px[..., 1], px[..., 2]
     gray = 0.299 * r + 0.587 * g + 0.114 * b
     return sorted(
@@ -193,16 +199,18 @@ def frame_dhashes(payload: bytes) -> list[int]:
 
 
 def video_fingerprints(payloads: DataFrame) -> DataFrame:
-    """(id, chash) frame-hash rows per decodable AVI payload
-    (non-video payloads dropped). Column named ``chash`` so the frame
-    plugs straight into ``multimodal.chunk_pair_join``."""
+    """(id, chash) frame-hash rows per decodable video payload — AVI
+    and MP4 through ONE Arrow-batched decode stage (the container is
+    sniffed per payload; non-video payloads dropped). Column named
+    ``chash`` so the frame plugs straight into
+    ``multimodal.chunk_pair_join``."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for i, bpayload in zip(pdf["id"], pdf["content"]):
                 data = bytes(bpayload)
-                if sniff_modality(data) != "avi":
+                if sniff_modality(data) not in ("avi", "mp4"):
                     continue
                 try:
                     fhs = frame_dhashes(data)
@@ -344,7 +352,9 @@ def video_match_pairs_tolerant(
     <= bands-1``; the default 8×8-bit bands tolerates 7 bits, sized to
     measured JPEG dHash drift) and verify with one JVM popcount.
     Containment counts each of the smaller video's frames at most once
-    (distinct matched hashes / min(n_a, n_b)).
+    (the SMALLER of the two sides' distinct matched-hash counts /
+    min(n_a, n_b) — so many-to-one tolerant matches can never push
+    containment past 1.0).
 
     Scale posture: candidates are equality joins on (chunk_idx,
     8-bit value) — narrower chunks mean denser postings than m08's
@@ -401,15 +411,20 @@ def video_match_pairs_tolerant(
             F.col("b.chash").alias("_hb"),
         )
         .dropDuplicates(["id_a", "id_b", "_ha", "_hb"])
-        .filter(
-            F.bit_count(
-                F.col("_ha").bitwiseXOR(F.col("_hb"))
-            )
-            <= max_hamming
-        )
     )
+    from ..observability import observe_count
+
+    ver = observe_count("video_tolerant.candidates", ver)
+    ver = ver.filter(
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= max_hamming
+    )
+    # tolerant matches can be many-to-one in either direction; the
+    # smaller side's distinct-hash count is the only one guaranteed
+    # ≤ min(n_a, n_b), so containment stays ≤ 1.0
     matched = ver.groupBy("id_a", "id_b").agg(
-        F.count_distinct("_ha").cast("long").alias("shared_frames")
+        F.least(
+            F.count_distinct("_ha"), F.count_distinct("_hb")
+        ).cast("long").alias("shared_frames")
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
@@ -470,3 +485,57 @@ def demo_crosscodec_video_payloads(
             )
 
     return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def materialize_demo_video_corpus(
+    sf_dir: str, *, modulus: int = 10, n_frames: int = 8
+) -> str:
+    """Land the m12 scene pairs as REAL FILES in MIXED CONTAINERS —
+    the even member as a raw-DIB ``.avi``, the odd member (same
+    footage, lead frame trimmed) as an MJPEG ``.mp4`` — the corpus
+    behind the m13 catalog row, whose point is the cross-CONTAINER
+    ingestion lineage: one ``binaryFile`` scan, one sniffing decode
+    stage, one tolerant frame join across both container families.
+    Frame content is a pure function of doc_id (identical to
+    :func:`demo_crosscodec_video_payloads` modulo container), so
+    m13's pair set must equal m12's — pinned in the gate.
+
+    Same scaffolding contract as ``materialize_demo_image_corpus``:
+    driver-side bounded fixture write (n_docs/modulus small files),
+    private temp dir + atomic rename for concurrent builders.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .mp4 import mp4_from_frames
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/spark_graft_video_{tag}_m{modulus}_v1"
+    if os.path.isdir(out):
+        return out
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_pylist()
+    )
+    tmp = tempfile.mkdtemp(dir="/tmp", prefix="spark_graft_video_build_")
+    for i in sorted(int(x) for x in ids if int(x) % modulus == 0):
+        scene = i // (2 * modulus)
+        frames = [_scene_frame(scene, k) for k in range(n_frames)]
+        if (i // modulus) % 2 == 1:
+            with open(os.path.join(tmp, f"doc_{i:09d}.mp4"), "wb") as f:
+                f.write(mp4_from_frames(np.stack(frames[1:])))
+        else:
+            with open(os.path.join(tmp, f"doc_{i:09d}.avi"), "wb") as f:
+                f.write(avi_from_frames(np.stack(frames)))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out

@@ -1,0 +1,105 @@
+"""Round-7 operator batch: ACID table format + cross-container media.
+
+- **Transactional table + time travel** (x34): the Delta/Iceberg
+  commit-protocol shape engine-native (``sources/txlog.py``): a
+  file-level action log (add/remove per FILE), snapshot reads
+  reconstructed from metadata only, append commits, copy-on-write
+  DELETE that rewrites only the files containing matching rows, and
+  optimistic concurrency via POSIX exclusive-create (a real
+  two-writer race is exercised in tests/test_txlog.py). x34 builds a
+  table in three commits (create / append / delete) and hash-matches
+  a snapshot read at EVERY version against a DuckDB oracle that
+  recomputes each state from the raw table — the cross-engine proof
+  that append, delete, and snapshot-isolation semantics are exact,
+  and the time-travel witness nothing else in the catalog carries.
+
+- **Cross-container video near-dup** (m13, in plans/llm_ops9.py):
+  one binaryFile scan over a mixed .avi/.mp4 corpus — the MP4 member
+  decoded by the round-7 ISO-BMFF box walk (``operators/mp4.py``).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import pin_semantics
+from ..sources.tables import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# x34 — transactional table: commit log, copy-on-write delete, time travel
+# ---------------------------------------------------------------------------
+
+_X34_CUT = "1995-01-01"
+
+# Each branch recomputes one SNAPSHOT of the table from the raw orders
+# rows: v0 = the initial load (pre-cutoff), v1 = after the append
+# (everything), v2 = after the copy-on-write delete of F-status rows.
+# Decimal sum → double at the edge; counts BIGINT (functions/exact.py).
+_X34_ORACLE = f"""
+    SELECT 0 AS version,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders WHERE o_orderdate < DATE '{_X34_CUT}'
+    UNION ALL
+    SELECT 1,
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 2,
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+@register("x34_txlog_time_travel", oracle=_X34_ORACLE)
+def x34_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID table lifecycle, hash-matched at every version: create the
+    table from pre-1995 orders (commit 0), append the rest (commit 1),
+    copy-on-write DELETE the F-status rows (commit 2 — only files
+    containing matches are rewritten; survivors carry by reference),
+    then TIME-TRAVEL read all three snapshots and aggregate each. The
+    oracle recomputes the three states from the raw table, so the
+    hash match proves the log fold, the append, the rewrite, and
+    snapshot isolation are all value-exact.
+
+    Table path is uuid-scoped per invocation (the x24 concurrent-
+    session lesson) — the commit protocol's real concurrency story is
+    exercised separately by the two-writer race in tests/test_txlog.py.
+
+    Scale: the log is metadata-plane (one JSON per commit, one action
+    per FILE); snapshot resolution never touches data; the delete's
+    provenance scan collects one row per TOUCHED FILE, not per row
+    (see sources/txlog.py for the full posture notes)."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix=f"txlog_x34_{uuid.uuid4().hex[:8]}_")
+    cut = F.lit(_X34_CUT).cast("date")
+    txlog.create_table(orders.filter(F.col("o_orderdate") < cut), path)
+    txlog.append(orders.filter(F.col("o_orderdate") >= cut), path)
+    txlog.delete_where(spark, path, F.col("o_orderstatus") == "F")
+
+    def snap(v: int) -> DataFrame:
+        t = txlog.read_table(spark, path, version=v)
+        return t.agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+        ).select("version", "n_orders", "total_price", "n_customers")
+
+    return snap(0).unionByName(snap(1)).unionByName(snap(2))

@@ -123,14 +123,25 @@ def x27_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proof that incremental apply equals batch rebuild exactly
     (including the run-continuation edge across the cutoff)."""
     from ..operators.scd2 import scd2_apply, scd2_build
+    from ..operators.util import truncate_lineage
 
     pin_semantics(spark)
     e = load_table(spark, sf_dir, "events")
     cutoff = e.agg((F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("c"))
-    ec = e.join(F.broadcast(cutoff))
+    # the harness derives history AND increment from one log scan; both
+    # split frames fan out below (the increment into scd2_apply's
+    # window+join branches, history into the build), so cut the shared
+    # lineage once — in production each side is persisted parquet (the
+    # streaming twin demonstrates that form) and this checkpoint stands
+    # in for exactly that
+    ec = truncate_lineage(e.join(F.broadcast(cutoff)))
     hist = ec.filter(F.col("ts") < F.col("c"))
     inc = ec.filter(F.col("ts") >= F.col("c"))
-    dim = scd2_build(hist, "user_id", "event_type", "ts", "event_id")
+    # the dimension is read twice inside scd2_apply (open slice +
+    # close-stamp join) — persisted-dim semantics, same cut
+    dim = truncate_lineage(
+        scd2_build(hist, "user_id", "event_type", "ts", "event_id")
+    )
     merged = scd2_apply(dim, inc, "user_id", "event_type", "ts", "event_id")
     return _render_scd2(merged)
 
@@ -288,10 +299,17 @@ def t24_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pos = inclusive count prefix in (pri, doc_id) order == the global
     # ring position, via the bucketed two-pass prefix sum (no
-    # single-task window)
-    pos = prefix_sum(
-        base, "pri", "_one", "pos", tiebreak_cols=["doc_id"]
-    ).select("doc_id", "grp", F.col("pos").cast("bigint").alias("pos"))
+    # single-task window); lineage-truncated because it fans out THREE
+    # ways below (count, anchors, ring targets) — without the cut each
+    # branch re-derived the md5/conv priority subtree and the query
+    # re-scanned `documents` 12× (the x29 inventory lesson)
+    from ..operators.util import truncate_lineage
+
+    pos = truncate_lineage(
+        prefix_sum(base, "pri", "_one", "pos", tiebreak_cols=["doc_id"]).select(
+            "doc_id", "grp", F.col("pos").cast("bigint").alias("pos")
+        )
+    )
     n = pos.agg(F.count(F.lit(1)).alias("_n"))
     offs = F.explode(
         F.array(*[F.lit(j) for j in range(1, _T24_K + 1)])

@@ -543,3 +543,41 @@ def m12_crosscodec_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = vid.demo_crosscodec_video_payloads(docs, "doc_id")
     return vid.video_match_pairs_tolerant(payloads, min_containment=0.6)
+
+
+# ---------------------------------------------------------------------------
+# m13 — cross-CONTAINER video near-dup from disk (rows-only: ISO-BMFF)
+# ---------------------------------------------------------------------------
+
+
+@register("m13_crosscontainer_video_neardup")  # ISO-BMFF box walk → rows-only
+def m13_crosscontainer_video_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The video pipeline end-to-end FROM DISK across TWO container
+    families: one ``binaryFile`` scan over a mixed corpus where each
+    planted twin's even member is a raw-DIB ``.avi`` and the odd
+    member the SAME footage (lead frame trimmed) as an MJPEG ``.mp4``
+    (the ISO-BMFF box walk + full stsc/stco/stsz sample-table
+    resolution in ``operators/mp4.py``). The per-payload container
+    sniff inside ``video_fingerprints`` means ONE Arrow-batched
+    decode stage serves both families; matching is the same tolerant
+    banded-Hamming frame join as m12 (raw-vs-JPEG pixels drift every
+    frame hash a few bits, so exact containment finds zero). Pair set
+    is pinned equal to m12's in the gate (same scenes, same trim,
+    container-invariant hashes). Rows-only BY DESIGN (SQL cannot read
+    a binary file tree, parse RIFF or ISO-BMFF containers, or decode
+    JPEG entropy streams)."""
+    from ..operators import video as vid
+    from ..sources.readers import read_binary_dir
+
+    pin_semantics(spark)
+    corpus = vid.materialize_demo_video_corpus(sf_dir)
+    payloads = read_binary_dir(spark, corpus, glob="*.{avi,mp4}").select(
+        F.regexp_extract("id", r"doc_(\d+)\.(avi|mp4)$", 1)
+        .cast("long")
+        .alias("id"),
+        "content",
+        "modality",
+    )
+    return vid.video_match_pairs_tolerant(payloads, min_containment=0.6)
