@@ -178,6 +178,16 @@ HEADLINE = [
     "x33_schema_evolution_read",
     # cross-codec video near-dup: MJPEG decode + banded-Hamming frames
     "m12_crosscodec_video_neardup",
+    # round-7 batch: cross-container video near-dup from disk (one
+    # binaryFile scan over mixed .avi/.mp4 — rep 1 pays the one-time
+    # corpus write; the min is the scan+decode+join) and the ACID
+    # table lifecycle (create/append/CoW-delete + 3 time-travel reads
+    # per rep — the whole commit protocol is IN the measured wall)
+    "m13_crosscontainer_video_neardup",
+    "x34_txlog_time_travel",
+    # file-pruned MERGE INTO on the ACID table (create + merge + read
+    # per rep — the provenance prune and CoW rewrite are IN the wall)
+    "x35_txlog_merge",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -339,6 +339,7 @@ def video_match_pairs_tolerant(
     bands: int = 8,
     min_containment: float = 0.6,
     max_chunk_df: int | None = None,
+    composite_bands: bool = True,
 ) -> DataFrame:
     """Cross-CODEC video near-dup: (id_a < id_b, shared_frames, n_a,
     n_b, containment) where frames match within ``max_hamming`` bits
@@ -348,21 +349,44 @@ def video_match_pairs_tolerant(
     re-encode (MJPEG of the same footage) perturbs every frame hash by
     a few bits, so the exact containment join sees ~zero shared
     hashes; here frame pairs come from banded pigeonhole blocking over
-    the 64-bit hash (the m08/d04 scheme — lossless for ``max_hamming
-    <= bands-1``; the default 8×8-bit bands tolerates 7 bits, sized to
-    measured JPEG dHash drift) and verify with one JVM popcount.
-    Containment counts each of the smaller video's frames at most once
-    (the SMALLER of the two sides' distinct matched-hash counts /
+    the 64-bit hash and verify with one JVM popcount. Containment
+    counts each of the smaller video's frames at most once (the
+    SMALLER of the two sides' distinct matched-hash counts /
     min(n_a, n_b) — so many-to-one tolerant matches can never push
     containment past 1.0).
 
-    Scale posture: candidates are equality joins on (chunk_idx,
-    8-bit value) — narrower chunks mean denser postings than m08's
-    16-bit bands, so at corpus scale set ``max_chunk_df`` to cap
-    ubiquitous chunk buckets (black frames, title cards), exactly the
-    posting-cap lever of the exact form's ``max_hash_df``.
+    Blocking scheme — the round-7 scale fix. Single 8-bit chunks
+    (``composite_bands=False``) are frame-lossless to ``bands-1``
+    bits, but 8-bit buckets are DENSE: the bench's 10× probe measured
+    the candidate join going quadratic (404 k → 40.6 M, 100× at 10×
+    corpus — the birthday term over 2048 buckets), and a posting cap
+    tight enough to tame it destroys recall (measured: cap 16 keeps
+    247 of 2,443 pairs). The default blocks on TWO-CHUNK COMPOSITE
+    keys instead — C(bands,2)=28 ordered chunk pairs, 16-bit values
+    over a 28·65536 key space: drift of ≤ bands-2 bits leaves ≥ 2
+    intact chunks whose pair key matches (frame-lossless to 6 bits at
+    the default), and a frame in the measured 7-bit tail is missed
+    only when all 7 flipped bits land in 7 DISTINCT chunks — rare at
+    the frame level and absorbed at the VIDEO level by containment
+    over the remaining frames. Measured: every planted twin at
+    sf0.001 (the gate pin) and 2,440 of 2,443 at the 10× sf0.1 probe
+    (the 3 lost pairs are twins whose few surviving frames all sat in
+    the 7-bit tail); candidates drop 40.6 M → 1.07 M at 10×. Keys
+    per frame go 8 → 28; candidate output collapses quadratically —
+    the right trade at any corpus size.
+
+    Scale posture: ``max_chunk_df`` stays as the posting cap for
+    genuinely ubiquitous composite buckets (black frames, title
+    cards), the same lever as the exact form's ``max_hash_df``.
     """
-    if max_hamming > bands - 1:
+    if composite_bands:
+        if max_hamming > bands - 1:
+            raise ValueError(
+                f"composite banding covers max_hamming <= bands-1 "
+                f"({bands - 1}: lossless to bands-2, containment-"
+                f"absorbed at bands-1); got {max_hamming}"
+            )
+    elif max_hamming > bands - 1:
         raise ValueError(
             f"banded blocking is lossless only for max_hamming <= "
             f"bands-1 ({bands - 1}); got {max_hamming}"
@@ -373,17 +397,32 @@ def video_match_pairs_tolerant(
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     width = 64 // bands
     mask = (1 << width) - 1
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftrightunsigned("chash", width * i)
-                .bitwiseAND(F.lit(mask))
-                .alias("cv"),
-            )
-            for i in range(bands)
-        ]
-    )
+
+    def _chunk(i):
+        return F.shiftrightunsigned("chash", width * i).bitwiseAND(
+            F.lit(mask)
+        )
+
+    if composite_bands:
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit(i * bands + j).alias("ci"),
+                    (
+                        _chunk(i) * F.lit(1 << width) + _chunk(j)
+                    ).alias("cv"),
+                )
+                for i in range(bands)
+                for j in range(i + 1, bands)
+            ]
+        )
+    else:
+        chunks = F.array(
+            *[
+                F.struct(F.lit(i).alias("ci"), _chunk(i).alias("cv"))
+                for i in range(bands)
+            ]
+        )
     sig = fp.select("id", "chash", F.explode(chunks).alias("c")).select(
         "id", "chash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )

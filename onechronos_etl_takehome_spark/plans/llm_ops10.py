@@ -103,3 +103,80 @@ def x34_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_orders", "total_price", "n_customers")
 
     return snap(0).unionByName(snap(1)).unionByName(snap(2))
+
+
+# ---------------------------------------------------------------------------
+# x35 — file-pruned MERGE INTO (upsert) on the transactional table
+# ---------------------------------------------------------------------------
+
+# Oracle recomputes the merged state relationally: update rows win
+# wholesale for matched keys, inserts land, untouched rows pass
+# through. Balances in integer cents via FLOOR (floor, not cast —
+# functions/exact.py; both engines round toward -inf).
+_X35_ORACLE = """
+    WITH t AS (
+      SELECT CAST(c_custkey AS BIGINT) AS custkey,
+             CAST(c_nationkey AS BIGINT) AS nationkey,
+             c_mktsegment AS mktsegment,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer),
+    u AS (
+      SELECT custkey, nationkey, 'UPSERTED' AS mktsegment,
+             bal_cents + 12345 AS bal_cents
+      FROM t WHERE custkey % 10 = 0
+      UNION ALL
+      SELECT custkey + 10000000, nationkey, 'INSERTED', bal_cents
+      FROM t WHERE custkey % 10 = 0)
+    SELECT * FROM u
+    UNION ALL
+    SELECT t.* FROM t
+    WHERE t.custkey NOT IN (SELECT custkey FROM u)
+"""
+
+
+@register("x35_txlog_merge", oracle=_X35_ORACLE)
+def x35_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the ACID table (``sources/txlog.py:merge_upsert``):
+    every 10th customer gets a wholesale row replacement (segment →
+    'UPSERTED', balance bumped in integer cents) and a shifted-key
+    'INSERTED' twin; the merged table reads back row-for-row equal to
+    the relational recomputation — update-wins, insert, and
+    pass-through semantics all inside the hash.
+
+    The scale story is FILE pruning: the update keys join the
+    snapshot once by provenance (``input_file_name``), only files
+    CONTAINING matched keys rewrite (their unmatched rows survive an
+    anti-join), every other file carries by reference — pinned
+    structurally in tests/test_txlog.py (a key-range-split table
+    whose untouched range keeps its exact file names)."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    t = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    tenth = t.filter(F.col("custkey") % 10 == 0)
+    updates = tenth.select(
+        "custkey",
+        "nationkey",
+        F.lit("UPSERTED").alias("mktsegment"),
+        (F.col("bal_cents") + 12345).alias("bal_cents"),
+    ).unionByName(
+        tenth.select(
+            (F.col("custkey") + 10_000_000).alias("custkey"),
+            "nationkey",
+            F.lit("INSERTED").alias("mktsegment"),
+            "bal_cents",
+        )
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x35_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(t, path)
+    txlog.merge_upsert(spark, path, updates, ["custkey"])
+    return txlog.read_table(spark, path).select(
+        "custkey", "nationkey", "mktsegment", "bal_cents"
+    )

@@ -29,6 +29,13 @@ rows must rewrite 0.1% of files, not the table:
   commit remove(old)+add(new) atomically. Untouched files (the vast
   majority under selective predicates — partition-style pruning
   composes upstream) are carried by reference.
+- **File-pruned MERGE** (``merge_upsert``): the same provenance
+  pruning keyed on the update batch's distinct keys — matched files
+  rewrite without their matched rows, the update rows land as fresh
+  adds, everything else carries by reference. Completes the DML
+  triad (append / delete / merge) as log transactions; the x35
+  catalog row hash-matches the merged state against a DuckDB oracle
+  recomputing it relationally.
 - **Time travel**: ``read(version=v)`` folds the log prefix. The x34
   catalog row hash-matches reads at THREE versions against a DuckDB
   oracle recomputing each state from the raw table — the
@@ -38,11 +45,18 @@ Scale posture: the log is metadata-plane (one JSON per commit, one
 row per FILE action — the x29 compaction-planning regime); snapshot
 resolution is a driver-side fold of manifest lists, O(commits +
 files), exactly what Delta's log replay is before checkpointing; data
-moves only through immutable parquet adds. Known beyond-scope bits,
-honestly: no manifest checkpointing (fold cost grows with commit
-count; Delta solves with _checkpoint parquet every N commits — same
-fold, materialized), and exclusive-create needs a POSIX/HDFS-like FS
-or a conditional-PUT object store.
+moves only through immutable parquet adds. Manifest CHECKPOINTING
+bounds the fold: every ``CHECKPOINT_INTERVAL`` commits the folded
+live set is materialized next to the log (atomic temp+replace,
+derived data — losing one costs a longer replay, never correctness),
+so snapshot resolution replays O(interval) manifests regardless of
+table age — Delta's ``_last_checkpoint`` mechanism. ``compact()``
+closes the small-file loop: the x29 bin-packing planner
+(operators/compaction.py) groups undersized live files and each bin
+rewrites as one file in a single remove+add commit — OPTIMIZE as
+just another transaction, time-travel past it intact. Known
+beyond-scope bit, honestly: exclusive-create needs a POSIX/HDFS-like
+FS or a conditional-PUT object store.
 """
 
 from __future__ import annotations
@@ -110,18 +124,50 @@ def _commit_with_batch(
     _commit(path, version, actions, extra={"batch_id": batch_id})
 
 
-def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
-    """Fold the log through ``version`` (latest if None) → {data file
-    name: row count}. Metadata-only; raises on an unknown version."""
-    versions = committed_versions(path)
-    if not versions:
-        raise ValueError(f"not a txlog table (no commits): {path}")
-    if version is None:
-        version = versions[-1]
-    elif version not in versions:
-        raise ValueError(f"version {version} not in {versions}")
+CHECKPOINT_INTERVAL = 10
+
+
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_path(path), f"{version:08d}.checkpoint.json")
+
+
+def _maybe_checkpoint(path: str, version: int) -> None:
+    """Materialize the folded live set every CHECKPOINT_INTERVAL
+    commits (Delta's _last_checkpoint idea): snapshot resolution then
+    replays O(interval) manifests instead of O(all commits).
+    Best-effort and derived — a crash here loses nothing (the next
+    reader folds manifests), and the write is atomic (temp+replace)
+    so a torn checkpoint can never be observed."""
+    if version == 0 or version % CHECKPOINT_INTERVAL:
+        return
+    live = _fold_live(path, version)
+    tmp = _checkpoint_path(path, version) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(live, f)
+    os.replace(tmp, _checkpoint_path(path, version))
+
+
+def _fold_live(
+    path: str, version: int, versions: list[int] | None = None
+) -> dict[str, int]:
+    """Fold manifests 0..version, starting from the newest checkpoint
+    ≤ version when one exists."""
+    versions = versions if versions is not None else committed_versions(path)
     live: dict[str, int] = {}
+    start = 0
+    for v in range(
+        (version // CHECKPOINT_INTERVAL) * CHECKPOINT_INTERVAL, 0,
+        -CHECKPOINT_INTERVAL,
+    ):
+        ck = _checkpoint_path(path, v)
+        if os.path.exists(ck):
+            with open(ck) as f:
+                live = json.load(f)
+            start = v + 1
+            break
     for v in versions:
+        if v < start:
+            continue
         if v > version:
             break
         with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
@@ -132,6 +178,37 @@ def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
             elif "remove" in a:
                 live.pop(a["remove"], None)
     return live
+
+
+def _fold_live_raw(path: str, version: int) -> dict[str, int]:
+    """Checkpoint-free fold of manifests 0..version — the ground
+    truth the checkpointed fold must equal (pinned in tests)."""
+    live: dict[str, int] = {}
+    for v in committed_versions(path):
+        if v > version:
+            break
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        for a in manifest["actions"]:
+            if "add" in a:
+                live[a["add"]] = a.get("rows", -1)
+            elif "remove" in a:
+                live.pop(a["remove"], None)
+    return live
+
+
+def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
+    """Snapshot live set at ``version`` (latest if None) → {data file
+    name: row count}. Metadata-only — a checkpointed fold of the
+    action log; raises on an unknown version."""
+    versions = committed_versions(path)
+    if not versions:
+        raise ValueError(f"not a txlog table (no commits): {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    return _fold_live(path, version, versions)
 
 
 def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int]]:
@@ -164,6 +241,7 @@ def create_table(df: DataFrame, path: str) -> int:
         raise ValueError(f"table already exists: {path}")
     adds = _stage_data(df, path)
     _commit(path, 0, [{"add": f, "rows": n} for f, n in adds])
+    _maybe_checkpoint(path, 0)
     return 0
 
 
@@ -176,6 +254,7 @@ def append(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
         version = committed_versions(path)[-1] + 1
         try:
             _commit(path, version, adds)
+            _maybe_checkpoint(path, version)
             return version
         except CommitConflict:
             continue
@@ -229,10 +308,141 @@ def delete_where(
             ]
         try:
             _commit(path, base + 1, actions)
+            _maybe_checkpoint(path, base + 1)
             return base + 1
         except CommitConflict:
             continue  # re-resolve the snapshot and re-plan
     raise CommitConflict(f"lost {max_retries} delete races on {path}")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    max_retries: int = 3,
+) -> int:
+    """File-pruned MERGE INTO (upsert): rows whose keys match an
+    update row are REPLACED wholesale (an explicit NULL in the update
+    wins — the sources/upsert.py contract), unmatched update keys
+    INSERT. Copy-on-write at file granularity: one provenance scan
+    joins the snapshot against the distinct update keys to find the
+    files CONTAINING matches; only those files rewrite (their
+    non-matched rows survive via an anti-join); every other live file
+    carries by reference, and the update rows land as fresh adds —
+    a MERGE touching 0.1% of keys rewrites ~0.1% of files, which is
+    the entire point of the log (sources/upsert.py rewrites the whole
+    table per version). The update-key frame is dimension-sized by
+    contract (the nightly-batch regime) — AQE broadcasts it in both
+    the provenance scan and the anti-join."""
+    keys = updates.select(*key_cols).distinct()
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        snapshot = live_files(path, version=base)
+        paths = [os.path.join(path, f) for f in sorted(snapshot)]
+        # provenance MUST be projected scan-side: input_file_name()
+        # evaluated after the join loses the scan context and returns
+        # '' (observed: a '' remove-action that deletes nothing)
+        prov = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .select(
+                *key_cols,
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                    "_f"
+                ),
+            )
+        )
+        touched = [
+            r["_f"]
+            for r in prov.join(keys, key_cols)
+            .select("_f")
+            .distinct()
+            .collect()  # bounded: one row per TOUCHED FILE
+        ]
+        actions: list[dict] = [{"remove": f} for f in touched]
+        if touched:
+            survivors = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in sorted(touched)])
+                .join(keys, key_cols, "left_anti")
+            )
+            actions += [
+                {"add": f, "rows": n} for f, n in _stage_data(survivors, path)
+            ]
+        actions += [
+            {"add": f, "rows": n} for f, n in _stage_data(updates, path)
+        ]
+        try:
+            _commit(path, base + 1, actions)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue  # re-resolve the snapshot and re-plan
+    raise CommitConflict(f"lost {max_retries} merge races on {path}")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    max_retries: int = 3,
+) -> int | None:
+    """OPTIMIZE: bin-pack undersized live files into ~``target_bytes``
+    rewrites and commit remove+add — one transaction, snapshot
+    isolation and time travel intact (readers at older versions still
+    see the small files until vacuum).
+
+    The bin assignment IS the x29 compaction planner
+    (``operators/compaction.py:compaction_plan``) over the live-set
+    inventory — one row per FILE, metadata-plane; the collect below
+    is the bin map (file→bin), bounded by the live file count.
+    Returns the committed version, or None when nothing qualifies
+    (fewer than two undersized files)."""
+    from ..operators.compaction import compaction_plan
+
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        snapshot = live_files(path, version=base)
+        inv = [
+            (f, os.path.getsize(os.path.join(path, f)))
+            for f in sorted(snapshot)
+        ]
+        small = [(f, b) for f, b in inv if b < target_bytes]
+        if len(small) < 2:
+            return None
+        plan = compaction_plan(
+            spark.createDataFrame(
+                [(f, b, i) for i, (f, b) in enumerate(small)],
+                "file_id string, bytes long, order_key long",
+            ),
+            target_bytes=target_bytes,
+        )
+        bins: dict[int, list[str]] = {}
+        for r in plan.collect():  # bin map: one row per FILE (metadata)
+            bins.setdefault(r["bin_id"], []).append(r["file_id"])
+        actions: list[dict] = []
+        for files in bins.values():
+            if len(files) < 2:
+                continue  # a lone file gains nothing from a rewrite
+            merged = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f) for f in sorted(files)]
+            ).coalesce(1)
+            actions += [{"remove": f} for f in files]
+            actions += [
+                {"add": f, "rows": n} for f, n in _stage_data(merged, path)
+            ]
+        if not actions:
+            return None
+        try:
+            _commit(path, base + 1, actions)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"lost {max_retries} compaction races on {path}")
 
 
 def vacuum(path: str, *, keep_versions: int = 2) -> list[str]:

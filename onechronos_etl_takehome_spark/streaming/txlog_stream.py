@@ -68,6 +68,7 @@ def process_txlog_batch(
             return None
         try:
             txlog._commit_with_batch(path, version, adds, batch_id)
+            txlog._maybe_checkpoint(path, version)
             return version
         except txlog.CommitConflict:
             continue
