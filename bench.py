@@ -188,6 +188,9 @@ HEADLINE = [
     # file-pruned MERGE INTO on the ACID table (create + merge + read
     # per rep — the provenance prune and CoW rewrite are IN the wall)
     "x35_txlog_merge",
+    # manifest-stats data skipping (range-clustered write + pruned
+    # read per rep; 29 of 32 files skipped at sf0.01)
+    "x36_txlog_data_skipping",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

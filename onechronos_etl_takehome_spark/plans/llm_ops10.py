@@ -180,3 +180,75 @@ def x35_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txlog.read_table(spark, path).select(
         "custkey", "nationkey", "mktsegment", "bal_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# x36 — stats-based data skipping (file-granular min/max pruning)
+# ---------------------------------------------------------------------------
+
+_X36_LO, _X36_HI = "1995-06-01", "1995-09-30"
+
+_X36_ORACLE = f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_price
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '{_X36_LO}' AND DATE '{_X36_HI}'
+    GROUP BY 1
+"""
+
+
+@register("x36_txlog_data_skipping", oracle=_X36_ORACLE)
+def x36_txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based DATA SKIPPING on the ACID table: orders land
+    range-clustered on ``o_orderdate`` (``cluster_by`` — each data
+    file covers a narrow date range, and ``_stage_data`` lifts each
+    file's min/max from the parquet FOOTER into the commit manifest),
+    then a four-month range read resolves the file list against the
+    MANIFEST stats — files whose [min, max] cannot intersect the
+    bounds are never opened. The file-granular sibling of x32's
+    Hive-directory pruning, and the skipping index every table format
+    (Delta/Iceberg) ships; the gate additionally asserts the pruned
+    fraction and that pruned-scan == full-scan row-for-row
+    (tests/test_txlog.py). The oracle recomputes the aggregate from
+    the raw table — the hash match proves skipping is an I/O
+    optimization, never a semantic change.
+
+    Scale: pruning is a driver-side fold over manifest stats (one
+    row per FILE, the metadata plane); at 100 TB this is the
+    difference between opening a season and opening a decade."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix=f"txlog_x36_{uuid.uuid4().hex[:8]}_")
+    # explicit file count: deterministic layout whatever the session's
+    # shuffle parallelism (a vanilla 200-partition session would
+    # otherwise cut 200 sliver files)
+    txlog.create_table(
+        orders, path, cluster_by="o_orderdate", cluster_files=32
+    )
+    lo, hi = F.lit(_X36_LO).cast("date"), F.lit(_X36_HI).cast("date")
+    # skip bounds are a SUPERSET of the filter range (hi bound is the
+    # next day as a plain string): stats are ISO strings like
+    # '1995-09-30T00:00:00' which compare lexicographically AFTER the
+    # bare date '1995-09-30' — widening the skip window keeps the
+    # boundary file; the semantic filter below draws the exact line
+    t = txlog.read_table(
+        spark, path, skip_where={"o_orderdate": (_X36_LO, "1995-10-01")}
+    )
+    return (
+        t.filter(F.col("o_orderdate").between(lo, hi))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -149,11 +149,12 @@ def _maybe_checkpoint(path: str, version: int) -> None:
 
 def _fold_live(
     path: str, version: int, versions: list[int] | None = None
-) -> dict[str, int]:
-    """Fold manifests 0..version, starting from the newest checkpoint
-    ≤ version when one exists."""
+) -> dict[str, dict]:
+    """Fold manifests 0..version → {file: {"rows": n, "stats": {col:
+    [min, max]}}}, starting from the newest checkpoint ≤ version when
+    one exists."""
     versions = versions if versions is not None else committed_versions(path)
-    live: dict[str, int] = {}
+    live: dict[str, dict] = {}
     start = 0
     for v in range(
         (version // CHECKPOINT_INTERVAL) * CHECKPOINT_INTERVAL, 0,
@@ -174,16 +175,19 @@ def _fold_live(
             manifest = json.load(f)
         for a in manifest["actions"]:
             if "add" in a:
-                live[a["add"]] = a.get("rows", -1)
+                live[a["add"]] = {
+                    "rows": a.get("rows", -1),
+                    "stats": a.get("stats", {}),
+                }
             elif "remove" in a:
                 live.pop(a["remove"], None)
     return live
 
 
-def _fold_live_raw(path: str, version: int) -> dict[str, int]:
+def _fold_live_raw(path: str, version: int) -> dict[str, dict]:
     """Checkpoint-free fold of manifests 0..version — the ground
     truth the checkpointed fold must equal (pinned in tests)."""
-    live: dict[str, int] = {}
+    live: dict[str, dict] = {}
     for v in committed_versions(path):
         if v > version:
             break
@@ -191,16 +195,16 @@ def _fold_live_raw(path: str, version: int) -> dict[str, int]:
             manifest = json.load(f)
         for a in manifest["actions"]:
             if "add" in a:
-                live[a["add"]] = a.get("rows", -1)
+                live[a["add"]] = {
+                    "rows": a.get("rows", -1),
+                    "stats": a.get("stats", {}),
+                }
             elif "remove" in a:
                 live.pop(a["remove"], None)
     return live
 
 
-def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
-    """Snapshot live set at ``version`` (latest if None) → {data file
-    name: row count}. Metadata-only — a checkpointed fold of the
-    action log; raises on an unknown version."""
+def _resolve_version(path: str, version: int | None) -> tuple[int, list[int]]:
     versions = committed_versions(path)
     if not versions:
         raise ValueError(f"not a txlog table (no commits): {path}")
@@ -208,10 +212,34 @@ def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
         version = versions[-1]
     elif version not in versions:
         raise ValueError(f"version {version} not in {versions}")
+    return version, versions
+
+
+def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
+    """Snapshot live set at ``version`` (latest if None) → {data file
+    name: row count}. Metadata-only — a checkpointed fold of the
+    action log; raises on an unknown version."""
+    version, versions = _resolve_version(path, version)
+    return {
+        f: info["rows"]
+        for f, info in _fold_live(path, version, versions).items()
+    }
+
+
+def live_file_stats(
+    path: str, *, version: int | None = None
+) -> dict[str, dict]:
+    """Snapshot live set WITH manifest stats: {file: {"rows": n,
+    "stats": {col: [min, max]}}} — the data-skipping index."""
+    version, versions = _resolve_version(path, version)
     return _fold_live(path, version, versions)
 
 
-def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int]]:
+def _add_actions(staged: list[tuple[str, int, dict]]) -> list[dict]:
+    return [{"add": f, "rows": n, "stats": st} for f, n, st in staged]
+
+
+def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
     """Write ``df``'s rows as immutable parquet files under the table
     root with collision-free names; returns [(file name, rows)].
     Files are invisible to readers until a manifest references them —
@@ -219,7 +247,19 @@ def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int]]:
     import pyarrow.parquet as pq
 
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    sess = df.sparkSession
+    # Spark's default parquet timestamp encoding is INT96, which
+    # carries NO column statistics (verified: has_min_max absent) —
+    # timestamp columns would silently never prune. Write table data
+    # as TIMESTAMP_MICROS, the modern encoding every table format
+    # uses, and restore the session's choice after.
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = sess.conf.get(key)
+    sess.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+    finally:
+        sess.conf.set(key, prev)
     out = []
     for fname in sorted(os.listdir(stage)):
         if not fname.endswith(".parquet"):
@@ -227,29 +267,108 @@ def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int]]:
         final = f"part-{uuid.uuid4().hex}.parquet"
         src = os.path.join(stage, fname)
         # footer metadata only — no data read for the manifest stats
-        rows = pq.ParquetFile(src).metadata.num_rows
+        meta = pq.ParquetFile(src).metadata
         os.rename(src, os.path.join(path, final))
-        out.append((final, rows))
+        out.append((final, meta.num_rows, _footer_stats(meta)))
     shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
-def create_table(df: DataFrame, path: str) -> int:
-    """Commit version 0 with ``df``'s data. Fails if the table exists."""
+def _footer_stats(meta) -> dict:
+    """Per-column [min, max] from the parquet footer's row-group
+    statistics (JSON-safe types only) — the data-skipping index every
+    table format carries in its manifest. None when any row group
+    lacks stats for a column."""
+    import datetime
+    import decimal
+
+    stats: dict = {}
+    if meta.num_row_groups == 0:  # empty part file: no stats to lift
+        return stats
+    for ci in range(meta.num_columns):
+        name = meta.row_group(0).column(ci).path_in_schema
+        if "." in name:  # nested leaves: skip (no top-level pruning)
+            continue
+        lo = hi = None
+        ok = True
+        for ri in range(meta.num_row_groups):
+            st = meta.row_group(ri).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                ok = False  # undecoded byte stats: not comparable
+                break
+            if isinstance(mn, decimal.Decimal):
+                mn, mx = float(mn), float(mx)
+            if isinstance(mn, (datetime.datetime, datetime.date)):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            stats[name] = [lo, hi]
+    return stats
+
+
+def _cluster(
+    df: DataFrame, cluster_by: str | None, n_files: int | None
+) -> DataFrame:
+    """Range-cluster ``df`` on one column before staging so each data
+    file covers a narrow, near-disjoint value range — what makes the
+    manifest min/max stats actually PRUNE (the 1-D OPTIMIZE ZORDER;
+    sources/layout.py carries the multi-column Morton form).
+
+    The partition count is EXPLICIT: without it AQE coalesces a
+    small-table range shuffle into one partition → one file → nothing
+    to skip (observed in the gate). Default = the session's shuffle
+    parallelism; at scale pick table_bytes / target_file_bytes."""
+    if cluster_by is None:
+        return df
+    if n_files is None:
+        n_files = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    return df.repartitionByRange(
+        n_files, F.col(cluster_by)
+    ).sortWithinPartitions(cluster_by)
+
+
+def create_table(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: str | None = None,
+    cluster_files: int | None = None,
+) -> int:
+    """Commit version 0 with ``df``'s data. Fails if the table exists.
+    ``cluster_by``: range-cluster on a column so file stats prune."""
     os.makedirs(path, exist_ok=True)
     if committed_versions(path):
         raise ValueError(f"table already exists: {path}")
-    adds = _stage_data(df, path)
-    _commit(path, 0, [{"add": f, "rows": n} for f, n in adds])
+    _commit(
+        path,
+        0,
+        _add_actions(_stage_data(_cluster(df, cluster_by, cluster_files), path)),
+    )
     _maybe_checkpoint(path, 0)
     return 0
 
 
-def append(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
+def append(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: str | None = None,
+    cluster_files: int | None = None,
+    max_retries: int = 5,
+) -> int:
     """Append-only commit: stages data once, then retries the (cheap)
     manifest link under contention — appends never conflict
     semantically, so the retry needs no re-validation."""
-    adds = [{"add": f, "rows": n} for f, n in _stage_data(df, path)]
+    adds = _add_actions(
+        _stage_data(_cluster(df, cluster_by, cluster_files), path)
+    )
     for _ in range(max_retries):
         version = committed_versions(path)[-1] + 1
         try:
@@ -261,16 +380,74 @@ def append(df: DataFrame, path: str, *, max_retries: int = 5) -> int:
     raise CommitConflict(f"lost {max_retries} append races on {path}")
 
 
+def _intersects(stats: dict, col: str, lo, hi) -> bool:
+    """File may contain rows with ``col`` in [lo, hi]? Conservative:
+    a file without stats for ``col`` is always kept."""
+    if col not in stats:
+        return True
+    f_lo, f_hi = stats[col]
+    if lo is not None and f_hi < lo:
+        return False
+    if hi is not None and f_lo > hi:
+        return False
+    return True
+
+
+def skipped_files(
+    path: str, skip_where: dict, *, version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(kept, pruned) file names for range bounds ``skip_where`` =
+    {col: (lo, hi)} (inclusive; None = unbounded side) against the
+    manifest stats — pure metadata, no file opened. Bounds must be
+    JSON-comparable with the stored stats (numbers with numbers,
+    ISO strings with date/timestamp columns)."""
+    kept, pruned = [], []
+    for f, info in sorted(live_file_stats(path, version=version).items()):
+        if all(
+            _intersects(info["stats"], c, lo, hi)
+            for c, (lo, hi) in skip_where.items()
+        ):
+            kept.append(f)
+        else:
+            pruned.append(f)
+    return kept, pruned
+
+
 def read_table(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    skip_where: dict | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (latest if None): the live file
     set resolved from the log, read as one parquet scan.
     ``mergeSchema`` composes schema evolution across commits exactly
-    as sources/partitioned.py's x33 does for raw layouts."""
-    files = [os.path.join(path, f) for f in sorted(live_files(path, version=version))]
-    if not files:
+    as sources/partitioned.py's x33 does for raw layouts.
+
+    ``skip_where`` = {col: (lo, hi)} enables DATA SKIPPING: files
+    whose manifest min/max cannot intersect the bounds are never
+    opened (Delta-style stats pruning — the file-granular sibling of
+    x32's directory pruning). Skipping is an I/O optimization, not a
+    filter: rows outside the bounds from surviving files still flow —
+    apply the semantic ``.filter`` on top (the x36 witness proves the
+    pruned-scan-plus-filter equals the full-scan-plus-filter hash)."""
+    live = sorted(live_files(path, version=version))
+    if not live:
         raise ValueError(f"version has no live files: {path}@{version}")
+    if skip_where:
+        names, pruned = skipped_files(path, skip_where, version=version)
+        if not names:
+            # every file pruned: correct result is an EMPTY table with
+            # the live schema (schema comes from footers, zero rows read)
+            return (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in live])
+                .limit(0)
+            )
+    else:
+        names = live
+    files = [os.path.join(path, f) for f in names]
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
@@ -303,9 +480,7 @@ def delete_where(
                 )
                 .filter(~condition)
             )
-            actions += [
-                {"add": f, "rows": n} for f, n in _stage_data(keep, path)
-            ]
+            actions += _add_actions(_stage_data(keep, path))
         try:
             _commit(path, base + 1, actions)
             _maybe_checkpoint(path, base + 1)
@@ -368,12 +543,8 @@ def merge_upsert(
                 .parquet(*[os.path.join(path, f) for f in sorted(touched)])
                 .join(keys, key_cols, "left_anti")
             )
-            actions += [
-                {"add": f, "rows": n} for f, n in _stage_data(survivors, path)
-            ]
-        actions += [
-            {"add": f, "rows": n} for f, n in _stage_data(updates, path)
-        ]
+            actions += _add_actions(_stage_data(survivors, path))
+        actions += _add_actions(_stage_data(updates, path))
         try:
             _commit(path, base + 1, actions)
             _maybe_checkpoint(path, base + 1)
@@ -431,9 +602,7 @@ def compact(
                 *[os.path.join(path, f) for f in sorted(files)]
             ).coalesce(1)
             actions += [{"remove": f} for f in files]
-            actions += [
-                {"add": f, "rows": n} for f, n in _stage_data(merged, path)
-            ]
+            actions += _add_actions(_stage_data(merged, path))
         if not actions:
             return None
         try:

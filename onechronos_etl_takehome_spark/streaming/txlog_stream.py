@@ -56,9 +56,7 @@ def process_txlog_batch(
     version, or None when the batch_id already landed (replay)."""
     if batch_id in committed_batch_ids(path):
         return None
-    adds = [
-        {"add": f, "rows": n} for f, n in txlog._stage_data(batch_df, path)
-    ]
+    adds = txlog._add_actions(txlog._stage_data(batch_df, path))
     for _ in range(max_retries):
         versions = txlog.committed_versions(path)
         version = (versions[-1] + 1) if versions else 0

@@ -175,6 +175,116 @@ class TestMerge:
         assert pre[3] == "old"  # snapshot isolation across the MERGE
 
 
+class TestDataSkipping:
+    def test_manifest_stats_cover_columns(self, spark, table):
+        txlog.create_table(
+            spark.range(0, 100).select(
+                "id", (F.col("id") * 2).alias("v"), F.lit("t").alias("s")
+            ),
+            table,
+        )
+        infos = list(txlog.live_file_stats(table).values())
+        assert all("id" in i["stats"] and "v" in i["stats"] for i in infos)
+        # files partition the range; their stats union must cover it
+        assert min(i["stats"]["id"][0] for i in infos) == 0
+        assert max(i["stats"]["id"][1] for i in infos) == 99
+
+    def test_clustered_table_prunes_and_matches_full_scan(self, spark, table):
+        df = spark.range(0, 10_000).select(
+            "id", (F.col("id") % 97).alias("grp")
+        )
+        txlog.create_table(df, table, cluster_by="id")
+        n_files = len(txlog.live_files(table))
+        assert n_files > 4, "range clustering must split into many files"
+        kept, pruned = txlog.skipped_files(table, {"id": (2000, 2499)})
+        assert pruned, "a narrow range must prune most files"
+        assert len(kept) <= max(2, n_files // 4)
+        # pruned scan + filter == full scan + filter, row for row
+        bounds = (F.col("id") >= 2000) & (F.col("id") <= 2499)
+        a = sorted(
+            map(
+                tuple,
+                txlog.read_table(spark, table, skip_where={"id": (2000, 2499)})
+                .filter(bounds)
+                .collect(),
+            )
+        )
+        b = sorted(
+            map(tuple, txlog.read_table(spark, table).filter(bounds).collect())
+        )
+        assert a == b and len(a) == 500
+        # provenance: the pruned read really opened only the kept files
+        opened = {
+            os.path.basename(r["f"])
+            for r in txlog.read_table(
+                spark, table, skip_where={"id": (2000, 2499)}
+            )
+            .select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("f")
+            )
+            .distinct()
+            .collect()
+        }
+        assert opened <= set(kept)
+
+    def test_unclustered_column_is_kept_conservatively(self, spark, table):
+        # grp is uncorrelated with the id clustering → every file's
+        # grp range spans [0, 96] and nothing can prune; correctness
+        # must hold anyway (skipping is conservative, never lossy)
+        df = spark.range(0, 5_000).select("id", (F.col("id") % 97).alias("grp"))
+        txlog.create_table(df, table, cluster_by="id")
+        kept, pruned = txlog.skipped_files(table, {"grp": (10, 11)})
+        assert not pruned
+        got = (
+            txlog.read_table(spark, table, skip_where={"grp": (10, 11)})
+            .filter((F.col("grp") >= 10) & (F.col("grp") <= 11))
+            .count()
+        )
+        assert got == 104  # 52 ids per grp value x 2
+
+    def test_all_files_pruned_yields_empty_with_schema(self, spark, table):
+        txlog.create_table(
+            spark.range(0, 100).select("id"), table, cluster_by="id"
+        )
+        out = txlog.read_table(spark, table, skip_where={"id": (10**9, None)})
+        assert out.columns == ["id"] and out.count() == 0
+
+    def test_timestamp_stats_present_and_prune(self, spark, table):
+        # Spark's default INT96 parquet timestamps carry NO footer
+        # stats — _stage_data must write TIMESTAMP_MICROS or date
+        # ranges silently never prune (the x36 regression this round)
+        df = spark.range(0, 1000).selectExpr(
+            "id", "timestamp_seconds(800000000 + id * 3600) AS ts"
+        )
+        txlog.create_table(df, table, cluster_by="ts", cluster_files=8)
+        infos = txlog.live_file_stats(table).values()
+        assert all("ts" in i["stats"] for i in infos)
+        kept, pruned = txlog.skipped_files(
+            table, {"ts": ("1995-06-01", "1995-06-10")}
+        )
+        assert pruned and len(kept) <= 3
+
+    def test_skipping_survives_dml(self, spark, table):
+        # stats must stay correct through append/delete rewrites
+        txlog.create_table(
+            spark.range(0, 1000).select("id"), table, cluster_by="id"
+        )
+        txlog.append(
+            spark.range(5000, 6000).select("id"), table, cluster_by="id"
+        )
+        txlog.delete_where(spark, table, F.col("id") % 2 == 1)
+        kept, pruned = txlog.skipped_files(table, {"id": (5000, 5099)})
+        assert pruned, "old-range files must prune after DML"
+        got = (
+            txlog.read_table(spark, table, skip_where={"id": (5000, 5099)})
+            .filter((F.col("id") >= 5000) & (F.col("id") <= 5099))
+            .count()
+        )
+        assert got == 50  # evens only
+
+
 class TestMaintenance:
     def test_vacuum_drops_unreachable_keeps_retained(self, spark, table):
         txlog.create_table(_df(spark, 0, 40, "a"), table)
@@ -219,9 +329,9 @@ class TestMaintenance:
         # checkpointed resolution must equal the raw manifest fold at
         # EVERY version (pre-, at-, and post-checkpoint)
         for v in range(8):
-            assert txlog.live_files(table, version=v) == txlog._fold_live_raw(
-                table, v
-            ), v
+            assert txlog.live_file_stats(
+                table, version=v
+            ) == txlog._fold_live_raw(table, v), v
         assert txlog.read_table(spark, table).count() == 40
 
     def test_checkpoint_loss_is_harmless(self, spark, table, monkeypatch):
