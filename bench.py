@@ -191,6 +191,9 @@ HEADLINE = [
     # manifest-stats data skipping (range-clustered write + pruned
     # read per rep; 29 of 32 files skipped at sf0.01)
     "x36_txlog_data_skipping",
+    # change data feed: create+append+CoW-delete, then row-level
+    # changes derived from the log's file diff (multiset exceptAll)
+    "x37_txlog_change_feed",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -14,17 +14,25 @@ product-analytics definition ("from first exposure"), is what the x07
 oracle pins, and needs only min() per step instead of per-start chain
 search.
 
-Shape: one conditional aggregation per step, each keyed on the user
-column — N-1 shuffle-key-aligned joins plus N groupBys on the same key,
-so at scale every stage reuses one hash partitioning of the events
-table and the per-step frames are tiny (one row per converting user).
-No window functions over the full event history, no state blowup for
-hot users: min() per step is all the state carried.
+Shape — ONE scan, ONE exchange (the round-7 rewrite; the previous
+per-step filter-join-aggregate chain re-derived the events lineage
+once per step and PLANS.md showed x07 at 7 input scans): the events
+scan is hash-partitioned by user once, then each step is a
+conditional MIN over the whole partition (unbounded frame, no sort) —
+``stepk_ts = min(ts where predicate_k ∧ ts ≥ step(k-1)_ts ∧ ts ≤
+step1_ts + window)`` — with consecutive Window operators sharing the
+single exchange because they share the partitioning, and the final
+per-user collapse reusing it too. NULLs compose the sequencing for
+free: a user without step k-1 has NULL ``step(k-1)_ts``, every step-k
+comparison against it is NULL, the conditional MIN sees no rows, and
+depth stops — no state blowup for hot users; min() per step is all
+the state carried.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def window_funnel(
@@ -45,23 +53,38 @@ def window_funnel(
         raise ValueError("window_funnel needs at least one step predicate")
     ts = F.col(ts_col)
     window = F.expr(window_expr)
+    w = Window.partitionBy(user_col)
 
-    cur = (
-        events.filter(step_predicates[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("step1_ts"))
+    df = events.select(
+        user_col,
+        ts_col,
+        *[p.alias(f"_p{k}") for k, p in enumerate(step_predicates, start=1)],
     )
-    depth = F.lit(1)
-    for k, pred in enumerate(step_predicates[1:], start=2):
-        prev_ts = f"step{k - 1}_ts"
-        carry = [user_col, "step1_ts"] + ([prev_ts] if k > 2 else [])
-        nxt = (
-            events.filter(pred)
-            .join(cur.select(*carry), user_col)
-            .where((ts >= F.col(prev_ts)) & (ts <= F.col("step1_ts") + window))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"step{k}_ts"))
+    df = df.withColumn(
+        "step1_ts", F.min(F.when(F.col("_p1"), ts)).over(w)
+    )
+    for k in range(2, len(step_predicates) + 1):
+        prev_ts = F.col(f"step{k - 1}_ts")
+        df = df.withColumn(
+            f"step{k}_ts",
+            F.min(
+                F.when(
+                    F.col(f"_p{k}")
+                    & (ts >= prev_ts)
+                    & (ts <= F.col("step1_ts") + window),
+                    ts,
+                )
+            ).over(w),
         )
-        cur = cur.join(nxt, user_col, "left")
-        depth = depth + F.when(F.col(f"step{k}_ts").isNotNull(), 1).otherwise(0)
-    return cur.withColumn("funnel_depth", depth.cast("long"))
+    step_cols = [f"step{k}_ts" for k in range(1, len(step_predicates) + 1)]
+    depth = F.lit(1)
+    for c in step_cols[1:]:
+        depth = depth + F.when(F.col(c).isNotNull(), 1).otherwise(0)
+    # one row per user who completed step 1; every event row of a user
+    # carries identical stepk_ts values, so min() is pure collapse
+    return (
+        df.filter(F.col("step1_ts").isNotNull())
+        .groupBy(user_col)
+        .agg(*[F.min(c).alias(c) for c in step_cols])
+        .withColumn("funnel_depth", depth.cast("long"))
+    )

@@ -252,3 +252,64 @@ def x36_txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x37 — change data feed (row-level changes derived from the log)
+# ---------------------------------------------------------------------------
+
+_X37_CUT = "1995-01-01"
+
+# The feed for (v0, v2]: v1's inserts are the appended post-cutoff
+# rows; v2's deletes are the F-status rows of the full table (the CoW
+# rewrite's carried-over survivors must cancel and never appear).
+_X37_ORACLE = f"""
+    SELECT 1 AS version, 'insert' AS change,
+      CAST(o_orderkey AS BIGINT) AS orderkey, o_orderstatus AS status,
+      CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderdate >= DATE '{_X37_CUT}'
+    UNION ALL
+    SELECT 2, 'delete',
+      CAST(o_orderkey AS BIGINT), o_orderstatus,
+      CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+    FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("x37_txlog_change_feed", oracle=_X37_ORACLE)
+def x37_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED off the ACID table (``sources/txlog.py:
+    change_feed``): after create → append → copy-on-write delete, the
+    feed for versions (0, 2] must contain EXACTLY the appended rows
+    as v1 inserts and the deleted rows as v2 deletes — nothing for
+    the delete's carried-over survivors, because the per-commit
+    multiset diff (``exceptAll`` of added vs removed files) cancels
+    them. The oracle recomputes both change sets relationally from
+    the raw table; the hash match proves row-level CDC can be derived
+    from the commit log alone, with each commit reading only the
+    files it touched. The compaction-is-CDF-invisible and
+    incremental-consumer contracts are pinned in tests/test_txlog.py
+    and tests/test_txlog_stream.py."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x37_{uuid.uuid4().hex[:8]}_")
+    cut = F.lit(_X37_CUT).cast("date")
+    txlog.create_table(orders.filter(F.col("o_orderdate") < cut), path)
+    txlog.append(orders.filter(F.col("o_orderdate") >= cut), path)
+    txlog.delete_where(spark, path, F.col("status") == "F")
+    return txlog.change_feed(spark, path, from_version=0).select(
+        F.col("_version").cast("int").alias("version"),
+        F.col("_change").alias("change"),
+        "orderkey",
+        "status",
+        "price_cents",
+    )

@@ -614,6 +614,88 @@ def compact(
     raise CommitConflict(f"lost {max_retries} compaction races on {path}")
 
 
+def change_feed(
+    spark: SparkSession,
+    path: str,
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED for versions (from_version,
+    to_version]: one row per inserted/deleted row per commit, columns
+    ``(_version, _change ∈ {'insert','delete'}, *table columns)`` —
+    the Delta CDF / Iceberg changelog shape, derived entirely from
+    the log's file diff (no change files are ever written):
+
+    per commit, ``inserts = rows(added files) exceptAll rows(removed
+    files)`` and ``deletes = rows(removed) exceptAll rows(added)`` —
+    multiset difference, so copy-on-write carry-over rows (a DELETE's
+    survivors, a MERGE's untouched neighbors, a compaction's entire
+    payload) cancel exactly and only REAL changes surface. An
+    OPTIMIZE rewrite is CDF-invisible by construction (pinned in
+    tests), which is precisely the table-format contract.
+
+    Scale: each commit reads only the files IT touched (the log is
+    the prune); an append's CDF is a pure scan of its own files. The
+    multiset diff shuffles only touched-file rows, and only for
+    commits that actually removed something — for append-only
+    history the feed is shuffle-free. Downstream incremental
+    consumers poll ``committed_versions`` and feed from their last
+    seen version — the streaming-source pattern
+    (tests/test_txlog_stream.py drives it)."""
+    to_version, versions = _resolve_version(path, to_version)
+    if from_version not in versions:
+        raise ValueError(f"from_version {from_version} not in {versions}")
+    out: DataFrame | None = None
+    for v in versions:
+        if v <= from_version or v > to_version:
+            continue
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        adds = [a["add"] for a in manifest["actions"] if "add" in a]
+        removes = [a["remove"] for a in manifest["actions"] if "remove" in a]
+
+        def _read(names: list[str]) -> DataFrame | None:
+            if not names:
+                return None
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f) for f in sorted(names)]
+            )
+
+        a_df, r_df = _read(adds), _read(removes)
+        changes = []
+        if a_df is not None:
+            ins = a_df.exceptAll(r_df) if r_df is not None else a_df
+            changes.append(("insert", ins))
+        if r_df is not None:
+            dele = r_df.exceptAll(a_df) if a_df is not None else r_df
+            changes.append(("delete", dele))
+        for kind, df in changes:
+            tagged = df.select(
+                F.lit(v).cast("long").alias("_version"),
+                F.lit(kind).alias("_change"),
+                "*",
+            )
+            out = (
+                tagged
+                if out is None
+                else out.unionByName(tagged, allowMissingColumns=True)
+            )
+    if out is None:
+        if from_version == to_version:
+            raise ValueError(
+                f"no commits in ({from_version}, {to_version}] on {path}"
+            )
+        # commits existed but none touched data (no-op deletes):
+        # empty feed with the table schema
+        return read_table(spark, path, version=to_version).select(
+            F.lit(0).cast("long").alias("_version"),
+            F.lit("insert").alias("_change"),
+            "*",
+        ).limit(0)
+    return out
+
+
 def vacuum(path: str, *, keep_versions: int = 2) -> list[str]:
     """Physically remove data files referenced ONLY by versions older
     than the last ``keep_versions`` commits (they are unreachable

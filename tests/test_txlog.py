@@ -285,6 +285,55 @@ class TestDataSkipping:
         assert got == 50  # evens only
 
 
+class TestChangeFeed:
+    def test_append_and_delete_changes_surface_exactly(self, spark, table):
+        txlog.create_table(_df(spark, 0, 30, "a"), table)
+        txlog.append(_df(spark, 30, 40, "b"), table)  # v1
+        txlog.delete_where(spark, table, F.col("id") < 5)  # v2 (CoW)
+        feed = txlog.change_feed(spark, table, from_version=0).collect()
+        got = {(r["_version"], r["_change"], r["id"]) for r in feed}
+        want = {(1, "insert", i) for i in range(30, 40)} | {
+            (2, "delete", i) for i in range(5)
+        }
+        # the delete's carried-over survivors (ids 5..29 rewritten
+        # into new files) must CANCEL, never appear as churn
+        assert got == want
+
+    def test_merge_shows_delete_plus_insert(self, spark, table):
+        txlog.create_table(_df(spark, 0, 10, "old"), table)
+        updates = spark.createDataFrame([(3, "upd")], "id long, tag string")
+        txlog.merge_upsert(spark, table, updates, ["id"])
+        feed = txlog.change_feed(spark, table, from_version=0).collect()
+        got = {(r["_change"], r["id"], r["tag"]) for r in feed}
+        assert got == {("delete", 3, "old"), ("insert", 3, "upd")}
+
+    def test_compaction_is_cdf_invisible(self, spark, table):
+        txlog.create_table(_df(spark, 0, 10, "a"), table)
+        for v in range(1, 4):
+            txlog.append(_df(spark, v * 10, v * 10 + 10, "a"), table)
+        base = txlog.committed_versions(table)[-1]
+        assert txlog.compact(spark, table, target_bytes=64 * 1024 * 1024)
+        feed = txlog.change_feed(spark, table, from_version=base)
+        assert feed.count() == 0  # a pure rewrite is not a change
+
+    def test_incremental_consumer_sees_each_batch_once(self, spark, table):
+        txlog.create_table(_df(spark, 0, 10, "a"), table)
+        seen: set[int] = set()
+        last = 0
+        for lo in (100, 200):
+            txlog.append(_df(spark, lo, lo + 10, "inc"), table)
+            newest = txlog.committed_versions(table)[-1]
+            rows = txlog.change_feed(
+                spark, table, from_version=last, to_version=newest
+            ).collect()
+            assert all(r["_change"] == "insert" for r in rows)
+            ids = {r["id"] for r in rows}
+            assert not (ids & seen)
+            seen |= ids
+            last = newest
+        assert seen == set(range(100, 110)) | set(range(200, 210))
+
+
 class TestMaintenance:
     def test_vacuum_drops_unreachable_keeps_retained(self, spark, table):
         txlog.create_table(_df(spark, 0, 40, "a"), table)
