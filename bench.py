@@ -194,6 +194,9 @@ HEADLINE = [
     # change data feed: create+append+CoW-delete, then row-level
     # changes derived from the log's file diff (multiset exceptAll)
     "x37_txlog_change_feed",
+    # OPTIMIZE ZORDER as a log transaction + two-dimensional
+    # manifest-stats pruning from the one Morton layout
+    "x38_txlog_zorder_skipping",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -25,10 +25,16 @@ from .multimodal import (
 from .drift import histogram_drift
 from .fusion import mmr_rerank, rrf_fuse
 from .jpeg import jpeg_from_pixels, jpeg_pixels
+from .mp4 import mp4_frames, mp4_from_frames
 from .privacy import k_anonymize
 from .scd2 import scd2_apply, scd2_build
 from .text import segment_dedup, segment_dedup_incremental, segment_index
-from .video import avi_frames, avi_from_frames, video_match_pairs
+from .video import (
+    avi_frames,
+    avi_from_frames,
+    video_match_pairs,
+    video_match_pairs_tolerant,
+)
 from .similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -66,6 +72,8 @@ __all__ = [
     "image_dhash",
     "image_gray",
     "jpeg_from_pixels",
+    "mp4_frames",
+    "mp4_from_frames",
     "jpeg_pixels",
     "png_from_pixels",
     "png_pixels",
@@ -81,5 +89,6 @@ __all__ = [
     "avi_frames",
     "avi_from_frames",
     "video_match_pairs",
+    "video_match_pairs_tolerant",
     "assign_split",
 ]

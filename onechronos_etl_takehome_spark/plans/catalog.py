@@ -90,7 +90,7 @@ DRIVER_WINDOW: list[str] = [
     "t22_corpus_mixing",
     "x31_column_stats",
     "t08_salient_terms",
-    "t09_chunk_documents",
+    "x36_txlog_data_skipping",  # manifest-stats file pruning (ACID table)
     "t10_pii_redaction",
     # Similarity search, multimodal, event-time windows, sketches.
     # x03 (oracled heavy hitters) witnesses sketches instead of the
@@ -134,8 +134,27 @@ DRIVER_WINDOW: list[str] = [
     "x24_bucketed_join",  # co-located join over bucketed storage
     "x25_distribution_drift",  # windowed histogram drift (TVD)
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
-    "x28_scd2_pointintime",  # point-in-time lookup against the SCD2 dim
+    "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
 ]
+# Round 7 (batch 3): the other two oracled txlog rows enter the same
+# round they land — x36 stats-based data skipping (the file-granular
+# scan-pruning capability; with x32's directory pruning these are the
+# two levers that decide how much of 100 TB a range query opens) and
+# x35 file-pruned MERGE INTO (the DML write path every nightly
+# upsert runs). Displaced: t09 fixed-size document chunking (the
+# chunk-extraction arithmetic — boundary selection + substring
+# assembly — is witnessed in-window by m05's content-defined
+# chunking, which hash-matches the strictly harder rolling-hash
+# boundary form; t09 stays locally oracled in the full gate) and
+# x28 SCD2 point-in-time lookup (the key-equality + half-open-range
+# as-of join shape is witnessed in-window by q19's purchase-last-view
+# as-of join, and the SCD2 family keeps x27's stronger
+# incremental==rebuild witness; x28 stays locally oracled in the
+# full gate). x37 (change data feed) stays gate-only this round: the
+# txlog family now carries three in-window witnesses (x34 lifecycle,
+# x35 DML, x36 scan pruning) and x37's multiset file-diff is pinned
+# by four gate tests + the x37 oracle locally; it is the natural
+# next rotation.
 # Round 7 (batch 2): x34 enters the window the same round it lands
 # (the round-6 verdict's standing critique was new oracled families
 # waiting a round for driver evidence) — the ACID-table lifecycle

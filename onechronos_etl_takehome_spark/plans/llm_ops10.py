@@ -313,3 +313,75 @@ def x37_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "price_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# x38 — OPTIMIZE ZORDER: multi-dimensional data skipping from one layout
+# ---------------------------------------------------------------------------
+
+_X38_OK = (10_000, 14_999)  # l_orderkey probe
+_X38_PK = (100, 179)  # l_partkey probe
+
+_X38_ORACLE = f"""
+    SELECT 'orderkey_range' AS probe,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_X38_OK[0]} AND {_X38_OK[1]}
+    UNION ALL
+    SELECT 'partkey_range',
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    WHERE l_partkey BETWEEN {_X38_PK[0]} AND {_X38_PK[1]}
+"""
+
+
+@register("x38_txlog_zorder_skipping", oracle=_X38_ORACLE)
+def x38_txlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the ACID table: lineitem lands unclustered,
+    one ``compact(zorder_by=['l_orderkey', 'l_partkey'])`` transaction
+    rewrites the live set along a Morton curve (``layout.py:
+    zorder_frame`` — the x23 machinery as a LOG COMMIT), and then
+    range probes on EACH dimension read through manifest-stats
+    skipping — the multi-column pruning a linear sort cannot give
+    (sorting by orderkey leaves every file spanning all partkeys).
+    Both probes hash-match the raw-table oracle; the gate additionally
+    asserts nonzero file pruning on both dimensions from the one
+    layout (tests/test_txlog.py). l_quantity sums as BIGINT (integer
+    quantities — functions/exact.py)."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x38_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(li, path)
+    txlog.compact(
+        spark,
+        path,
+        zorder_by=["l_orderkey", "l_partkey"],
+        zorder_files=16,
+        target_bytes=1,  # force the rewrite regardless of file sizes
+    )
+
+    def probe(label: str, col: str, lo: int, hi: int) -> DataFrame:
+        t = txlog.read_table(spark, path, skip_where={col: (lo, hi)})
+        return (
+            t.filter(F.col(col).between(lo, hi))
+            .agg(
+                F.lit(label).alias("probe"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+            )
+            .select("probe", "n_rows", "sum_qty")
+        )
+
+    return probe("orderkey_range", "l_orderkey", *_X38_OK).unionByName(
+        probe("partkey_range", "l_partkey", *_X38_PK)
+    )

@@ -3,6 +3,10 @@ from .readers import read_dirty_csv, read_orc, read_xml
 from .sinks import write_json, write_orc, write_parquet, write_xml
 from .bucketing import read_bucketed, write_bucketed
 from .upsert import read_keyed_table, upsert, vacuum
+# the ACID table format keeps its module namespace: its vacuum/compact
+# would shadow the versioned-table functions above, and callers read
+# better as txlog.create_table / txlog.merge_upsert / txlog.change_feed
+from . import txlog
 
 __all__ = [
     "TABLE_NAMES",
@@ -21,4 +25,5 @@ __all__ = [
     "read_keyed_table",
     "upsert",
     "vacuum",
+    "txlog",
 ]

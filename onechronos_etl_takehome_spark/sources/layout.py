@@ -89,23 +89,18 @@ def zorder_key_sql(col_sqls: list[str], *, bits: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: list[str],
-    *,
-    n_files: int,
-    bits: int = 8,
-    mode: str = "error",
-) -> None:
-    """Write ``df`` laid out along a Morton curve over ``cols``.
-
-    Buckets are equal-width from in-plan global min/max (a broadcast
-    1-row aggregate — no driver collect, no global sort window), so
-    the whole layout job is: one tiny aggregate + one range shuffle +
-    one write, at any scale. Range predicates on ANY of ``cols`` then
-    prune whole files via parquet footer min/max.
-    """
+def zorder_frame(
+    df: DataFrame, cols: list[str], *, n_files: int, bits: int = 8
+) -> DataFrame:
+    """``df`` re-clustered along a Morton curve over ``cols`` into
+    ``n_files`` range partitions (each downstream file then covers a
+    narrow value range in EVERY listed dimension — multi-column data
+    skipping). Buckets are equal-width from in-plan global min/max (a
+    broadcast 1-row aggregate — no driver collect, no global sort
+    window): one tiny aggregate + one range shuffle, at any scale.
+    Shared by :func:`write_zordered` (raw layout, x23) and
+    ``sources/txlog.py:compact(zorder_by=...)`` (OPTIMIZE ZORDER as a
+    log transaction, x38)."""
     from pyspark.sql import functions as F
 
     stats = df.agg(
@@ -123,13 +118,33 @@ def write_zordered(
     keyed = buckets.withColumn(
         "_z", zorder_key([f"_zb_{c}" for c in cols], bits=bits)
     )
-    (
+    return (
         keyed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", *[f"_zb_{c}" for c in cols], *[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
-        .write.mode(mode)
-        .parquet(path)
+        .drop(
+            "_z",
+            *[f"_zb_{c}" for c in cols],
+            *[f"_lo_{c}" for c in cols],
+            *[f"_hi_{c}" for c in cols],
+        )
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    n_files: int,
+    bits: int = 8,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` laid out along a Morton curve over ``cols`` —
+    see :func:`zorder_frame`. Range predicates on ANY of ``cols``
+    then prune whole files via parquet footer min/max."""
+    zorder_frame(df, cols, n_files=n_files, bits=bits).write.mode(
+        mode
+    ).parquet(path)
 
 
 def write_range_partitioned(

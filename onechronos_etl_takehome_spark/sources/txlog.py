@@ -559,6 +559,9 @@ def compact(
     path: str,
     *,
     target_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
+    zorder_files: int | None = None,
+    bits: int = 8,
     max_retries: int = 3,
 ) -> int | None:
     """OPTIMIZE: bin-pack undersized live files into ~``target_bytes``
@@ -571,12 +574,42 @@ def compact(
     inventory — one row per FILE, metadata-plane; the collect below
     is the bin map (file→bin), bounded by the live file count.
     Returns the committed version, or None when nothing qualifies
-    (fewer than two undersized files)."""
+    (fewer than two undersized files).
+
+    ``zorder_by``: OPTIMIZE ZORDER — rewrite the ENTIRE live set
+    re-clustered along a Morton curve over the listed columns
+    (``sources/layout.py:zorder_frame``), so the manifest stats
+    become narrow in EVERY listed dimension and ``skip_where`` prunes
+    on any of them (x38 witnesses two-dimensional pruning from one
+    layout). ``zorder_files`` sets the output file count (default:
+    ceil(live bytes / target_bytes)); the non-null listed columns are
+    the caller's contract, as in write_zordered."""
     from ..operators.compaction import compaction_plan
 
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
+        if zorder_by:
+            inv_bytes = sum(
+                os.path.getsize(os.path.join(path, f)) for f in snapshot
+            )
+            n_out = zorder_files or max(1, -(-inv_bytes // target_bytes))
+            whole = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f) for f in sorted(snapshot)]
+            )
+            from .layout import zorder_frame
+
+            clustered = zorder_frame(
+                whole, zorder_by, n_files=n_out, bits=bits
+            )
+            actions = [{"remove": f} for f in snapshot]
+            actions += _add_actions(_stage_data(clustered, path))
+            try:
+                _commit(path, base + 1, actions)
+                _maybe_checkpoint(path, base + 1)
+                return base + 1
+            except CommitConflict:
+                continue
         inv = [
             (f, os.path.getsize(os.path.join(path, f)))
             for f in sorted(snapshot)

@@ -266,6 +266,32 @@ class TestDataSkipping:
         )
         assert pruned and len(kept) <= 3
 
+    def test_zorder_compact_prunes_on_both_dims(self, spark, table):
+        # two anti-correlated dims: a linear sort on `a` would leave
+        # every file spanning all of `b`; the Morton layout must give
+        # nonzero pruning on BOTH from one rewrite
+        df = spark.range(0, 20_000).select(
+            F.col("id").alias("a"), (19_999 - F.col("id")).alias("b")
+        )
+        txlog.create_table(df, table)
+        v = txlog.compact(
+            spark, table, zorder_by=["a", "b"], zorder_files=16,
+            target_bytes=1,
+        )
+        assert v is not None
+        for col in ("a", "b"):
+            kept, pruned = txlog.skipped_files(table, {col: (4000, 4999)})
+            assert pruned, f"no pruning on {col}"
+            got = (
+                txlog.read_table(spark, table, skip_where={col: (4000, 4999)})
+                .filter((F.col(col) >= 4000) & (F.col(col) <= 4999))
+                .count()
+            )
+            assert got == 1000
+        # the rewrite is one commit and CDF-invisible
+        feed = txlog.change_feed(spark, table, from_version=v - 1)
+        assert feed.count() == 0
+
     def test_skipping_survives_dml(self, spark, table):
         # stats must stay correct through append/delete rewrites
         txlog.create_table(
