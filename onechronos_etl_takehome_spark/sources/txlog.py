@@ -474,11 +474,16 @@ def delete_where(
         ]
         actions: list[dict] = [{"remove": f} for f in touched]
         if touched:
+            # SQL DELETE removes rows whose predicate IS TRUE; a row
+            # where it evaluates NULL must SURVIVE the rewrite. Plain
+            # `~condition` is NULL for those rows and the filter would
+            # silently drop them (3VL bug caught in round 7: a
+            # NULL-tag row sharing a file with a matched row vanished)
             keep = (
                 spark.read.parquet(
                     *[os.path.join(path, f) for f in sorted(touched)]
                 )
-                .filter(~condition)
+                .filter(~F.coalesce(condition, F.lit(False)))
             )
             actions += _add_actions(_stage_data(keep, path))
         try:

@@ -169,6 +169,72 @@ class TestMp4Codec:
         assert rows[1]["features"][1] == 40.0  # height
 
 
+class TestMp4Properties:
+    """Hypothesis round-trips: the container walk must be exact for
+    ANY frame count/geometry the writer emits (the JPEG sample codec's
+    loss is pinned separately — here we pin container framing, sample
+    boundaries, and the stsc/stco/stsz arithmetic)."""
+
+    def test_container_roundtrip_any_geometry(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            n=st.integers(1, 7),
+            h=st.integers(8, 33),
+            w=st.integers(8, 41),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(n, h, w, seed):
+            rng = np.random.RandomState(seed)
+            # smooth per-frame gradients: container must carry any size
+            base = rng.randint(0, 64, size=(n, 1, 1, 3))
+            yy, xx = np.mgrid[0:h, 0:w]
+            grad = (
+                (96 + 64 * np.sin(xx / 7.0) + 48 * np.cos(yy / 5.0))[
+                    None, :, :, None
+                ]
+            )
+            frames = np.clip(base + grad, 0, 255).astype(np.uint8)
+            payload = mp4_from_frames(frames)
+            out = mp4_frames(payload)
+            assert out.shape == frames.shape
+            # per-sample JPEG loss is bounded; the CONTAINER adds none:
+            # decoding the MP4 equals decoding each sample standalone
+            from onechronos_etl_takehome_spark.operators.jpeg import (
+                jpeg_pixels,
+            )
+
+            direct = np.stack(
+                [
+                    jpeg_pixels(
+                        jpeg_from_pixels(frames[k][..., ::-1])
+                    )[..., ::-1]
+                    for k in range(n)
+                ]
+            )
+            assert np.array_equal(out, direct)
+
+        check()
+
+    def test_truncation_never_escapes_valueerror(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        payload = mp4_from_frames(_smooth_frames(3))
+
+        @settings(max_examples=60, deadline=None)
+        @given(cut=st.integers(12, len(payload) - 1))
+        def check(cut):
+            try:
+                mp4_frames(payload[:cut])
+            except ValueError:
+                pass  # the only allowed failure mode
+
+        check()
+
+
 # ---------------------------------------------------------------------------
 # m13 — cross-container witness
 # ---------------------------------------------------------------------------

@@ -107,6 +107,21 @@ class TestCopyOnWrite:
         assert txlog.read_table(spark, table, version=v1).count() == 60
         assert txlog.read_table(spark, table).count() == 30
 
+    def test_delete_null_predicate_rows_survive(self, spark, table):
+        # SQL DELETE drops rows whose predicate IS TRUE; NULL-valued
+        # predicates keep the row — including inside a rewritten file
+        # (the 3VL trap: plain ~cond is NULL there and drops the row)
+        df = spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, None)], "id long, tag string"
+        ).coalesce(1)  # force all rows into ONE rewritten file
+        txlog.create_table(df, table)
+        txlog.delete_where(spark, table, F.col("tag") == "x")
+        rows = sorted(
+            (r["id"], r["tag"])
+            for r in txlog.read_table(spark, table).collect()
+        )
+        assert rows == [(2, "y"), (3, None)]
+
     def test_delete_no_matches_is_cheap_noop_commit(self, spark, table):
         txlog.create_table(_df(spark, 0, 10, "a"), table)
         v = txlog.delete_where(spark, table, F.col("id") > 999)
