@@ -55,7 +55,16 @@ def window_funnel(
     window = F.expr(window_expr)
     w = Window.partitionBy(user_col)
 
-    df = events.select(
+    # Pre-filter to rows matching ANY step: a row matching no step
+    # contributes to no conditional MIN and anchors no group, so this
+    # is semantically free — and it keeps predicate pushdown on the
+    # single scan (the disjunction reaches the parquet reader and
+    # prunes row groups; without it a 100 TB funnel reads every event
+    # type).
+    any_step = step_predicates[0]
+    for p in step_predicates[1:]:
+        any_step = any_step | p
+    df = events.filter(any_step).select(
         user_col,
         ts_col,
         *[p.alias(f"_p{k}") for k, p in enumerate(step_predicates, start=1)],

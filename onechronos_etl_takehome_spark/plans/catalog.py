@@ -72,7 +72,6 @@ DRIVER_WINDOW: list[str] = [
     "v01_validate_lineitem",
     # Deduplication (deterministic exact, n-gram Jaccard, MinHash+LSH,
     # SimHash, embedding near-dup, connected components, corpus clean).
-    "d03_capped_minhash_dedup",
     "d04_simhash_near_pairs",
     "d05_deterministic_dedup",
     "d06_embedding_neardup_pairs",
@@ -135,7 +134,17 @@ DRIVER_WINDOW: list[str] = [
     "x25_distribution_drift",  # windowed histogram drift (TVD)
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
     "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
+    "x37_txlog_change_feed",  # row-level CDF from the commit log
 ]
+# Round 8: x37 (change data feed) rotates in, exactly as round 7's
+# comment forecast — CDF is the contract every downstream incremental
+# consumer of the txlog depends on (inserts/deletes per commit derived
+# from the log's file diff; copy-on-write carry-over rows cancel via
+# multiset difference). Displaced: d03_capped_minhash_dedup — d11
+# fuzzy-dedup-e2e's oracle NESTS d03_capped's oracle verbatim (the
+# capped-LSH pair pipeline is stage one of d11's hash-matched
+# composition), so the capability keeps end-to-end in-window evidence;
+# d03_capped stays locally oracled in the full gate.
 # Round 7 (batch 3): the other two oracled txlog rows enter the same
 # round they land — x36 stats-based data skipping (the file-granular
 # scan-pruning capability; with x32's directory pruning these are the

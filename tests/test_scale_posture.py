@@ -209,9 +209,17 @@ def test_d12_gram_join_never_broadcasts(spark):
 
 
 def test_x07_step_filters_reach_event_scans(spark):
-    # each funnel step scans events with its event_type pushed down —
-    # at scale that's row-group skipping, not a full-table read per step
+    # the round-7 rewrite collapsed the funnel to ONE events scan and
+    # ONE exchange; the OR of the step predicates must still be pushed
+    # to that scan so row groups with no step event are skipped — at
+    # scale the alternative is reading every event type
     plan = _plan(spark, "x07_window_funnel")
+    # formatted explain prints each scan twice (tree node + detail
+    # header), so one scan == one "Location:" line
+    assert plan.count("Location:") == 1
+    assert plan.count("Exchange") <= 2  # one exchange, tree + detail
     assert "EqualTo(event_type,view)" in plan
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+    # pushed as one disjunction, not three separate scans
+    assert "Or(" in plan
