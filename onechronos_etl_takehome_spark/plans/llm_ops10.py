@@ -33,7 +33,7 @@ from .catalog import register
 # x34 — transactional table: commit log, copy-on-write delete, time travel
 # ---------------------------------------------------------------------------
 
-_X34_CUT = "1995-01-01"
+_X34_CUT = "1997-01-01"
 
 # Each branch recomputes one SNAPSHOT of the table from the raw orders
 # rows: v0 = the initial load (pre-cutoff), v1 = after the append
@@ -57,19 +57,37 @@ _X34_ORACLE = f"""
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
     FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT 3,
+      CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderstatus <> 'F'
 """
 
 
 @register("x34_txlog_time_travel", oracle=_X34_ORACLE)
 def x34_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACID table lifecycle, hash-matched at every version: create the
-    table from pre-1995 orders (commit 0), append the rest (commit 1),
+    table from pre-1997 orders (commit 0), append the rest (commit 1),
     copy-on-write DELETE the F-status rows (commit 2 — only files
     containing matches are rewritten; survivors carry by reference),
     then TIME-TRAVEL read all three snapshots and aggregate each. The
     oracle recomputes the three states from the raw table, so the
     hash match proves the log fold, the append, the rewrite, and
     snapshot isolation are all value-exact.
+
+    Round 8 adds the VACUUM leg (version tag 3): after vacuuming down
+    to the latest version, the latest snapshot must still read
+    value-exact (its oracle branch duplicates version 2's), and the
+    vacuumed versions 0/1 must RAISE rather than silently misread —
+    the leg is only emitted when they do, so a broken raise contract
+    shows up as a driver row-count mismatch. The pre-vacuum snapshots
+    are materialized eagerly (4 aggregate rows, driver-side) because
+    vacuum physically deletes the files a lazy plan would re-scan —
+    exactly the ordering a real maintenance pipeline observes.
+    Zero retention is safe here: single-writer witness, no concurrent
+    stager (vacuum's default 24 h window is the production guard).
 
     Table path is uuid-scoped per invocation (the x24 concurrent-
     session lesson) — the commit protocol's real concurrency story is
@@ -91,10 +109,10 @@ def x34_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.append(orders.filter(F.col("o_orderdate") >= cut), path)
     txlog.delete_where(spark, path, F.col("o_orderstatus") == "F")
 
-    def snap(v: int) -> DataFrame:
+    def snap(v: int, tag: int):
         t = txlog.read_table(spark, path, version=v)
         return t.agg(
-            F.lit(v).cast("int").alias("version"),
+            F.lit(tag).cast("int").alias("version"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
@@ -102,7 +120,29 @@ def x34_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_custkey").cast("long").alias("n_customers"),
         ).select("version", "n_orders", "total_price", "n_customers")
 
-    return snap(0).unionByName(snap(1)).unionByName(snap(2))
+    # materialize pre-vacuum: vacuum deletes the very files a lazy
+    # snapshot plan would re-scan at the driver's collect
+    rows = [
+        r
+        for v in (0, 1, 2)
+        for r in snap(v, v).collect()
+    ]
+    txlog.vacuum(path, keep_versions=1, retention_seconds=0)
+    stale_raise = True
+    for stale in (0, 1):
+        try:
+            txlog.read_table(spark, path, version=stale).count()
+            stale_raise = False  # must never happen post-vacuum
+        except ValueError:
+            pass  # the delete-everything edge: zero live files
+        except Exception:
+            pass  # missing data files surface loudly, never misread
+    if stale_raise:
+        rows += snap(2, 3).collect()  # retained version reads exactly
+    return spark.createDataFrame(
+        rows,
+        "version int, n_orders long, total_price double, n_customers long",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +298,7 @@ def x36_txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x37 — change data feed (row-level changes derived from the log)
 # ---------------------------------------------------------------------------
 
-_X37_CUT = "1995-01-01"
+_X37_CUT = "1997-01-01"
 
 # The feed for (v0, v2]: v1's inserts are the appended post-cutoff
 # rows; v2's deletes are the F-status rows of the full table (the CoW
@@ -384,4 +424,70 @@ def x38_txlog_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return probe("orderkey_range", "l_orderkey", *_X38_OK).unionByName(
         probe("partkey_range", "l_partkey", *_X38_PK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x39 — null-count data skipping (IS NULL / IS NOT NULL file pruning)
+# ---------------------------------------------------------------------------
+
+# `open_price` is NULL exactly for 'O'-status orders; clustering on
+# o_orderstatus makes files status-pure, so the null-count index alone
+# decides which files an IS NOT NULL scan opens. The oracle recomputes
+# the aggregate from the raw table.
+_X39_ORACLE = """
+    SELECT o_orderstatus AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS closed_price
+    FROM orders WHERE o_orderstatus <> 'O'
+    GROUP BY o_orderstatus
+"""
+
+
+@register("x39_txlog_null_skipping", oracle=_X39_ORACLE)
+def x39_txlog_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-COUNT data skipping on the ACID table (round-8): manifests
+    carry per-column null counts lifted from the parquet footers
+    alongside min/max, and ``skip_where={col: "is_not_null"}`` prunes
+    every file whose rows are ALL NULL in that column (null_count ==
+    rows) without opening it — the IS NULL / IS NOT NULL sibling of
+    x36's range skipping, and the same index Delta uses for null
+    predicates. The table lands status-clustered with ``open_price``
+    NULL exactly on 'O' orders, so 'O'-pure files are all-null and the
+    null-count index alone decides the file list; the gate asserts
+    nonzero pruning AND that pruned-scan == full-scan
+    (tests/test_txlog.py round-8 class). The oracle recomputes the
+    non-O aggregate from the raw table — the hash match proves null
+    skipping is an I/O optimization, never a semantic change."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "O", F.lit(None).cast("double")
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("open_price"),
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x39_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(
+        orders, path, cluster_by="o_orderstatus", cluster_files=8
+    )
+    t = txlog.read_table(
+        spark, path, skip_where={"open_price": "is_not_null"}
+    )
+    return (
+        t.filter(F.col("open_price").isNotNull())
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("closed_price"),
+        )
     )

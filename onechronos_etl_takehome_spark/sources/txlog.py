@@ -178,6 +178,7 @@ def _fold_live(
                 live[a["add"]] = {
                     "rows": a.get("rows", -1),
                     "stats": a.get("stats", {}),
+                    "nulls": a.get("nulls", {}),
                 }
             elif "remove" in a:
                 live.pop(a["remove"], None)
@@ -198,6 +199,7 @@ def _fold_live_raw(path: str, version: int) -> dict[str, dict]:
                 live[a["add"]] = {
                     "rows": a.get("rows", -1),
                     "stats": a.get("stats", {}),
+                    "nulls": a.get("nulls", {}),
                 }
             elif "remove" in a:
                 live.pop(a["remove"], None)
@@ -235,8 +237,13 @@ def live_file_stats(
     return _fold_live(path, version, versions)
 
 
-def _add_actions(staged: list[tuple[str, int, dict]]) -> list[dict]:
-    return [{"add": f, "rows": n, "stats": st} for f, n, st in staged]
+def _add_actions(
+    staged: list[tuple[str, int, dict, dict]]
+) -> list[dict]:
+    return [
+        {"add": f, "rows": n, "stats": st, "nulls": nl}
+        for f, n, st, nl in staged
+    ]
 
 
 def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
@@ -268,47 +275,96 @@ def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
         src = os.path.join(stage, fname)
         # footer metadata only — no data read for the manifest stats
         meta = pq.ParquetFile(src).metadata
+        if meta.num_rows == 0:
+            continue  # empty partitions add manifest + scan noise only
         os.rename(src, os.path.join(path, final))
-        out.append((final, meta.num_rows, _footer_stats(meta)))
+        stats, nulls = _footer_stats(meta)
+        out.append((final, meta.num_rows, stats, nulls))
     shutil.rmtree(stage, ignore_errors=True)
     return out
 
 
-def _footer_stats(meta) -> dict:
-    """Per-column [min, max] from the parquet footer's row-group
-    statistics (JSON-safe types only) — the data-skipping index every
-    table format carries in its manifest. None when any row group
-    lacks stats for a column."""
+def _footer_stats(meta) -> tuple[dict, dict]:
+    """(stats, nulls) from the parquet footer's row-group statistics:
+    ``stats`` = per-column [min, max] (JSON-safe types only) — the
+    data-skipping index every table format carries in its manifest —
+    and ``nulls`` = per-column null counts, which let ``skip_where``
+    prune IS NULL / IS NOT NULL predicates. A column is dropped from
+    ``stats`` when any row group lacks min/max, and from ``nulls``
+    when any row group lacks a null count."""
     import datetime
     import decimal
+    import math
 
     stats: dict = {}
+    nulls: dict = {}
     if meta.num_row_groups == 0:  # empty part file: no stats to lift
-        return stats
+        return stats, nulls
     for ci in range(meta.num_columns):
         name = meta.row_group(0).column(ci).path_in_schema
         if "." in name:  # nested leaves: skip (no top-level pruning)
             continue
         lo = hi = None
         ok = True
+        n_null = 0
+        null_ok = True
         for ri in range(meta.num_row_groups):
             st = meta.row_group(ri).column(ci).statistics
-            if st is None or not st.has_min_max:
-                ok = False
+            if st is None:
+                ok = null_ok = False
                 break
+            if st.null_count is None:
+                null_ok = False
+            else:
+                n_null += st.null_count
+            if not st.has_min_max:
+                ok = False
+                continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes) or isinstance(mx, bytes):
                 ok = False  # undecoded byte stats: not comparable
-                break
+                continue
             if isinstance(mn, decimal.Decimal):
-                mn, mx = float(mn), float(mx)
+                # float() rounds to NEAREST: the stored max could
+                # round BELOW the true max and prune a file holding a
+                # boundary row. Round OUTWARD so the stored range is
+                # always a superset of the true range (round-8 advice).
+                mn = math.nextafter(float(mn), -math.inf)
+                mx = math.nextafter(float(mx), math.inf)
             if isinstance(mn, (datetime.datetime, datetime.date)):
                 mn, mx = mn.isoformat(), mx.isoformat()
             lo = mn if lo is None or mn < lo else lo
             hi = mx if hi is None or mx > hi else hi
         if ok and lo is not None:
             stats[name] = [lo, hi]
-    return stats
+        if null_ok:
+            nulls[name] = n_null
+    return stats, nulls
+
+
+def _schema_extra(df: DataFrame) -> dict:
+    """Manifest ``schema`` field (Delta's metaData idea): lets a
+    snapshot whose live file set is EMPTY — a table created from an
+    empty frame, or a delete that removed every row — still read as a
+    typed empty DataFrame instead of failing schema inference.
+    Empty part files are never staged (_stage_data skips them), so
+    the log is the only schema carrier for such snapshots."""
+    return {"schema": df.schema.json()}
+
+
+def _latest_schema(path: str, version: int):
+    """Newest manifest schema at-or-before ``version`` (None if no
+    commit recorded one — pre-round-8 tables)."""
+    from pyspark.sql.types import StructType
+
+    for v in reversed(
+        [x for x in committed_versions(path) if x <= version]
+    ):
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        if "schema" in manifest:
+            return StructType.fromJson(json.loads(manifest["schema"]))
+    return None
 
 
 def _cluster(
@@ -350,6 +406,7 @@ def create_table(
         path,
         0,
         _add_actions(_stage_data(_cluster(df, cluster_by, cluster_files), path)),
+        extra=_schema_extra(df),
     )
     _maybe_checkpoint(path, 0)
     return 0
@@ -366,13 +423,14 @@ def append(
     """Append-only commit: stages data once, then retries the (cheap)
     manifest link under contention — appends never conflict
     semantically, so the retry needs no re-validation."""
+    _resolve_version(path, None)  # clear error on a non-table path
     adds = _add_actions(
         _stage_data(_cluster(df, cluster_by, cluster_files), path)
     )
     for _ in range(max_retries):
         version = committed_versions(path)[-1] + 1
         try:
-            _commit(path, version, adds)
+            _commit(path, version, adds, extra=_schema_extra(df))
             _maybe_checkpoint(path, version)
             return version
         except CommitConflict:
@@ -380,11 +438,25 @@ def append(
     raise CommitConflict(f"lost {max_retries} append races on {path}")
 
 
-def _intersects(stats: dict, col: str, lo, hi) -> bool:
-    """File may contain rows with ``col`` in [lo, hi]? Conservative:
-    a file without stats for ``col`` is always kept."""
+def _may_match(info: dict, col: str, bound) -> bool:
+    """File may contain rows matching ``bound`` on ``col``?
+    Conservative: a file without the needed stats is always kept.
+    ``bound`` is either the string ``"is_null"`` / ``"is_not_null"``
+    (pruned from manifest null counts) or an inclusive ``(lo, hi)``
+    range (None = unbounded side) pruned from manifest min/max."""
+    if bound == "is_null":
+        n = info.get("nulls", {}).get(col)
+        return True if n is None else n > 0
+    if bound == "is_not_null":
+        n = info.get("nulls", {}).get(col)
+        rows = info.get("rows", -1)
+        if n is None or rows < 0:
+            return True
+        return n < rows
+    stats = info["stats"]
     if col not in stats:
         return True
+    lo, hi = bound
     f_lo, f_hi = stats[col]
     if lo is not None and f_hi < lo:
         return False
@@ -396,16 +468,19 @@ def _intersects(stats: dict, col: str, lo, hi) -> bool:
 def skipped_files(
     path: str, skip_where: dict, *, version: int | None = None
 ) -> tuple[list[str], list[str]]:
-    """(kept, pruned) file names for range bounds ``skip_where`` =
-    {col: (lo, hi)} (inclusive; None = unbounded side) against the
-    manifest stats — pure metadata, no file opened. Bounds must be
-    JSON-comparable with the stored stats (numbers with numbers,
-    ISO strings with date/timestamp columns)."""
+    """(kept, pruned) file names for ``skip_where`` = {col: bound}
+    against the manifest stats — pure metadata, no file opened. A
+    bound is an inclusive ``(lo, hi)`` range (None = unbounded side;
+    values must be JSON-comparable with the stored stats — numbers
+    with numbers, ISO strings with date/timestamp columns), or
+    ``"is_null"`` / ``"is_not_null"``, pruned from the manifests'
+    per-column null counts (a file with null_count == 0 cannot
+    satisfy IS NULL; one with null_count == rows cannot satisfy
+    IS NOT NULL)."""
     kept, pruned = [], []
     for f, info in sorted(live_file_stats(path, version=version).items()):
         if all(
-            _intersects(info["stats"], c, lo, hi)
-            for c, (lo, hi) in skip_where.items()
+            _may_match(info, c, bound) for c, bound in skip_where.items()
         ):
             kept.append(f)
         else:
@@ -434,7 +509,14 @@ def read_table(
     pruned-scan-plus-filter equals the full-scan-plus-filter hash)."""
     live = sorted(live_files(path, version=version))
     if not live:
-        raise ValueError(f"version has no live files: {path}@{version}")
+        # a legitimately EMPTY snapshot (created from an empty frame,
+        # or a delete that removed every row): the manifest schema is
+        # the only carrier — typed empty result, no files to infer from
+        resolved, _ = _resolve_version(path, version)
+        schema = _latest_schema(path, resolved)
+        if schema is None:
+            raise ValueError(f"version has no live files: {path}@{version}")
+        return spark.createDataFrame([], schema)
     if skip_where:
         names, pruned = skipped_files(path, skip_where, version=version)
         if not names:
@@ -462,9 +544,14 @@ def delete_where(
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
         paths = [os.path.join(path, f) for f in sorted(snapshot)]
+        # mergeSchema on BOTH reads: on a schema-evolved table a plain
+        # read picks one arbitrary file's schema, and an old-schema
+        # pick would silently drop evolved columns from the rewrite —
+        # permanent data loss committed to the log (round-8 advice)
         touched = [
             os.path.basename(r["f"])
-            for r in spark.read.parquet(*paths)
+            for r in spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
             .filter(condition)
             .select(
                 F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
@@ -473,6 +560,7 @@ def delete_where(
             .collect()  # bounded: one row per TOUCHED FILE (metadata-plane)
         ]
         actions: list[dict] = [{"remove": f} for f in touched]
+        staged: list[tuple[str, int, dict, dict]] = []
         if touched:
             # SQL DELETE removes rows whose predicate IS TRUE; a row
             # where it evaluates NULL must SURVIVE the rewrite. Plain
@@ -480,14 +568,29 @@ def delete_where(
             # silently drop them (3VL bug caught in round 7: a
             # NULL-tag row sharing a file with a matched row vanished)
             keep = (
-                spark.read.parquet(
-                    *[os.path.join(path, f) for f in sorted(touched)]
-                )
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(path, f) for f in sorted(touched)])
                 .filter(~F.coalesce(condition, F.lit(False)))
             )
-            actions += _add_actions(_stage_data(keep, path))
+            staged = _stage_data(keep, path)
+            actions += _add_actions(staged)
+        # write-amplification observability, all metadata-plane: rows
+        # per file come from the snapshot fold and the staged footers
+        rows_touched = sum(snapshot[f] for f in touched)
+        rows_kept = sum(n for _, n, _, _ in staged)
+        metrics = {
+            "op": "delete",
+            "files_removed": len(touched),
+            "files_added": len(staged),
+            "files_carried": len(snapshot) - len(touched),
+            "rows_deleted": rows_touched - rows_kept,
+            "rows_rewritten": rows_kept,
+        }
+        extra = {"metrics": metrics}
+        if touched:
+            extra.update(_schema_extra(keep))
         try:
-            _commit(path, base + 1, actions)
+            _commit(path, base + 1, actions, extra=extra)
             _maybe_checkpoint(path, base + 1)
             return base + 1
         except CommitConflict:
@@ -542,16 +645,31 @@ def merge_upsert(
             .collect()  # bounded: one row per TOUCHED FILE
         ]
         actions: list[dict] = [{"remove": f} for f in touched]
+        survivor_staged: list[tuple[str, int, dict, dict]] = []
         if touched:
             survivors = (
                 spark.read.option("mergeSchema", "true")
                 .parquet(*[os.path.join(path, f) for f in sorted(touched)])
                 .join(keys, key_cols, "left_anti")
             )
-            actions += _add_actions(_stage_data(survivors, path))
-        actions += _add_actions(_stage_data(updates, path))
+            survivor_staged = _stage_data(survivors, path)
+            actions += _add_actions(survivor_staged)
+        update_staged = _stage_data(updates, path)
+        actions += _add_actions(update_staged)
+        rows_touched = sum(snapshot[f] for f in touched)
+        rows_survived = sum(n for _, n, _, _ in survivor_staged)
+        rows_upserted = sum(n for _, n, _, _ in update_staged)
+        metrics = {
+            "op": "merge",
+            "files_removed": len(touched),
+            "files_added": len(survivor_staged) + len(update_staged),
+            "files_carried": len(snapshot) - len(touched),
+            "rows_replaced": rows_touched - rows_survived,
+            "rows_rewritten": rows_survived,
+            "rows_upserted": rows_upserted,
+        }
         try:
-            _commit(path, base + 1, actions)
+            _commit(path, base + 1, actions, extra={"metrics": metrics})
             _maybe_checkpoint(path, base + 1)
             return base + 1
         except CommitConflict:
@@ -607,10 +725,18 @@ def compact(
             clustered = zorder_frame(
                 whole, zorder_by, n_files=n_out, bits=bits
             )
+            staged = _stage_data(clustered, path)
             actions = [{"remove": f} for f in snapshot]
-            actions += _add_actions(_stage_data(clustered, path))
+            actions += _add_actions(staged)
+            metrics = {
+                "op": "zorder",
+                "files_removed": len(snapshot),
+                "files_added": len(staged),
+                "files_carried": 0,
+                "rows_rewritten": sum(n for _, n, _, _ in staged),
+            }
             try:
-                _commit(path, base + 1, actions)
+                _commit(path, base + 1, actions, extra={"metrics": metrics})
                 _maybe_checkpoint(path, base + 1)
                 return base + 1
             except CommitConflict:
@@ -633,18 +759,30 @@ def compact(
         for r in plan.collect():  # bin map: one row per FILE (metadata)
             bins.setdefault(r["bin_id"], []).append(r["file_id"])
         actions: list[dict] = []
+        n_removed = n_added = rows_rewritten = 0
         for files in bins.values():
             if len(files) < 2:
                 continue  # a lone file gains nothing from a rewrite
             merged = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(path, f) for f in sorted(files)]
             ).coalesce(1)
+            staged = _stage_data(merged, path)
             actions += [{"remove": f} for f in files]
-            actions += _add_actions(_stage_data(merged, path))
+            actions += _add_actions(staged)
+            n_removed += len(files)
+            n_added += len(staged)
+            rows_rewritten += sum(n for _, n, _, _ in staged)
         if not actions:
             return None
+        metrics = {
+            "op": "compact",
+            "files_removed": n_removed,
+            "files_added": n_added,
+            "files_carried": len(snapshot) - n_removed,
+            "rows_rewritten": rows_rewritten,
+        }
         try:
-            _commit(path, base + 1, actions)
+            _commit(path, base + 1, actions, extra={"metrics": metrics})
             _maybe_checkpoint(path, base + 1)
             return base + 1
         except CommitConflict:
@@ -701,6 +839,32 @@ def change_feed(
             )
 
         a_df, r_df = _read(adds), _read(removes)
+        if (
+            a_df is not None
+            and r_df is not None
+            and a_df.columns != r_df.columns
+        ):
+            # a single commit whose adds and removes carry DIFFERENT
+            # (evolved) schemas: each side schema-merges independently,
+            # and exceptAll over mismatched column sets throws — align
+            # both to the union schema with typed null padding
+            types: dict[str, object] = {}
+            for side in (a_df, r_df):
+                for fld in side.schema.fields:
+                    types.setdefault(fld.name, fld.dataType)
+            all_cols = list(types)
+
+            def _pad(side: DataFrame) -> DataFrame:
+                return side.select(
+                    *[
+                        F.col(c)
+                        if c in side.columns
+                        else F.lit(None).cast(types[c]).alias(c)
+                        for c in all_cols
+                    ]
+                )
+
+            a_df, r_df = _pad(a_df), _pad(r_df)
         changes = []
         if a_df is not None:
             ins = a_df.exceptAll(r_df) if r_df is not None else a_df
@@ -734,10 +898,38 @@ def change_feed(
     return out
 
 
-def vacuum(path: str, *, keep_versions: int = 2) -> list[str]:
+def commit_metrics(path: str, version: int | None = None) -> dict | None:
+    """DML observability (the pipeline's ``Observation`` idea, applied
+    to table maintenance): every delete/merge/compact/zorder commit
+    stamps ``metrics`` into its manifest — files removed/added/carried
+    and rows deleted/rewritten/upserted, all derived metadata-plane
+    (snapshot row counts + staged parquet footers, no extra scan).
+    Returns the dict for ``version`` (latest if None), or None for
+    commits that carry no metrics (create/append). At 100 TB the
+    files_rewritten : files_carried ratio IS the write-amplification
+    number an operator watches."""
+    version, _ = _resolve_version(path, version)
+    with open(os.path.join(_log_path(path), f"{version:08d}.json")) as f:
+        return json.load(f).get("metrics")
+
+
+def vacuum(
+    path: str,
+    *,
+    keep_versions: int = 2,
+    retention_seconds: float = 24 * 3600,
+) -> list[str]:
     """Physically remove data files referenced ONLY by versions older
     than the last ``keep_versions`` commits (they are unreachable
-    from any retained snapshot). Returns the removed names."""
+    from any retained snapshot). Returns the removed names.
+
+    ``retention_seconds`` (mtime-based, Delta-style) protects
+    IN-FLIGHT writers: ``_stage_data`` renames staged files into the
+    table root BEFORE the manifest commit, so a zero-retention vacuum
+    racing an append/delete/merge would delete the writer's staged
+    files and its subsequent commit would reference missing files —
+    table corruption. Files younger than the window are never
+    touched; pass 0 only when no concurrent writer can exist (tests)."""
     versions = committed_versions(path)
     if len(versions) <= 1:
         return []
@@ -746,12 +938,19 @@ def vacuum(path: str, *, keep_versions: int = 2) -> list[str]:
     for v in retained:
         reachable |= set(live_files(path, version=v))
     removed = []
+    cutoff = time.time() - retention_seconds
     for fname in os.listdir(path):
         if (
             fname.endswith(".parquet")
             and fname.startswith("part-")
             and fname not in reachable
         ):
-            os.unlink(os.path.join(path, fname))
+            full = os.path.join(path, fname)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue  # possibly a concurrent writer's staged file
+                os.unlink(full)
+            except FileNotFoundError:
+                continue  # another vacuum won the race
             removed.append(fname)
     return sorted(removed)

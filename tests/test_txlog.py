@@ -381,7 +381,7 @@ class TestMaintenance:
         txlog.append(_df(spark, 40, 80, "b"), table)
         txlog.delete_where(spark, table, F.col("tag") == "a")  # v2
         txlog.delete_where(spark, table, F.col("id") % 2 == 0)  # v3
-        removed = txlog.vacuum(table, keep_versions=2)
+        removed = txlog.vacuum(table, keep_versions=2, retention_seconds=0)
         # v0's files (all 'a') are unreachable from v2/v3 → removed
         assert removed
         for v in (2, 3):
@@ -458,3 +458,189 @@ class TestCompaction:
     def test_compact_noop_when_nothing_qualifies(self, spark, table):
         txlog.create_table(_df(spark, 0, 10, "a"), table)
         assert txlog.compact(spark, table, target_bytes=1) is None
+
+
+class TestRound8Hardening:
+    """Round-8 advice fixes: schema-evolved DML, vacuum retention,
+    decimal stat rounding, null-count skipping, DML metrics."""
+
+    def _evolved(self, spark, table):
+        txlog.create_table(_df(spark, 0, 5, "a"), table)  # (id, tag)
+        txlog.append(
+            spark.range(5, 8).select(
+                "id", F.lit("b").alias("tag"), F.lit(1.5).alias("score")
+            ),
+            table,
+        )
+
+    def test_delete_on_evolved_table_keeps_evolved_columns(
+        self, spark, table
+    ):
+        # the rewrite reads touched files of BOTH schemas: without
+        # mergeSchema Spark picks one file's schema, and an old-schema
+        # pick silently drops `score` from the rewritten files
+        self._evolved(spark, table)
+        txlog.delete_where(
+            spark, table, F.col("id").isin(1, 6)
+        )  # touches an old-schema AND a new-schema file
+        rows = {r["id"]: r for r in txlog.read_table(spark, table).collect()}
+        assert set(rows) == {0, 2, 3, 4, 5, 7}
+        assert rows[7]["score"] == 1.5  # evolved column survived CoW
+        assert rows[0]["score"] is None
+
+    def test_delete_predicate_on_evolved_column(self, spark, table):
+        # provenance scan must also schema-merge or the predicate
+        # column may not even resolve
+        self._evolved(spark, table)
+        txlog.delete_where(spark, table, F.col("score") > 1.0)
+        got = sorted(r["id"] for r in txlog.read_table(spark, table).collect())
+        assert got == [0, 1, 2, 3, 4]
+
+    def test_change_feed_mixed_schema_single_commit(self, spark, table):
+        # one MERGE commit whose removes are old-schema files and whose
+        # adds carry the evolved schema: the per-commit exceptAll must
+        # align both sides to the union schema (typed null padding)
+        self._evolved(spark, table)
+        updates = spark.range(0, 2).select(
+            "id", F.lit("upd").alias("tag"), F.lit(9.9).alias("score")
+        )
+        v = txlog.merge_upsert(spark, table, updates, ["id"])
+        feed = txlog.change_feed(spark, table, from_version=v - 1).collect()
+        ins = {r["id"]: r for r in feed if r["_change"] == "insert"}
+        dels = {r["id"]: r for r in feed if r["_change"] == "delete"}
+        assert ins[0]["score"] == 9.9 and ins[0]["tag"] == "upd"
+        assert dels[0]["tag"] == "a" and dels[0]["score"] is None
+        assert set(dels) == {0, 1}
+
+    def test_append_non_table_raises_value_error(self, spark, table):
+        with pytest.raises(ValueError, match="not a txlog table"):
+            txlog.append(_df(spark, 0, 5, "a"), table)
+
+    def test_vacuum_retention_protects_young_files(self, spark, table):
+        txlog.create_table(_df(spark, 0, 40, "a"), table)
+        txlog.delete_where(spark, table, F.col("id") < 100)  # all rows
+        # the freshly-unreachable files are seconds old: the default
+        # retention window must NOT touch them (an in-flight writer's
+        # staged files look exactly like this)
+        assert txlog.vacuum(table, keep_versions=1) == []
+        removed = txlog.vacuum(table, keep_versions=1, retention_seconds=0)
+        assert removed  # explicit zero-retention removes them
+
+    def test_vacuum_never_touches_staged_files_of_inflight_writer(
+        self, spark, table
+    ):
+        txlog.create_table(_df(spark, 0, 10, "a"), table)
+        txlog.append(_df(spark, 10, 20, "b"), table)
+        # simulate a writer that staged data but has not committed yet
+        staged = [f for f, *_ in txlog._stage_data(_df(spark, 50, 60, "w"), table)]
+        txlog.vacuum(table, keep_versions=1)  # default retention
+        for f in staged:
+            assert os.path.exists(os.path.join(table, f))
+
+    def test_decimal_stats_round_outward(self, spark, table):
+        # float() on Decimal rounds to NEAREST: a stored max below the
+        # true max would prune a file holding the boundary row; stats
+        # must widen outward so [lo, hi] is a superset of the truth
+        df = spark.range(0, 1).select(
+            F.lit("1.00000000000000000001").cast("decimal(38,20)").alias("d")
+        )
+        txlog.create_table(df, table)
+        ((_, info),) = txlog.live_file_stats(table).items()
+        lo, hi = info["stats"]["d"]
+        assert lo < 1.0 < hi  # strictly outward of the rounded value
+        kept, pruned = txlog.skipped_files(table, {"d": (1.0, None)})
+        assert kept and not pruned  # boundary file survives
+
+    def test_null_count_skipping(self, spark, table):
+        # v0: score all NULL; v1: score never NULL — IS NULL prunes the
+        # v1 files, IS NOT NULL prunes the v0 files, from manifest
+        # null counts alone (no file opened)
+        txlog.create_table(
+            spark.range(0, 10).select(
+                "id", F.lit(None).cast("double").alias("score")
+            ),
+            table,
+        )
+        v0_files = set(txlog.live_files(table))
+        txlog.append(
+            spark.range(10, 20).select(
+                "id", (F.col("id") * 1.0).alias("score")
+            ),
+            table,
+        )
+        all_files = set(txlog.live_files(table))
+        v1_files = all_files - v0_files
+        kept, pruned = txlog.skipped_files(table, {"score": "is_null"})
+        assert set(kept) == v0_files and set(pruned) == v1_files
+        kept, pruned = txlog.skipped_files(table, {"score": "is_not_null"})
+        assert set(kept) == v1_files and set(pruned) == v0_files
+        # skipping is an I/O optimization, never a semantic change
+        full = sorted(
+            r["id"]
+            for r in txlog.read_table(spark, table)
+            .filter(F.col("score").isNotNull())
+            .collect()
+        )
+        skipped = sorted(
+            r["id"]
+            for r in txlog.read_table(
+                spark, table, skip_where={"score": "is_not_null"}
+            )
+            .filter(F.col("score").isNotNull())
+            .collect()
+        )
+        assert full == skipped == list(range(10, 20))
+
+    def test_dml_commit_metrics(self, spark, table):
+        txlog.create_table(
+            spark.range(0, 100)
+            .select("id", F.lit("a").alias("tag"))
+            .repartition(4),
+            table,
+        )
+        assert txlog.commit_metrics(table, 0) is None  # create: none
+        n_files = len(txlog.live_files(table))
+        v = txlog.delete_where(spark, table, F.col("id") < 10)
+        m = txlog.commit_metrics(table, v)
+        assert m["op"] == "delete"
+        assert m["rows_deleted"] == 10
+        assert m["files_removed"] + m["files_carried"] == n_files
+        # post-delete live rows = 90 = carried rows + rewritten rows
+        carried_rows = sum(
+            txlog.live_files(table, version=0).values()
+        ) - (m["rows_deleted"] + m["rows_rewritten"])
+        assert carried_rows + m["rows_rewritten"] == 90
+        upd = spark.range(5, 15).select(
+            "id", F.lit("upd").alias("tag")
+        )
+        v = txlog.merge_upsert(spark, table, upd, ["id"])
+        m = txlog.commit_metrics(table, v)
+        assert m["op"] == "merge"
+        assert m["rows_upserted"] == 10
+        assert m["rows_replaced"] == 5  # ids 10..14 existed
+        v = txlog.compact(spark, table, target_bytes=64 * 1024 * 1024)
+        m = txlog.commit_metrics(table, v)
+        assert m["op"] == "compact"
+        assert m["files_removed"] > m["files_added"]
+        # only bins with >=2 files rewrite; singletons carry — rewritten
+        # rows are bounded by the live total and nonzero here
+        assert 0 < m["rows_rewritten"] <= 95
+        # 100 created - 10 deleted - 5 replaced + 10 upserted = 95
+        assert sum(txlog.live_files(table).values()) == 95
+
+    def test_delete_everything_reads_typed_empty(self, spark, table):
+        # empty part files are never staged, so a delete-all snapshot
+        # has ZERO live files — the manifest-recorded schema is the
+        # only carrier and the read must stay typed, not raise
+        txlog.create_table(_df(spark, 0, 5, "a"), table)
+        txlog.delete_where(spark, table, F.lit(True))
+        out = txlog.read_table(spark, table)
+        assert out.columns == ["id", "tag"] and out.count() == 0
+        # and the table stays usable afterwards
+        txlog.append(_df(spark, 10, 13, "b"), table)
+        assert txlog.read_table(spark, table).count() == 3
+
+    def test_create_from_empty_frame_reads_typed(self, spark, table):
+        txlog.create_table(_df(spark, 0, 0, "a"), table)
+        out = txlog.read_table(spark, table)
+        assert out.columns == ["id", "tag"] and out.count() == 0

@@ -47,10 +47,10 @@ def test_replayed_batch_is_noop(spark, table):
 def test_crash_orphans_invisible_and_vacuumable(spark, table):
     process_txlog_batch(_df(spark, 0, 10, "b0"), 0, table)
     # crashed attempt: data staged, commit never happened
-    orphans = [f for f, _, _ in txlog._stage_data(_df(spark, 90, 99, "lost"), table)]
+    orphans = [f for f, *_ in txlog._stage_data(_df(spark, 90, 99, "lost"), table)]
     assert txlog.read_table(spark, table).count() == 10  # invisible
     process_txlog_batch(_df(spark, 10, 20, "b1"), 1, table)
-    removed = txlog.vacuum(table, keep_versions=2)
+    removed = txlog.vacuum(table, keep_versions=2, retention_seconds=0)
     assert set(orphans) <= set(removed)
     assert txlog.read_table(spark, table).count() == 20
 
