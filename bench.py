@@ -503,6 +503,73 @@ def _m08_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
     return int(row["n"] - row["cross"]), int(row["cross"])
 
 
+def _m12_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
+    """(within_copy, cross_copy) candidate counts of m12's two-chunk
+    composite banded-Hamming join over the 10× video fixture — the
+    m08 decomposition applied to the video pipeline (same 10M-doc_id
+    copy blocks, and ``demo_crosscodec_video_payloads`` passes ids
+    through unchanged). Candidates are counted at the operator's own
+    granularity: one row per (video pair, frame-hash pair) surviving
+    the composite-key join, pre-popcount — exactly what
+    video_tolerant.candidates observes."""
+    from pyspark.sql import functions as F
+
+    from onechronos_etl_takehome_spark.operators import video as vid
+
+    docs = spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+    fp = vid.video_fingerprints(
+        vid.demo_crosscodec_video_payloads(docs, "doc_id")
+    )
+    bands, width = 8, 8
+    mask = (1 << width) - 1
+
+    def _chunk(i):
+        return F.shiftrightunsigned("chash", width * i).bitwiseAND(
+            F.lit(mask)
+        )
+
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i * bands + j).alias("ci"),
+                (_chunk(i) * F.lit(1 << width) + _chunk(j)).alias("cv"),
+            )
+            for i in range(bands)
+            for j in range(i + 1, bands)
+        ]
+    )
+    sig = fp.select("id", "chash", F.explode(chunks).alias("c")).select(
+        "id", "chash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    row = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.chash").alias("_ha"),
+            F.col("b.chash").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b", "_ha", "_hb"])
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.floor(F.col("id_a") / 10_000_000)
+                    != F.floor(F.col("id_b") / 10_000_000)
+                ).cast("long")
+            ).alias("cross"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"] - row["cross"]), int(row["cross"])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -607,6 +674,31 @@ def main() -> None:
             f"m08 10x candidates: within-copy {m08_split[0]} "
             f"({w_ratio:.1f}x of 1x; {verdict}), cross-copy birthday "
             f"term {m08_split[1]}",
+            file=sys.stderr,
+        )
+
+    # m12's 10× total grows ~89× (round-7: 12,024 → 1,073,860) for the
+    # same reason: the within-copy part replicates the 1× structure
+    # linearly; the remainder is the C(F,2)·28/2^16 birthday term of
+    # 28 sixteen-bit composite keys over all corpus frames (README
+    # bench notes carry the crossover math and the two levers:
+    # 3-chunk 24-bit keys or a default max_chunk_df).
+    m12_split = _m12_candidate_split(spark, llm10)
+    candidate_counts["m12_crosscodec_video_neardup_10x_within_copy"] = (
+        m12_split[0]
+    )
+    candidate_counts["m12_crosscodec_video_neardup_10x_cross_copy"] = (
+        m12_split[1]
+    )
+    if candidate_counts.get("m12_crosscodec_video_neardup", 0) > 0:
+        w_ratio = (
+            m12_split[0] / candidate_counts["m12_crosscodec_video_neardup"]
+        )
+        verdict = "linear OK" if w_ratio <= 13.0 else "NONLINEAR — scale bug"
+        print(
+            f"m12 10x candidates: within-copy {m12_split[0]} "
+            f"({w_ratio:.1f}x of 1x; {verdict}), cross-copy birthday "
+            f"term {m12_split[1]}",
             file=sys.stderr,
         )
 

@@ -3,12 +3,14 @@
 Scope (exactly what the fixtures need, honestly documented):
 - **Decoder** (``jpeg_pixels``): baseline sequential DCT JPEGs —
   SOI/DQT/DHT/SOF0/SOS/EOI, 8-bit samples, huffman entropy coding,
-  1 component (grayscale) or 3 components (YCbCr) WITHOUT chroma
-  subsampling (4:4:4) and without restart markers or progressive
-  scans. Unsupported variants raise ValueError (the corrupt-payload
-  contract every decoder in this package honors: fall to the stub,
-  never crash the job).
-- **Encoder** (``jpeg_from_pixels``): emits exactly that profile with
+  1 component (grayscale) or 3 components (YCbCr) at 4:4:4 OR any
+  integer-ratio chroma subsampling (4:2:0 / 4:2:2 / 4:1:1 — the
+  round-8 de-stub; real MJPEG corpora are mostly 4:2:0), without
+  restart markers or progressive scans. Unsupported variants raise
+  ValueError (the corrupt-payload contract every decoder in this
+  package honors: fall to the stub, never crash the job).
+- **Encoder** (``jpeg_from_pixels``): emits that profile (4:4:4
+  default, opt-in 4:2:0 with 2x2 box-averaged chroma) with
   the ITU-T81 Annex-K quantization + huffman tables, so fixtures are
   REAL standards-conformant JPEGs (spot-checkable with any external
   viewer) and the decoder is pinned two ways: coefficient-exact
@@ -247,68 +249,138 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
 
 
-def jpeg_from_pixels(px: np.ndarray) -> bytes:
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    prev_dc: int,
+) -> int:
+    """Huffman-encode one level-shifted 8×8 block; returns the new DC
+    predictor."""
+    coef = np.round(_dct2(block - 128.0) / quant).astype(np.int64)
+    zz = coef.flatten()[_ZIGZAG]
+    cat, amp = _magnitude(int(zz[0]) - prev_dc)
+    code, length = dc_codes[cat]
+    writer.write(code, length)
+    if cat:
+        writer.write(amp, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c0, l0 = ac_codes[0xF0]
+            writer.write(c0, l0)
+            run -= 16
+        cat, amp = _magnitude(v)
+        c0, l0 = ac_codes[(run << 4) | cat]
+        writer.write(c0, l0)
+        writer.write(amp, cat)
+        run = 0
+    if last_nz < 63:
+        c0, l0 = ac_codes[0x00]
+        writer.write(c0, l0)
+    return int(zz[0])
+
+
+def jpeg_from_pixels(px: np.ndarray, *, subsampling: str = "444") -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
-    baseline 4:4:4 JFIF JPEG with the Annex-K tables."""
+    baseline JFIF JPEG with the Annex-K tables. ``subsampling``:
+    ``"444"`` (one chroma block per luma block) or ``"420"`` (chroma
+    box-averaged 2×2 — the profile real MJPEG corpora ship; MCU is
+    then 16×16 with four Y blocks per chroma block). Grayscale ignores
+    it (single component)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8  # pad to 8×8 grid (edge-replicate)
+    sub420 = subsampling == "420" and not gray
+    grid = 16 if sub420 else 8
+    ph, pw = -(-h // grid) * grid, -(-w // grid) * grid  # edge-replicate pad
 
     def pad(plane):
         return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-
-    if gray:
-        planes = [pad(px.astype(np.float64))]
-    else:
-        ycc = _rgb_to_ycbcr(px.astype(np.float64))
-        planes = [pad(ycc[..., c]) for c in range(3)]
 
     dc_l = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_code_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_code_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
-
     writer = _BitWriter()
-    # interleaved MCU scan: 4:4:4 → one 8×8 block per component per MCU
-    prev = [0] * len(planes)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, plane in enumerate(planes):
-                quant = QUANT_LUMA if ci == 0 else QUANT_CHROMA
-                dc_codes = dc_l if ci == 0 else dc_c
-                ac_codes = ac_l if ci == 0 else ac_c
-                block = plane[by : by + 8, bx : bx + 8] - 128.0
-                coef = np.round(_dct2(block) / quant).astype(np.int64)
-                zz = coef.flatten()[_ZIGZAG]
-                cat, amp = _magnitude(int(zz[0]) - prev[ci])
-                prev[ci] = int(zz[0])
-                code, length = dc_codes[cat]
-                writer.write(code, length)
-                if cat:
-                    writer.write(amp, cat)
-                run = 0
-                last_nz = (
-                    int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+
+    if gray:
+        plane = pad(px.astype(np.float64))
+        prev = 0
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                prev = _encode_block(
+                    writer,
+                    plane[by : by + 8, bx : bx + 8],
+                    QUANT_LUMA,
+                    dc_l,
+                    ac_l,
+                    prev,
                 )
-                for i in range(1, 64):
-                    v = int(zz[i])
-                    if i > last_nz:
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c0, l0 = ac_codes[0xF0]
-                        writer.write(c0, l0)
-                        run -= 16
-                    cat, amp = _magnitude(v)
-                    c0, l0 = ac_codes[(run << 4) | cat]
-                    writer.write(c0, l0)
-                    writer.write(amp, cat)
-                    run = 0
-                if last_nz < 63:
-                    c0, l0 = ac_codes[0x00]
-                    writer.write(c0, l0)
+    else:
+        ycc = _rgb_to_ycbcr(px.astype(np.float64))
+        y = pad(ycc[..., 0])
+        if sub420:
+            # 2×2 box-average on the padded plane (divisible by 16 →
+            # chroma divisible by 8: no second padding step)
+            cb, cr = (
+                pad(ycc[..., c])
+                .reshape(ph // 2, 2, pw // 2, 2)
+                .mean(axis=(1, 3))
+                for c in (1, 2)
+            )
+            prev = [0, 0, 0]
+            for by in range(0, ph, 16):
+                for bx in range(0, pw, 16):
+                    for v in (0, 1):  # four Y blocks, raster order
+                        for hh in (0, 1):
+                            prev[0] = _encode_block(
+                                writer,
+                                y[
+                                    by + 8 * v : by + 8 * v + 8,
+                                    bx + 8 * hh : bx + 8 * hh + 8,
+                                ],
+                                QUANT_LUMA,
+                                dc_l,
+                                ac_l,
+                                prev[0],
+                            )
+                    for ci, plane in ((1, cb), (2, cr)):
+                        prev[ci] = _encode_block(
+                            writer,
+                            plane[
+                                by // 2 : by // 2 + 8,
+                                bx // 2 : bx // 2 + 8,
+                            ],
+                            QUANT_CHROMA,
+                            dc_c,
+                            ac_c,
+                            prev[ci],
+                        )
+        else:
+            planes = [y, pad(ycc[..., 1]), pad(ycc[..., 2])]
+            prev = [0, 0, 0]
+            for by in range(0, ph, 8):
+                for bx in range(0, pw, 8):
+                    for ci, plane in enumerate(planes):
+                        prev[ci] = _encode_block(
+                            writer,
+                            plane[by : by + 8, bx : bx + 8],
+                            QUANT_LUMA if ci == 0 else QUANT_CHROMA,
+                            dc_l if ci == 0 else dc_c,
+                            ac_l if ci == 0 else ac_c,
+                            prev[ci],
+                        )
     scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -326,7 +398,8 @@ def jpeg_from_pixels(px: np.ndarray) -> bytes:
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     sos_comp = b""
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
         sos_comp += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out = b"\xff\xd8"  # SOI
     out += dqt(0, QUANT_LUMA)
@@ -345,9 +418,10 @@ def jpeg_from_pixels(px: np.ndarray) -> bytes:
 
 
 def jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 (or grayscale) JPEG to (h, w, 3) uint8
-    RGB. Raises ValueError on non-JPEG magic, unsupported variants
-    (progressive, subsampled, restart markers, 12-bit), AND any
+    """Decode a baseline JPEG (grayscale, 4:4:4, or any integer-ratio
+    chroma subsampling incl. 4:2:0) to (h, w, 3) uint8 RGB. Raises
+    ValueError on non-JPEG magic, unsupported variants (progressive,
+    restart markers, 12-bit, fractional sampling ratios), AND any
     truncated/corrupt payload — callers rely on ValueError being the
     only decode failure mode (the fall-to-stub contract)."""
     if payload[:2] != b"\xff\xd8":
@@ -407,9 +481,10 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, sampling, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("chroma subsampling unsupported (4:4:4 only)")
-                comps.append((cid, qid))
+                hi, vi = sampling >> 4, sampling & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, qid))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline JPEG unsupported")
@@ -428,54 +503,82 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
 
     reader = _BitReader(scan_data)
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw)) for _ in comps]
-    prev = [0] * len(comps)
-    qid_of = {cid: qid for cid, qid in comps}
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for _, hi, vi, _ in comps:
+        if hmax % hi or vmax % vi:
+            # T.81 allows these, but nothing real emits them and the
+            # nearest-neighbor upsample below assumes integer ratios
+            raise ValueError(f"non-integer sampling ratio {hi}x{vi}")
+    mcus_y, mcus_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    planes = {
+        cid: np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
+        for cid, hi, vi, _ in comps
+    }
+    samp_of = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    qid_of = {cid: qid for cid, _, _, qid in comps}
+    prev = [0] * len(scan_comps)
+
+    def read_symbol(tbl) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.bit()
+            length += 1
+            if (length, code) in tbl:
+                return tbl[(length, code)]
+        raise ValueError("invalid huffman code in scan")
+
+    # interleaved MCU scan: each component contributes hi×vi blocks
+    # per MCU in raster order (T.81 A.2.3) — 4:4:4 is the 1×1 case,
+    # 4:2:0 is four Y blocks then one Cb then one Cr per 16×16 MCU
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
                 dc_tbl, ac_tbl = huff[(0, dc_tid)], huff[(1, ac_tid)]
-                zz = np.zeros(64, dtype=np.int64)
-
-                def read_symbol(tbl) -> int:
-                    code, length = 0, 0
-                    while length < 16:
-                        code = (code << 1) | reader.bit()
-                        length += 1
-                        if (length, code) in tbl:
-                            return tbl[(length, code)]
-                    raise ValueError("invalid huffman code in scan")
-
-                cat = read_symbol(dc_tbl)
-                diff = _extend(reader.bits(cat), cat) if cat else 0
-                prev[ci] += diff
-                zz[0] = prev[ci]
-                i = 1
-                while i < 64:
-                    sym = read_symbol(ac_tbl)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run overflows block")
-                    zz[i] = _extend(reader.bits(cat), cat)
-                    i += 1
-                coef = np.zeros(64)
-                coef[_ZIGZAG] = zz
-                block = _idct2(
-                    coef.reshape(8, 8) * quant[qid_of[cid]]
-                ) + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
-    planes = [p[:h, :w] for p in planes]
-    if len(planes) == 1:
-        g = np.clip(planes[0], 0, 255)
+                hi, vi = samp_of[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = read_symbol(dc_tbl)
+                        diff = _extend(reader.bits(cat), cat) if cat else 0
+                        prev[ci] += diff
+                        zz[0] = prev[ci]
+                        i = 1
+                        while i < 64:
+                            sym = read_symbol(ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            run, cat = sym >> 4, sym & 0xF
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[i] = _extend(reader.bits(cat), cat)
+                            i += 1
+                        coef = np.zeros(64)
+                        coef[_ZIGZAG] = zz
+                        block = _idct2(
+                            coef.reshape(8, 8) * quant[qid_of[cid]]
+                        ) + 128.0
+                        by, bx = (my * vi + v) * 8, (mx * hi + hh) * 8
+                        planes[cid][by : by + 8, bx : bx + 8] = block
+    out_planes = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        # crop to the component's true extent, nearest-neighbor
+        # upsample to full resolution, crop to the image
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        p = p[:ch, :cw]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255)
         return np.repeat(g[..., None], 3, axis=2).astype(np.uint8)
-    ycc = np.stack(planes, axis=-1)
+    ycc = np.stack(out_planes, axis=-1)
     return (_ycbcr_to_rgb(ycc) + 0.5).astype(np.uint8)
 
 

@@ -357,3 +357,110 @@ class TestSegmentGuard:
             df, "id", "text", seg_tokens=1, max_segs=64
         ).collect()
         assert rows[0]["n_segs"] == 64 and rows[0]["n_kept"] == 64
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 JPEG (round-8 de-stub: operators/jpeg.py chroma subsampling)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_420_roundtrip_is_quantization_bounded():
+    """4:2:0 adds 2×2 chroma box-averaging on top of Annex-K
+    quantization — smooth gradients must still round-trip within a
+    small bound (odd dims exercise the 16×16 MCU edge padding)."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    for h, w in ((16, 16), (13, 21), (9, 40), (32, 24)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 70 * np.sin(2 * np.pi * xx / w) + 30 * np.cos(
+            2 * np.pi * yy / h
+        )
+        px = np.clip(
+            np.stack([base, base * 0.9, base * 1.1], axis=-1), 0, 255
+        ).astype(np.uint8)
+        enc = jpeg_from_pixels(px, subsampling="420")
+        # the SOF really declares 2x2 luma sampling (not a 444 alias)
+        assert bytes([1, 0x22, 0]) in enc
+        got = jpeg_pixels(enc).astype(int)
+        err = np.abs(got - px.astype(int))
+        assert err.mean() < 5 and err.max() <= 30, (h, w, err.max())
+
+
+def test_jpeg_420_dhash_matches_444_encode():
+    """The perceptual property the near-dup family depends on: the
+    dHash of a 4:2:0 re-encode stays within a small Hamming distance
+    of the 4:4:4 encode of the same pixels (dHash is luma-driven;
+    chroma subsampling must barely move it)."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+    )
+    from onechronos_etl_takehome_spark.operators.jpeg import jpeg_pixels
+    from onechronos_etl_takehome_spark.operators.multimodal import dhash64
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = 128 + 70 * np.sin(2 * np.pi * xx / 32) + 30 * np.cos(
+        2 * np.pi * yy / 24
+    )
+    px = np.clip(
+        np.stack([base, base * 0.8, base * 1.2], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+    def gray(payload):
+        return jpeg_pixels(payload).astype(np.float64).mean(axis=2)
+
+    h444 = dhash64(gray(jpeg_from_pixels(px)))
+    h420 = dhash64(gray(jpeg_from_pixels(px, subsampling="420")))
+    assert bin(h444 ^ h420).count("1") <= 4
+
+
+def test_jpeg_420_rides_decode_features_dispatch(spark):
+    """A 4:2:0 payload flows through the Arrow-batched decode dispatch
+    like any other JPEG — no stub fallback, real dimensions."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+    )
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    px = np.clip(
+        128 + 60 * np.sin(np.arange(20 * 24).reshape(20, 24) / 7.0), 0, 255
+    ).astype(np.uint8)
+    px = np.repeat(px[..., None], 3, axis=2)
+    rows = [(0, jpeg_from_pixels(px, subsampling="420"), "image")]
+    df = spark.createDataFrame(
+        rows, "id long, content binary, modality string"
+    )
+    got = decode_features(df).collect()[0]
+    assert got.decoder == "jpeg"
+    # feature vector leads with (width, height)
+    assert got.features[0] == 24.0 and got.features[1] == 20.0
+
+
+def test_jpeg_rejects_fractional_sampling_ratio():
+    import numpy as np
+
+    import pytest
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    px = np.full((16, 16, 3), 90, dtype=np.uint8)
+    enc = jpeg_from_pixels(px)
+    # patch SOF: Y 3x3, Cb 2x2 → vmax=3 not divisible by Cb's 2
+    bad = enc.replace(bytes([1, 0x11, 0]), bytes([1, 0x33, 0]), 1).replace(
+        bytes([2, 0x11, 1]), bytes([2, 0x22, 1]), 1
+    )
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_pixels(bad)
