@@ -5,8 +5,9 @@ Scope (exactly what the fixtures need, honestly documented):
   SOI/DQT/DHT/SOF0/SOS/EOI, 8-bit samples, huffman entropy coding,
   1 component (grayscale) or 3 components (YCbCr) at 4:4:4 OR any
   integer-ratio chroma subsampling (4:2:0 / 4:2:2 / 4:1:1 — the
-  round-8 de-stub; real MJPEG corpora are mostly 4:2:0), without
-  restart markers or progressive scans. Unsupported variants raise
+  round-8 de-stub; real MJPEG corpora are mostly 4:2:0), WITH
+  restart markers (DRI/RSTn: byte-realign + DC-predictor reset per
+  interval), without progressive scans. Unsupported variants raise
   ValueError (the corrupt-payload contract every decoder in this
   package honors: fall to the stub, never crash the job).
 - **Encoder** (``jpeg_from_pixels``): emits that profile (4:4:4
@@ -181,6 +182,13 @@ class _BitWriter:
             self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, k: int) -> None:
+        """Byte-align (1-bit padding, stuffing included) and emit
+        RST(k mod 8) — markers are raw, never byte-stuffed."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (k % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -216,6 +224,21 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at an MCU-row restart boundary:
+        discard the 1-bit padding to the byte edge, then the two
+        marker bytes (T.81 E.1.4)."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG truncated at restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(
+                f"expected RSTn at restart boundary, got {b0:02X}{b1:02X}"
+            )
+        self.pos += 2
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -290,13 +313,20 @@ def _encode_block(
     return int(zz[0])
 
 
-def jpeg_from_pixels(px: np.ndarray, *, subsampling: str = "444") -> bytes:
+def jpeg_from_pixels(
+    px: np.ndarray,
+    *,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
     baseline JFIF JPEG with the Annex-K tables. ``subsampling``:
     ``"444"`` (one chroma block per luma block) or ``"420"`` (chroma
     box-averaged 2×2 — the profile real MJPEG corpora ship; MCU is
     then 16×16 with four Y blocks per chroma block). Grayscale ignores
-    it (single component)."""
+    it (single component). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker every that-many MCUs (DC predictors
+    reset — the resync points real MJPEG streams carry)."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     gray = px.ndim == 2
@@ -314,11 +344,22 @@ def jpeg_from_pixels(px: np.ndarray, *, subsampling: str = "444") -> bytes:
     ac_c = _build_code_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
     writer = _BitWriter()
 
+    mcu_no = 0
+
+    def _maybe_restart(prev):
+        nonlocal mcu_no
+        if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+            writer.restart(mcu_no // restart_interval - 1)
+            prev = [0] * len(prev) if isinstance(prev, list) else 0
+        mcu_no += 1
+        return prev
+
     if gray:
         plane = pad(px.astype(np.float64))
         prev = 0
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
+                prev = _maybe_restart(prev)
                 prev = _encode_block(
                     writer,
                     plane[by : by + 8, bx : bx + 8],
@@ -342,6 +383,7 @@ def jpeg_from_pixels(px: np.ndarray, *, subsampling: str = "444") -> bytes:
             prev = [0, 0, 0]
             for by in range(0, ph, 16):
                 for bx in range(0, pw, 16):
+                    prev = _maybe_restart(prev)
                     for v in (0, 1):  # four Y blocks, raster order
                         for hh in (0, 1):
                             prev[0] = _encode_block(
@@ -372,6 +414,7 @@ def jpeg_from_pixels(px: np.ndarray, *, subsampling: str = "444") -> bytes:
             prev = [0, 0, 0]
             for by in range(0, ph, 8):
                 for bx in range(0, pw, 8):
+                    prev = _maybe_restart(prev)
                     for ci, plane in enumerate(planes):
                         prev[ci] = _encode_block(
                             writer,
@@ -411,6 +454,8 @@ def jpeg_from_pixels(px: np.ndarray, *, subsampling: str = "444") -> bytes:
     if not gray:
         out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([ncomp]) + sos_comp + bytes([0, 63, 0]))
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -442,6 +487,7 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
     h = w = None
     scan_comps = None
     scan_data = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -489,7 +535,7 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xFFDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
             ns = body[0]
             scan_comps = [
@@ -531,8 +577,13 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
     # interleaved MCU scan: each component contributes hi×vi blocks
     # per MCU in raster order (T.81 A.2.3) — 4:4:4 is the 1×1 case,
     # 4:2:0 is four Y blocks then one Cb then one Cr per 16×16 MCU
+    mcu_no = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                reader.restart()  # byte-align + consume RSTn
+                prev = [0] * len(scan_comps)  # DC predictors reset
+            mcu_no += 1
             for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
                 dc_tbl, ac_tbl = huff[(0, dc_tid)], huff[(1, ac_tid)]
                 hi, vi = samp_of[cid]

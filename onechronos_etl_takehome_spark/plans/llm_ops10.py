@@ -491,3 +491,69 @@ def x39_txlog_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("closed_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x40 — incremental CDF consumer: v0 snapshot + feed == latest snapshot
+# ---------------------------------------------------------------------------
+
+_X40_CUT = "1997-01-01"
+
+# Final state after create(pre-cut) + append(rest) + delete(P-status),
+# recomputed relationally — the state an incremental consumer must
+# reach by applying the feed to the v0 snapshot.
+_X40_ORACLE = """
+    SELECT o_orderstatus AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_price
+    FROM orders WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+"""
+
+
+@register("x40_txlog_incremental_consumer", oracle=_X40_ORACLE)
+def x40_txlog_incremental_consumer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The table-as-stream-source contract, end-to-end: a downstream
+    consumer that saw the v0 snapshot and then ONLY the change data
+    feed must converge to the latest snapshot. After create(pre-1997)
+    / append(rest) / copy-on-write delete('P'), the consumer state is
+    ``v0 rows ∪ feed inserts ∖ feed deletes`` (multiset — exceptAll,
+    matching the feed's own multiset semantics), and its aggregate
+    hash-matches the oracle's relational recomputation of the final
+    state. This is the incremental==rebuild proof (x27's SCD2 shape)
+    for the txlog: if the feed ever dropped a change, double-counted
+    a copy-on-write carry-over, or mis-tagged a version, the consumer
+    would diverge. Scale: the consumer never re-reads untouched
+    files — each feed commit reads only the files it touched
+    (sources/txlog.py:change_feed)."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("double").alias(
+            "o_totalprice"
+        ), "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x40_{uuid.uuid4().hex[:8]}_")
+    cut = F.lit(_X40_CUT).cast("date")
+    txlog.create_table(orders.filter(F.col("o_orderdate") < cut), path)
+    txlog.append(orders.filter(F.col("o_orderdate") >= cut), path)
+    txlog.delete_where(spark, path, F.col("o_orderstatus") == "P")
+
+    cols = ["o_orderstatus", "o_totalprice", "o_orderdate"]
+    base = txlog.read_table(spark, path, version=0).select(*cols)
+    feed = txlog.change_feed(spark, path, from_version=0)
+    ins = feed.filter(F.col("_change") == "insert").select(*cols)
+    dels = feed.filter(F.col("_change") == "delete").select(*cols)
+    state = base.unionByName(ins).exceptAll(dels)
+    return state.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

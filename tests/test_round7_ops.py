@@ -464,3 +464,54 @@ def test_jpeg_rejects_fractional_sampling_ratio():
     )
     with pytest.raises(ValueError, match="sampling"):
         jpeg_pixels(bad)
+
+
+def test_jpeg_restart_markers_decode_pixel_identical():
+    """DRI/RSTn round-trip (round-8): restart markers only re-sync the
+    entropy stream (byte alignment + DC predictor reset) — the decoded
+    pixels must be EXACTLY the restart-free encode's, for every
+    subsampling mode, gray, and odd dims."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    yy, xx = np.mgrid[0:29, 0:37]
+    base = 128 + 70 * np.sin(2 * np.pi * xx / 37) + 30 * np.cos(
+        2 * np.pi * yy / 29
+    )
+    px = np.clip(
+        np.stack([base, base * 0.9, base * 1.1], axis=-1), 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420"):
+        plain = jpeg_pixels(jpeg_from_pixels(px, subsampling=sub))
+        for ri in (1, 3, 7):
+            enc = jpeg_from_pixels(px, subsampling=sub, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI present
+            assert np.array_equal(plain, jpeg_pixels(enc)), (sub, ri)
+    g = px[..., 0]
+    assert np.array_equal(
+        jpeg_pixels(jpeg_from_pixels(g)),
+        jpeg_pixels(jpeg_from_pixels(g, restart_interval=2)),
+    )
+
+
+def test_jpeg_corrupt_restart_marker_raises():
+    import numpy as np
+
+    import pytest
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    px = np.full((24, 24, 3), 77, dtype=np.uint8)
+    enc = jpeg_from_pixels(px, restart_interval=1)
+    # corrupt the first RST0 marker byte (FF D0 → FF C8 is a reserved
+    # marker the scan must reject)
+    bad = enc.replace(b"\xff\xd0", b"\xff\xc8", 1)
+    with pytest.raises(ValueError):
+        jpeg_pixels(bad)
