@@ -340,6 +340,7 @@ def video_match_pairs_tolerant(
     min_containment: float = 0.6,
     max_chunk_df: int | None = None,
     composite_bands: bool = True,
+    composite_arity: int = 2,
 ) -> DataFrame:
     """Cross-CODEC video near-dup: (id_a < id_b, shared_frames, n_a,
     n_b, containment) where frames match within ``max_hamming`` bits
@@ -378,13 +379,27 @@ def video_match_pairs_tolerant(
     Scale posture: ``max_chunk_df`` stays as the posting cap for
     genuinely ubiquitous composite buckets (black frames, title
     cards), the same lever as the exact form's ``max_hash_df``.
+
+    ``composite_arity=3`` is the round-8 birthday-term lever the bench
+    decomposition documents: THREE-chunk keys (C(bands,3)=56 ordered
+    triples, 24-bit values) shrink the cross-video collision term by
+    (56/28)·2^16/2^24 = 1/128 at the cost of frame-losslessness
+    dropping to ``bands-3`` bits (≥3 intact chunks needed; the 6-7
+    bit tail is absorbed at the video level by containment exactly as
+    arity 2 absorbs its 7-bit tail). Reach for it when the corpus
+    grows past the README's crossover size; keys per frame go
+    28 → 56, candidate traffic collapses another two orders.
     """
     if composite_bands:
+        if composite_arity not in (2, 3):
+            raise ValueError(
+                f"composite_arity must be 2 or 3, got {composite_arity}"
+            )
         if max_hamming > bands - 1:
             raise ValueError(
                 f"composite banding covers max_hamming <= bands-1 "
-                f"({bands - 1}: lossless to bands-2, containment-"
-                f"absorbed at bands-1); got {max_hamming}"
+                f"({bands - 1}: lossless to bands-{composite_arity}, "
+                f"containment-absorbed above); got {max_hamming}"
             )
     elif max_hamming > bands - 1:
         raise ValueError(
@@ -403,7 +418,23 @@ def video_match_pairs_tolerant(
             F.lit(mask)
         )
 
-    if composite_bands:
+    if composite_bands and composite_arity == 3:
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit((i * bands + j) * bands + k).alias("ci"),
+                    (
+                        (_chunk(i) * F.lit(1 << width) + _chunk(j))
+                        * F.lit(1 << width)
+                        + _chunk(k)
+                    ).alias("cv"),
+                )
+                for i in range(bands)
+                for j in range(i + 1, bands)
+                for k in range(j + 1, bands)
+            ]
+        )
+    elif composite_bands:
         chunks = F.array(
             *[
                 F.struct(

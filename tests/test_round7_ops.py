@@ -515,3 +515,36 @@ def test_jpeg_corrupt_restart_marker_raises():
     bad = enc.replace(b"\xff\xd0", b"\xff\xc8", 1)
     with pytest.raises(ValueError):
         jpeg_pixels(bad)
+
+
+def test_tolerant_matcher_arity3_recovers_planted_twins(spark):
+    """The round-8 birthday-term lever: 3-chunk composite keys
+    (C(8,3)=56 triples, 24-bit values — 128× fewer cross-video
+    collisions than arity 2) must still recover every planted
+    cross-codec twin at sf0.001 except the two whose surviving
+    frames all sit in the 6-7-bit drift tail; frame-losslessness
+    drops to 5 bits and most of the tail is containment-absorbed."""
+    from onechronos_etl_takehome_spark.operators import video as vid
+    from onechronos_etl_takehome_spark.session import pin_semantics
+
+    pin_semantics(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pay = vid.demo_crosscodec_video_payloads(docs, "doc_id")
+    rows = vid.video_match_pairs_tolerant(
+        pay, min_containment=0.6, composite_arity=3
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    want = {(40 * g, 40 * g + 10) for g in range(13)} | {
+        (40 * g + 20, 40 * g + 30) for g in range(12)
+    }
+    # the documented trade: no false pairs, and 23 of the 25 planted
+    # twins survive (the two losses are twins whose high-detail frames
+    # drift 6-7 bits across >5 distinct chunks — arity 2 keeps them,
+    # arity 3 spends that recall to divide cross-video collisions by
+    # 128; measured and pinned, not asserted away)
+    assert got <= want
+    assert len(got) == 23, sorted(want - got)
+    import pytest
+
+    with pytest.raises(ValueError, match="composite_arity"):
+        vid.video_match_pairs_tolerant(pay, composite_arity=4)
