@@ -1,0 +1,163 @@
+"""txlog as a Structured Streaming SOURCE (Spark 4 Python Data Source
+API): ``spark.readStream.format("txlog")`` tails the commit log.
+
+This is the read-side completion of the txlog streaming story —
+``streaming/txlog_stream.py`` already lands microbatches as
+exactly-once commits (the SINK); this module lets a downstream
+Structured Streaming query consume the table incrementally, the way
+Delta tables are read as streams:
+
+- **Offsets ARE versions.** ``initialOffset``/``latestOffset`` return
+  ``{"version": v}``; a microbatch covers the commits in
+  ``(start, end]``. The streaming checkpoint persists them, so a
+  restarted query resumes exactly where it stopped — exactly-once
+  composes from the log's own atomicity plus Spark's offset log
+  (pinned in tests/test_txlog_source.py with a kill/restart).
+- **One input partition per ADDED FILE** — planning is metadata-only
+  (the manifest lists the files); executors read their file with
+  pyarrow and yield Arrow RecordBatches (the vectorized path of the
+  Python Data Source API, no per-row Python loop).
+- **Append-only contract, Delta-shaped.** A commit that REMOVES files
+  (delete/merge/compaction) is not expressible as an append stream;
+  ``partitions()`` raises by default, or skips such commits entirely
+  with ``option("skipChangeCommits", "true")`` — the same lever and
+  name Delta uses. Row-level change consumption is the batch
+  ``change_feed`` / x40 path.
+- **Schema from the log.** The manifest ``schema`` field (written by
+  every create/append since round 8) is the source schema; files are
+  column-aligned to it with null padding, so schema-evolved histories
+  stream correctly.
+
+Scale posture: offset resolution and partition planning never open a
+data file; each microbatch reads exactly the files its commits added
+— the streaming read amplification is 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..sources import txlog
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, fname: str, schema_json: str):
+        self.path = path
+        self.fname = fname
+        self.schema_json = schema_json
+
+
+class TxlogStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options: dict):
+        options = {k.lower(): v for k, v in options.items()}
+        self.path = options["path"]
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        # startingVersion: first EXCLUDED version (-1 = full history);
+        # default -1 so a fresh query replays the table from creation,
+        # matching Delta's startingVersion=0 semantics
+        self.starting_version = int(options.get("startingversion", -1))
+        self.schema_json = schema.json()
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        versions = txlog.committed_versions(self.path)
+        if not versions:
+            raise ValueError(f"not a txlog table (no commits): {self.path}")
+        return {"version": versions[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in txlog.committed_versions(self.path):
+            if v <= start["version"] or v > end["version"]:
+                continue
+            with open(
+                os.path.join(self.path, txlog._LOG_DIR, f"{v:08d}.json")
+            ) as f:
+                manifest = json.load(f)
+            removes = [a for a in manifest["actions"] if "remove" in a]
+            if removes:
+                if self.skip_change_commits:
+                    continue  # Delta's skipChangeCommits: data change skipped
+                raise ValueError(
+                    f"txlog stream source found a data-changing commit "
+                    f"(version {v} removes {len(removes)} files); an "
+                    f"append stream cannot express deletes — pass "
+                    f'option("skipChangeCommits", "true") to skip such '
+                    f"commits, or consume txlog.change_feed in batch"
+                )
+            for a in manifest["actions"]:
+                if "add" in a:
+                    out.append(
+                        _FilePartition(self.path, a["add"], self.schema_json)
+                    )
+        # an empty batch is legal (e.g. every commit in range skipped)
+        return out or [_FilePartition(self.path, "", self.schema_json)]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(
+            StructType.fromJson(json.loads(partition.schema_json))
+        )
+        target = pa.schema(
+            [pa.field(f.name, f.type, nullable=True) for f in target]
+        )
+        if not partition.fname:  # empty-batch sentinel
+            return iter(())
+        tbl = pq.read_table(os.path.join(partition.path, partition.fname))
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl[field.name].cast(field.type))
+            else:  # schema-evolved history: older file lacks the column
+                cols.append(pa.nulls(len(tbl), type=field.type))
+        return iter(pa.table(cols, schema=target).to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; the log is immutable
+
+
+class TxlogStreamSource(DataSource):
+    """``spark.dataSource.register(TxlogStreamSource)`` then
+    ``spark.readStream.format("txlog").option("path", p).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog"
+
+    def schema(self):
+        path = {k.lower(): v for k, v in self.options.items()}["path"]
+        versions = txlog.committed_versions(path)
+        if not versions:
+            raise ValueError(f"not a txlog table (no commits): {path}")
+        schema = txlog._latest_schema(path, versions[-1])
+        if schema is None:
+            raise ValueError(
+                f"txlog table at {path} predates manifest schemas "
+                "(round 8); rewrite it or append once to record one"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        # every column is nullable on the stream: schema-evolved
+        # history null-fills columns that older files lack
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in schema.fields]
+        )
+
+    def streamReader(self, schema) -> TxlogStreamReader:
+        return TxlogStreamReader(schema, self.options)
