@@ -7,11 +7,16 @@ Scope (exactly what the fixtures need, honestly documented):
   integer-ratio chroma subsampling (4:2:0 / 4:2:2 / 4:1:1 — the
   round-8 de-stub; real MJPEG corpora are mostly 4:2:0), WITH
   restart markers (DRI/RSTn: byte-realign + DC-predictor reset per
-  interval), without progressive scans. Unsupported variants raise
+  interval) AND progressive scans (SOF2: spectral selection +
+  successive approximation, EOBRUN, AC refinement — the full T.81
+  G.2 scan machine; scans accumulate into per-component coefficient
+  arrays and one batched IDCT reconstructs at the end). Unsupported
+  variants (lossless/hierarchical/arithmetic/12-bit) raise
   ValueError (the corrupt-payload contract every decoder in this
   package honors: fall to the stub, never crash the job).
 - **Encoder** (``jpeg_from_pixels``): emits that profile (4:4:4
-  default, opt-in 4:2:0 with 2x2 box-averaged chroma) with
+  default, opt-in 4:2:0 with 2x2 box-averaged chroma, opt-in
+  ``progressive=True`` with a libjpeg-shaped scan script) with
   the ITU-T81 Annex-K quantization + huffman tables, so fixtures are
   REAL standards-conformant JPEGs (spot-checkable with any external
   viewer) and the decoder is pinned two ways: coefficient-exact
@@ -318,6 +323,7 @@ def jpeg_from_pixels(
     *,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
     baseline JFIF JPEG with the Annex-K tables. ``subsampling``:
@@ -329,6 +335,12 @@ def jpeg_from_pixels(
     reset — the resync points real MJPEG streams carry)."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart markers unsupported in progressive encode"
+            )
+        return _jpeg_progressive(px, subsampling)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     sub420 = subsampling == "420" and not gray
@@ -479,16 +491,206 @@ def jpeg_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG payload: {type(e).__name__}: {e}")
 
 
+def _next_marker(payload: bytes, i: int) -> int:
+    """Position of the next real marker at-or-after ``i`` (skips
+    entropy data, stuffed FF00 bytes, FF fill bytes, and stray RSTn)."""
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                i += 1
+                continue
+            return i
+        i += 1
+    raise ValueError("JPEG truncated before next marker")
+
+
+def _decode_scan(
+    reader: _BitReader,
+    coefs: dict,
+    scan_comps: list,
+    band: tuple,
+    samp_of: dict,
+    grids: dict,
+    mcus: tuple,
+    huff: dict,
+    restart_interval: int,
+) -> None:
+    """Decode ONE entropy-coded scan into the per-component zigzag
+    coefficient arrays — the general T.81 scan machine. ``band`` =
+    (Ss, Se, Ah, Al); baseline is the (0, 63, 0, 0) special case,
+    progressive scans carve the spectrum (spectral selection) and the
+    bit planes (successive approximation)."""
+    ss, se, ah, al = band
+    mcus_y, mcus_x = mcus
+
+    def read_symbol(tbl) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.bit()
+            length += 1
+            if (length, code) in tbl:
+                return tbl[(length, code)]
+        raise ValueError("invalid huffman code in scan")
+
+    state = {"eobrun": 0, "pred": [0] * len(scan_comps)}
+
+    def decode_dc_first(ci, dc_tbl, zz):
+        cat = read_symbol(dc_tbl)
+        diff = _extend(reader.bits(cat), cat) if cat else 0
+        state["pred"][ci] += diff
+        zz[0] = state["pred"][ci] << al
+
+    def decode_dc_refine(zz):
+        if reader.bit():
+            zz[0] |= 1 << al
+
+    def decode_ac_first(ac_tbl, zz):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = read_symbol(ac_tbl)
+            r, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if r < 15:  # EOBn: run of 2^r + bits end-of-band blocks
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows band")
+            zz[k] = _extend(reader.bits(size), size) << al
+            k += 1
+
+    p1, m1 = 1 << al, -1 << al
+
+    def _refine_nonzero(zz, k):
+        if reader.bit() and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def decode_ac_refine(ac_tbl, zz):
+        # G.2.2: corrections to already-nonzero coefficients ride along
+        # with the run lengths of newly-significant ones
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = read_symbol(ac_tbl)
+                r, size = sym >> 4, sym & 0xF
+                newly = 0
+                if size == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    newly = p1 if reader.bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        _refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newly and k <= se:
+                    zz[k] = newly
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(zz, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def decode_block(ci, cid, dc_tid, ac_tid, by_b, bx_b):
+        zz = coefs[cid][by_b, bx_b]
+        if ss == 0:
+            if ah == 0:
+                decode_dc_first(ci, huff[(0, dc_tid)], zz)
+            else:
+                decode_dc_refine(zz)
+        if se > 0 and ss > 0:
+            if ah == 0:
+                decode_ac_first(huff[(1, ac_tid)], zz)
+            else:
+                decode_ac_refine(huff[(1, ac_tid)], zz)
+        elif se > 0:  # baseline full-spectrum scan: AC follows DC
+            k = 1
+            while k <= se:
+                sym = read_symbol(huff[(1, ac_tid)])
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+
+    def maybe_restart(unit_no: int) -> None:
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            reader.restart()
+            state["pred"] = [0] * len(scan_comps)
+            state["eobrun"] = 0
+
+    if len(scan_comps) > 1 or (ss == 0 and se == 63):
+        # interleaved MCU walk (multi-component scans; also the
+        # baseline single-component full-spectrum case, where the MCU
+        # grid IS the block grid)
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(unit)
+                unit += 1
+                for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
+                    hi, vi = samp_of[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            decode_block(
+                                ci, cid, dc_tid, ac_tid,
+                                my * vi + v, mx * hi + hh,
+                            )
+    else:
+        # non-interleaved: the component's own (unpadded) block grid
+        cid, dc_tid, ac_tid = scan_comps[0]
+        rows_b, cols_b = grids[cid]
+        unit = 0
+        for by_b in range(rows_b):
+            for bx_b in range(cols_b):
+                maybe_restart(unit)
+                unit += 1
+                decode_block(0, cid, dc_tid, ac_tid, by_b, bx_b)
+
+
 def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     h = w = None
-    scan_comps = None
-    scan_data = None
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    coefs: dict | None = None
+    samp_of = grids = mcus = None
+    hmax = vmax = 1
+    saw_scan = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = struct.unpack_from(">H", payload, pos)[0]
@@ -519,9 +721,10 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 bpos += 17 + nv
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC2):
+            progressive = marker == 0xFFC2
             if body[0] != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit samples supported")
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
             comps = []
@@ -531,93 +734,77 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"bad sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, qid))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            for _, hi, vi, _ in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"non-integer sampling ratio {hi}x{vi}"
+                    )
+            mcus = (-(-h // (8 * vmax)), -(-w // (8 * hmax)))
+            samp_of = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+            # zigzag-order coefficient store, MCU-padded block grid;
+            # non-interleaved scans walk only the unpadded sub-grid
+            coefs = {
+                cid: np.zeros((mcus[0] * vi, mcus[1] * hi, 64), np.int64)
+                for cid, hi, vi, _ in comps
+            }
+            grids = {
+                cid: (
+                    -(-(-(-h * vi // vmax)) // 8),
+                    -(-(-(-w * hi // hmax)) // 8),
+                )
+                for cid, hi, vi, _ in comps
+            }
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise ValueError("non-baseline JPEG unsupported")
+            raise ValueError("unsupported JPEG coding process")
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                 for i in range(ns)
             ]
-            scan_data = payload[pos + 2 + length :]
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            band = (ss, se, ah_al >> 4, ah_al & 0xF)
+            if progressive:
+                # B.2.3: a progressive scan is either DC (Ss=Se=0) or
+                # a pure-AC band (1 <= Ss <= Se <= 63, single comp)
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive scan mixes DC and AC")
+                if ss > 0 and (ns != 1 or not ss <= se <= 63):
+                    raise ValueError("bad progressive AC band")
+            else:
+                band = (0, 63, 0, 0)
+            start = pos + 2 + length
+            reader = _BitReader(payload[start:])
+            _decode_scan(
+                reader, coefs, scan_comps, band, samp_of, grids, mcus,
+                huff, restart_interval,
+            )
+            saw_scan = True
+            pos = _next_marker(payload, start + reader.pos)
+            continue
         pos += 2 + length
-    if comps is None or scan_comps is None or scan_data is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if comps is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    reader = _BitReader(scan_data)
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    for _, hi, vi, _ in comps:
-        if hmax % hi or vmax % vi:
-            # T.81 allows these, but nothing real emits them and the
-            # nearest-neighbor upsample below assumes integer ratios
-            raise ValueError(f"non-integer sampling ratio {hi}x{vi}")
-    mcus_y, mcus_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
-    planes = {
-        cid: np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi))
-        for cid, hi, vi, _ in comps
-    }
-    samp_of = {cid: (hi, vi) for cid, hi, vi, _ in comps}
     qid_of = {cid: qid for cid, _, _, qid in comps}
-    prev = [0] * len(scan_comps)
-
-    def read_symbol(tbl) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | reader.bit()
-            length += 1
-            if (length, code) in tbl:
-                return tbl[(length, code)]
-        raise ValueError("invalid huffman code in scan")
-
-    # interleaved MCU scan: each component contributes hi×vi blocks
-    # per MCU in raster order (T.81 A.2.3) — 4:4:4 is the 1×1 case,
-    # 4:2:0 is four Y blocks then one Cb then one Cr per 16×16 MCU
-    mcu_no = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
-                reader.restart()  # byte-align + consume RSTn
-                prev = [0] * len(scan_comps)  # DC predictors reset
-            mcu_no += 1
-            for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comps):
-                dc_tbl, ac_tbl = huff[(0, dc_tid)], huff[(1, ac_tid)]
-                hi, vi = samp_of[cid]
-                for v in range(vi):
-                    for hh in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        cat = read_symbol(dc_tbl)
-                        diff = _extend(reader.bits(cat), cat) if cat else 0
-                        prev[ci] += diff
-                        zz[0] = prev[ci]
-                        i = 1
-                        while i < 64:
-                            sym = read_symbol(ac_tbl)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                i += 16
-                                continue
-                            run, cat = sym >> 4, sym & 0xF
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC run overflows block")
-                            zz[i] = _extend(reader.bits(cat), cat)
-                            i += 1
-                        coef = np.zeros(64)
-                        coef[_ZIGZAG] = zz
-                        block = _idct2(
-                            coef.reshape(8, 8) * quant[qid_of[cid]]
-                        ) + 128.0
-                        by, bx = (my * vi + v) * 8, (mx * hi + hh) * 8
-                        planes[cid][by : by + 8, bx : bx + 8] = block
     out_planes = []
     for cid, hi, vi, _ in comps:
-        p = planes[cid]
+        zz = coefs[cid]
+        rows_b, cols_b = zz.shape[:2]
+        nat = np.zeros((rows_b, cols_b, 64))
+        nat[..., _ZIGZAG] = zz
+        deq = nat.reshape(rows_b, cols_b, 8, 8) * quant[qid_of[cid]]
+        # batched exact IDCT over every block at once
+        blocks = np.einsum("ab,rcbd,de->rcae", _DCT.T, deq, _DCT) + 128.0
+        p = blocks.transpose(0, 2, 1, 3).reshape(rows_b * 8, cols_b * 8)
         # crop to the component's true extent, nearest-neighbor
         # upsample to full resolution, crop to the image
         ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
@@ -653,3 +840,292 @@ def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
         255,
     ).astype(np.uint8)
     return jpeg_from_pixels(px)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encode (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _plane_zz_coefs(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(rows_b, cols_b, 64) quantized coefficients in ZIGZAG order for
+    an 8-aligned plane — batched exact DCT, the encode-side twin of
+    the decoder's batched IDCT."""
+    rows_b, cols_b = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((rows_b, cols_b, 64), np.int64)
+    for by in range(rows_b):
+        for bx in range(cols_b):
+            # per-block _dct2, NOT a batched einsum: a true half-integer
+            # coefficient (e.g. -57.5) rounds differently under a
+            # different float association order, and the progressive
+            # payload must carry EXACTLY the baseline coefficients for
+            # the pixel-identity conformance oracle to hold
+            block = (
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            )
+            coef = np.round(_dct2(block) / quant).astype(np.int64)
+            out[by, bx] = coef.flatten()[_ZIGZAG]
+    return out
+
+
+def _emit_dc_scan(
+    writer: _BitWriter, comp_zzs: list, walks: list, al: int, first: bool,
+    dc_tables: list,
+) -> None:
+    """DC scan over every (padded) block in MCU-interleaved order:
+    ``first`` huffman-codes diffs of the point-transformed DC,
+    refinement emits one raw bit per block."""
+    pred = [0] * len(comp_zzs)
+    for ci, by_b, bx_b in _mcu_block_order(walks):
+        dc = int(comp_zzs[ci][by_b, bx_b, 0])
+        if first:
+            v = dc >> al
+            cat, amp = _magnitude(v - pred[ci])
+            pred[ci] = v
+            code, length = dc_tables[ci][cat]
+            writer.write(code, length)
+            if cat:
+                writer.write(amp, cat)
+        else:
+            writer.write((dc >> al) & 1, 1)
+
+
+def _mcu_block_order(walks: list):
+    """Yield (ci, by_b, bx_b) in T.81 interleaved MCU order. ``walks``
+    = [(mcus_y, mcus_x, hi, vi), ...] per scan component; a
+    single-component scan walks its own unpadded grid instead."""
+    if len(walks) == 1:
+        _, _, _, _, rows_b, cols_b = walks[0]
+        for by_b in range(rows_b):
+            for bx_b in range(cols_b):
+                yield 0, by_b, bx_b
+        return
+    mcus_y, mcus_x = walks[0][0], walks[0][1]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, _, hi, vi, _, _) in enumerate(walks):
+                for v in range(vi):
+                    for hh in range(hi):
+                        yield ci, my * vi + v, mx * hi + hh
+
+
+def _emit_ac_first_scan(
+    writer: _BitWriter, zz: np.ndarray, rows_b: int, cols_b: int,
+    ss: int, se: int, al: int, ac_codes: dict,
+) -> None:
+    """AC first scan (G.1.2.2) for one band, per-block EOB0 (the
+    encoder never accumulates a cross-block EOB run; the decoder
+    handles arbitrary EOBRUN regardless)."""
+    for by_b in range(rows_b):
+        for bx_b in range(cols_b):
+            band = [int(v) for v in zz[by_b, bx_b, ss : se + 1]]
+            pt = [
+                (abs(v) >> al) * (1 if v > 0 else -1) for v in band
+            ]
+            last = -1
+            for i, v in enumerate(pt):
+                if v:
+                    last = i
+            run = 0
+            for i in range(last + 1):
+                v = pt[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c0, l0 = ac_codes[0xF0]
+                    writer.write(c0, l0)
+                    run -= 16
+                cat, amp = _magnitude(v)
+                c0, l0 = ac_codes[(run << 4) | cat]
+                writer.write(c0, l0)
+                writer.write(amp, cat)
+                run = 0
+            if last < se - ss:
+                c0, l0 = ac_codes[0x00]  # EOB0
+                writer.write(c0, l0)
+
+
+def _emit_ac_refine_scan(
+    writer: _BitWriter, zz: np.ndarray, rows_b: int, cols_b: int,
+    ss: int, se: int, al: int, ac_codes: dict,
+) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients
+    code as (run, 1) + sign, correction bits for already-significant
+    coefficients buffer in position order and flush after the next
+    emitted symbol — exactly the order the decoder's inline walk
+    consumes them."""
+    for by_b in range(rows_b):
+        for bx_b in range(cols_b):
+            band = [int(v) for v in zz[by_b, bx_b, ss : se + 1]]
+            t = [abs(v) >> al for v in band]
+            # ZRL horizon: runs beyond the LAST newly-significant
+            # coefficient fold into the EOB, never into ZRLs
+            eob = -1
+            for i, ti in enumerate(t):
+                if ti == 1:
+                    eob = i
+            run = 0
+            br: list[int] = []
+            for i, v in enumerate(band):
+                if t[i] == 0:
+                    run += 1
+                    continue
+                # the ZRL check fires at EVERY nonzero-history
+                # position (libjpeg's invariant): a correction bit may
+                # only buffer while run <= 15, so every buffered bit
+                # lies inside the decoder's current 16-zero window
+                while run > 15 and i <= eob:
+                    c0, l0 = ac_codes[0xF0]
+                    writer.write(c0, l0)
+                    run -= 16
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                if t[i] > 1:  # already significant: correction bit
+                    br.append(t[i] & 1)
+                    continue
+                c0, l0 = ac_codes[(run << 4) | 1]
+                writer.write(c0, l0)
+                writer.write(1 if v > 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                c0, l0 = ac_codes[0x00]  # EOB0 covers the tail
+                writer.write(c0, l0)
+                for b in br:
+                    writer.write(b, 1)
+
+
+def _jpeg_progressive(px: np.ndarray, subsampling: str) -> bytes:
+    """Progressive (SOF2) encode with the libjpeg-shaped scan script:
+    DC first (Al=1) → DC refine → per-component AC bands (Al=1, luma
+    split 1-5 / 6-63 for real spectral selection) → per-component AC
+    refine (Al=0). Same Annex-K tables and quantized coefficients as
+    the baseline encode, so the decode is pixel-identical to the
+    baseline decode of the same pixels — the conformance oracle the
+    tests pin."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    sub420 = subsampling == "420" and not gray
+    grid = 16 if sub420 else 8
+    ph, pw = -(-h // grid) * grid, -(-w // grid) * grid
+
+    def pad(plane):
+        return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    if gray:
+        comps = [
+            {"cid": 1, "hi": 1, "vi": 1, "qid": 0,
+             "plane": pad(px.astype(np.float64)), "quant": QUANT_LUMA}
+        ]
+    else:
+        ycc = _rgb_to_ycbcr(px.astype(np.float64))
+        if sub420:
+            cb, cr = (
+                pad(ycc[..., c])
+                .reshape(ph // 2, 2, pw // 2, 2)
+                .mean(axis=(1, 3))
+                for c in (1, 2)
+            )
+            comps = [
+                {"cid": 1, "hi": 2, "vi": 2, "qid": 0,
+                 "plane": pad(ycc[..., 0]), "quant": QUANT_LUMA},
+                {"cid": 2, "hi": 1, "vi": 1, "qid": 1,
+                 "plane": cb, "quant": QUANT_CHROMA},
+                {"cid": 3, "hi": 1, "vi": 1, "qid": 1,
+                 "plane": cr, "quant": QUANT_CHROMA},
+            ]
+        else:
+            comps = [
+                {"cid": c + 1, "hi": 1, "vi": 1,
+                 "qid": 0 if c == 0 else 1,
+                 "plane": pad(ycc[..., c]),
+                 "quant": QUANT_LUMA if c == 0 else QUANT_CHROMA}
+                for c in range(3)
+            ]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcus_y, mcus_x = ph // (8 * vmax), pw // (8 * hmax)
+    for c in comps:
+        c["zz"] = _plane_zz_coefs(c["plane"], c["quant"])
+        ch, cw = -(-h * c["vi"] // vmax), -(-w * c["hi"] // hmax)
+        c["rows_b"], c["cols_b"] = -(-ch // 8), -(-cw // 8)
+        c["walk"] = (mcus_y, mcus_x, c["hi"], c["vi"],
+                     c["rows_b"], c["cols_b"])
+
+    dc_l = _build_code_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_code_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_code_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(specs: list, ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(specs)])
+        for cid, dc_tid, ac_tid in specs:
+            body += bytes([cid, (dc_tid << 4) | ac_tid])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8"
+    out += seg(
+        0xFFDB,
+        bytes([0]) + bytes(int(x) for x in QUANT_LUMA.flatten()[_ZIGZAG]),
+    )
+    if not gray:
+        out += seg(
+            0xFFDB,
+            bytes([1])
+            + bytes(int(x) for x in QUANT_CHROMA.flatten()[_ZIGZAG]),
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["cid"], (c["hi"] << 4) | c["vi"], c["qid"]])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if not gray:
+        out += seg(
+            0xFFC4, bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        )
+        out += seg(
+            0xFFC4, bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+        )
+
+    zzs = [c["zz"] for c in comps]
+    walks = [c["walk"] for c in comps]
+    dc_tables = [dc_l if i == 0 or gray else dc_c for i in range(len(comps))]
+
+    # scan 1: DC first, Al=1, all components interleaved
+    wtr = _BitWriter()
+    _emit_dc_scan(wtr, zzs, walks, 1, True, dc_tables)
+    out += sos([(c["cid"], 0 if i == 0 else 1, 0)
+                for i, c in enumerate(comps)], 0, 0, 0, 1)
+    out += wtr.flush()
+    # scan 2: DC refine to Al=0 (raw bits, no tables)
+    wtr = _BitWriter()
+    _emit_dc_scan(wtr, zzs, walks, 0, False, dc_tables)
+    out += sos([(c["cid"], 0, 0) for c in comps], 0, 0, 1, 0)
+    out += wtr.flush()
+    # per-component AC scans
+    for i, c in enumerate(comps):
+        ac_codes = ac_l if i == 0 or gray else ac_c
+        ac_tid = 0 if (i == 0 or gray) else 1
+        bands = [(1, 5), (6, 63)] if i == 0 else [(1, 63)]
+        for ss, se in bands:
+            wtr = _BitWriter()
+            _emit_ac_first_scan(
+                wtr, c["zz"], c["rows_b"], c["cols_b"], ss, se, 1, ac_codes
+            )
+            out += sos([(c["cid"], 0, ac_tid)], ss, se, 0, 1)
+            out += wtr.flush()
+        wtr = _BitWriter()
+        _emit_ac_refine_scan(
+            wtr, c["zz"], c["rows_b"], c["cols_b"], 1, 63, 0, ac_codes
+        )
+        out += sos([(c["cid"], 0, ac_tid)], 1, 63, 1, 0)
+        out += wtr.flush()
+    return out + b"\xff\xd9"

@@ -10,11 +10,13 @@ result is declared up front so Catalyst can prune/pushdown around it.
 Decoders: four formats decode FOR REAL with pure numpy + stdlib —
 uncompressed 24-bit BMP (``_decode_bmp``), 16-bit PCM WAV
 (``_decode_wav``), 8-bit PNG (``png_pixels`` — stdlib-zlib inflate +
-all five predictor filters), and baseline 4:4:4 JPEG
-(``operators/jpeg.py`` — huffman entropy decode + exact 8×8 IDCT).
+all five predictor filters), and JPEG — baseline, any integer-ratio
+chroma subsampling, restart markers, AND progressive
+(``operators/jpeg.py`` — huffman entropy decode + exact 8×8 IDCT;
+MJPEG MP4 rides ``operators/mp4.py``).
 ``decode_features`` sniffs each payload's magic bytes and dispatches;
-formats that genuinely need a media library (MP4, progressive/
-subsampled JPEG, ...) fall to the clearly-marked deterministic stub
+formats that genuinely need a media library (AVC/HEVC
+samples, ...) fall to the clearly-marked deterministic stub
 (``_fake_decode``), or raise under ``require_real_decoder=True``.
 ``synthesize_bmp`` / ``synthesize_wav`` / ``synthesize_png`` /
 ``jpeg.synthesize_jpeg`` build valid fixtures for tests and demos.
@@ -720,7 +722,7 @@ def decode_features(
     the lead frame) and 16-bit-PCM WAV decode FOR REAL (see
     ``_decode_bmp`` / ``_decode_png`` / ``_decode_jpeg`` /
     ``_decode_mp4`` / ``_decode_wav``); the remaining variants
-    (AVC/HEVC sample codecs, progressive/subsampled JPEG) fall to
+    (AVC/HEVC sample codecs) fall to
     the deterministic stub, or raise NotImplementedError under
     ``require_real_decoder=True``. The ``decoder`` output column says
     which path each row took.

@@ -548,3 +548,81 @@ def test_tolerant_matcher_arity3_recovers_planted_twins(spark):
 
     with pytest.raises(ValueError, match="composite_arity"):
         vid.video_match_pairs_tolerant(pay, composite_arity=4)
+
+
+def test_jpeg_progressive_decodes_pixel_identical_to_baseline():
+    """Progressive (SOF2) conformance oracle: the progressive encode
+    carries EXACTLY the baseline's quantized coefficients, so decode
+    must be PIXEL-IDENTICAL to the baseline decode — across 444/420/
+    gray, smooth, noise (dense AC → ZRL + refinement paths), flat
+    (EOB-heavy), and odd dims. No tolerance for a bug to hide behind."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(42)
+    cases = []
+    yy, xx = np.mgrid[0:29, 0:37]
+    base = 128 + 70 * np.sin(2 * np.pi * xx / 37) + 30 * np.cos(
+        2 * np.pi * yy / 29
+    )
+    cases.append(
+        np.clip(
+            np.stack([base, base * 0.9, base * 1.1], -1), 0, 255
+        ).astype(np.uint8)
+    )
+    cases.append(rng.randint(0, 256, (24, 31, 3), dtype=np.uint8))
+    cases.append(np.full((17, 8, 3), 13, dtype=np.uint8))
+    cases.append(rng.randint(0, 256, (33, 40), dtype=np.uint8))
+    for px in cases:
+        for sub in ("444", "420") if px.ndim == 3 else ("444",):
+            enc = jpeg_from_pixels(px, subsampling=sub, progressive=True)
+            assert b"\xff\xc2" in enc  # really SOF2
+            assert np.array_equal(
+                jpeg_pixels(enc),
+                jpeg_pixels(jpeg_from_pixels(px, subsampling=sub)),
+            ), (px.shape, sub)
+
+
+def test_jpeg_progressive_rides_decode_dispatch(spark):
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+    )
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    px = np.clip(
+        128 + 60 * np.sin(np.arange(18 * 22).reshape(18, 22) / 5.0), 0, 255
+    ).astype(np.uint8)
+    px = np.repeat(px[..., None], 3, axis=2)
+    rows = [(0, jpeg_from_pixels(px, progressive=True), "image")]
+    df = spark.createDataFrame(
+        rows, "id long, content binary, modality string"
+    )
+    got = decode_features(df).collect()[0]
+    assert got.decoder == "jpeg"  # real decode, not the stub
+    assert got.features[0] == 22.0 and got.features[1] == 18.0
+
+
+def test_jpeg_progressive_corrupt_payloads_raise():
+    import numpy as np
+
+    import pytest
+
+    from onechronos_etl_takehome_spark.operators.jpeg import (
+        jpeg_from_pixels,
+        jpeg_pixels,
+    )
+
+    px = np.full((16, 16, 3), 90, dtype=np.uint8)
+    enc = jpeg_from_pixels(px, progressive=True)
+    with pytest.raises(ValueError):
+        jpeg_pixels(enc[: len(enc) // 2])  # truncated mid-scan
+    with pytest.raises(ValueError):
+        jpeg_from_pixels(px, progressive=True, restart_interval=2)
