@@ -820,9 +820,17 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
     return (_ycbcr_to_rgb(ycc) + 0.5).astype(np.uint8)
 
 
-def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
-    """Deterministic valid baseline JPEG (seeded smooth gradient +
-    noise — smooth content keeps quantization loss visibly small)."""
+def synthesize_jpeg(
+    width: int,
+    height: int,
+    seed: int,
+    *,
+    subsampling: str = "444",
+    progressive: bool = False,
+) -> bytes:
+    """Deterministic valid JPEG (seeded smooth gradient + noise —
+    smooth content keeps quantization loss visibly small); opt into
+    4:2:0 and/or progressive to fixture those profiles."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:height, 0:width]
     base = (
@@ -839,7 +847,9 @@ def synthesize_jpeg(width: int, height: int, seed: int) -> bytes:
         0,
         255,
     ).astype(np.uint8)
-    return jpeg_from_pixels(px)
+    return jpeg_from_pixels(
+        px, subsampling=subsampling, progressive=progressive
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -692,8 +692,18 @@ def demo_media_payloads(
                 elif i % modulus == 3:
                     from .jpeg import synthesize_jpeg
 
+                    # rotate through the real-world JPEG profiles:
+                    # baseline 4:4:4, 4:2:0, and progressive — all
+                    # decode FOR REAL through the same dispatch
+                    variant = (i // modulus) % 3
                     content.append(
-                        synthesize_jpeg(16 + i % 8, 16 + i % 8, seed=i % 997)
+                        synthesize_jpeg(
+                            16 + i % 8,
+                            16 + i % 8,
+                            seed=i % 997,
+                            subsampling="420" if variant == 1 else "444",
+                            progressive=variant == 2,
+                        )
                     )
                     modality.append("image")
                 else:

@@ -557,3 +557,62 @@ def x40_txlog_incremental_consumer(
         .cast("double")
         .alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x41 — txlog streaming SOURCE: a stream drain delivers the exact table
+# ---------------------------------------------------------------------------
+
+_X41_ORACLE = """
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+      o_orderstatus AS status,
+      CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+"""
+
+
+@register("x41_txlog_stream_source", oracle=_X41_ORACLE)
+def x41_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog table consumed as a Structured Streaming SOURCE
+    (``streaming/txlog_source.py``, Spark 4 Python Data Source API)
+    and hash-matched row-for-row: orders land in the table across two
+    commits, ``spark.readStream.format("txlog")`` drains it with an
+    availableNow trigger into parquet, and the drained result must
+    equal the raw table exactly — offsets are commit versions, each
+    microbatch reads only the files its commits added, executors
+    yield Arrow RecordBatches. The restart/exactly-once/append-only
+    contracts are pinned in tests/test_txlog_source.py; this row is
+    the driver-visible value-exactness proof."""
+    import tempfile
+
+    from ..sources import txlog
+    from ..streaming.txlog_source import TxlogStreamSource
+
+    pin_semantics(spark)
+    spark.dataSource.register(TxlogStreamSource)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x41_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(orders.filter(F.col("orderkey") % 2 == 0), path)
+    txlog.append(orders.filter(F.col("orderkey") % 2 == 1), path)
+    out = tempfile.mkdtemp(prefix=f"txlog_x41_out_{uuid.uuid4().hex[:8]}_")
+    ckpt = tempfile.mkdtemp(prefix=f"txlog_x41_ck_{uuid.uuid4().hex[:8]}_")
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "orderkey", "status", "price_cents"
+    )
