@@ -48,7 +48,11 @@ from .multimodal import chunk_pair_join, dhash64, sniff_modality
 
 
 def avi_from_frames(
-    frames: "object", *, fps: int = 10, codec: str = "DIB"
+    frames: "object",
+    *,
+    fps: int = 10,
+    codec: str = "DIB",
+    subsampling: str = "444",
 ) -> bytes:
     """Serialize an (n, h, w, 3) uint8 BGR array as a minimal valid
     AVI: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh, strf}} →
@@ -57,7 +61,8 @@ def avi_from_frames(
     bottom-up rows, 4-byte stride); ``codec='MJPG'`` stores each frame
     as a baseline JPEG ('00dc' compressed chunks — the Motion-JPEG
     layout real capture hardware emits), encoded by
-    ``operators/jpeg.py``."""
+    ``operators/jpeg.py``; ``subsampling='420'`` encodes the frames
+    4:2:0, the profile real MJPEG hardware actually ships."""
     import numpy as np
 
     n, h, w = frames.shape[:3]
@@ -68,7 +73,11 @@ def avi_from_frames(
 
         for k in range(n):
             # frames carry BGR (the BMP/DIB convention); JPEG is RGB
-            frame_bytes.append(jpeg_from_pixels(frames[k][..., ::-1]))
+            frame_bytes.append(
+                jpeg_from_pixels(
+                    frames[k][..., ::-1], subsampling=subsampling
+                )
+            )
     elif codec == "DIB":
         for k in range(n):
             rows = np.zeros((h, stride), dtype=np.uint8)

@@ -626,3 +626,35 @@ def test_jpeg_progressive_corrupt_payloads_raise():
         jpeg_pixels(enc[: len(enc) // 2])  # truncated mid-scan
     with pytest.raises(ValueError):
         jpeg_from_pixels(px, progressive=True, restart_interval=2)
+
+
+def test_crossprofile_mjpeg_twins_pair_across_subsampling(spark):
+    """A platform re-encode usually changes the CHROMA PROFILE too:
+    the same footage as 4:4:4 MJPEG and as 4:2:0 MJPEG must still pair
+    under the tolerant matcher (dHash is luma-driven; the measured
+    420-vs-444 drift is <= 4 bits, inside the 7-bit radius), while the
+    exact containment join sees nothing."""
+    import numpy as np
+
+    from onechronos_etl_takehome_spark.operators import video as vid
+
+    frames = _smooth_frames(6, 40, 56)
+    rows = [
+        (0, bytearray(vid.avi_from_frames(frames, codec="MJPG")), "video"),
+        (
+            1,
+            bytearray(
+                vid.avi_from_frames(
+                    frames, codec="MJPG", subsampling="420"
+                )
+            ),
+            "video",
+        ),
+    ]
+    pay = spark.createDataFrame(
+        rows, "id long, content binary, modality string"
+    )
+    assert vid.video_match_pairs(pay, min_containment=0.6).count() == 0
+    got = vid.video_match_pairs_tolerant(pay, min_containment=0.6).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+    assert got[0].containment >= 0.8
