@@ -40,6 +40,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -105,47 +106,86 @@ class TxlogStreamReader(DataSourceStreamReader):
         return out or [_FilePartition(self.path, "", self.schema_json)]
 
     def read(self, partition: _FilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
-
-        target = to_arrow_schema(
-            StructType.fromJson(json.loads(partition.schema_json))
-        )
-        target = pa.schema(
-            [pa.field(f.name, f.type, nullable=True) for f in target]
-        )
-        if not partition.fname:  # empty-batch sentinel
-            return iter(())
-        tbl = pq.read_table(os.path.join(partition.path, partition.fname))
-        cols = []
-        for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl[field.name].cast(field.type))
-            else:  # schema-evolved history: older file lacks the column
-                cols.append(pa.nulls(len(tbl), type=field.type))
-        return iter(pa.table(cols, schema=target).to_batches())
+        return _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the log is immutable
 
 
+def _read_file_partition(partition: "_FilePartition"):
+    """Executor-side file read shared by the batch and stream readers:
+    pyarrow parquet → column-aligned, null-padded Arrow batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(partition.schema_json))
+    )
+    target = pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in target]
+    )
+    if not partition.fname:  # empty-snapshot sentinel
+        return iter(())
+    tbl = pq.read_table(os.path.join(partition.path, partition.fname))
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl[field.name].cast(field.type))
+        else:  # schema-evolved history: older file lacks the column
+            cols.append(pa.nulls(len(tbl), type=field.type))
+    return iter(pa.table(cols, schema=target).to_batches())
+
+
+class TxlogBatchReader(DataSourceReader):
+    """Batch reader: one partition per live file of the requested
+    snapshot — ``option("version", v)`` time-travels, default latest.
+    Planning is metadata-only (the manifest fold IS the file list)."""
+
+    def __init__(self, schema, options: dict):
+        options = {k.lower(): v for k, v in options.items()}
+        self.path = options["path"]
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.schema_json = schema.json()
+
+    def partitions(self):
+        live = sorted(
+            txlog.live_files(self.path, version=self.version)
+        )
+        if not live:
+            return [_FilePartition(self.path, "", self.schema_json)]
+        return [
+            _FilePartition(self.path, f, self.schema_json) for f in live
+        ]
+
+    def read(self, partition: _FilePartition):
+        return _read_file_partition(partition)
+
+
 class TxlogStreamSource(DataSource):
     """``spark.dataSource.register(TxlogStreamSource)`` then
-    ``spark.readStream.format("txlog").option("path", p).load()``."""
+    ``spark.read.format("txlog").option("path", p).load()`` for a
+    snapshot (``option("version", v)`` time-travels) or
+    ``spark.readStream.format("txlog")...`` to tail the log."""
 
     @classmethod
     def name(cls) -> str:
         return "txlog"
 
     def schema(self):
-        path = {k.lower(): v for k, v in self.options.items()}["path"]
+        opts = {k.lower(): v for k, v in self.options.items()}
+        path = opts["path"]
         versions = txlog.committed_versions(path)
         if not versions:
             raise ValueError(f"not a txlog table (no commits): {path}")
-        schema = txlog._latest_schema(path, versions[-1])
+        # a time-travel batch read reports the schema AS OF that
+        # version — columns added later must not appear
+        at = opts.get("version")
+        at = int(at) if at is not None else versions[-1]
+        schema = txlog._latest_schema(path, at)
         if schema is None:
             raise ValueError(
                 f"txlog table at {path} predates manifest schemas "
@@ -158,6 +198,9 @@ class TxlogStreamSource(DataSource):
         return StructType(
             [StructField(f.name, f.dataType, True) for f in schema.fields]
         )
+
+    def reader(self, schema) -> TxlogBatchReader:
+        return TxlogBatchReader(schema, self.options)
 
     def streamReader(self, schema) -> TxlogStreamReader:
         return TxlogStreamReader(schema, self.options)

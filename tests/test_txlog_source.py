@@ -145,3 +145,48 @@ def test_starting_version_skips_history(spark, table, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["id"] for r in got.collect()) == [10, 11]
+
+
+def test_batch_read_matches_read_table_at_every_version(spark, table):
+    _register(spark)
+    txlog.create_table(_df(spark, 0, 10, "a"), table)
+    txlog.append(_df(spark, 10, 15, "b"), table)
+    txlog.delete_where(spark, table, F.col("id") < 3)
+    for v in (0, 1, 2):
+        via_source = (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("version", str(v))
+            .load()
+        )
+        expect = sorted(
+            map(tuple, txlog.read_table(spark, table, version=v).collect())
+        )
+        assert sorted(map(tuple, via_source.collect())) == expect, v
+    # default = latest snapshot
+    latest = (
+        spark.read.format("txlog").option("path", table).load()
+    )
+    assert latest.count() == 12
+
+
+def test_batch_read_time_travel_schema_as_of_version(spark, table):
+    _register(spark)
+    txlog.create_table(_df(spark, 0, 3, "a"), table)
+    txlog.append(
+        spark.range(3, 5).select(
+            "id", F.lit("b").alias("tag"), F.lit(1.5).alias("score")
+        ),
+        table,
+    )
+    v0 = (
+        spark.read.format("txlog")
+        .option("path", table)
+        .option("version", "0")
+        .load()
+    )
+    assert v0.columns == ["id", "tag"]  # score didn't exist yet
+    v1 = spark.read.format("txlog").option("path", table).load()
+    assert set(v1.columns) == {"id", "tag", "score"}
+    rows = {r["id"]: r for r in v1.collect()}
+    assert rows[0]["score"] is None and rows[4]["score"] == 1.5
