@@ -136,6 +136,14 @@ DRIVER_WINDOW: list[str] = [
     "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
     "x37_txlog_change_feed",  # row-level CDF from the commit log
 ]
+# Round-8 rotation forecast: the txlog family gained three more
+# oracled witnesses this round — x39 (null-count skipping), x40
+# (incremental CDF consumer), x41 (streaming source, value-exact
+# through a real availableNow drain). x40 is the natural next
+# rotation (the incremental==rebuild contract downstream consumers
+# depend on), x41 close behind; both are gate-oracled at two SFs
+# meanwhile. x38 (ZORDER skipping) remains represented in-window by
+# x36's stats-skipping sibling.
 # Round 8: x37 (change data feed) rotates in, exactly as round 7's
 # comment forecast — CDF is the contract every downstream incremental
 # consumer of the txlog depends on (inserts/deletes per commit derived
