@@ -612,7 +612,12 @@ def x41_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out drain would leave the stream running while we
+        # read a PARTIAL output directory — surface loudly instead of
+        # returning a flaky row count (round-8 advice)
+        q.stop()
+        raise TimeoutError("x41 availableNow drain did not finish in 300s")
     return spark.read.parquet(out).select(
         "orderkey", "status", "price_cents"
     )

@@ -206,10 +206,55 @@ def _fold_live_raw(path: str, version: int) -> dict[str, dict]:
     return live
 
 
-def _resolve_version(path: str, version: int | None) -> tuple[int, list[int]]:
+def _manifest_ts(path: str, version: int) -> float:
+    with open(os.path.join(_log_path(path), f"{version:08d}.json")) as f:
+        return float(json.load(f).get("ts", 0.0))
+
+
+def _as_epoch(timestamp) -> float:
+    """Timestamp argument → epoch seconds. Accepts a number (epoch
+    seconds, what ``time.time()`` gives and manifests store), a
+    ``datetime`` (naive = UTC — the session TZ contract), or ISO text."""
+    import datetime as _dt
+
+    if isinstance(timestamp, str):
+        try:  # data source options stringify everything — epoch text first
+            return float(timestamp)
+        except ValueError:
+            timestamp = _dt.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, _dt.datetime):
+        if timestamp.tzinfo is None:
+            timestamp = timestamp.replace(tzinfo=_dt.timezone.utc)
+        return timestamp.timestamp()
+    return float(timestamp)
+
+
+def _resolve_version(
+    path: str, version: int | None, *, timestamp=None
+) -> tuple[int, list[int]]:
+    """Snapshot resolution: explicit ``version``, or Delta-style
+    "AS OF <timestamp>" — the newest commit whose manifest ``ts`` is
+    <= the requested time (ValueError before the first commit);
+    latest when neither is given. Metadata-plane: reads manifest
+    headers only."""
     versions = committed_versions(path)
     if not versions:
         raise ValueError(f"not a txlog table (no commits): {path}")
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        at = _as_epoch(timestamp)
+        version = None
+        for v in versions:  # manifests commit in ts order (version order)
+            if _manifest_ts(path, v) <= at:
+                version = v
+            else:
+                break
+        if version is None:
+            raise ValueError(
+                f"timestamp {timestamp!r} predates the first commit "
+                f"(ts {_manifest_ts(path, versions[0])}) on {path}"
+            )
     if version is None:
         version = versions[-1]
     elif version not in versions:
@@ -226,6 +271,26 @@ def live_files(path: str, *, version: int | None = None) -> dict[str, int]:
         f: info["rows"]
         for f, info in _fold_live(path, version, versions).items()
     }
+
+
+def table_count(
+    path: str, *, version: int | None = None, timestamp=None
+) -> int:
+    """Metadata-only ``COUNT(*)``: the sum of per-file row counts in
+    the snapshot fold — ZERO data files opened (the Iceberg trick:
+    manifests carry exact counts, so a bare count never scans).
+    Every commit path stamps ``rows`` from the staged parquet footers,
+    so the fold is exact through append/delete/merge/compact history;
+    raises on legacy manifests that predate row counts rather than
+    return a wrong number."""
+    version, versions = _resolve_version(path, version, timestamp=timestamp)
+    live = _fold_live(path, version, versions)
+    if any(info["rows"] < 0 for info in live.values()):
+        raise ValueError(
+            f"manifests at {path} predate per-file row counts; "
+            "rewrite (compact) the table to enable metadata-only counts"
+        )
+    return sum(info["rows"] for info in live.values())
 
 
 def live_file_stats(
@@ -352,6 +417,31 @@ def _schema_extra(df: DataFrame) -> dict:
     return {"schema": df.schema.json()}
 
 
+def _union_schema_extra(path: str, base_version: int, df: DataFrame) -> dict:
+    """Manifest schema for a NON-CREATE commit: the UNION of the
+    previous manifest schema and the committing frame's (Delta's
+    metaData semantics, round-8 advice). Stamping only the committing
+    frame rolled evolution back — an old-schema producer appending
+    after a column was added, or a delete touching only pre-evolution
+    files, would record the narrow schema, and every log-schema
+    consumer (the batch/stream data source, empty-snapshot reads)
+    silently dropped the evolved columns even though they were live
+    in carried files. Union rule: previous fields keep their position
+    AND their type (column ADDITION is the supported evolution; value
+    types are fixed at create), new fields append in frame order."""
+    from pyspark.sql.types import StructType
+
+    prev = _latest_schema(path, base_version)
+    if prev is None:
+        return _schema_extra(df)
+    new_by_name = {f.name: f for f in df.schema.fields}
+    fields = list(prev.fields)
+    for name in prev.fieldNames():
+        new_by_name.pop(name, None)
+    fields.extend(new_by_name.values())
+    return {"schema": StructType(fields).json()}
+
+
 def _latest_schema(path: str, version: int):
     """Newest manifest schema at-or-before ``version`` (None if no
     commit recorded one — pre-round-8 tables)."""
@@ -430,7 +520,12 @@ def append(
     for _ in range(max_retries):
         version = committed_versions(path)[-1] + 1
         try:
-            _commit(path, version, adds, extra=_schema_extra(df))
+            _commit(
+                path,
+                version,
+                adds,
+                extra=_union_schema_extra(path, version - 1, df),
+            )
             _maybe_checkpoint(path, version)
             return version
         except CommitConflict:
@@ -441,9 +536,10 @@ def append(
 def _may_match(info: dict, col: str, bound) -> bool:
     """File may contain rows matching ``bound`` on ``col``?
     Conservative: a file without the needed stats is always kept.
-    ``bound`` is either the string ``"is_null"`` / ``"is_not_null"``
-    (pruned from manifest null counts) or an inclusive ``(lo, hi)``
-    range (None = unbounded side) pruned from manifest min/max."""
+    ``bound`` is the string ``"is_null"`` / ``"is_not_null"``
+    (pruned from manifest null counts), an inclusive ``(lo, hi)``
+    range (None = unbounded side) pruned from manifest min/max, or a
+    bare scalar — equality sugar for ``(v, v)``."""
     if bound == "is_null":
         n = info.get("nulls", {}).get(col)
         return True if n is None else n > 0
@@ -453,6 +549,8 @@ def _may_match(info: dict, col: str, bound) -> bool:
         if n is None or rows < 0:
             return True
         return n < rows
+    if not isinstance(bound, (tuple, list)):
+        bound = (bound, bound)  # {col: value} = equality pruning
     stats = info["stats"]
     if col not in stats:
         return True
@@ -488,25 +586,65 @@ def skipped_files(
     return kept, pruned
 
 
+def pruned_files(
+    spark: SparkSession,
+    path: str,
+    where,
+    *,
+    version: int | None = None,
+    timestamp=None,
+) -> tuple[list[str], list[str]]:
+    """(kept, pruned) file names for a PREDICATE — SQL text or a
+    Column, the exact thing ``.filter()`` accepts — compiled against
+    the manifest stats by ``sources/pruning.py``. The auto-derived
+    twin of ``skipped_files``'s hand-fed dict (the gate pins
+    auto == manual on the x36/x39 shapes plus an OR-of-ranges case
+    the dict cannot express). Pure metadata, no file opened."""
+    from .pruning import compile_where, may_match
+
+    node, _ = compile_where(spark, where)
+    version, versions = _resolve_version(path, version, timestamp=timestamp)
+    kept, pruned = [], []
+    for f, info in sorted(_fold_live(path, version, versions).items()):
+        (kept if may_match(node, info) else pruned).append(f)
+    return kept, pruned
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     *,
     version: int | None = None,
+    timestamp=None,
     skip_where: dict | None = None,
+    where=None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (latest if None): the live file
-    set resolved from the log, read as one parquet scan.
+    """Snapshot read at ``version`` (latest if None; or Delta-style
+    ``timestamp`` AS-OF — the newest commit at-or-before it): the
+    live file set resolved from the log, read as one parquet scan.
     ``mergeSchema`` composes schema evolution across commits exactly
     as sources/partitioned.py's x33 does for raw layouts.
 
-    ``skip_where`` = {col: (lo, hi)} enables DATA SKIPPING: files
-    whose manifest min/max cannot intersect the bounds are never
-    opened (Delta-style stats pruning — the file-granular sibling of
-    x32's directory pruning). Skipping is an I/O optimization, not a
-    filter: rows outside the bounds from surviving files still flow —
-    apply the semantic ``.filter`` on top (the x36 witness proves the
-    pruned-scan-plus-filter equals the full-scan-plus-filter hash)."""
+    ``where`` — a predicate, as SQL text or a Column, exactly what
+    ``.filter()`` accepts — is the ONE-STATEMENT skipping API (round
+    9): the predicate is compiled against the manifest min/max/null
+    stats to drop files that cannot contain a TRUE row, AND applied
+    as the semantic row filter on the surviving scan. Write the
+    filter once; pruning falls out, Delta-style. Conjunctions prune
+    per-term, OR-of-ranges prunes (the dict below can't express it),
+    and anything the compiler can't reason about degrades to
+    scan-plus-filter — never a wrong answer (sources/pruning.py).
+
+    ``skip_where`` = {col: (lo, hi) | scalar | "is_null" |
+    "is_not_null"} is the hand-fed expert form kept for callers that
+    want pruning DIVORCED from filtering: it only drops files — rows
+    outside the bounds from surviving files still flow, so the caller
+    applies its own semantic ``.filter`` on top (the x36 witness
+    historically proved pruned-scan-plus-filter == full-scan hash)."""
+    if where is not None and skip_where is not None:
+        raise ValueError("pass where OR skip_where, not both")
+    if timestamp is not None:
+        version, _ = _resolve_version(path, version, timestamp=timestamp)
     live = sorted(live_files(path, version=version))
     if not live:
         # a legitimately EMPTY snapshot (created from an empty frame,
@@ -516,21 +654,34 @@ def read_table(
         schema = _latest_schema(path, resolved)
         if schema is None:
             raise ValueError(f"version has no live files: {path}@{version}")
-        return spark.createDataFrame([], schema)
-    if skip_where:
-        names, pruned = skipped_files(path, skip_where, version=version)
-        if not names:
-            # every file pruned: correct result is an EMPTY table with
-            # the live schema (schema comes from footers, zero rows read)
-            return (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in live])
-                .limit(0)
-            )
+        df = spark.createDataFrame([], schema)
+        return df.filter(_residual(where)) if where is not None else df
+    if where is not None:
+        names, _ = pruned_files(spark, path, where, version=version)
+    elif skip_where:
+        names, _ = skipped_files(path, skip_where, version=version)
     else:
         names = live
-    files = [os.path.join(path, f) for f in names]
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    if not names:
+        # every file pruned: correct result is an EMPTY frame with
+        # the live schema (schema comes from footers, zero rows read)
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(path, f) for f in live])
+            .limit(0)
+        )
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in names]
+        )
+    return df.filter(_residual(where)) if where is not None else df
+
+
+def _residual(where):
+    """The semantic row filter for a ``where`` predicate: SQL text
+    goes through ``F.expr`` (the same path ``.filter(str)`` takes);
+    a Column is itself."""
+    return F.expr(where) if isinstance(where, str) else where
 
 
 def delete_where(
@@ -575,7 +726,11 @@ def delete_where(
             staged = _stage_data(keep, path)
             actions += _add_actions(staged)
         # write-amplification observability, all metadata-plane: rows
-        # per file come from the snapshot fold and the staged footers
+        # per file come from the snapshot fold and the staged footers.
+        # Legacy manifests without per-file row counts fold to -1 —
+        # row metrics are nulled rather than stamped nonsensical
+        # (round-8 advice); file counts stay exact either way.
+        rows_known = all(snapshot[f] >= 0 for f in touched)
         rows_touched = sum(snapshot[f] for f in touched)
         rows_kept = sum(n for _, n, _, _ in staged)
         metrics = {
@@ -583,12 +738,12 @@ def delete_where(
             "files_removed": len(touched),
             "files_added": len(staged),
             "files_carried": len(snapshot) - len(touched),
-            "rows_deleted": rows_touched - rows_kept,
+            "rows_deleted": rows_touched - rows_kept if rows_known else None,
             "rows_rewritten": rows_kept,
         }
         extra = {"metrics": metrics}
         if touched:
-            extra.update(_schema_extra(keep))
+            extra.update(_union_schema_extra(path, base, keep))
         try:
             _commit(path, base + 1, actions, extra=extra)
             _maybe_checkpoint(path, base + 1)
@@ -656,6 +811,7 @@ def merge_upsert(
             actions += _add_actions(survivor_staged)
         update_staged = _stage_data(updates, path)
         actions += _add_actions(update_staged)
+        rows_known = all(snapshot[f] >= 0 for f in touched)
         rows_touched = sum(snapshot[f] for f in touched)
         rows_survived = sum(n for _, n, _, _ in survivor_staged)
         rows_upserted = sum(n for _, n, _, _ in update_staged)
@@ -664,12 +820,26 @@ def merge_upsert(
             "files_removed": len(touched),
             "files_added": len(survivor_staged) + len(update_staged),
             "files_carried": len(snapshot) - len(touched),
-            "rows_replaced": rows_touched - rows_survived,
+            "rows_replaced": (
+                rows_touched - rows_survived if rows_known else None
+            ),
             "rows_rewritten": rows_survived,
             "rows_upserted": rows_upserted,
         }
         try:
-            _commit(path, base + 1, actions, extra={"metrics": metrics})
+            # schema stamped as the union with the update frame's (the
+            # wholesale-replacement side carries the full schema by
+            # contract) — merge commits previously stamped NO schema,
+            # so a merge after evolution rolled _latest_schema back
+            _commit(
+                path,
+                base + 1,
+                actions,
+                extra={
+                    "metrics": metrics,
+                    **_union_schema_extra(path, base, updates),
+                },
+            )
             _maybe_checkpoint(path, base + 1)
             return base + 1
         except CommitConflict:

@@ -66,18 +66,70 @@ class TxlogStreamReader(DataSourceStreamReader):
         # default -1 so a fresh query replays the table from creation,
         # matching Delta's startingVersion=0 semantics
         self.starting_version = int(options.get("startingversion", -1))
+        # maxFilesPerTrigger (Delta's option, same name): bound each
+        # microbatch to ~N ADDED FILES so a catch-up read of a long
+        # history drains as a sequence of bounded batches instead of
+        # one giant one (round-8 advice). Commit-granular: the end
+        # offset lands on the first commit whose cumulative file
+        # count reaches the limit (offsets are versions — a commit is
+        # never split). 0/absent = unbounded.
+        self.max_files = int(options.get("maxfilespertrigger", 0)) or None
+        # the admission cursor: the stream position the next batch
+        # starts from. The simple Python stream API's latestOffset()
+        # takes no start argument, so the reader tracks it: a fresh
+        # query starts at startingVersion (Spark calls latestOffset
+        # BEFORE initialOffset, so None here means fresh); a RESTART
+        # seeds it through AcceptsLatestSeenOffset — the engine
+        # replays the checkpointed offset into partitions(ckpt, ckpt)
+        # before the first latestOffset, and partitions() records it.
+        # Bounding from a stale cursor would REGRESS the offset log
+        # (= duplicate delivery); this seeding is what makes the
+        # limit safe across restarts (pinned in test_round9_ops).
+        self._cursor: int | None = None
         self.schema_json = schema.json()
 
     def initialOffset(self) -> dict:
+        self._cursor = self.starting_version
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         versions = txlog.committed_versions(self.path)
         if not versions:
             raise ValueError(f"not a txlog table (no commits): {self.path}")
-        return {"version": versions[-1]}
+        if self.max_files is None:
+            return {"version": versions[-1]}
+        cursor = (
+            self._cursor
+            if self._cursor is not None
+            else self.starting_version
+        )
+        n_files, end = 0, cursor
+        for v in versions:
+            if v <= cursor:
+                continue
+            with open(
+                os.path.join(self.path, txlog._LOG_DIR, f"{v:08d}.json")
+            ) as f:
+                manifest = json.load(f)
+            n_files += sum(1 for a in manifest["actions"] if "add" in a)
+            end = v
+            if n_files >= self.max_files:
+                break
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        # the planned end is the admission cursor for the NEXT
+        # latestOffset (a failed batch replans with the same offsets,
+        # so advancing here is safe; monotone max so a replanned old
+        # batch can never regress it). On restart the engine calls
+        # this with (checkpoint, checkpoint) via AcceptsLatestSeenOffset
+        # before any latestOffset — the cursor seeding rate limiting
+        # depends on.
+        self._cursor = (
+            end["version"]
+            if self._cursor is None
+            else max(self._cursor, end["version"])
+        )
         out = []
         for v in txlog.committed_versions(self.path):
             if v <= start["version"] or v > end["version"]:
@@ -141,14 +193,14 @@ def _read_file_partition(partition: "_FilePartition"):
 
 class TxlogBatchReader(DataSourceReader):
     """Batch reader: one partition per live file of the requested
-    snapshot — ``option("version", v)`` time-travels, default latest.
-    Planning is metadata-only (the manifest fold IS the file list)."""
+    snapshot — ``option("version", v)`` or ``option("timestampAsOf",
+    iso-or-epoch)`` time-travels, default latest. Planning is
+    metadata-only (the manifest fold IS the file list)."""
 
     def __init__(self, schema, options: dict):
         options = {k.lower(): v for k, v in options.items()}
         self.path = options["path"]
-        v = options.get("version")
-        self.version = int(v) if v is not None else None
+        self.version = _resolve_option_version(self.path, options)
         self.schema_json = schema.json()
 
     def partitions(self):
@@ -165,11 +217,27 @@ class TxlogBatchReader(DataSourceReader):
         return _read_file_partition(partition)
 
 
+def _resolve_option_version(path: str, options: dict) -> int | None:
+    """``version`` / ``timestampAsOf`` options → a concrete version
+    (None = latest). Mutual exclusion and pre-history errors surface
+    through txlog._resolve_version."""
+    v = options.get("version")
+    ts = options.get("timestampasof")
+    if ts is None:
+        return int(v) if v is not None else None
+    resolved, _ = txlog._resolve_version(
+        path, int(v) if v is not None else None, timestamp=ts
+    )
+    return resolved
+
+
 class TxlogStreamSource(DataSource):
     """``spark.dataSource.register(TxlogStreamSource)`` then
     ``spark.read.format("txlog").option("path", p).load()`` for a
-    snapshot (``option("version", v)`` time-travels) or
-    ``spark.readStream.format("txlog")...`` to tail the log."""
+    snapshot (``option("version", v)`` / ``option("timestampAsOf",
+    t)`` time-travel) or ``spark.readStream.format("txlog")...`` to
+    tail the log (``option("maxFilesPerTrigger", n)`` bounds each
+    microbatch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -183,8 +251,8 @@ class TxlogStreamSource(DataSource):
             raise ValueError(f"not a txlog table (no commits): {path}")
         # a time-travel batch read reports the schema AS OF that
         # version — columns added later must not appear
-        at = opts.get("version")
-        at = int(at) if at is not None else versions[-1]
+        at = _resolve_option_version(path, opts)
+        at = at if at is not None else versions[-1]
         schema = txlog._latest_schema(path, at)
         if schema is None:
             raise ValueError(
