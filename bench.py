@@ -197,6 +197,18 @@ HEADLINE = [
     # OPTIMIZE ZORDER as a log transaction + two-dimensional
     # manifest-stats pruning from the one Morton layout
     "x38_txlog_zorder_skipping",
+    # round-9 batch: the rest of the txlog family gets perf records
+    # (round-8 verdict: three operators shipped with no bench entry).
+    # x39: null-count skipping via the single-predicate where= form;
+    # x40: CDF consumer (create+append+CoW-delete+feed apply per rep);
+    # x41: streaming-source drain (stream start/stop IS in the wall);
+    # x42: batch format reader at 7 snapshots incl. timestampAsOf;
+    # x43: metadata-only COUNT(*) across a 3-commit lifecycle
+    "x39_txlog_null_skipping",
+    "x40_txlog_incremental_consumer",
+    "x41_txlog_stream_source",
+    "x42_txlog_batch_reader",
+    "x43_txlog_metadata_count",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
@@ -783,11 +795,20 @@ def main() -> None:
     # flagged catalog entry is re-benched once after the full sweep and
     # keeps its best time; only survivors stay flagged. ETL/streaming
     # entries (min-of-2 long runs) are not re-measured.
-    remeasured = [
-        n for n in (r.split(":", 1)[0] for r in regressions) if n in run_spec
-    ]
+    flagged_names = [r.split(":", 1)[0] for r in regressions]
+    remeasured = [n for n in flagged_names if n in run_spec]
+    if "streaming_trades_per_sec" in flagged_names:
+        # throughput flag: one more availableNow drain, keep the best
+        # (same confirm-by-re-measure policy as catalog entries)
+        remeasured.append("streaming_trades_per_sec")
+        re_run = _streaming_bench(spark, scaled)
+        if re_run["rows_per_sec"] > streaming["rows_per_sec"]:
+            streaming = re_run
+            timings["streaming_trades_per_sec"] = re_run["rows_per_sec"]
     if remeasured:
         for label in remeasured:
+            if label not in run_spec:
+                continue
             qname, data_dir = run_spec[label]
             timings[label] = min(
                 timings[label], _bench_query(qname, data_dir, label=label)
@@ -1008,6 +1029,23 @@ def _vs_previous_round(
             flagged.append(f"{name}:{r}x")
             print(
                 f"REGRESSION {name}: {r}x vs {os.path.basename(prev_path)}",
+                file=sys.stderr,
+            )
+    # throughput entries (bigger is better): ratio = new/prev, flagged
+    # below 0.75 — the round-8 streaming drop (152.3k → 128.7k, −15%)
+    # sailed through unflagged because _per_sec entries had no ratio
+    # at all; now they are recorded every round and large drops are
+    # re-measured like any other flag.
+    for name, t in timings.items():
+        if not name.endswith("_per_sec") or prev_q.get(name, 0) <= 0:
+            continue
+        r = round(t / prev_q[name], 2)
+        ratios[name] = r
+        if r < 0.75:
+            flagged.append(f"{name}:{r}x")
+            print(
+                f"REGRESSION (throughput) {name}: {r}x vs "
+                f"{os.path.basename(prev_path)}",
                 file=sys.stderr,
             )
     return {"baseline": os.path.basename(prev_path), "ratios": ratios}, flagged

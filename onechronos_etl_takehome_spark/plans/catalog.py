@@ -107,7 +107,7 @@ DRIVER_WINDOW: list[str] = [
     "s09_cosine_topk_ivfpq",
     "s06_quantize_embeddings",
     "m04_binary_chunk_neardup",
-    "e01_hourly_event_windows",
+    "x40_txlog_incremental_consumer",  # CDF consumer: v0 + feed == latest
     "x01_approx_sketches",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
@@ -136,6 +136,21 @@ DRIVER_WINDOW: list[str] = [
     "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
     "x37_txlog_change_feed",  # row-level CDF from the commit log
 ]
+# Round 9: x40 (incremental CDF consumer) rotates in, exactly as the
+# round-8 forecast named it — the incremental==rebuild contract
+# (v0 snapshot + change feed == latest snapshot, multiset-exact) that
+# every downstream incremental consumer of the txlog depends on.
+# Displaced: e01_hourly_event_windows — the event-time windowing
+# family keeps FOUR in-window witnesses (x07 ordered funnel, q18
+# sessionization, q19 as-of join, q57 interval-overlap binning, all
+# over the same events table), and e01's tumbling groupBy-window is
+# the arithmetically simplest member (time bucketing = q57's binning
+# step); e01 stays locally oracled at two SFs in the full gate and
+# benched. Remaining txlog rotation candidates: x41 (streaming
+# source drain), x42 (batch format reader + timestampAsOf), x43
+# (metadata-only COUNT) — all gate-oracled at two SFs; x42 is the
+# natural next rotation (it witnesses the reader surface x41's sink
+# path does not).
 # Round-8 rotation forecast: the txlog family gained three more
 # oracled witnesses this round — x39 (null-count skipping), x40
 # (incremental CDF consumer), x41 (streaming source, value-exact

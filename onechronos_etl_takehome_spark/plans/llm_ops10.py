@@ -255,6 +255,15 @@ def x36_txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table — the hash match proves skipping is an I/O
     optimization, never a semantic change.
 
+    Round 9: the predicate is written ONCE. ``where=`` takes the same
+    SQL text ``.filter`` would and derives BOTH the file pruning
+    (compiled against manifest stats, ``sources/pruning.py`` — the
+    date-literal-vs-ISO-stat comparison is type-aware, so the old
+    hand-widened boundary bound is gone) and the semantic row filter.
+    The gate pins auto-derived == hand-fed file lists, including an
+    OR-of-ranges predicate the skip_where dict could never express
+    (tests/test_round9_ops.py).
+
     Scale: pruning is a driver-side fold over manifest stats (one
     row per FILE, the metadata plane); at 100 TB this is the
     difference between opening a season and opening a decade."""
@@ -271,18 +280,15 @@ def x36_txlog_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.create_table(
         orders, path, cluster_by="o_orderdate", cluster_files=32
     )
-    lo, hi = F.lit(_X36_LO).cast("date"), F.lit(_X36_HI).cast("date")
-    # skip bounds are a SUPERSET of the filter range (hi bound is the
-    # next day as a plain string): stats are ISO strings like
-    # '1995-09-30T00:00:00' which compare lexicographically AFTER the
-    # bare date '1995-09-30' — widening the skip window keeps the
-    # boundary file; the semantic filter below draws the exact line
     t = txlog.read_table(
-        spark, path, skip_where={"o_orderdate": (_X36_LO, "1995-10-01")}
+        spark,
+        path,
+        where=(
+            f"o_orderdate BETWEEN DATE '{_X36_LO}' AND DATE '{_X36_HI}'"
+        ),
     )
     return (
-        t.filter(F.col("o_orderdate").between(lo, hi))
-        .groupBy(
+        t.groupBy(
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         )
         .agg(
@@ -459,7 +465,12 @@ def x39_txlog_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero pruning AND that pruned-scan == full-scan
     (tests/test_txlog.py round-8 class). The oracle recomputes the
     non-O aggregate from the raw table — the hash match proves null
-    skipping is an I/O optimization, never a semantic change."""
+    skipping is an I/O optimization, never a semantic change.
+
+    Round 9: single-predicate form — ``where="open_price IS NOT
+    NULL"`` states the filter once and the null-count pruning is
+    derived from it (auto == hand-fed pinned in
+    tests/test_round9_ops.py)."""
     import tempfile
 
     from ..sources import txlog
@@ -478,12 +489,9 @@ def x39_txlog_null_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog.create_table(
         orders, path, cluster_by="o_orderstatus", cluster_files=8
     )
-    t = txlog.read_table(
-        spark, path, skip_where={"open_price": "is_not_null"}
-    )
+    t = txlog.read_table(spark, path, where="open_price IS NOT NULL")
     return (
-        t.filter(F.col("open_price").isNotNull())
-        .groupBy(F.col("o_orderstatus").alias("status"))
+        t.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -621,3 +629,171 @@ def x41_txlog_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "orderkey", "status", "price_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# x42 — txlog BATCH format reader: version + timestamp time travel, as-of
+# schema on an evolved history
+# ---------------------------------------------------------------------------
+
+_X42_CUT = "1997-01-01"
+
+# Tags 0-2 are the three lifecycle snapshots (create pre-cut / append
+# rest WITH a new column / CoW-delete F-status) read through
+# spark.read.format("txlog").option("version", v); tags 3-5 re-read
+# the same snapshots through option("timestampAsOf", t) with commit
+# timestamps captured between commits; tag 6 duplicates tag 2 and is
+# emitted only when a pre-history timestamp RAISES (the x34 pattern —
+# a broken raise contract shows up as a driver row-count mismatch).
+# n_cols pins AS-OF SCHEMA: the evolved column must be absent at v0.
+_X42_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders),
+    v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(3 AS BIGINT) AS n_cols
+      FROM base WHERE o_orderdate < DATE '{_X42_CUT}'),
+    v1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+             CAST(4 AS BIGINT)
+      FROM base),
+    v2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+             CAST(4 AS BIGINT)
+      FROM base WHERE status <> 'F')
+    SELECT 0 AS tag, * FROM v0
+    UNION ALL SELECT 1, * FROM v1
+    UNION ALL SELECT 2, * FROM v2
+    UNION ALL SELECT 3, * FROM v0
+    UNION ALL SELECT 4, * FROM v1
+    UNION ALL SELECT 5, * FROM v2
+    UNION ALL SELECT 6, * FROM v2
+"""
+
+
+@register("x42_txlog_batch_reader", oracle=_X42_ORACLE)
+def x42_txlog_batch_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog BATCH format reader, hash-matched across the whole
+    lifecycle: ``spark.read.format("txlog")`` with ``version`` time
+    travel (tags 0-2), ``timestampAsOf`` time travel (tags 3-5 — the
+    Delta "AS OF timestamp" resolution: newest commit at-or-before
+    the requested time, with between-commit timestamps resolving
+    DOWN), and AS-OF SCHEMA on an evolved history (the append adds a
+    ``o_clerk_code`` column; the v0 read must have 3 columns, later
+    reads 4 — ``n_cols`` carries the proof into the hash). Tag 6 is
+    emitted only if a pre-history timestamp RAISES, so the error
+    contract is inside the row count. The round-8 batch reader had
+    only gate coverage (round-8 verdict gap #3); this is its driver
+    witness, with the x40/x41 streaming twins covering the stream
+    half.
+
+    Scale: reader planning is metadata-only — one input partition per
+    live file from the manifest fold; executors read their file with
+    pyarrow into Arrow batches (streaming/txlog_source.py)."""
+    import tempfile
+    import time
+
+    from ..sources import txlog
+    from ..streaming.txlog_source import TxlogStreamSource
+
+    pin_semantics(spark)
+    spark.dataSource.register(TxlogStreamSource)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x42_{uuid.uuid4().hex[:8]}_")
+    cut = F.lit(_X42_CUT).cast("date")
+    txlog.create_table(orders.filter(F.col("o_orderdate") < cut), path)
+    t0 = time.time()
+    # the append EVOLVES the schema (new column) — as-of reads at v0
+    # must not see it
+    txlog.append(
+        orders.filter(F.col("o_orderdate") >= cut).withColumn(
+            "o_clerk_code", F.lit("C9")
+        ),
+        path,
+    )
+    t1 = time.time()
+    txlog.delete_where(spark, path, F.col("status") == "F")
+    t2 = time.time()
+
+    def snap(tag: int, **opt) -> DataFrame:
+        r = spark.read.format("txlog").option("path", path)
+        for k, v in opt.items():
+            r = r.option(k, v)
+        df = r.load()
+        return df.agg(
+            F.lit(tag).cast("int").alias("tag"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+        ).select("tag", "n_orders", "total_cents", "n_cols")
+
+    out = snap(0, version=0)
+    out = out.unionByName(snap(1, version=1))
+    out = out.unionByName(snap(2, version=2))
+    # between-commit timestamps resolve DOWN to the newest commit at
+    # or before them: t0/t1 were captured after commits 0/1 and
+    # before the next commit, t2 after the last
+    out = out.unionByName(snap(3, timestampAsOf=t0))
+    out = out.unionByName(snap(4, timestampAsOf=t1))
+    out = out.unionByName(snap(5, timestampAsOf=t2))
+    try:
+        snap(-1, timestampAsOf=t0 - 3600).collect()
+    except Exception:
+        out = out.unionByName(snap(6))  # raise contract holds
+    return out
+
+
+# ---------------------------------------------------------------------------
+# x43 — metadata-only COUNT(*): manifests answer counts, zero files opened
+# ---------------------------------------------------------------------------
+
+_X43_ORACLE = """
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT 2,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus <> 'F')
+      + (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_orderstatus = 'P')
+"""
+
+
+@register("x43_txlog_metadata_count", oracle=_X43_ORACLE)
+def x43_txlog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (``txlog.table_count``): every commit
+    stamps per-file row counts from the staged parquet footers, so a
+    bare count is a fold over manifests — ZERO data files opened (the
+    Iceberg manifest-count trick; a 100-TB ``SELECT COUNT(*)`` costs
+    one JSON replay instead of a table scan). Witness lifecycle:
+    create(all orders) → CoW-delete('F') → append('P' rows again),
+    counted at every version; the oracle recomputes each count
+    relationally, so the hash match proves the folded counts stay
+    exact through create/delete/append history. The zero-files-opened
+    claim is pinned structurally in the gate: the count still answers
+    after every data file is MOVED AWAY (tests/test_round9_ops.py).
+    """
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix=f"txlog_x43_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(orders, path)
+    txlog.delete_where(spark, path, F.col("o_orderstatus") == "F")
+    txlog.append(orders.filter(F.col("o_orderstatus") == "P"), path)
+    rows = [
+        (v, txlog.table_count(path, version=v)) for v in (0, 1, 2)
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows long")
