@@ -475,12 +475,14 @@ def jpeg_from_pixels(
 
 
 def jpeg_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG (grayscale, 4:4:4, or any integer-ratio
-    chroma subsampling incl. 4:2:0) to (h, w, 3) uint8 RGB. Raises
-    ValueError on non-JPEG magic, unsupported variants (progressive,
-    restart markers, 12-bit, fractional sampling ratios), AND any
-    truncated/corrupt payload — callers rely on ValueError being the
-    only decode failure mode (the fall-to-stub contract)."""
+    """Decode a baseline OR progressive JPEG (grayscale, 4:4:4, or any
+    integer-ratio chroma subsampling incl. 4:2:0; DRI/RSTn restart
+    markers honored) to (h, w, 3) uint8 RGB. Raises ValueError on
+    non-JPEG magic, the remaining unsupported variants (lossless,
+    hierarchical, arithmetic coding, 12-bit precision, fractional
+    sampling ratios, 16-bit quant tables), AND any truncated/corrupt
+    payload — callers rely on ValueError being the only decode
+    failure mode (the fall-to-stub contract)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     try:
@@ -649,10 +651,13 @@ def _decode_scan(
             state["pred"] = [0] * len(scan_comps)
             state["eobrun"] = 0
 
-    if len(scan_comps) > 1 or (ss == 0 and se == 63):
-        # interleaved MCU walk (multi-component scans; also the
-        # baseline single-component full-spectrum case, where the MCU
-        # grid IS the block grid)
+    if len(scan_comps) > 1:
+        # interleaved MCU walk. T.81 A.2: a scan is interleaved iff
+        # Ns > 1; an Ns=1 scan (baseline OR progressive) always walks
+        # the component's own unpadded block grid — routing a
+        # single-component baseline scan of a subsampled component
+        # through the MCU walk would decode hi*vi padded blocks per
+        # MCU instead of the component's own grid.
         unit = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):

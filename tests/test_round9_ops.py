@@ -564,3 +564,114 @@ class TestMaxFilesPerTrigger:
         b = spark.read.parquet(out2)
         assert a.count() == b.count() == 50
         assert a.exceptAll(b).count() == 0
+
+
+class TestMultiScanBaseline:
+    """T.81 A.2: an Ns=1 scan is ALWAYS non-interleaved — a
+    single-component baseline scan walks the component's own block
+    grid, never the padded MCU grid. Round-8 ADVICE: a subsampled
+    component's single-component baseline scan was routed through the
+    interleaved MCU walk (hi*vi padded blocks per MCU), desyncing the
+    huffman stream; such valid-if-rare files fell to the stub."""
+
+    def _multiscan_420(self, px):
+        """Hand-emit a 3-scan baseline 4:2:0 JPEG carrying the SAME
+        quantized blocks jpeg_from_pixels(px, subsampling='420')
+        interleaves (padded-only luma blocks omitted — they sit past
+        the crop), so the decodes must be bit-identical."""
+        import struct
+
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import jpeg as J
+
+        h, w = px.shape[:2]
+        ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+        ycc = J._rgb_to_ycbcr(px.astype(np.float64))
+
+        def pad(plane):
+            return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+        y = pad(ycc[..., 0])
+        cb, cr = (
+            pad(ycc[..., c])
+            .reshape(ph // 2, 2, pw // 2, 2)
+            .mean(axis=(1, 3))
+            for c in (1, 2)
+        )
+        dc_l = J._build_code_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+        ac_l = J._build_code_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+        dc_c = J._build_code_table(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+        ac_c = J._build_code_table(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+
+        def comp_scan(plane, rows_b, cols_b, quant, dcc, acc):
+            wtr = J._BitWriter()
+            prev = 0
+            for by in range(rows_b):
+                for bx in range(cols_b):
+                    prev = J._encode_block(
+                        wtr,
+                        plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8],
+                        quant,
+                        dcc,
+                        acc,
+                        prev,
+                    )
+            return wtr.flush()
+
+        def seg(marker, payload):
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        def dqt(tid, q):
+            return seg(
+                0xFFDB,
+                bytes([tid]) + bytes(int(x) for x in q.flatten()[J._ZIGZAG]),
+            )
+
+        def dht(cls, tid, bits, vals):
+            return seg(
+                0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+            )
+
+        def sos(cid, tids):
+            return seg(0xFFDA, bytes([1, cid, tids, 0, 63, 0]))
+
+        # component block grids (NOT the padded MCU grid): luma
+        # ceil(h/8) x ceil(w/8); chroma ceil(ceil(h/2)/8) likewise
+        yb = (-(-h // 8), -(-w // 8))
+        cbb = (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+        sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        out = b"\xff\xd8" + dqt(0, J.QUANT_LUMA) + dqt(1, J.QUANT_CHROMA)
+        out += seg(0xFFC0, sof)
+        out += dht(0, 0, J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+        out += dht(1, 0, J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+        out += dht(0, 1, J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+        out += dht(1, 1, J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+        out += sos(1, 0x00) + comp_scan(y, *yb, J.QUANT_LUMA, dc_l, ac_l)
+        out += sos(2, 0x11) + comp_scan(cb, *cbb, J.QUANT_CHROMA, dc_c, ac_c)
+        out += sos(3, 0x11) + comp_scan(cr, *cbb, J.QUANT_CHROMA, dc_c, ac_c)
+        return out + b"\xff\xd9"
+
+    def test_single_component_baseline_scans_decode(self):
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(9)
+        # 24x24: NOT a 16-multiple, so the luma component grid (3x3
+        # blocks) differs from the padded MCU grid (2x2 MCUs = 4x4
+        # blocks) — the exact shape the old MCU-walk routing broke on
+        yy, xx = np.mgrid[0:24, 0:24]
+        px = np.stack(
+            [
+                (yy * 10 + xx * 3) % 256,
+                (xx * 7) % 256,
+                rng.integers(0, 256, (24, 24)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        got = J.jpeg_pixels(self._multiscan_420(px))
+        want = J.jpeg_pixels(J.jpeg_from_pixels(px, subsampling="420"))
+        assert got.shape == want.shape == (24, 24, 3)
+        assert np.array_equal(got, want)
