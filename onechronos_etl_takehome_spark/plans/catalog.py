@@ -105,7 +105,7 @@ DRIVER_WINDOW: list[str] = [
     # tests/test_round6b_ops.py).
     "s07_hybrid_rrf",
     "s09_cosine_topk_ivfpq",
-    "s06_quantize_embeddings",
+    "x45_txlog_format_writer",  # df.write.format("txlog"): the write side
     "m04_binary_chunk_neardup",
     "x40_txlog_incremental_consumer",  # CDF consumer: v0 + feed == latest
     "x01_approx_sketches",
@@ -124,7 +124,7 @@ DRIVER_WINDOW: list[str] = [
     "q57_concurrent_sessions",  # interval-overlap range join (binned)
     "q25_rolling_customer_spend",  # rows-frame window
     "x32_partition_pruned_scan",  # Hive-partition pruning (scan skips dirs)
-    "x33_schema_evolution_read",  # mergeSchema evolution (NULL-fill proof)
+    "x42_txlog_batch_reader",  # format reader: version+timestamp time travel
     "t13_gopher_quality",  # quality-gate rule battery
     "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
     "x23_zorder_layout",  # z-order data layout (Morton clustering)
@@ -146,11 +146,26 @@ DRIVER_WINDOW: list[str] = [
 # over the same events table), and e01's tumbling groupBy-window is
 # the arithmetically simplest member (time bucketing = q57's binning
 # step); e01 stays locally oracled at two SFs in the full gate and
-# benched. Remaining txlog rotation candidates: x41 (streaming
-# source drain), x42 (batch format reader + timestampAsOf), x43
-# (metadata-only COUNT) — all gate-oracled at two SFs; x42 is the
-# natural next rotation (it witnesses the reader surface x41's sink
-# path does not).
+# benched.
+# Round 9 (late): x42 (batch format reader: version + timestampAsOf
+# time travel, as-of schema) rotates in — the round-8 verdict's item
+# 5 asked for exactly this driver witness. Displaced:
+# x33_schema_evolution_read, whose mergeSchema NULL-fill proof is
+# nested in x42's as-of-schema legs (n_cols pins the evolved column
+# absent at v0, present later, null-filled from old files); x33's
+# raw-layout path stays gate-oracled at two SFs and benched. And x45
+# (format WRITER: df.write.format("txlog") append / schema-evolving
+# append / atomic overwrite, read back through the format reader)
+# rotates in as this round's flagship new surface. Displaced:
+# s06_quantize_embeddings — the quantization family keeps s09
+# (IVF-PQ: trained PQ codebooks + int8-shaped ADC scoring) in-window,
+# and s06's int8 round-trip is the arithmetically simplest member;
+# s06 stays gate-oracled at two SFs and benched. Remaining rotation
+# candidates for round 10: x44 (format-reader filter pushdown with
+# the poisoned-pruned-file raise contract — the sharpest skipping
+# proof in the repo), x39 (null-count skipping), x41 (streaming
+# source drain), x43 (metadata-only COUNT) — all gate-oracled at
+# two SFs.
 # Round-8 rotation forecast: the txlog family gained three more
 # oracled witnesses this round — x39 (null-count skipping), x40
 # (incremental CDF consumer), x41 (streaming source, value-exact

@@ -797,3 +797,228 @@ def x43_txlog_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v, txlog.table_count(path, version=v)) for v in (0, 1, 2)
     ]
     return spark.createDataFrame(rows, "version int, n_rows long")
+
+
+# ---------------------------------------------------------------------------
+# x44 — format-reader FILTER PUSHDOWN: spark.read.format("txlog") +
+# .filter() derives file pruning from the query predicate (Spark 4.1
+# Python Data Source pushFilters), zero skipping API
+# ---------------------------------------------------------------------------
+
+_X44_CUT = "1997-06-01"
+
+# Tags 0-2: the same post-cut slice read through three predicate
+# shapes the reader's pushFilters must each compile onto the manifest
+# stats — SQL-text range (0), Column-API IN + > conjunction (1), and
+# NOT-of-< (2, the compiler's exact TRUE-row negation). Tag 3 re-runs
+# the tag-0 read AFTER every pre-cut file has been overwritten with
+# garbage bytes and is emitted only if a FULL-scan read of the
+# poisoned table raises — together they prove the filtered reads
+# never open the pruned files (x42's raise-contract pattern: a broken
+# prune shows up as a driver row-count mismatch or a failed query,
+# never a silent pass).
+_X44_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders),
+    post AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM base WHERE o_orderdate >= DATE '{_X44_CUT}'),
+    picky AS (
+      SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+      FROM base
+      WHERE o_orderdate >= DATE '{_X44_CUT}'
+        AND status IN ('P', 'O') AND cents > 15000000)
+    SELECT 0 AS tag, * FROM post
+    UNION ALL SELECT 1, * FROM picky
+    UNION ALL SELECT 2, * FROM post
+    UNION ALL SELECT 3, * FROM post
+"""
+
+
+@register("x44_txlog_filter_pushdown", oracle=_X44_ORACLE)
+def x44_txlog_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-derived file pruning through the FORMAT reader: the user
+    writes ``spark.read.format("txlog").load().filter(...)`` — no
+    ``where=``/``skip_where`` API at all — and Spark 4.1's Python
+    Data Source ``pushFilters`` hands the conjuncts to the reader,
+    which compiles them onto the manifest min/max/null stats
+    (sources/pruning.py) and plans only the files that MAY contain a
+    TRUE row. Every filter is also kept Spark-side, so pruning is
+    pure I/O elision — a wrong prune is structurally impossible.
+
+    The witness table is range-clustered on o_orderdate so pre-cut
+    files are prunable; after tags 0-2 capture three predicate shapes
+    (SQL range / Column IN+> / NOT-of-<), every PRE-CUT data file is
+    overwritten with garbage and tag 3 re-reads the post-cut slice —
+    it can only succeed if the reader truly skipped those files, and
+    it is emitted only when a full-scan read of the poisoned table
+    RAISES (proof the poison is real). At 100 TB this is the path a
+    BI user's dashboard filter takes: predicate → manifest stats →
+    read amplification proportional to the slice, not the table.
+
+    Scale: planning stays metadata-only (one manifest fold, no
+    footer reads); pruning work is O(files), not O(rows)."""
+    import os
+    import tempfile
+
+    from ..sources import txlog
+    from ..streaming.txlog_source import TxlogStreamSource
+
+    pin_semantics(spark)
+    spark.dataSource.register(TxlogStreamSource)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x44_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(
+        orders, path, cluster_by="o_orderdate", cluster_files=8
+    )
+
+    def fmt():
+        return spark.read.format("txlog").option("path", path).load()
+
+    def agg(tag: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).cast("int").alias("tag"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select("tag", "n_rows", "total_cents")
+
+    cut_sql = f"o_orderdate >= DATE '{_X44_CUT}'"
+    out = agg(0, fmt().filter(cut_sql))
+    out = out.unionByName(
+        agg(
+            1,
+            fmt().filter(
+                (F.col("o_orderdate") >= F.lit(_X44_CUT).cast("date"))
+                & F.col("status").isin("P", "O")
+                & (F.col("cents") > 15_000_000)
+            ),
+        )
+    )
+    out = out.unionByName(
+        agg(2, fmt().filter(f"NOT (o_orderdate < DATE '{_X44_CUT}')"))
+    )
+    # poison every PRE-CUT file (the set the predicate prunes); the
+    # compiled-pruning twin computes it from the same stats the
+    # reader uses
+    _, pruned = txlog.pruned_files(spark, path, cut_sql)
+    for f in pruned:
+        with open(os.path.join(path, f), "wb") as fh:
+            fh.write(b"poisoned by x44: a pruned file must never be read")
+    try:
+        fmt().count()  # full scan MUST hit the poison
+    except Exception:
+        out = out.unionByName(agg(3, fmt().filter(cut_sql)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# x45 — format WRITER: df.write.format("txlog") append/overwrite +
+# writeStream exactly-once appends (streaming/txlog_writer.py)
+# ---------------------------------------------------------------------------
+
+_X45_CUT = "1997-01-01"
+
+# Tags 0-1: create-by-append (pre-cut) then a SCHEMA-EVOLVING append
+# (post-cut + o_clerk_code) — n_cols proves the manifest stamped the
+# UNION schema. Tag 2: overwrite with the P-status slice — count
+# proves the whole prior live set was removed in ONE atomic commit,
+# n_cols proves schema REPLACE. Tag 3: version-1 time travel AFTER
+# the overwrite — history intact. All four snapshots are read back
+# through spark.read.format("txlog"), so the witness round-trips the
+# registered source: format write → manifest → format read.
+_X45_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders),
+    v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(3 AS BIGINT) AS n_cols
+      FROM base WHERE o_orderdate < DATE '{_X45_CUT}'),
+    v1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+             CAST(4 AS BIGINT)
+      FROM base),
+    v2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+             CAST(3 AS BIGINT)
+      FROM base WHERE status = 'P')
+    SELECT 0 AS tag, * FROM v0
+    UNION ALL SELECT 1, * FROM v1
+    UNION ALL SELECT 2, * FROM v2
+    UNION ALL SELECT 3, * FROM v1
+"""
+
+
+@register("x45_txlog_format_writer", oracle=_X45_ORACLE)
+def x45_txlog_format_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the registered data source:
+    ``df.write.format("txlog").mode("append"|"overwrite")`` — executors
+    stream Arrow batches into collision-free parquet files (stats
+    lifted from each task's own footer, so format-written files prune
+    like API-written ones), the driver lands ONE atomic manifest.
+    Append unions the schema (evolution carried, tag 1's n_cols=4);
+    overwrite removes the whole prior live set and replaces the
+    schema in one commit (tag 2); the log keeps history (tag 3 reads
+    the pre-overwrite table by version). The streaming twin —
+    ``writeStream.format("txlog")`` exactly-once by batch_id — is
+    pinned in tests/test_round9_ops.py (replay-skip + restart-delta).
+
+    Scale: data never touches the driver — the driver's commit work
+    is O(files) action dicts + one atomic JSON rename, identical to
+    every other txlog commit path."""
+    import tempfile
+
+    from ..streaming.txlog_source import TxlogStreamSource
+
+    pin_semantics(spark)
+    spark.dataSource.register(TxlogStreamSource)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x45_{uuid.uuid4().hex[:8]}_") + "/t"
+    cut = F.lit(_X45_CUT).cast("date")
+
+    def w(df: DataFrame, mode: str) -> None:
+        df.write.format("txlog").option("path", path).mode(mode).save()
+
+    w(orders.filter(F.col("o_orderdate") < cut), "append")  # creates v0
+    w(
+        orders.filter(F.col("o_orderdate") >= cut).withColumn(
+            "o_clerk_code", F.lit("C9")
+        ),
+        "append",
+    )
+    w(orders.filter(F.col("status") == "P"), "overwrite")
+
+    def snap(tag: int, version: int) -> DataFrame:
+        df = (
+            spark.read.format("txlog")
+            .option("path", path)
+            .option("version", version)
+            .load()
+        )
+        return df.agg(
+            F.lit(tag).cast("int").alias("tag"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+        ).select("tag", "n_rows", "total_cents", "n_cols")
+
+    out = snap(0, 0)
+    out = out.unionByName(snap(1, 1))
+    out = out.unionByName(snap(2, 2))
+    out = out.unionByName(snap(3, 1))  # history survives the overwrite
+    return out

@@ -69,6 +69,10 @@ def get_spark(
         # iteration) are deleted once their RDD is GC'd instead of
         # accumulating for the life of the session.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # The txlog batch reader implements pushFilters (file pruning
+        # from the query predicate); Spark refuses to read a
+        # pushdown-capable Python data source unless this is on.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -85,4 +89,7 @@ def pin_semantics(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the txlog format reader implements pushFilters; reads of it
+    # raise unless pushdown is enabled (runtime-settable)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark

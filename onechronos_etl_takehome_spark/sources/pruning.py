@@ -112,18 +112,35 @@ def negate(node):
 # ---------------------------------------------------------------------------
 
 _ISO_DT = re.compile(
-    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?)?$"
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d+)?"
+    r"(Z|[+-]\d{2}:\d{2})?)?$"
 )
 
 
 def _norm(x):
-    """Comparison key: ISO date/datetime strings → datetime (a bare
-    date is midnight), everything else unchanged."""
+    """Comparison key: ISO date/datetime strings → NAIVE datetime (a
+    bare date is midnight; an offset-bearing stamp — the form txlog
+    manifests store for date/timestamp footer stats, always UTC — is
+    converted to UTC and stripped, so it compares cleanly against
+    naive literals, which are UTC under the engine's pinned session
+    TZ). datetime.date literals (Catalyst hands these for DATE
+    comparisons) widen to midnight. Everything else unchanged."""
     if isinstance(x, str) and _ISO_DT.match(x):
         try:
-            return datetime.datetime.fromisoformat(x.replace(" ", "T"))
+            dt = datetime.datetime.fromisoformat(
+                x.replace(" ", "T").replace("Z", "+00:00")
+            )
         except ValueError:  # pragma: no cover - regex already screens
             return x
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return dt
+    if isinstance(x, datetime.datetime):
+        if x.tzinfo is not None:
+            return x.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return x
+    if isinstance(x, datetime.date):
+        return datetime.datetime(x.year, x.month, x.day)
     return x
 
 

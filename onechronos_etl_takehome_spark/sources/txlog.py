@@ -407,17 +407,28 @@ def _footer_stats(meta) -> tuple[dict, dict]:
     return stats, nulls
 
 
-def _schema_extra(df: DataFrame) -> dict:
+def _as_schema(df_or_schema):
+    """StructType from a DataFrame or a StructType (the format
+    writer has only the logical schema, never a DataFrame)."""
+    from pyspark.sql.types import StructType
+
+    if isinstance(df_or_schema, StructType):
+        return df_or_schema
+    return df_or_schema.schema
+
+
+def _schema_extra(df) -> dict:
     """Manifest ``schema`` field (Delta's metaData idea): lets a
     snapshot whose live file set is EMPTY — a table created from an
     empty frame, or a delete that removed every row — still read as a
     typed empty DataFrame instead of failing schema inference.
     Empty part files are never staged (_stage_data skips them), so
-    the log is the only schema carrier for such snapshots."""
-    return {"schema": df.schema.json()}
+    the log is the only schema carrier for such snapshots. Accepts a
+    DataFrame or a bare StructType."""
+    return {"schema": _as_schema(df).json()}
 
 
-def _union_schema_extra(path: str, base_version: int, df: DataFrame) -> dict:
+def _union_schema_extra(path: str, base_version: int, df) -> dict:
     """Manifest schema for a NON-CREATE commit: the UNION of the
     previous manifest schema and the committing frame's (Delta's
     metaData semantics, round-8 advice). Stamping only the committing
@@ -428,13 +439,14 @@ def _union_schema_extra(path: str, base_version: int, df: DataFrame) -> dict:
     silently dropped the evolved columns even though they were live
     in carried files. Union rule: previous fields keep their position
     AND their type (column ADDITION is the supported evolution; value
-    types are fixed at create), new fields append in frame order."""
+    types are fixed at create), new fields append in frame order.
+    Accepts a DataFrame or a bare StructType."""
     from pyspark.sql.types import StructType
 
     prev = _latest_schema(path, base_version)
     if prev is None:
         return _schema_extra(df)
-    new_by_name = {f.name: f for f in df.schema.fields}
+    new_by_name = {f.name: f for f in _as_schema(df).fields}
     fields = list(prev.fields)
     for name in prev.fieldNames():
         new_by_name.pop(name, None)

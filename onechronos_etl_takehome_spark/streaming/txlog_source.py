@@ -191,22 +191,128 @@ def _read_file_partition(partition: "_FilePartition"):
     return iter(pa.table(cols, schema=target).to_batches())
 
 
+def _filter_to_node(f):
+    """One Spark ``Filter`` → a pruning-AST node over the manifest
+    stats, or None when the filter shape can't drive file skipping.
+
+    Only top-level single-column comparisons translate; everything
+    else stays Spark-side. ``In`` becomes an OR of equalities (the
+    OR-of-points the ``skip_where`` dict could never express);
+    ``Not`` goes through the compiler's exact TRUE-row negation.
+    NULL literals keep SQL semantics: ``col = NULL`` / ``col IN
+    (NULL)`` are never TRUE, so those disjuncts vanish (an all-NULL
+    IN list prunes every file — correctly)."""
+    import datetime as _dt
+
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+    )
+
+    from ..sources import pruning as P
+
+    _CMP = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
+    def norm(v):
+        # manifest stats store dates/timestamps as ISO strings, which
+        # the pruning evaluator normalizes to datetime — align the
+        # filter literal with that comparison domain
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return _dt.datetime(v.year, v.month, v.day)
+        return v
+
+    if isinstance(f, Not):
+        child = _filter_to_node(f.child)
+        return None if child is None else P.negate(child)
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None  # nested field: no stats recorded for it
+    col = attr[0]
+    if isinstance(f, IsNull):
+        return P.Leaf("isnull", col)
+    if isinstance(f, IsNotNull):
+        return P.Leaf("isnotnull", col)
+    if isinstance(f, EqualNullSafe):
+        if f.value is None:
+            return P.Leaf("isnull", col)
+        return P.Leaf("=", col, norm(f.value))
+    if isinstance(f, In):
+        return P.OrN(
+            tuple(
+                P.Leaf("=", col, norm(v)) for v in f.value if v is not None
+            )
+        )
+    kind = _CMP.get(type(f))
+    if kind is None:
+        return None
+    if f.value is None:  # comparison to NULL is never TRUE
+        return P.OrN(())
+    return P.Leaf(kind, col, norm(f.value))
+
+
 class TxlogBatchReader(DataSourceReader):
     """Batch reader: one partition per live file of the requested
     snapshot — ``option("version", v)`` or ``option("timestampAsOf",
     iso-or-epoch)`` time-travels, default latest. Planning is
-    metadata-only (the manifest fold IS the file list)."""
+    metadata-only (the manifest fold IS the file list).
+
+    Filter pushdown (round 9): Spark 4.1 hands the query's pushable
+    conjuncts to ``pushFilters``; the supported ones compile onto the
+    manifest min/max/null stats and ``partitions()`` plans only the
+    files that MAY contain a TRUE row — the ``read_table(where=...)``
+    skipping, but derived from the query's own ``.filter()``, zero
+    API. Every filter is returned as residual: pruning here is
+    file-granular I/O elision, Spark keeps row-level semantics, so a
+    wrong prune is impossible by construction (the gate pins
+    format-reader file sets == ``pruned_files``'s).
+
+    NOTE: implementing ``pushFilters`` makes Spark REQUIRE
+    ``spark.sql.python.filterPushdown.enabled=true`` for every read of
+    this source (it refuses to silently skip pushdown) — get_spark and
+    pin_semantics both set it."""
 
     def __init__(self, schema, options: dict):
         options = {k.lower(): v for k, v in options.items()}
         self.path = options["path"]
         self.version = _resolve_option_version(self.path, options)
         self.schema_json = schema.json()
+        self._prune = None
+
+    def pushFilters(self, filters):
+        from ..sources import pruning as P
+
+        nodes = [
+            n for n in (_filter_to_node(f) for f in filters) if n is not None
+        ]
+        if nodes:
+            self._prune = P.AndN(tuple(nodes))
+        # every filter still runs Spark-side (file pruning only)
+        return filters
 
     def partitions(self):
-        live = sorted(
-            txlog.live_files(self.path, version=self.version)
-        )
+        if self._prune is not None:
+            from ..sources.pruning import may_match
+
+            stats = txlog.live_file_stats(self.path, version=self.version)
+            live = sorted(
+                f for f, info in stats.items() if may_match(self._prune, info)
+            )
+        else:
+            live = sorted(txlog.live_files(self.path, version=self.version))
         if not live:
             return [_FilePartition(self.path, "", self.schema_json)]
         return [
@@ -272,3 +378,13 @@ class TxlogStreamSource(DataSource):
 
     def streamReader(self, schema) -> TxlogStreamReader:
         return TxlogStreamReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        from .txlog_writer import TxlogBatchWriter
+
+        return TxlogBatchWriter(schema, overwrite, self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        from .txlog_writer import TxlogStreamWriter
+
+        return TxlogStreamWriter(schema, overwrite, self.options)

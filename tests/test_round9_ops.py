@@ -675,3 +675,340 @@ class TestMultiScanBaseline:
         want = J.jpeg_pixels(J.jpeg_from_pixels(px, subsampling="420"))
         assert got.shape == want.shape == (24, 24, 3)
         assert np.array_equal(got, want)
+
+
+class TestFormatFilterPushdown:
+    """spark.read.format('txlog') + .filter() → file pruning via
+    Spark 4.1 pushFilters (round 9). Pruning is file-granular I/O
+    elision; every filter stays Spark-side, so translation can only
+    skip-too-little, never skip-too-much — except where SQL itself
+    says a row can never match (IN over all-NULLs)."""
+
+    @pytest.fixture(scope="class")
+    def table(self, spark, tmp_path_factory):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        path = str(tmp_path_factory.mktemp("fpd") / "t")
+        df = spark.range(0, 300).withColumn(
+            "price", (F.col("id") * 7 % 1000).cast("double")
+        )
+        txlog.create_table(df, path, cluster_by="id", cluster_files=6)
+        return path
+
+    def _fmt(self, spark, path):
+        return spark.read.format("txlog").option("path", path).load()
+
+    def test_filter_translation_units(self):
+        import datetime
+
+        from pyspark.sql.datasource import (
+            EqualNullSafe,
+            EqualTo,
+            GreaterThan,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThanOrEqual,
+            Not,
+            StringStartsWith,
+        )
+
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            _filter_to_node,
+        )
+
+        assert _filter_to_node(EqualTo(("a",), 5)) == P.Leaf("=", "a", 5)
+        assert _filter_to_node(GreaterThan(("a",), 5)) == P.Leaf(">", "a", 5)
+        assert _filter_to_node(LessThanOrEqual(("a",), 5)) == P.Leaf(
+            "<=", "a", 5
+        )
+        assert _filter_to_node(IsNull(("a",))) == P.Leaf("isnull", "a")
+        assert _filter_to_node(IsNotNull(("a",))) == P.Leaf("isnotnull", "a")
+        # Not goes through exact TRUE-row negation
+        assert _filter_to_node(Not(GreaterThan(("a",), 5))) == P.Leaf(
+            "<=", "a", 5
+        )
+        # EqualNullSafe: <=> NULL means IS NULL; <=> v means = v
+        assert _filter_to_node(EqualNullSafe(("a",), None)) == P.Leaf(
+            "isnull", "a"
+        )
+        assert _filter_to_node(EqualNullSafe(("a",), 3)) == P.Leaf(
+            "=", "a", 3
+        )
+        # IN → OR of equalities; NULL members vanish (never TRUE);
+        # all-NULL IN list prunes everything (OrN of nothing)
+        node = _filter_to_node(In(("a",), (1, None, 2)))
+        assert node == P.OrN((P.Leaf("=", "a", 1), P.Leaf("=", "a", 2)))
+        empty = _filter_to_node(In(("a",), (None,)))
+        assert empty == P.OrN(()) and not P.may_match(
+            empty, {"stats": {"a": [0, 9]}}
+        )
+        # unsupported shapes stay Spark-side: None
+        assert _filter_to_node(StringStartsWith(("a",), "x")) is None
+        assert _filter_to_node(EqualTo(("a", "b"), 1)) is None  # nested
+        assert _filter_to_node(Not(StringStartsWith(("a",), "x"))) is None
+        # DATE literals widen to midnight datetime for the ISO stats
+        d = _filter_to_node(EqualTo(("d",), datetime.date(1997, 6, 1)))
+        assert d.value == datetime.datetime(1997, 6, 1)
+
+    def test_norm_offset_stats_compare_with_naive_literals(self):
+        """Manifest date/timestamp stats carry +00:00 offsets; bare
+        literals are naive (UTC under the pinned session). Both must
+        land in one comparison domain — the round-9 gap that made
+        date pruning silently never engage."""
+        import datetime
+
+        lo = P._norm("1997-06-01T00:00:00+00:00")
+        hi = P._norm("1997-06-01")
+        assert lo == hi == datetime.datetime(1997, 6, 1)
+        assert P._norm("1997-06-01T03:00:00Z") == datetime.datetime(
+            1997, 6, 1, 3
+        )
+        leaf = P.Leaf(">=", "d", datetime.date(1998, 1, 1))
+        info = {
+            "stats": {
+                "d": [
+                    "1997-01-01T00:00:00+00:00",
+                    "1997-12-31T00:00:00+00:00",
+                ]
+            }
+        }
+        assert not P._leaf_may_true(leaf, info)  # prunable now
+
+    def test_reader_partitions_match_pruned_files(self, spark, table):
+        """The format reader's planned file set == pruned_files' for
+        the same predicate (shared compiler, shared stats)."""
+        from pyspark.sql.datasource import GreaterThanOrEqual
+
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogBatchReader,
+        )
+
+        schema = self._fmt(spark, table).schema
+        reader = TxlogBatchReader(schema, {"path": table})
+        residual = reader.pushFilters([GreaterThanOrEqual(("id",), 200)])
+        assert list(residual) == [GreaterThanOrEqual(("id",), 200)]
+        planned = sorted(p.fname for p in reader.partitions())
+        kept, pruned = txlog.pruned_files(spark, table, "id >= 200")
+        assert planned == sorted(kept)
+        assert pruned  # the clustered layout makes the predicate prune
+
+    def test_filtered_read_equals_read_table(self, spark, table):
+        got = (
+            self._fmt(spark, table)
+            .filter("id >= 200 AND price > 100.0")
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+            )
+            .collect()[0]
+        )
+        want = (
+            txlog.read_table(spark, table, where="id >= 200 AND price > 100.0")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+            .collect()[0]
+        )
+        assert (got.n, got.s) == (want.n, want.s) and got.n > 0
+
+    def test_all_files_pruned_returns_typed_empty(self, spark, table):
+        df = self._fmt(spark, table).filter("id > 1000000")
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["id", "price"]
+
+    def test_pushdown_conf_required(self, spark, table):
+        """Spark refuses a pushFilters-implementing source when the
+        conf is off (no silent skip) — pinned so the documented
+        get_spark/pin_semantics contract stays honest."""
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        try:
+            with pytest.raises(Exception, match="PUSHDOWN_DISABLED"):
+                self._fmt(spark, table).count()
+        finally:
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "true"
+            )
+
+
+class TestFormatWriter:
+    """df.write.format('txlog') / writeStream.format('txlog') — the
+    write side of the registered data source (round 9). Executors
+    write files + stats, the driver lands ONE manifest; append unions
+    schema, overwrite replaces the live set atomically; streaming
+    appends dedup on batch_id."""
+
+    def _reg(self, spark):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+
+    def test_batch_lifecycle_roundtrip(self, spark, tmp_path):
+        self._reg(spark)
+        path = str(tmp_path / "t")  # does not exist: create-by-write
+
+        def w(df, mode):
+            df.write.format("txlog").option("path", path).mode(mode).save()
+
+        w(spark.range(0, 100).withColumn("v", F.col("id") * 2), "append")
+        assert txlog.read_table(spark, path).count() == 100
+        w(spark.range(100, 150).withColumn("v", F.col("id") * 2), "append")
+        assert txlog.read_table(spark, path).count() == 150
+        # schema-evolving append: manifest schema is the UNION
+        w(
+            spark.range(150, 160)
+            .withColumn("v", F.col("id") * 2)
+            .withColumn("w", F.lit("x")),
+            "append",
+        )
+        t = txlog.read_table(spark, path)
+        assert t.count() == 160 and t.columns == ["id", "v", "w"]
+        # overwrite: one atomic manifest (removes + adds), schema replace
+        w(spark.range(0, 7), "overwrite")
+        t = txlog.read_table(spark, path)
+        assert t.count() == 7 and t.columns == ["id"]
+        # history intact: time travel still reads the pre-overwrite table
+        assert txlog.read_table(spark, path, version=2).count() == 160
+        assert txlog.committed_versions(path) == [0, 1, 2, 3]
+        # the format READ side sees the format-written table
+        got = (
+            spark.read.format("txlog").option("path", path).load().count()
+        )
+        assert got == 7
+
+    def test_written_files_carry_pruning_stats(self, spark, tmp_path):
+        """Format-written files must prune exactly like API-written
+        ones: stats are lifted from each task's own footer."""
+        self._reg(spark)
+        path = str(tmp_path / "t")
+        (
+            spark.range(0, 400)
+            .withColumn("price", F.col("id").cast("double"))
+            .repartitionByRange(4, "id")
+            .write.format("txlog")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        kept, pruned = txlog.pruned_files(spark, path, "id >= 300")
+        assert len(kept) == 1 and len(pruned) == 3
+        n = txlog.read_table(spark, path, where="id >= 300").count()
+        assert n == 100
+
+    def test_abort_unlinks_task_files(self, spark, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_writer import (
+            TxlogBatchWriter,
+            TxlogWriteMessage,
+        )
+
+        self._reg(spark)
+        path = str(tmp_path / "t")
+        spark.range(5).write.format("txlog").option("path", path).mode(
+            "append"
+        ).save()
+        ghost = os.path.join(path, "part-ghost.parquet")
+        with open(ghost, "wb") as f:
+            f.write(b"staged by a doomed job")
+        wtr = TxlogBatchWriter(
+            spark.range(1).schema, False, {"path": path}
+        )
+        wtr.abort(
+            [None, TxlogWriteMessage([("part-ghost.parquet", 1, {}, {})])]
+        )
+        assert not os.path.exists(ghost)
+        assert txlog.read_table(spark, path).count() == 5  # untouched
+
+    def test_stream_writer_rejects_non_append(self, spark):
+        from onechronos_etl_takehome_spark.streaming.txlog_writer import (
+            TxlogStreamWriter,
+        )
+
+        with pytest.raises(ValueError, match="append output mode"):
+            TxlogStreamWriter(spark.range(1).schema, True, {"path": "/x"})
+
+    def test_stream_drain_equals_source_and_replay_skips(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from onechronos_etl_takehome_spark.streaming.txlog_writer import (
+            TxlogWriteMessage,
+            _commit_write,
+        )
+
+        self._reg(spark)
+        land = str(tmp_path / "land")
+        for i in range(3):
+            spark.range(i * 10, i * 10 + 10).withColumn(
+                "v", F.col("id") * 3
+            ).write.mode("append").parquet(land)
+        path = str(tmp_path / "t")
+        ck = str(tmp_path / "ck")
+        q = (
+            spark.readStream.schema("id long, v long")
+            .parquet(land)
+            .writeStream.format("txlog")
+            .option("path", path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        t = txlog.read_table(spark, path)
+        src = spark.read.parquet(land)
+        assert t.count() == src.count() == 30
+        assert t.select("id", "v").exceptAll(src).count() == 0
+        with open(
+            os.path.join(path, txlog._LOG_DIR, "00000000.json")
+        ) as f:
+            m = json.load(f)
+        assert m.get("batch_id") == 0
+        assert m["metrics"]["op"] == "write-append"
+        # at-least-once replay of the SAME batch_id: the commit layer
+        # must skip (the observable table is exactly-once)
+        r = _commit_write(
+            path,
+            t.schema.json(),
+            [TxlogWriteMessage([("ghost.parquet", 5, {}, {})])],
+            overwrite=False,
+            batch_id=0,
+        )
+        assert r is None
+        assert txlog.read_table(spark, path).count() == 30
+        # restart with new landing data: only the delta appends
+        spark.range(100, 105).withColumn("v", F.col("id") * 3).write.mode(
+            "append"
+        ).parquet(land)
+        q2 = (
+            spark.readStream.schema("id long, v long")
+            .parquet(land)
+            .writeStream.format("txlog")
+            .option("path", path)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q2.awaitTermination(180)
+        assert txlog.read_table(spark, path).count() == 35
+        assert txlog.committed_versions(path) == [0, 1]
+
+    def test_format_write_composes_with_dml(self, spark, tmp_path):
+        """Format-written tables are full citizens: CoW delete,
+        change feed, and the metadata count all work on them."""
+        self._reg(spark)
+        path = str(tmp_path / "t")
+        (
+            spark.range(0, 100)
+            .withColumn("tag", (F.col("id") % 2 == 0).cast("string"))
+            .write.format("txlog")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+        txlog.delete_where(spark, path, F.col("tag") == "true")
+        assert txlog.read_table(spark, path).count() == 50
+        assert txlog.table_count(path) == 50
+        feed = txlog.change_feed(spark, path, from_version=0, to_version=1)
+        assert feed.filter(F.col("_change") == "delete").count() == 50
