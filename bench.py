@@ -215,6 +215,8 @@ HEADLINE = [
     # x45: format writer (executor Arrow writes + one-manifest commits:
     # append, schema-evolving append, atomic overwrite, time travel)
     "x45_txlog_format_writer",
+    # x46: DESCRIBE HISTORY from manifests (per-commit op + metrics)
+    "x46_txlog_table_history",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -1022,3 +1022,74 @@ def x45_txlog_format_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.unionByName(snap(2, 2))
     out = out.unionByName(snap(3, 1))  # history survives the overwrite
     return out
+
+
+# ---------------------------------------------------------------------------
+# x46 — DESCRIBE HISTORY: per-commit op/row-metrics audit from the
+# manifests alone (txlog.table_history)
+# ---------------------------------------------------------------------------
+
+# The projection keeps exactly the layout-independent columns: version
+# and op are structural; rows_written/rows_deleted are exact row
+# counts the oracle recomputes relationally. files_added/removed and
+# ts are real in the API but partition-count/wall-clock dependent, so
+# the witness leaves them to the gate pins (test_round9_ops.py).
+_X46_ORACLE = """
+    SELECT CAST(0 AS BIGINT) AS version, 'create' AS op,
+           CAST(COUNT(*) AS BIGINT) AS rows_written,
+           CAST(NULL AS BIGINT) AS rows_deleted
+    FROM orders
+    UNION ALL
+    SELECT 1, 'append',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderstatus = 'P'),
+           CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT 2, 'delete', CAST(NULL AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 3, 'write-append',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+             WHERE o_orderstatus = 'O'),
+           CAST(NULL AS BIGINT)
+"""
+
+
+@register("x46_txlog_table_history", oracle=_X46_ORACLE)
+def x46_txlog_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``txlog.table_history`` — Delta's DESCRIBE HISTORY twin: one
+    row per commit from the manifests alone, zero data files opened.
+    The lifecycle mixes every write surface: API create, API append,
+    copy-on-write DELETE, and a ``df.write.format("txlog")`` append —
+    and the history's op labels plus exact rows_written/rows_deleted
+    metrics hash-match the relational recomputation of each step.
+    At 100 TB this is the table's audit log: what changed, by which
+    op, at what write amplification — O(commits) driver-side JSON.
+
+    Scale: the history fold never opens a data file; row metrics were
+    stamped at commit time from staged parquet footers."""
+    import tempfile
+
+    from ..sources import txlog
+    from ..streaming.txlog_source import TxlogStreamSource
+
+    pin_semantics(spark)
+    spark.dataSource.register(TxlogStreamSource)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x46_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(orders, path)
+    txlog.append(orders.filter(F.col("o_orderstatus") == "P"), path)
+    txlog.delete_where(spark, path, F.col("o_orderstatus") == "F")
+    (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .write.format("txlog")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    return txlog.table_history(spark, path).select(
+        "version", "op", "rows_written", "rows_deleted"
+    )

@@ -302,6 +302,61 @@ def live_file_stats(
     return _fold_live(path, version, versions)
 
 
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """Delta's ``DESCRIBE HISTORY`` twin: one row per commit, newest
+    first, from the manifests alone — ZERO data files opened. Columns:
+    ``version``, ``ts`` (commit timestamp), ``op`` (the stamped
+    ``metrics.op``: create/append/delete/merge/optimize/vacuum/
+    write-append/write-overwrite; derived from the action shapes for
+    pre-metrics manifests), ``files_added``/``files_removed`` (exact,
+    from the actions), ``rows_written``/``rows_deleted`` (from
+    metrics; null where the commit predates them or touched legacy
+    files), and ``batch_id`` (non-null exactly for streaming-sink
+    commits — the exactly-once idempotence key).
+
+    The operational observability surface a 100-TB table needs: what
+    changed, when, by which op, and at what write amplification — all
+    O(commits) driver-side JSON, never a data scan."""
+    import datetime
+
+    rows = []
+    for v in committed_versions(path):
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        acts = manifest["actions"]
+        n_add = sum(1 for a in acts if "add" in a)
+        n_rm = sum(1 for a in acts if "remove" in a)
+        m = manifest.get("metrics") or {}
+        op = m.get("op")
+        if op is None:  # pre-metrics manifest: derive from action shape
+            if v == 0:
+                op = "create"
+            elif n_rm == 0:
+                op = "append"
+            else:
+                op = "rewrite"
+        rows.append(
+            (
+                v,
+                datetime.datetime.fromtimestamp(
+                    manifest["ts"], datetime.timezone.utc
+                ),
+                op,
+                n_add,
+                n_rm,
+                m.get("rows_written"),
+                m.get("rows_deleted"),
+                manifest.get("batch_id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows[::-1],
+        "version long, ts timestamp, op string, files_added long, "
+        "files_removed long, rows_written long, rows_deleted long, "
+        "batch_id long",
+    )
+
+
 def _add_actions(
     staged: list[tuple[str, int, dict, dict]]
 ) -> list[dict]:
@@ -504,12 +559,16 @@ def create_table(
     os.makedirs(path, exist_ok=True)
     if committed_versions(path):
         raise ValueError(f"table already exists: {path}")
-    _commit(
-        path,
-        0,
-        _add_actions(_stage_data(_cluster(df, cluster_by, cluster_files), path)),
-        extra=_schema_extra(df),
+    adds = _add_actions(
+        _stage_data(_cluster(df, cluster_by, cluster_files), path)
     )
+    extra = _schema_extra(df)
+    extra["metrics"] = {
+        "op": "create",
+        "files_added": len(adds),
+        "rows_written": sum(a["rows"] for a in adds),
+    }
+    _commit(path, 0, adds, extra=extra)
     _maybe_checkpoint(path, 0)
     return 0
 
@@ -529,15 +588,17 @@ def append(
     adds = _add_actions(
         _stage_data(_cluster(df, cluster_by, cluster_files), path)
     )
+    metrics = {
+        "op": "append",
+        "files_added": len(adds),
+        "rows_written": sum(a["rows"] for a in adds),
+    }
     for _ in range(max_retries):
         version = committed_versions(path)[-1] + 1
+        extra = _union_schema_extra(path, version - 1, df)
+        extra["metrics"] = metrics
         try:
-            _commit(
-                path,
-                version,
-                adds,
-                extra=_union_schema_extra(path, version - 1, df),
-            )
+            _commit(path, version, adds, extra=extra)
             _maybe_checkpoint(path, version)
             return version
         except CommitConflict:

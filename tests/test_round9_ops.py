@@ -1012,3 +1012,72 @@ class TestFormatWriter:
         assert txlog.table_count(path) == 50
         feed = txlog.change_feed(spark, path, from_version=0, to_version=1)
         assert feed.filter(F.col("_change") == "delete").count() == 50
+
+
+class TestTableHistory:
+    """txlog.table_history — DESCRIBE HISTORY from manifests alone
+    (round 9). The x46 witness oracles op + row metrics; these pin
+    the layout/time-dependent columns and the legacy fallback."""
+
+    def test_history_shape_and_ordering(self, spark, table):
+        txlog.create_table(spark.range(0, 100), table)
+        txlog.append(spark.range(100, 150), table)
+        txlog.delete_where(spark, table, F.col("id") < 10)
+        h = txlog.table_history(spark, table).collect()
+        assert [r.version for r in h] == [2, 1, 0]  # newest first
+        assert [r.op for r in h] == ["delete", "append", "create"]
+        assert h[-1].rows_written == 100 and h[1].rows_written == 50
+        assert h[0].rows_deleted == 10
+        # ts is the commit stamp: monotone non-decreasing in version
+        ts = [r.ts for r in reversed(h)]
+        assert ts == sorted(ts)
+        # files counts are exact action counts
+        assert h[1].files_added >= 1 and h[1].files_removed == 0
+        assert h[0].files_removed >= 1  # CoW delete rewrote file(s)
+        assert all(r.batch_id is None for r in h)  # no streaming commit
+
+    def test_streaming_commits_carry_batch_id(self, spark, table, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        land = str(tmp_path / "land")
+        spark.range(0, 20).write.parquet(land)
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(land)
+            .writeStream.format("txlog")
+            .option("path", table)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        h = txlog.table_history(spark, table).collect()
+        assert h[0].op == "write-append" and h[0].batch_id == 0
+        assert h[0].rows_written == 20
+
+    def test_legacy_manifest_op_fallback(self, spark, table):
+        """Pre-metrics manifests (no metrics field) derive op from
+        the action shapes: v0 create, adds-only append, else rewrite."""
+        import json
+
+        txlog.create_table(spark.range(5), table)
+        txlog.append(spark.range(5, 9), table)
+        txlog.delete_where(spark, table, F.col("id") < 2)
+        log = os.path.join(table, txlog._LOG_DIR)
+        for fn in os.listdir(log):
+            if not fn.endswith(".json"):
+                continue
+            p = os.path.join(log, fn)
+            with open(p) as f:
+                m = json.load(f)
+            m.pop("metrics", None)
+            with open(p, "w") as f:
+                json.dump(m, f)
+        h = txlog.table_history(spark, table).collect()
+        assert [r.op for r in h] == ["rewrite", "append", "create"]
+        assert all(
+            r.rows_written is None and r.rows_deleted is None for r in h
+        )

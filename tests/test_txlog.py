@@ -598,7 +598,10 @@ class TestRound8Hardening:
             .repartition(4),
             table,
         )
-        assert txlog.commit_metrics(table, 0) is None  # create: none
+        # round 9: create/append stamp metrics too (table_history
+        # needs per-commit op + row counts without deriving them)
+        m0 = txlog.commit_metrics(table, 0)
+        assert m0["op"] == "create" and m0["rows_written"] == 100
         n_files = len(txlog.live_files(table))
         v = txlog.delete_where(spark, table, F.col("id") < 10)
         m = txlog.commit_metrics(table, v)
