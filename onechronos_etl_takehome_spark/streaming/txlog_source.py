@@ -74,6 +74,15 @@ class TxlogStreamReader(DataSourceStreamReader):
         # count reaches the limit (offsets are versions — a commit is
         # never split). 0/absent = unbounded.
         self.max_files = int(options.get("maxfilespertrigger", 0)) or None
+        # maxBytesPerTrigger (Delta's option, same name): the byte
+        # twin — a soft max, since offsets stay commit-granular: the
+        # end offset lands on the first commit whose cumulative ADDED
+        # bytes reach the limit (>= 1 commit per batch, so a single
+        # over-limit commit still drains). Bytes come from os.stat on
+        # the pending files — metadata-plane, no data read. Composes
+        # with maxFilesPerTrigger: whichever limit trips first ends
+        # the batch.
+        self.max_bytes = int(options.get("maxbytespertrigger", 0)) or None
         # the admission cursor: the stream position the next batch
         # starts from. The simple Python stream API's latestOffset()
         # takes no start argument, so the reader tracks it: a fresh
@@ -96,14 +105,14 @@ class TxlogStreamReader(DataSourceStreamReader):
         versions = txlog.committed_versions(self.path)
         if not versions:
             raise ValueError(f"not a txlog table (no commits): {self.path}")
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
             return {"version": versions[-1]}
         cursor = (
             self._cursor
             if self._cursor is not None
             else self.starting_version
         )
-        n_files, end = 0, cursor
+        n_files, n_bytes, end = 0, 0, cursor
         for v in versions:
             if v <= cursor:
                 continue
@@ -111,9 +120,20 @@ class TxlogStreamReader(DataSourceStreamReader):
                 os.path.join(self.path, txlog._LOG_DIR, f"{v:08d}.json")
             ) as f:
                 manifest = json.load(f)
-            n_files += sum(1 for a in manifest["actions"] if "add" in a)
+            added = [a["add"] for a in manifest["actions"] if "add" in a]
+            n_files += len(added)
+            if self.max_bytes is not None:
+                for f_ in added:
+                    try:
+                        n_bytes += os.path.getsize(
+                            os.path.join(self.path, f_)
+                        )
+                    except OSError:
+                        pass  # vacuumed/poisoned file: planner decides
             end = v
-            if n_files >= self.max_files:
+            if self.max_files is not None and n_files >= self.max_files:
+                break
+            if self.max_bytes is not None and n_bytes >= self.max_bytes:
                 break
         return {"version": end}
 
@@ -342,8 +362,11 @@ class TxlogStreamSource(DataSource):
     ``spark.read.format("txlog").option("path", p).load()`` for a
     snapshot (``option("version", v)`` / ``option("timestampAsOf",
     t)`` time-travel) or ``spark.readStream.format("txlog")...`` to
-    tail the log (``option("maxFilesPerTrigger", n)`` bounds each
-    microbatch)."""
+    tail the log (``option("maxFilesPerTrigger", n)`` /
+    ``option("maxBytesPerTrigger", b)`` bound each microbatch;
+    whichever trips first ends the batch). ``df.write.format("txlog")``
+    and ``writeStream.format("txlog")`` write through the same log
+    (streaming/txlog_writer.py)."""
 
     @classmethod
     def name(cls) -> str:

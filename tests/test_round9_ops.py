@@ -1081,3 +1081,76 @@ class TestTableHistory:
         assert all(
             r.rows_written is None and r.rows_deleted is None for r in h
         )
+
+
+class TestMaxBytesPerTrigger:
+    """maxBytesPerTrigger — the byte twin of the file limit (Delta's
+    option): commit-granular soft max from os.stat on pending files,
+    composing with maxFilesPerTrigger (first limit to trip ends the
+    batch)."""
+
+    def _backlog(self, spark, table, n_commits=6):
+        txlog.create_table(spark.range(0, 10).repartition(1), table)
+        for i in range(1, n_commits):
+            txlog.append(
+                spark.range(i * 10, i * 10 + 10).repartition(1), table
+            )
+
+    def _drain(self, spark, table, out, ck, **opts):
+        reader = spark.readStream.format("txlog").option("path", table)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return q
+
+    def test_byte_limited_drain_is_bounded_and_complete(
+        self, spark, table, tmp_path
+    ):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        self._backlog(spark, table, n_commits=6)
+        # every file is a small parquet of 10 longs; a 1-byte limit
+        # forces one COMMIT per batch (soft max: >= 1 commit always)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = self._drain(spark, table, out, ck, maxBytesPerTrigger=1)
+        got = spark.read.parquet(out)
+        assert got.count() == 60 and got.distinct().count() == 60
+        data_batches = [
+            p for p in q.recentProgress if int(p["numInputRows"]) > 0
+        ]
+        assert len(data_batches) >= 6  # one commit per trigger
+
+    def test_byte_and_file_limits_compose(self, spark, table, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        self._backlog(spark, table, n_commits=4)
+        out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+        # byte limit generous, file limit 1 → file limit trips first
+        q = self._drain(
+            spark,
+            table,
+            out,
+            ck,
+            maxBytesPerTrigger=10**9,
+            maxFilesPerTrigger=1,
+        )
+        got = spark.read.parquet(out)
+        assert got.count() == 40 and got.distinct().count() == 40
+        data_batches = [
+            p for p in q.recentProgress if int(p["numInputRows"]) > 0
+        ]
+        assert len(data_batches) >= 4
