@@ -217,6 +217,9 @@ HEADLINE = [
     "x45_txlog_format_writer",
     # x46: DESCRIBE HISTORY from manifests (per-commit op + metrics)
     "x46_txlog_table_history",
+    # x47: CHECK constraints (declare-validate-enforce on every
+    # data-adding commit path; violating writes commit nothing)
+    "x47_txlog_check_constraints",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -1093,3 +1093,103 @@ def x46_txlog_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txlog.table_history(spark, path).select(
         "version", "op", "rows_written", "rows_deleted"
     )
+
+
+# ---------------------------------------------------------------------------
+# x47 — CHECK constraints: declared once, enforced on every
+# data-adding commit path (sources/constraints.py)
+# ---------------------------------------------------------------------------
+
+# Tags tell the enforcement story in row counts the oracle recomputes:
+# 0 = table after a conforming append under an active constraint
+# (positive totals only); 1 = the table is UNCHANGED after a violating
+# append RAISED (emitted only when it does raise — x42's pattern);
+# 2 = after drop_constraint the same rows land (count includes them);
+# 3 = adding a constraint the existing table violates RAISES and
+# commits nothing (emitted only on raise; count proves no commit).
+_X47_ORACLE = """
+    WITH pos AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice > 0),
+    neg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_orderstatus = 'F')
+    SELECT 0 AS tag, (SELECT n FROM pos) + (SELECT n FROM pos) AS n_rows
+    UNION ALL
+    SELECT 1, (SELECT n FROM pos) + (SELECT n FROM pos)
+    UNION ALL
+    SELECT 2, (SELECT n FROM pos) + (SELECT n FROM pos)
+                + (SELECT n FROM neg)
+    UNION ALL
+    SELECT 3, (SELECT n FROM pos) + (SELECT n FROM pos)
+                + (SELECT n FROM neg)
+"""
+
+
+@register("x47_txlog_check_constraints", oracle=_X47_ORACLE)
+def x47_txlog_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-style CHECK constraints on the txlog table
+    (``constraints.add_constraint``): declared once in the log,
+    validated against the existing table at declaration, enforced on
+    every subsequent data-adding commit — a violating append raises
+    ``ConstraintViolation`` and commits NOTHING (tag 1 hash-proves
+    the table is row-identical after the failed write; its staged
+    files are unlinked). ``drop_constraint`` re-opens the gate
+    (tag 2), and adding a constraint the existing data violates
+    raises without committing (tag 3). The constraint set is itself
+    time-travelable (newest manifest carrying ``constraints`` wins —
+    the schema-field pattern), and add/drop appear in table_history.
+
+    The witness uses a sign constraint over a derived cents column:
+    the conforming stream is the positive-total orders twice, the
+    violating batch is the F-status rows with NEGATED totals.
+
+    Scale: zero cost when no constraints exist; with them, ONE count
+    over the just-staged files per write — never a table rescan."""
+    import tempfile
+
+    from ..sources import constraints as C
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    pos = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    neg = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (-F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x47_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(pos, path)
+    C.add_constraint(spark, path, "positive_cents", "cents > 0")
+    txlog.append(pos, path)  # conforming: lands
+
+    def n(tag: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(tag, txlog.table_count(path))], "tag int, n_rows long"
+        )
+
+    out = n(0)
+    try:
+        txlog.append(neg, path)  # violating: must raise, commit nothing
+    except C.ConstraintViolation:
+        out = out.unionByName(n(1))
+    C.drop_constraint(spark, path, "positive_cents")
+    txlog.append(neg, path)  # gate re-opened: same rows land
+    out = out.unionByName(n(2))
+    try:
+        # the table now HOLDS negative cents: re-adding must raise
+        # at declaration time and commit nothing
+        C.add_constraint(spark, path, "positive_cents", "cents > 0")
+    except C.ConstraintViolation:
+        out = out.unionByName(n(3))
+    return out

@@ -588,6 +588,15 @@ def append(
     adds = _add_actions(
         _stage_data(_cluster(df, cluster_by, cluster_files), path)
     )
+    # CHECK constraints (sources/constraints.py): one count over the
+    # just-staged files; raises + unlinks them when violated — the
+    # commit below never happens. Lazy import (constraints imports us).
+    from .constraints import table_constraints, validate_staged
+
+    validate_staged(
+        df.sparkSession, path, [a["add"] for a in adds],
+        table_constraints(path),
+    )
     metrics = {
         "op": "append",
         "files_added": len(adds),
@@ -873,6 +882,16 @@ def merge_upsert(
             .collect()  # bounded: one row per TOUCHED FILE
         ]
         actions: list[dict] = [{"remove": f} for f in touched]
+        # stage + validate the UPDATE side FIRST: survivors are
+        # pre-existing rows and cannot violate a recorded constraint,
+        # so on violation only the update files exist to unlink
+        update_staged = _stage_data(updates, path)
+        from .constraints import table_constraints, validate_staged
+
+        validate_staged(
+            spark, path, [f for f, *_ in update_staged],
+            table_constraints(path),
+        )
         survivor_staged: list[tuple[str, int, dict, dict]] = []
         if touched:
             survivors = (
@@ -882,7 +901,6 @@ def merge_upsert(
             )
             survivor_staged = _stage_data(survivors, path)
             actions += _add_actions(survivor_staged)
-        update_staged = _stage_data(updates, path)
         actions += _add_actions(update_staged)
         rows_known = all(snapshot[f] >= 0 for f in touched)
         rows_touched = sum(snapshot[f] for f in touched)

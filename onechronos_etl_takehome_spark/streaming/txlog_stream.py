@@ -57,6 +57,17 @@ def process_txlog_batch(
     if batch_id in committed_batch_ids(path):
         return None
     adds = txlog._add_actions(txlog._stage_data(batch_df, path))
+    if txlog.committed_versions(path):  # batch 0 may CREATE the table
+        from ..sources.constraints import table_constraints, validate_staged
+
+        # CHECK constraints: a violating microbatch raises (Spark
+        # fails the batch and will retry it — the poison-batch escape
+        # hatch is dropping the constraint), staged files unlinked,
+        # nothing lands
+        validate_staged(
+            batch_df.sparkSession, path, [a["add"] for a in adds],
+            table_constraints(path),
+        )
     for _ in range(max_retries):
         versions = txlog.committed_versions(path)
         version = (versions[-1] + 1) if versions else 0

@@ -80,15 +80,25 @@ def _write_task_file(path: str, schema_json: str, iterator):
     if not batches:
         return []
     os.makedirs(path, exist_ok=True)  # create-by-first-write
+    tbl0 = pa.Table.from_batches(batches)
+    # CHECK constraints, enforced PER TASK over the Arrow data
+    # (pyarrow Kleene logic = exact SQL 3VL; the data source write
+    # path has no Spark context in its Python workers, so Spark-side
+    # validation is structurally impossible here). A violating task
+    # raises before writing a byte — Spark fails the job and the
+    # driver's abort() unlinks any sibling tasks' files.
+    from ..sources.constraints import table_constraints, validate_arrow
+
+    cons = table_constraints(path) if txlog.committed_versions(path) else {}
+    if cons:
+        validate_arrow(tbl0, cons)
     target = to_arrow_schema(
         StructType.fromJson(json.loads(schema_json))
     )
     target = pa.schema(
         [pa.field(f.name, f.type, nullable=True) for f in target]
     )
-    tbl = pa.Table.from_batches(batches)
-    if tbl.schema != target:
-        tbl = tbl.cast(target)
+    tbl = tbl0 if tbl0.schema == target else tbl0.cast(target)
     fname = f"part-{uuid.uuid4().hex}.parquet"
     full = os.path.join(path, fname)
     pq.write_table(tbl, full)

@@ -13,6 +13,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from onechronos_etl_takehome_spark.sources import constraints as C2
 from onechronos_etl_takehome_spark.sources import pruning as P
 from onechronos_etl_takehome_spark.sources import txlog
 
@@ -1154,3 +1155,238 @@ class TestMaxBytesPerTrigger:
             p for p in q.recentProgress if int(p["numInputRows"]) > 0
         ]
         assert len(data_batches) >= 4
+
+
+class TestCheckConstraints:
+    """sources/constraints.py — Delta-style CHECK constraints: stored
+    in the log (time-travelable like the schema field), validated at
+    declaration, enforced on every data-adding commit path."""
+
+    def _mk(self, spark, table):
+        txlog.create_table(
+            spark.range(0, 50).withColumn(
+                "price", (F.col("id") + 1).cast("double")
+            ),
+            table,
+        )
+
+    def test_add_validates_existing_and_records(self, spark, table):
+        self._mk(spark, table)
+        v = C2.add_constraint(spark, table, "pos_price", "price > 0")
+        assert v == 1
+        assert C2.table_constraints(table) == {"pos_price": "price > 0"}
+        # time travel: v0 predates the constraint
+        assert C2.table_constraints(table, version=0) == {}
+        h = txlog.table_history(spark, table).collect()[0]
+        assert h.op == "add-constraint"
+        with pytest.raises(ValueError, match="already exists"):
+            C2.add_constraint(spark, table, "pos_price", "price > 1")
+
+    def test_add_rejects_violated_by_existing_rows(self, spark, table):
+        self._mk(spark, table)
+        with pytest.raises(C2.ConstraintViolation, match="50 existing"):
+            C2.add_constraint(spark, table, "neg", "price < 0")
+        assert C2.table_constraints(table) == {}  # nothing committed
+        assert txlog.committed_versions(table) == [0]
+
+    def test_append_enforced_and_nothing_committed(self, spark, table):
+        self._mk(spark, table)
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        before = set(txlog.live_files(table))
+        with pytest.raises(C2.ConstraintViolation, match="pos_price"):
+            txlog.append(
+                spark.range(50, 60).withColumn(
+                    "price", F.lit(-1.0)
+                ),
+                table,
+            )
+        assert txlog.table_count(table) == 50
+        assert txlog.committed_versions(table) == [0, 1]
+        # the doomed staged files were unlinked, not orphaned
+        data_files = {
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        }
+        assert data_files == before
+        # conforming append still lands
+        txlog.append(
+            spark.range(50, 60).withColumn("price", F.lit(2.0)), table
+        )
+        assert txlog.table_count(table) == 60
+
+    def test_null_passes_check_semantics(self, spark, table):
+        self._mk(spark, table)
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        txlog.append(
+            spark.range(50, 55).withColumn(
+                "price", F.lit(None).cast("double")
+            ),
+            table,
+        )  # NULL is UNKNOWN, not a violation (SQL CHECK semantics)
+        assert txlog.table_count(table) == 55
+
+    def test_old_schema_producer_passes_evolved_constraint(
+        self, spark, table
+    ):
+        """A constraint over an evolved column: a pre-evolution
+        producer's frame lacks it entirely — reads as NULL, passes."""
+        self._mk(spark, table)
+        txlog.append(
+            spark.range(50, 55)
+            .withColumn("price", F.lit(1.0))
+            .withColumn("rating", F.lit(5.0)),
+            table,
+        )
+        C2.add_constraint(spark, table, "rating_pos", "rating > 0")
+        txlog.append(
+            spark.range(55, 60).withColumn("price", F.lit(1.0)), table
+        )  # no rating column at all → NULL → passes
+        assert txlog.table_count(table) == 60
+
+    def test_format_writer_enforced(self, spark, table):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        self._mk(spark, table)
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        with pytest.raises(Exception, match="pos_price"):
+            (
+                spark.range(50, 60)
+                .withColumn("price", F.lit(-3.0))
+                .write.format("txlog")
+                .option("path", table)
+                .mode("append")
+                .save()
+            )
+        assert txlog.table_count(table) == 50
+        (
+            spark.range(50, 60)
+            .withColumn("price", F.lit(3.0))
+            .write.format("txlog")
+            .option("path", table)
+            .mode("append")
+            .save()
+        )
+        assert txlog.table_count(table) == 60
+
+    def test_merge_enforced(self, spark, table):
+        self._mk(spark, table)
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        bad = spark.range(0, 5).withColumn("price", F.lit(-9.0))
+        with pytest.raises(C2.ConstraintViolation, match="pos_price"):
+            txlog.merge_upsert(spark, table, bad, ["id"])
+        assert txlog.table_count(table) == 50
+        assert (
+            txlog.read_table(spark, table)
+            .filter(F.col("price") < 0)
+            .count()
+            == 0
+        )
+
+    def test_drop_reopens_gate(self, spark, table):
+        self._mk(spark, table)
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        C2.drop_constraint(spark, table, "pos_price")
+        assert C2.table_constraints(table) == {}
+        txlog.append(
+            spark.range(50, 55).withColumn("price", F.lit(-1.0)), table
+        )
+        assert txlog.table_count(table) == 55
+        with pytest.raises(ValueError, match="no constraint"):
+            C2.drop_constraint(spark, table, "pos_price")
+
+    def test_streaming_sink_enforced(self, spark, table, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_stream import (
+            process_txlog_batch,
+        )
+
+        self._mk(spark, table)
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        bad = spark.range(50, 55).withColumn("price", F.lit(-2.0))
+        with pytest.raises(C2.ConstraintViolation):
+            process_txlog_batch(bad, 0, table)
+        assert txlog.table_count(table) == 50
+        ok = spark.range(50, 55).withColumn("price", F.lit(2.0))
+        assert process_txlog_batch(ok, 1, table) == 2
+        assert txlog.table_count(table) == 55
+
+
+class TestArrowConstraintEvaluator:
+    """validate_arrow — the format writer's per-task enforcement:
+    pyarrow Kleene logic == SQL 3VL, fail-closed outside the grammar."""
+
+    def _tbl(self, **cols):
+        import pyarrow as pa
+
+        return pa.table(cols)
+
+    def test_3vl_null_passes(self):
+        import pyarrow as pa
+
+        tbl = self._tbl(price=pa.array([1.0, None, 3.0]))
+        C2.validate_arrow(tbl, {"pos": "price > 0"})  # NULL passes
+        with pytest.raises(C2.ConstraintViolation, match="1 row"):
+            C2.validate_arrow(
+                self._tbl(price=pa.array([1.0, -2.0, None])),
+                {"pos": "price > 0"},
+            )
+
+    def test_compound_and_in(self):
+        import pyarrow as pa
+
+        tbl = self._tbl(
+            a=pa.array([1, 2, 3]), s=pa.array(["x", "y", "x"])
+        )
+        C2.validate_arrow(
+            tbl, {"c": "a >= 1 AND s IN ('x', 'y')"}
+        )
+        with pytest.raises(C2.ConstraintViolation):
+            C2.validate_arrow(tbl, {"c": "s IN ('x')"})
+        # NOT pushes down exactly
+        C2.validate_arrow(tbl, {"c": "NOT (a > 5)"})
+
+    def test_missing_column_is_null_and_passes(self):
+        import pyarrow as pa
+
+        tbl = self._tbl(a=pa.array([1, 2]))
+        C2.validate_arrow(tbl, {"c": "rating > 0"})  # absent → NULL
+        # but IS NOT NULL over an absent column is definitely FALSE
+        with pytest.raises(C2.ConstraintViolation, match="2 row"):
+            C2.validate_arrow(tbl, {"c": "rating IS NOT NULL"})
+
+    def test_fail_closed_outside_grammar(self):
+        import pyarrow as pa
+
+        tbl = self._tbl(a=pa.array([1]))
+        with pytest.raises(C2.ConstraintViolation, match="grammar"):
+            C2.validate_arrow(tbl, {"c": "length(s) > 3"})
+
+    def test_stream_format_writer_enforced(self, spark, table, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        txlog.create_table(
+            spark.range(5).withColumn("price", F.lit(1.0)), table
+        )
+        C2.add_constraint(spark, table, "pos_price", "price > 0")
+        land = str(tmp_path / "land")
+        spark.range(5, 9).withColumn("price", F.lit(-4.0)).write.parquet(
+            land
+        )
+        q = (
+            spark.readStream.schema("id long, price double")
+            .parquet(land)
+            .writeStream.format("txlog")
+            .option("path", table)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="pos_price"):
+            q.awaitTermination(180)
+            q.processAllAvailable()
+        q.stop()
+        assert txlog.table_count(table) == 5  # nothing landed
