@@ -495,13 +495,41 @@ def _union_schema_extra(path: str, base_version: int, df) -> dict:
     in carried files. Union rule: previous fields keep their position
     AND their type (column ADDITION is the supported evolution; value
     types are fixed at create), new fields append in frame order.
-    Accepts a DataFrame or a bare StructType."""
+    Accepts a DataFrame or a bare StructType.
+
+    Round 9: TYPE ENFORCEMENT. A same-name column with a DIFFERENT
+    type used to commit fine and poison the table — every later
+    mergeSchema read died on CANNOT_MERGE_SCHEMAS (Spark's schema
+    merge does not reconcile type changes). Since every data-adding
+    commit path flows through here, the conflict now raises at WRITE
+    time (Delta's write contract) and the table stays readable.
+    Nullability is ignored (simpleString comparison) — null-fill
+    evolution is the supported kind."""
     from pyspark.sql.types import StructType
 
     prev = _latest_schema(path, base_version)
     if prev is None:
         return _schema_extra(df)
     new_by_name = {f.name: f for f in _as_schema(df).fields}
+    conflicts = [
+        (f.name, f.dataType.simpleString(),
+         new_by_name[f.name].dataType.simpleString())
+        for f in prev.fields
+        if f.name in new_by_name
+        and f.dataType.simpleString()
+        != new_by_name[f.name].dataType.simpleString()
+    ]
+    if conflicts:
+        raise ValueError(
+            f"schema enforcement: write to {path} changes column "
+            "type(s) "
+            + ", ".join(
+                f"{n} (table: {a}, write: {b})" for n, a, b in conflicts
+            )
+            + "; column type changes are not supported — a committed "
+            "type change would break every subsequent read. Add NEW "
+            "columns instead (null-fill evolution)."
+        )
     fields = list(prev.fields)
     for name in prev.fieldNames():
         new_by_name.pop(name, None)
@@ -585,6 +613,10 @@ def append(
     manifest link under contention — appends never conflict
     semantically, so the retry needs no re-validation."""
     _resolve_version(path, None)  # clear error on a non-table path
+    # type enforcement BEFORE staging: a conflicting append should
+    # not even write bytes (the commit-time check below is the
+    # backstop for every other path)
+    _union_schema_extra(path, committed_versions(path)[-1], df)
     adds = _add_actions(
         _stage_data(_cluster(df, cluster_by, cluster_files), path)
     )

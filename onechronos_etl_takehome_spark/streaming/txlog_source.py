@@ -64,8 +64,32 @@ class TxlogStreamReader(DataSourceStreamReader):
         )
         # startingVersion: first EXCLUDED version (-1 = full history);
         # default -1 so a fresh query replays the table from creation,
-        # matching Delta's startingVersion=0 semantics
-        self.starting_version = int(options.get("startingversion", -1))
+        # matching Delta's startingVersion=0 semantics.
+        # startingTimestamp (Delta's option): deliver commits whose
+        # manifest ts is AT OR AFTER it — resolved once here to the
+        # version just below the first qualifying commit. A timestamp
+        # past the newest commit starts at the log head (only NEW
+        # commits flow), where Delta would error — tailing an idle
+        # table from "now" is the common intent.
+        if "startingversion" in options and "startingtimestamp" in options:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if "startingtimestamp" in options:
+            t = txlog._as_epoch(options["startingtimestamp"])
+            versions = txlog.committed_versions(self.path)
+            if not versions:
+                raise ValueError(
+                    f"not a txlog table (no commits): {self.path}"
+                )
+            at_or_after = [
+                v for v in versions if txlog._manifest_ts(self.path, v) >= t
+            ]
+            self.starting_version = (
+                at_or_after[0] - 1 if at_or_after else versions[-1]
+            )
+        else:
+            self.starting_version = int(options.get("startingversion", -1))
         # maxFilesPerTrigger (Delta's option, same name): bound each
         # microbatch to ~N ADDED FILES so a catch-up read of a long
         # history drains as a sequence of bounded batches instead of

@@ -1390,3 +1390,170 @@ class TestArrowConstraintEvaluator:
             q.processAllAvailable()
         q.stop()
         assert txlog.table_count(table) == 5  # nothing landed
+
+
+class TestTypeEnforcement:
+    """Round 9: a same-name-different-type write used to COMMIT and
+    poison the table (every later mergeSchema read died on
+    CANNOT_MERGE_SCHEMAS). Now every data-adding path raises at write
+    time and the table stays readable."""
+
+    def test_append_conflict_raises_before_staging(self, spark, table):
+        txlog.create_table(
+            spark.range(5).withColumn("v", F.col("id").cast("double")),
+            table,
+        )
+        files_before = {
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        }
+        with pytest.raises(ValueError, match="schema enforcement"):
+            txlog.append(
+                spark.range(5, 9).withColumn("v", F.lit("oops")), table
+            )
+        # raised BEFORE staging: zero new bytes, one commit, readable
+        assert {
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        } == files_before
+        assert txlog.committed_versions(table) == [0]
+        assert txlog.read_table(spark, table).count() == 5
+        # null-fill evolution (NEW column) still welcome
+        txlog.append(
+            spark.range(5, 9)
+            .withColumn("v", F.lit(1.0))
+            .withColumn("w", F.lit("x")),
+            table,
+        )
+        assert txlog.read_table(spark, table).columns == ["id", "v", "w"]
+
+    def test_format_writer_conflict_raises(self, spark, table):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        txlog.create_table(
+            spark.range(5).withColumn("v", F.col("id").cast("double")),
+            table,
+        )
+        with pytest.raises(Exception, match="schema enforcement"):
+            (
+                spark.range(5, 9)
+                .withColumn("v", F.lit("oops"))
+                .write.format("txlog")
+                .option("path", table)
+                .mode("append")
+                .save()
+            )
+        assert txlog.committed_versions(table) == [0]
+        assert txlog.read_table(spark, table).count() == 5
+
+    def test_merge_conflict_raises(self, spark, table):
+        txlog.create_table(
+            spark.range(5).withColumn("v", F.col("id").cast("double")),
+            table,
+        )
+        with pytest.raises(ValueError, match="schema enforcement"):
+            txlog.merge_upsert(
+                spark,
+                table,
+                spark.range(0, 2).withColumn("v", F.lit("oops")),
+                ["id"],
+            )
+        assert txlog.read_table(spark, table).count() == 5
+
+
+class TestStartingTimestamp:
+    """startingTimestamp on the stream source (Delta's option):
+    deliver commits stamped at-or-after the timestamp."""
+
+    def _mk(self, spark, table):
+        txlog.create_table(spark.range(0, 10).repartition(1), table)
+        time.sleep(0.05)
+        mid = time.time()
+        time.sleep(0.05)
+        txlog.append(spark.range(10, 20).repartition(1), table)
+        txlog.append(spark.range(20, 30).repartition(1), table)
+        return mid
+
+    def _drain(self, spark, table, out, ck, **opts):
+        reader = spark.readStream.format("txlog").option("path", table)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return spark.read.parquet(out)
+
+    def test_mid_history_timestamp(self, spark, table, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        mid = self._mk(spark, table)
+        got = self._drain(
+            spark,
+            table,
+            str(tmp_path / "o"),
+            str(tmp_path / "c"),
+            startingTimestamp=mid,
+        )
+        # only versions 1 and 2 (stamped after mid) flow
+        assert sorted(r.id for r in got.collect()) == list(range(10, 30))
+
+    def test_past_head_timestamp_tails_only_new(
+        self, spark, table, tmp_path
+    ):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        self._mk(spark, table)
+        future = time.time() + 3600
+        reader = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("startingTimestamp", future)
+        )
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "o"))
+            .option("checkpointLocation", str(tmp_path / "c"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        import glob
+
+        part = glob.glob(str(tmp_path / "o" / "*.parquet"))
+        n = spark.read.parquet(str(tmp_path / "o")).count() if part else 0
+        assert n == 0  # history excluded; only future commits flow
+
+    def test_both_options_rejected(self, spark, table, tmp_path):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            TxlogStreamSource,
+        )
+
+        spark.dataSource.register(TxlogStreamSource)
+        self._mk(spark, table)
+        with pytest.raises(Exception, match="not both"):
+            (
+                spark.readStream.format("txlog")
+                .option("path", table)
+                .option("startingVersion", 0)
+                .option("startingTimestamp", time.time())
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / "c"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination(60)
+            )
