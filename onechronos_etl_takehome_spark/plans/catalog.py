@@ -163,9 +163,14 @@ DRIVER_WINDOW: list[str] = [
 # s06 stays gate-oracled at two SFs and benched. Remaining rotation
 # candidates for round 10: x44 (format-reader filter pushdown with
 # the poisoned-pruned-file raise contract — the sharpest skipping
-# proof in the repo), x39 (null-count skipping), x41 (streaming
-# source drain), x43 (metadata-only COUNT) — all gate-oracled at
-# two SFs.
+# proof in the repo), x47 (CHECK constraints: declare-validate-
+# enforce with hash-proof no-commit-on-violation), x46 (DESCRIBE
+# HISTORY op/metrics audit), x39 (null-count skipping), x41
+# (streaming source drain), x43 (metadata-only COUNT) — all
+# gate-oracled at two SFs; x44 and x47 are the natural next two
+# (each witnesses a contract no in-window row covers: query-derived
+# pruning through the registered format, and write-time invariant
+# enforcement).
 # Round-8 rotation forecast: the txlog family gained three more
 # oracled witnesses this round — x39 (null-count skipping), x40
 # (incremental CDF consumer), x41 (streaming source, value-exact

@@ -534,7 +534,15 @@ def _union_schema_extra(path: str, base_version: int, df) -> dict:
     for name in prev.fieldNames():
         new_by_name.pop(name, None)
     fields.extend(new_by_name.values())
-    return {"schema": StructType(fields).json()}
+    out = {"schema": StructType(fields).json()}
+    # carry the CHECK-constraint set forward (possibly {}) so the
+    # newest manifest always answers table_constraints in O(1) —
+    # without the carry, constraint-free tables re-scan the whole log
+    # on every write's enforcement lookup (O(commits) metadata reads)
+    from .constraints import table_constraints
+
+    out["constraints"] = table_constraints(path, version=base_version)
+    return out
 
 
 def _latest_schema(path: str, version: int):

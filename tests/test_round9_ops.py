@@ -1557,3 +1557,39 @@ class TestStartingTimestamp:
                 .start()
                 .awaitTermination(60)
             )
+
+
+class TestConstraintCarryForward:
+    """Every schema-stamping commit carries the constraint set
+    forward (possibly {}), so table_constraints answers from the
+    NEWEST manifest in O(1) instead of scanning the log."""
+
+    def test_newest_manifest_always_carries_constraints(
+        self, spark, table
+    ):
+        import json
+
+        def newest_manifest():
+            v = txlog.committed_versions(table)[-1]
+            with open(
+                os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")
+            ) as f:
+                return json.load(f)
+
+        txlog.create_table(
+            spark.range(5).withColumn("p", F.lit(1.0)), table
+        )
+        txlog.append(spark.range(5, 9).withColumn("p", F.lit(1.0)), table)
+        assert newest_manifest()["constraints"] == {}
+        C2.add_constraint(spark, table, "pos", "p > 0")
+        txlog.append(spark.range(9, 12).withColumn("p", F.lit(2.0)), table)
+        assert newest_manifest()["constraints"] == {"pos": "p > 0"}
+        assert C2.table_constraints(table) == {"pos": "p > 0"}
+        C2.drop_constraint(spark, table, "pos")
+        txlog.append(
+            spark.range(12, 14).withColumn("p", F.lit(-1.0)), table
+        )  # gate re-opened
+        assert newest_manifest()["constraints"] == {}
+        assert C2.table_constraints(table) == {}
+        # time travel still answers historical sets
+        assert C2.table_constraints(table, version=3) == {"pos": "p > 0"}
