@@ -6,7 +6,7 @@ from .upsert import read_keyed_table, upsert, vacuum
 # the ACID table format keeps its module namespace: its vacuum/compact
 # would shadow the versioned-table functions above, and callers read
 # better as txlog.create_table / txlog.merge_upsert / txlog.change_feed
-from . import txlog
+from . import constraints, txlog
 
 __all__ = [
     "TABLE_NAMES",
@@ -26,4 +26,5 @@ __all__ = [
     "upsert",
     "vacuum",
     "txlog",
+    "constraints",
 ]
