@@ -60,13 +60,11 @@ def table_constraints(
     return {}
 
 
-def _violation_filter(constraints: dict[str, str]):
-    """Column that is TRUE exactly for rows violating ANY constraint
-    (CHECK semantics: FALSE violates, NULL passes)."""
-    cond = F.lit(False)
-    for expr in constraints.values():
-        cond = cond | ~F.coalesce(F.expr(expr), F.lit(True))
-    return cond
+def _violates(expr: str):
+    """Column TRUE exactly for rows violating CHECK ``expr`` (CHECK
+    semantics: FALSE violates, NULL passes) — the single encoding of
+    the violation predicate shared by every Spark-side counter."""
+    return ~F.coalesce(F.expr(expr), F.lit(True))
 
 
 def count_violations(df: DataFrame, constraints: dict[str, str]) -> dict:
@@ -75,9 +73,7 @@ def count_violations(df: DataFrame, constraints: dict[str, str]) -> dict:
     if not constraints:
         return {}
     aggs = [
-        F.count(
-            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1)
-        ).alias(name)
+        F.count(F.when(_violates(expr), 1)).alias(name)
         for name, expr in constraints.items()
     ]
     row = df.agg(*aggs).collect()[0]

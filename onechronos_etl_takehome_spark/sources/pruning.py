@@ -374,8 +374,14 @@ class _Parser:
             v = self.literal()
             if v is None:
                 return Leaf("isnull", col)
-            # col <=> v is TRUE exactly where col = v (v non-null)
-            return Leaf("=", col, v)
+            # col <=> v (v non-null) is TRUE exactly where col = v AND
+            # col IS NOT NULL. The explicit isnotnull conjunct matters
+            # for NEGATION: NOT (col <=> v) is TRUE for NULL rows, and
+            # negate() of this form yields OrN(!=, isnull) which
+            # correctly keeps null-bearing files — a bare Leaf('=')
+            # would negate to '!=' and wrongly prune them (round-10
+            # advice, high severity).
+            return AndN((Leaf("=", col, v), Leaf("isnotnull", col)))
         raise _PredicateSyntax(f"unsupported predicate at {self.peek()}")
 
     def _skip_unknown(self):
@@ -514,6 +520,27 @@ def _walk_catalyst(e):
         if v is None or v is Ellipsis:
             return UNKNOWN
         return Leaf(_FN_CMP[name], col, v)
+    if name in ("<=>", "equalnullsafe"):
+        if len(kids) != 2:
+            return UNKNOWN
+        a, b = kids
+        if (
+            isinstance(a, tuple) and a[0] == "lit"
+            and isinstance(b, tuple) and b[0] == "col"
+        ):
+            a, b = b, a
+        if not (
+            isinstance(a, tuple) and a[0] == "col"
+            and isinstance(b, tuple) and b[0] == "lit"
+        ):
+            return UNKNOWN
+        col, v = a[1], b[1]
+        if v is Ellipsis:
+            return UNKNOWN
+        if v is None:
+            return Leaf("isnull", col)
+        # same lowering as the SQL front-end: keeps negation exact
+        return AndN((Leaf("=", col, v), Leaf("isnotnull", col)))
     if name == "in":
         head, *vals = kids
         if not (isinstance(head, tuple) and head[0] == "col"):

@@ -619,7 +619,8 @@ def append(
 ) -> int:
     """Append-only commit: stages data once, then retries the (cheap)
     manifest link under contention — appends never conflict
-    semantically, so the retry needs no re-validation."""
+    semantically; the retry re-validates CHECK constraints only when
+    a concurrent add_constraint changed the active set."""
     _resolve_version(path, None)  # clear error on a non-table path
     # type enforcement BEFORE staging: a conflicting append should
     # not even write bytes (the commit-time check below is the
@@ -633,10 +634,9 @@ def append(
     # commit below never happens. Lazy import (constraints imports us).
     from .constraints import table_constraints, validate_staged
 
-    validate_staged(
-        df.sparkSession, path, [a["add"] for a in adds],
-        table_constraints(path),
-    )
+    staged = [a["add"] for a in adds]
+    validated_against = table_constraints(path)
+    validate_staged(df.sparkSession, path, staged, validated_against)
     metrics = {
         "op": "append",
         "files_added": len(adds),
@@ -644,6 +644,14 @@ def append(
     }
     for _ in range(max_retries):
         version = committed_versions(path)[-1] + 1
+        # a concurrent add_constraint may have won the version race
+        # since the pre-loop validation; re-validate against the set
+        # active at the NEW base so the committed data is never
+        # stale-validated (round-10 advice). No-op when unchanged.
+        current = table_constraints(path, version=version - 1)
+        if current != validated_against:
+            validate_staged(df.sparkSession, path, staged, current)
+            validated_against = current
         extra = _union_schema_extra(path, version - 1, df)
         extra["metrics"] = metrics
         try:

@@ -293,7 +293,13 @@ def _filter_to_node(f):
     if isinstance(f, EqualNullSafe):
         if f.value is None:
             return P.Leaf("isnull", col)
-        return P.Leaf("=", col, norm(f.value))
+        # the isnotnull conjunct keeps Not(EqualNullSafe) exact: NULL
+        # rows satisfy it, and negate() of this form yields
+        # OrN(!=, isnull) which may-matches null-bearing files — a
+        # bare '=' would negate to '!=' and wrongly prune them
+        return P.AndN(
+            (P.Leaf("=", col, norm(f.value)), P.Leaf("isnotnull", col))
+        )
     if isinstance(f, In):
         return P.OrN(
             tuple(

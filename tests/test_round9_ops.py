@@ -732,12 +732,14 @@ class TestFormatFilterPushdown:
         assert _filter_to_node(Not(GreaterThan(("a",), 5))) == P.Leaf(
             "<=", "a", 5
         )
-        # EqualNullSafe: <=> NULL means IS NULL; <=> v means = v
+        # EqualNullSafe: <=> NULL means IS NULL; <=> v carries the
+        # isnotnull conjunct so Not() keeps null-bearing files
+        # (round-10 advice fix; negation pinned in test_round10_ops)
         assert _filter_to_node(EqualNullSafe(("a",), None)) == P.Leaf(
             "isnull", "a"
         )
-        assert _filter_to_node(EqualNullSafe(("a",), 3)) == P.Leaf(
-            "=", "a", 3
+        assert _filter_to_node(EqualNullSafe(("a",), 3)) == P.AndN(
+            (P.Leaf("=", "a", 3), P.Leaf("isnotnull", "a"))
         )
         # IN → OR of equalities; NULL members vanish (never TRUE);
         # all-NULL IN list prunes everything (OrN of nothing)
