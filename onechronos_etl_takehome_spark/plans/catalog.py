@@ -89,7 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "t22_corpus_mixing",
     "x31_column_stats",
     "t08_salient_terms",
-    "x36_txlog_data_skipping",  # manifest-stats file pruning (ACID table)
+    "x44_txlog_filter_pushdown",  # format-reader pruning (poisoned-file proof)
     "t10_pii_redaction",
     # Similarity search, multimodal, event-time windows, sketches.
     # x03 (oracled heavy hitters) witnesses sketches instead of the
@@ -134,8 +134,30 @@ DRIVER_WINDOW: list[str] = [
     "x25_distribution_drift",  # windowed histogram drift (TVD)
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
     "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
-    "x37_txlog_change_feed",  # row-level CDF from the commit log
+    "x47_txlog_check_constraints",  # write-time CHECK invariant enforcement
 ]
+# Round 10: x44 and x47 rotate in, exactly as the round-9 verdict's
+# item 1 (and this file's own round-9 forecast) named them.
+# - x44_txlog_filter_pushdown: query-derived file skipping through
+#   the REGISTERED format (`spark.read.format("txlog").filter(...)`)
+#   with the poisoned-pruned-file contract — the full scan RAISES on
+#   the corrupted file while the filtered read succeeds, the only
+#   structural proof in the repo that pruning really elides I/O.
+#   Displaced: x36_txlog_data_skipping — x44 drives the SAME
+#   manifest-stats compiler (sources/pruning.py) x36's read_table
+#   path uses, and the gate pins format-reader file sets ==
+#   pruned_files()'s (tests/test_round9_ops.py), so x36's
+#   predicate-compiled skipping is nested in x44's strictly stronger
+#   witness; x36 stays gate-oracled at two SFs and benched.
+# - x47_txlog_check_constraints: declare → validate-existing →
+#   enforce-on-write with the hash-proof that a violating write
+#   commits NOTHING — the write-integrity contract every ingest
+#   pipeline depends on, witnessed nowhere else in-window.
+#   Displaced: x37_txlog_change_feed — x40_txlog_incremental_consumer
+#   (in-window since round 9) CONSUMES the change feed as stage one
+#   of its v0+feed==latest multiset-exact composition, so the CDF
+#   capability keeps strictly-stronger in-window evidence; x37 stays
+#   gate-oracled at two SFs and benched.
 # Round 9: x40 (incremental CDF consumer) rotates in, exactly as the
 # round-8 forecast named it — the incremental==rebuild contract
 # (v0 snapshot + change feed == latest snapshot, multiset-exact) that
