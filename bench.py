@@ -220,6 +220,10 @@ HEADLINE = [
     # x47: CHECK constraints (declare-validate-enforce on every
     # data-adding commit path; violating writes commit nothing)
     "x47_txlog_check_constraints",
+    # x48: streaming change data feed (create+append+CoW-delete+merge,
+    # then an availableNow drain of readChangeFeed — stream start/stop
+    # and the per-commit multiset diffs are IN the measured wall)
+    "x48_txlog_cdf_stream",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -57,6 +57,7 @@ from . import llm_ops7  # noqa: E402,F401
 from . import llm_ops8  # noqa: E402,F401
 from . import llm_ops9  # noqa: E402,F401
 from . import llm_ops10  # noqa: E402,F401
+from . import llm_ops11  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50
@@ -158,6 +159,13 @@ DRIVER_WINDOW: list[str] = [
 #   of its v0+feed==latest multiset-exact composition, so the CDF
 #   capability keeps strictly-stronger in-window evidence; x37 stays
 #   gate-oracled at two SFs and benched.
+# Remaining rotation candidates for round 11: x48 (streaming change
+# data feed — readChangeFeed through the registered format, the
+# continuous form of x40's batch consumer; lands this round
+# gate-oracled at two SFs + benched), x46 (DESCRIBE HISTORY), x43
+# (metadata-only COUNT), x39 (null-count skipping), x41 (append-only
+# stream drain). x48 is the natural next one: it witnesses the only
+# txlog surface (DML-as-stream) no in-window row covers.
 # Round 9: x40 (incremental CDF consumer) rotates in, exactly as the
 # round-8 forecast named it — the incremental==rebuild contract
 # (v0 snapshot + change feed == latest snapshot, multiset-exact) that

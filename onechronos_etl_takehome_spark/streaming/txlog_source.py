@@ -21,8 +21,19 @@ Delta tables are read as streams:
   (delete/merge/compaction) is not expressible as an append stream;
   ``partitions()`` raises by default, or skips such commits entirely
   with ``option("skipChangeCommits", "true")`` — the same lever and
-  name Delta uses. Row-level change consumption is the batch
-  ``change_feed`` / x40 path.
+  name Delta uses.
+- **Change data feed (round 10).** ``option("readChangeFeed",
+  "true")`` — Delta's option, same name — makes every commit
+  consumable as ``(_version, _change ∈ {'insert','delete'}, *table
+  columns)`` rows, the continuous form of batch ``txlog.change_feed``:
+  append-only commits stream as tagged file scans (one partition per
+  file, zero diff work); data-changing commits compute the per-commit
+  MULTISET diff in one partition bounded by the files that commit
+  touched, so copy-on-write carry-over rows cancel and an OPTIMIZE
+  rewrite is CDF-invisible. Works on the batch reader too
+  (``startingVersion``/``endingVersion``). The gate pins streamed
+  drain == batch change_feed over a create/append/delete/merge
+  lifecycle plus a restart that must not re-deliver (x48).
 - **Schema from the log.** The manifest ``schema`` field (written by
   every create/append since round 8) is the source schema; files are
   column-aligned to it with null padding, so schema-evolved histories
@@ -62,6 +73,21 @@ class TxlogStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        # readChangeFeed (Delta's option, same name): emit every
+        # commit's row-level changes as (_version, _change, *cols)
+        # rows instead of the append-only table stream — the
+        # continuous form of batch txlog.change_feed, so DML commits
+        # (delete/merge/compaction) are CONSUMABLE rather than
+        # raise-or-skip (round-9 verdict item 2).
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed and self.skip_change_commits:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are mutually "
+                "exclusive: the change feed EXPRESSES data-changing "
+                "commits, skipChangeCommits drops them"
+            )
         # startingVersion: first EXCLUDED version (-1 = full history);
         # default -1 so a fresh query replays the table from creation,
         # matching Delta's startingVersion=0 semantics.
@@ -120,6 +146,13 @@ class TxlogStreamReader(DataSourceStreamReader):
         # limit safe across restarts (pinned in test_round9_ops).
         self._cursor: int | None = None
         self.schema_json = schema.json()
+        # file alignment needs the TABLE schema; in CDF mode the
+        # declared schema additionally carries the two meta columns
+        self.table_schema_json = (
+            _strip_cdf_meta(self.schema_json)
+            if self.read_change_feed
+            else self.schema_json
+        )
 
     def initialOffset(self) -> dict:
         self._cursor = self.starting_version
@@ -174,6 +207,14 @@ class TxlogStreamReader(DataSourceStreamReader):
             if self._cursor is None
             else max(self._cursor, end["version"])
         )
+        if self.read_change_feed:
+            out = _cdf_partitions(
+                self.path,
+                start["version"],
+                end["version"],
+                self.table_schema_json,
+            )
+            return out or [_FilePartition(self.path, "", self.schema_json)]
         out = []
         for v in txlog.committed_versions(self.path):
             if v <= start["version"] or v > end["version"]:
@@ -190,6 +231,8 @@ class TxlogStreamReader(DataSourceStreamReader):
                     f"txlog stream source found a data-changing commit "
                     f"(version {v} removes {len(removes)} files); an "
                     f"append stream cannot express deletes — pass "
+                    f'option("readChangeFeed", "true") to consume '
+                    f"row-level changes, "
                     f'option("skipChangeCommits", "true") to skip such '
                     f"commits, or consume txlog.change_feed in batch"
                 )
@@ -201,38 +244,259 @@ class TxlogStreamReader(DataSourceStreamReader):
         # an empty batch is legal (e.g. every commit in range skipped)
         return out or [_FilePartition(self.path, "", self.schema_json)]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, (_CdfFilePartition, _CdfDiffPartition)):
+            return _read_cdf_partition(partition)
         return _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; the log is immutable
 
 
-def _read_file_partition(partition: "_FilePartition"):
-    """Executor-side file read shared by the batch and stream readers:
-    pyarrow parquet → column-aligned, null-padded Arrow batches."""
+def _arrow_schema(schema_json: str):
+    """Spark StructType JSON → all-nullable Arrow schema."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
-    target = to_arrow_schema(
-        StructType.fromJson(json.loads(partition.schema_json))
-    )
-    target = pa.schema(
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    return pa.schema(
         [pa.field(f.name, f.type, nullable=True) for f in target]
     )
+
+
+def _aligned_table(path: str, fnames: list[str], target):
+    """Concatenated pyarrow read of ``fnames`` aligned to ``target``:
+    columns cast to the target type, schema-evolved gaps null-padded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tables = []
+    for fname in fnames:
+        tbl = pq.read_table(os.path.join(path, fname))
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl[field.name].cast(field.type))
+            else:  # schema-evolved history: older file lacks the column
+                cols.append(pa.nulls(len(tbl), type=field.type))
+        tables.append(pa.table(cols, schema=target))
+    if not tables:
+        return pa.table(
+            {f.name: pa.nulls(0, type=f.type) for f in target},
+            schema=target,
+        )
+    return pa.concat_tables(tables)
+
+
+def _read_file_partition(partition: "_FilePartition"):
+    """Executor-side file read shared by the batch and stream readers:
+    pyarrow parquet → column-aligned, null-padded Arrow batches."""
     if not partition.fname:  # empty-snapshot sentinel
         return iter(())
-    tbl = pq.read_table(os.path.join(partition.path, partition.fname))
+    target = _arrow_schema(partition.schema_json)
+    return iter(
+        _aligned_table(partition.path, [partition.fname], target)
+        .to_batches()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed through the format: option("readChangeFeed", "true")
+# (Delta's option, same name) — every commit's row-level changes as
+# (_version, _change, *table columns) rows, batch and streaming.
+# ---------------------------------------------------------------------------
+
+
+class _CdfFilePartition(InputPartition):
+    """One data file of a SINGLE-SIDED commit (pure adds or pure
+    removes): every row of the file is one change of ``change`` kind,
+    so the partition is an ordinary tagged file scan — append-only
+    history streams CDF with zero diff work."""
+
+    def __init__(
+        self,
+        path: str,
+        fname: str,
+        table_schema_json: str,
+        version: int,
+        change: str,
+    ):
+        self.path = path
+        self.fname = fname
+        self.table_schema_json = table_schema_json
+        self.version = version
+        self.change = change
+
+
+class _CdfDiffPartition(InputPartition):
+    """A commit that both ADDS and REMOVES files (copy-on-write
+    delete / merge / compaction): its row-level changes are the
+    per-commit MULTISET diff — inserts = rows(added) ∖ rows(removed),
+    deletes = rows(removed) ∖ rows(added) — so carried-over rows
+    cancel exactly and an OPTIMIZE rewrite is CDF-invisible, matching
+    batch ``txlog.change_feed``. One partition per such commit: the
+    diff needs both sides complete, and each side is bounded by the
+    files THAT COMMIT touched (never the table), which is the same
+    read amplification Delta pays for CDF without change files."""
+
+    def __init__(
+        self,
+        path: str,
+        adds: list[str],
+        removes: list[str],
+        table_schema_json: str,
+        version: int,
+    ):
+        self.path = path
+        self.adds = adds
+        self.removes = removes
+        self.table_schema_json = table_schema_json
+        self.version = version
+
+
+def _cdf_partitions(
+    path: str, start_version: int, end_version: int, table_schema_json: str
+) -> list:
+    """Plan the CDF partitions for commits in (start, end] — pure
+    manifest metadata, no data file opened."""
+    out: list = []
+    for v in txlog.committed_versions(path):
+        if v <= start_version or v > end_version:
+            continue
+        with open(
+            os.path.join(path, txlog._LOG_DIR, f"{v:08d}.json")
+        ) as f:
+            manifest = json.load(f)
+        adds = [a["add"] for a in manifest["actions"] if "add" in a]
+        removes = [a["remove"] for a in manifest["actions"] if "remove" in a]
+        if adds and removes:
+            out.append(
+                _CdfDiffPartition(path, adds, removes, table_schema_json, v)
+            )
+        else:
+            out.extend(
+                _CdfFilePartition(path, f, table_schema_json, v, "insert")
+                for f in adds
+            )
+            out.extend(
+                _CdfFilePartition(path, f, table_schema_json, v, "delete")
+                for f in removes
+            )
+    return out
+
+
+class _NanKey:
+    """Multiset-diff key for float NaN: Spark's set operations treat
+    NaN as equal to NaN (normalized), python's ``==`` does not."""
+
+    __slots__ = ()
+
+
+_NAN = _NanKey()
+
+
+def _multiset_diff(a_tbl, r_tbl):
+    """(inserts, deletes) Counters of row tuples — the per-commit
+    multiset difference. Rows are keyed by their full value tuple
+    (flat txlog columns: numbers, strings, dates, decimals, binary),
+    NaN normalized to compare equal as Spark's exceptAll does."""
+    from collections import Counter
+
+    def key(v):
+        if isinstance(v, float) and v != v:
+            return _NAN
+        return v
+
+    def rows(tbl):
+        if tbl.num_rows == 0:
+            return []
+        cols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        return [tuple(key(v) for v in vals) for vals in zip(*cols)]
+
+    ca, cr = Counter(rows(a_tbl)), Counter(rows(r_tbl))
+    return ca - cr, cr - ca
+
+
+def _counter_to_table(counter, target):
+    """Row-tuple Counter → Arrow table in the target (table) schema,
+    NaN keys restored. Deterministic row order (sorted by repr) so a
+    replayed partition yields byte-identical batches."""
+    import pyarrow as pa
+
+    rows: list[tuple] = []
+    for row, n in sorted(counter.items(), key=repr):
+        rows.extend([row] * n)
     cols = []
-    for field in target:
-        if field.name in tbl.column_names:
-            cols.append(tbl[field.name].cast(field.type))
-        else:  # schema-evolved history: older file lacks the column
-            cols.append(pa.nulls(len(tbl), type=field.type))
-    return iter(pa.table(cols, schema=target).to_batches())
+    for i, field in enumerate(target):
+        cols.append(
+            pa.array(
+                [
+                    float("nan") if isinstance(r[i], _NanKey) else r[i]
+                    for r in rows
+                ],
+                type=field.type,
+            )
+        )
+    return pa.table(cols, schema=target)
+
+
+def _emit_changes(tbl, version: int, change: str, full_schema):
+    """Prepend the (_version, _change) meta columns and batch up."""
+    import pyarrow as pa
+
+    n = len(tbl)
+    cols = [
+        pa.array([version] * n, type=pa.int64()),
+        pa.array([change] * n, type=pa.string()),
+    ] + [tbl.column(i) for i in range(tbl.num_columns)]
+    return pa.table(cols, schema=full_schema).to_batches()
+
+
+def _read_cdf_partition(partition):
+    """Executor-side CDF read: tagged scan for single-sided commits,
+    in-memory multiset diff for data-changing ones."""
+    import pyarrow as pa
+
+    target = _arrow_schema(partition.table_schema_json)
+    full = pa.schema(
+        [
+            pa.field("_version", pa.int64(), nullable=True),
+            pa.field("_change", pa.string(), nullable=True),
+        ]
+        + list(target)
+    )
+    if isinstance(partition, _CdfFilePartition):
+        tbl = _aligned_table(partition.path, [partition.fname], target)
+        return iter(
+            _emit_changes(tbl, partition.version, partition.change, full)
+        )
+    a = _aligned_table(partition.path, partition.adds, target)
+    r = _aligned_table(partition.path, partition.removes, target)
+    ins, dele = _multiset_diff(a, r)
+    batches = _emit_changes(
+        _counter_to_table(ins, target), partition.version, "insert", full
+    ) + _emit_changes(
+        _counter_to_table(dele, target), partition.version, "delete", full
+    )
+    return iter(batches)
+
+
+def _strip_cdf_meta(schema_json: str) -> str:
+    """Full CDF schema JSON → table-only schema JSON (drop the two
+    meta columns) for file alignment."""
+    full = json.loads(schema_json)
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                f
+                for f in full["fields"]
+                if f["name"] not in ("_version", "_change")
+            ],
+        }
+    )
 
 
 def _filter_to_node(f):
@@ -338,13 +602,36 @@ class TxlogBatchReader(DataSourceReader):
     def __init__(self, schema, options: dict):
         options = {k.lower(): v for k, v in options.items()}
         self.path = options["path"]
-        self.version = _resolve_option_version(self.path, options)
         self.schema_json = schema.json()
         self._prune = None
+        # batch CDF read (Delta's shape): readChangeFeed=true with
+        # startingVersion (exclusive, default -1 = whole history) /
+        # endingVersion (inclusive, default latest)
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed:
+            if "version" in options or "timestampasof" in options:
+                raise ValueError(
+                    "readChangeFeed uses startingVersion/endingVersion, "
+                    "not version/timestampAsOf"
+                )
+            self.version = None
+            self.starting_version = int(options.get("startingversion", -1))
+            ev = options.get("endingversion")
+            self.ending_version = int(ev) if ev is not None else None
+            self.table_schema_json = _strip_cdf_meta(self.schema_json)
+        else:
+            self.version = _resolve_option_version(self.path, options)
 
     def pushFilters(self, filters):
         from ..sources import pruning as P
 
+        if self.read_change_feed:
+            # no file pruning on the feed: a diff commit needs BOTH
+            # sides complete, and the meta columns carry no stats —
+            # Spark applies every filter row-side
+            return filters
         nodes = [
             n for n in (_filter_to_node(f) for f in filters) if n is not None
         ]
@@ -354,6 +641,16 @@ class TxlogBatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
+        if self.read_change_feed:
+            end = self.ending_version
+            if end is None:
+                end = txlog.committed_versions(self.path)[-1]
+            parts = _cdf_partitions(
+                self.path, self.starting_version, end, self.table_schema_json
+            )
+            return parts or [
+                _FilePartition(self.path, "", self.schema_json)
+            ]
         if self._prune is not None:
             from ..sources.pruning import may_match
 
@@ -369,7 +666,9 @@ class TxlogBatchReader(DataSourceReader):
             _FilePartition(self.path, f, self.schema_json) for f in live
         ]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition):
+        if isinstance(partition, (_CdfFilePartition, _CdfDiffPartition)):
+            return _read_cdf_partition(partition)
         return _read_file_partition(partition)
 
 
@@ -408,23 +707,40 @@ class TxlogStreamSource(DataSource):
         versions = txlog.committed_versions(path)
         if not versions:
             raise ValueError(f"not a txlog table (no commits): {path}")
+        cdf = str(opts.get("readchangefeed", "false")).lower() == "true"
         # a time-travel batch read reports the schema AS OF that
-        # version — columns added later must not appear
-        at = _resolve_option_version(path, opts)
-        at = at if at is not None else versions[-1]
+        # version — columns added later must not appear. A CDF read
+        # aligns to the schema at endingVersion (default latest).
+        if cdf:
+            ev = opts.get("endingversion")
+            at = int(ev) if ev is not None else versions[-1]
+        else:
+            at = _resolve_option_version(path, opts)
+            at = at if at is not None else versions[-1]
         schema = txlog._latest_schema(path, at)
         if schema is None:
             raise ValueError(
                 f"txlog table at {path} predates manifest schemas "
                 "(round 8); rewrite it or append once to record one"
             )
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
         # every column is nullable on the stream: schema-evolved
         # history null-fills columns that older files lack
-        return StructType(
-            [StructField(f.name, f.dataType, True) for f in schema.fields]
-        )
+        fields = [
+            StructField(f.name, f.dataType, True) for f in schema.fields
+        ]
+        if cdf:
+            fields = [
+                StructField("_version", LongType(), True),
+                StructField("_change", StringType(), True),
+            ] + fields
+        return StructType(fields)
 
     def reader(self, schema) -> TxlogBatchReader:
         return TxlogBatchReader(schema, self.options)

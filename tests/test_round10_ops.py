@@ -1,7 +1,8 @@
 """Round-10 operators and fixes: null-safe-equality pruning exactness
 (round-10 advice, high), constraint re-validation under commit races,
-LIKE-prefix pruning, protocol versioning, column mapping, the change
-data feed stream, and SQL over registered txlog tables."""
+the change-data-feed stream (readChangeFeed), LIKE-prefix pruning,
+protocol versioning, column mapping, and SQL over registered txlog
+tables."""
 
 from __future__ import annotations
 
@@ -20,6 +21,14 @@ from onechronos_etl_takehome_spark.sources import txlog
 @pytest.fixture()
 def table(tmp_path):
     return str(tmp_path / "tbl")
+
+
+def _register_source(spark):
+    from onechronos_etl_takehome_spark.streaming.txlog_source import (
+        TxlogStreamSource,
+    )
+
+    spark.dataSource.register(TxlogStreamSource)
 
 
 # ---------------------------------------------------------------------------
@@ -183,3 +192,201 @@ class TestAppendConstraintRace:
             )
         ]
         assert ops == ["create", "add-constraint", "append"]
+
+
+# ---------------------------------------------------------------------------
+# readChangeFeed: DML commits consumable as a STREAM (round-9 verdict
+# item 2) and as a batch format read
+# ---------------------------------------------------------------------------
+
+
+class TestChangeDataFeedStream:
+    def _lifecycle(self, spark, table):
+        """create / append / CoW delete / merge — one commit each."""
+        txlog.create_table(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            table,
+        )
+        txlog.append(
+            spark.range(10, 15).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            table,
+        )
+        txlog.delete_where(spark, table, F.col("k") % 3 == 0)
+        txlog.merge_upsert(
+            spark,
+            table,
+            spark.createDataFrame([(1, 999), (100, 1000)], "k long, v long"),
+            ["k"],
+        )
+
+    def _drain(self, spark, table, out, ck, available_now=True, **opts):
+        reader = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        w = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+        )
+        if available_now:
+            q = w.trigger(availableNow=True).start()
+            assert q.awaitTermination(300), "CDF drain timed out"
+        else:
+            q = w.start()
+            q.processAllAvailable()
+            q.stop()
+        return q
+
+    def test_streamed_feed_matches_batch_change_feed(
+        self, spark, table, tmp_path
+    ):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, table, out, ck)
+        streamed = spark.read.parquet(out)
+        # full-history stream == v0 rows as inserts + batch feed (0, 3]
+        batch = txlog.change_feed(spark, table, from_version=0)
+        tail = streamed.filter(F.col("_version") > 0)
+        assert tail.exceptAll(batch).count() == 0
+        assert batch.exceptAll(tail).count() == 0
+        v0 = streamed.filter(F.col("_version") == 0)
+        assert v0.filter(F.col("_change") != "insert").count() == 0
+        base = txlog.read_table(spark, table, version=0).select("k", "v")
+        assert v0.select("k", "v").exceptAll(base).count() == 0
+        assert base.exceptAll(v0.select("k", "v")).count() == 0
+
+    def test_restart_delivers_nothing_then_only_new_commits(
+        self, spark, table, tmp_path
+    ):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, table, out, ck)
+        n1 = spark.read.parquet(out).count()
+        # restart with nothing new: zero re-delivery
+        self._drain(spark, table, out, ck)
+        assert spark.read.parquet(out).count() == n1
+        # one more delete commit: exactly its changes arrive
+        txlog.delete_where(spark, table, F.col("k") == 2)
+        self._drain(spark, table, out, ck)
+        got = spark.read.parquet(out)
+        new = got.filter(F.col("_version") == 4)
+        assert got.count() == n1 + 1
+        rows = new.collect()
+        assert len(rows) == 1
+        assert rows[0]["_change"] == "delete" and rows[0]["k"] == 2
+
+    def test_rate_limited_drain_is_feed_exact(self, spark, table, tmp_path):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+        self._drain(spark, table, out1, ck1)
+        unlimited = spark.read.parquet(out1)
+        out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+        q = self._drain(
+            spark, table, out2, ck2, available_now=False,
+            maxFilesPerTrigger="1",
+        )
+        limited = spark.read.parquet(out2)
+        assert limited.exceptAll(unlimited).count() == 0
+        assert unlimited.exceptAll(limited).count() == 0
+        batches = [
+            p for p in q.recentProgress if int(p["numInputRows"]) > 0
+        ]
+        assert len(batches) >= 3  # bounded, not one giant batch
+
+    def test_optimize_is_cdf_invisible(self, spark, table, tmp_path):
+        """A compaction rewrite adds and removes the SAME multiset —
+        the table-format contract: zero CDF rows."""
+        _register_source(spark)
+        txlog.create_table(spark.range(10).repartition(4), table)
+        txlog.append(spark.range(10, 20).repartition(4), table)
+        assert txlog.compact(spark, table) is not None  # 8 sliver files
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, table, out, ck)
+        got = spark.read.parquet(out)
+        compaction_v = txlog.committed_versions(table)[-1]
+        assert got.filter(F.col("_version") == compaction_v).count() == 0
+        assert got.filter(F.col("_change") == "delete").count() == 0
+        assert got.count() == 20
+
+    def test_mutually_exclusive_with_skip_change_commits(
+        self, spark, table, tmp_path
+    ):
+        _register_source(spark)
+        txlog.create_table(spark.range(5), table)
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .option("skipChangeCommits", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        from pyspark.errors import StreamingQueryException
+
+        with pytest.raises(StreamingQueryException, match="exclusive"):
+            q.awaitTermination(120)
+
+    def test_batch_cdf_with_version_bounds(self, spark, table):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+
+        def fmt(**opts):
+            r = (
+                spark.read.format("txlog")
+                .option("path", table)
+                .option("readChangeFeed", "true")
+            )
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        # (1, 3] == batch change_feed over the same bounds
+        got = fmt(startingVersion="1", endingVersion="3")
+        want = txlog.change_feed(
+            spark, table, from_version=1, to_version=3
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        # schema carries the meta columns first
+        assert got.columns[:2] == ["_version", "_change"]
+        # full history: v0 inserts present
+        assert (
+            fmt().filter("_version = 0 AND _change = 'insert'").count()
+            == 10
+        )
+
+    def test_cdf_aligns_evolved_schema(self, spark, table, tmp_path):
+        """Old files lack the evolved column: CDF rows from them must
+        null-fill it, tagged with their own commit version."""
+        _register_source(spark)
+        txlog.create_table(
+            spark.range(3).select(F.col("id").alias("k")), table
+        )
+        txlog.append(
+            spark.range(3, 5).select(
+                F.col("id").alias("k"), F.lit("new").alias("tag")
+            ),
+            table,
+        )
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._drain(spark, table, out, ck)
+        got = spark.read.parquet(out)
+        assert set(got.columns) == {"_version", "_change", "k", "tag"}
+        assert got.filter("_version = 0 AND tag IS NOT NULL").count() == 0
+        assert got.filter("_version = 1 AND tag = 'new'").count() == 2
