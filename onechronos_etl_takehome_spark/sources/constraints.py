@@ -223,6 +223,7 @@ def add_constraint(
     a recorded constraint is a real invariant, not an aspiration).
     Raises ConstraintViolation listing the violating row count if the
     existing table breaks it, ValueError if the name is taken."""
+    txlog._require_writer(path)
     for _ in range(max_retries):
         base = txlog.committed_versions(path)[-1]
         current = table_constraints(path, version=base)
@@ -238,8 +239,19 @@ def add_constraint(
                 f"cannot add CHECK constraint {name!r} ({expr!r}) to "
                 f"{path}: {n_bad} existing row(s) violate it"
             )
+        # a table carrying CHECK constraints needs constraint-aware
+        # writers: bump min_writer_version to 2 so a feature-unaware
+        # writer refuses instead of silently bypassing validation
+        proto = txlog.table_protocol(path, version=base)
+        proto = {
+            "min_reader_version": int(proto.get("min_reader_version", 1)),
+            "min_writer_version": max(
+                2, int(proto.get("min_writer_version", 1))
+            ),
+        }
         extra = {
             "constraints": {**current, name: expr},
+            "protocol": proto,
             "metrics": {"op": "add-constraint", "constraint": name},
         }
         try:
@@ -257,6 +269,7 @@ def drop_constraint(
     spark: SparkSession, path: str, name: str, *, max_retries: int = 5
 ) -> int:
     """Remove ``name`` from the active set (no validation needed)."""
+    txlog._require_writer(path)
     for _ in range(max_retries):
         base = txlog.committed_versions(path)[-1]
         current = table_constraints(path, version=base)

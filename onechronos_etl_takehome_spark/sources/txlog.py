@@ -72,14 +72,86 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 
+# Protocol / feature versioning (Delta's minReaderVersion /
+# minWriterVersion): a manifest ``protocol`` field records the MINIMUM
+# versions a reader/writer must understand to touch the table; every
+# entry point refuses tables requiring more than it supports, so a
+# feature-unaware writer can never silently bypass a declared
+# invariant (round-9 verdict item 3 — without this, an old writer
+# appends past CHECK constraints and the x47 integrity proof is only
+# as strong as the newest writer). Feature history:
+#   writer 1            base log (append / delete / merge / compact)
+#   writer 2            CHECK constraints (add_constraint bumps)
+# Tables that never declared a protocol read as {1, 1} and keep
+# working everywhere.
+SUPPORTED_READER_VERSION = 1
+SUPPORTED_WRITER_VERSION = 2
+
 
 class CommitConflict(Exception):
     """Another writer committed this version first — re-validate and
     retry against the new snapshot."""
 
 
+class ProtocolError(Exception):
+    """The table requires a newer reader/writer protocol than this
+    code supports; refusing is the only safe move."""
+
+
 def _log_path(path: str) -> str:
     return os.path.join(path, _LOG_DIR)
+
+
+def table_protocol(path: str, *, version: int | None = None) -> dict:
+    """Active ``{"min_reader_version": r, "min_writer_version": w}``
+    at ``version`` (latest if None): the newest manifest at-or-before
+    it carrying a ``protocol`` field — the same carry-forward fold
+    the schema and constraint sets use. ``{1, 1}`` for tables that
+    never declared one (every pre-versioning table)."""
+    version, _ = _resolve_version(path, version)
+    for v in reversed(
+        [x for x in committed_versions(path) if x <= version]
+    ):
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        if "protocol" in manifest:
+            return dict(manifest["protocol"])
+    return {"min_reader_version": 1, "min_writer_version": 1}
+
+
+def _require_writer(path: str) -> None:
+    """Refuse to WRITE a table whose protocol this code predates —
+    called by every data- or metadata-mutating entry point (append,
+    delete, merge, compact, the format/stream writers, constraint
+    DDL). A new (uncreated) table has nothing to check."""
+    if not committed_versions(path):
+        return
+    need = int(table_protocol(path).get("min_writer_version", 1))
+    if need > SUPPORTED_WRITER_VERSION:
+        raise ProtocolError(
+            f"table {path} requires min_writer_version={need}; this "
+            f"writer supports {SUPPORTED_WRITER_VERSION} and refuses "
+            "to write — a feature-unaware commit could silently break "
+            "invariants the newer protocol enforces (e.g. CHECK "
+            "constraints). Upgrade the engine to write this table."
+        )
+
+
+def _require_reader(path: str) -> None:
+    """Refuse to READ a table whose protocol this code predates.
+    Protocol is table-level (latest), not per-snapshot: a newer
+    feature may change how HISTORIC files must be interpreted (e.g.
+    column mapping), so time travel checks the same bar.
+    ``table_history``/``DESCRIBE HISTORY`` stays readable regardless
+    — it reports the log itself, Delta's behavior."""
+    need = int(table_protocol(path).get("min_reader_version", 1))
+    if need > SUPPORTED_READER_VERSION:
+        raise ProtocolError(
+            f"table {path} requires min_reader_version={need}; this "
+            f"reader supports {SUPPORTED_READER_VERSION} and refuses "
+            "to read — results could silently misinterpret the "
+            "newer layout. Upgrade the engine to read this table."
+        )
 
 
 def committed_versions(path: str) -> list[int]:
@@ -283,6 +355,7 @@ def table_count(
     so the fold is exact through append/delete/merge/compact history;
     raises on legacy manifests that predate row counts rather than
     return a wrong number."""
+    _require_reader(path)
     version, versions = _resolve_version(path, version, timestamp=timestamp)
     live = _fold_live(path, version, versions)
     if any(info["rows"] < 0 for info in live.values()):
@@ -542,6 +615,9 @@ def _union_schema_extra(path: str, base_version: int, df) -> dict:
     from .constraints import table_constraints
 
     out["constraints"] = table_constraints(path, version=base_version)
+    # same carry for the protocol: the newest manifest answers
+    # table_protocol in O(1) instead of re-folding the log
+    out["protocol"] = table_protocol(path, version=base_version)
     return out
 
 
@@ -622,6 +698,7 @@ def append(
     semantically; the retry re-validates CHECK constraints only when
     a concurrent add_constraint changed the active set."""
     _resolve_version(path, None)  # clear error on a non-table path
+    _require_writer(path)
     # type enforcement BEFORE staging: a conflicting append should
     # not even write bytes (the commit-time check below is the
     # backstop for every other path)
@@ -773,6 +850,7 @@ def read_table(
     historically proved pruned-scan-plus-filter == full-scan hash)."""
     if where is not None and skip_where is not None:
         raise ValueError("pass where OR skip_where, not both")
+    _require_reader(path)
     if timestamp is not None:
         version, _ = _resolve_version(path, version, timestamp=timestamp)
     live = sorted(live_files(path, version=version))
@@ -821,6 +899,7 @@ def delete_where(
     matching rows; untouched files carry by reference. One
     provenance scan (input_file_name over the snapshot) finds the
     touched set; the rewrite reads just those files."""
+    _require_writer(path)
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
@@ -904,6 +983,7 @@ def merge_upsert(
     table per version). The update-key frame is dimension-sized by
     contract (the nightly-batch regime) — AQE broadcasts it in both
     the provenance scan and the anti-join."""
+    _require_writer(path)
     keys = updates.select(*key_cols).distinct()
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
@@ -1018,6 +1098,7 @@ def compact(
     the caller's contract, as in write_zordered."""
     from ..operators.compaction import compaction_plan
 
+    _require_writer(path)
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
@@ -1128,6 +1209,7 @@ def change_feed(
     consumers poll ``committed_versions`` and feed from their last
     seen version — the streaming-source pattern
     (tests/test_txlog_stream.py drives it)."""
+    _require_reader(path)
     to_version, versions = _resolve_version(path, to_version)
     if from_version not in versions:
         raise ValueError(f"from_version {from_version} not in {versions}")

@@ -707,6 +707,7 @@ class TxlogStreamSource(DataSource):
         versions = txlog.committed_versions(path)
         if not versions:
             raise ValueError(f"not a txlog table (no commits): {path}")
+        txlog._require_reader(path)  # protocol gate for batch+stream
         cdf = str(opts.get("readchangefeed", "false")).lower() == "true"
         # a time-travel batch read reports the schema AS OF that
         # version — columns added later must not appear. A CDF read

@@ -56,6 +56,7 @@ def process_txlog_batch(
     version, or None when the batch_id already landed (replay)."""
     if batch_id in committed_batch_ids(path):
         return None
+    txlog._require_writer(path)
     adds = txlog._add_actions(txlog._stage_data(batch_df, path))
     if txlog.committed_versions(path):  # batch 0 may CREATE the table
         from ..sources.constraints import table_constraints, validate_staged

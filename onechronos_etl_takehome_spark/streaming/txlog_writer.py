@@ -140,6 +140,9 @@ def _commit_write(
     adds = [a for m in messages if m is not None for a in m.adds]
     add_actions = txlog._add_actions(adds)
     rows_written = sum(n for _, n, _, _ in adds)
+    # protocol gate: refuse feature-newer tables BEFORE committing
+    # (the staged task files then unlink via the abort path contract)
+    txlog._require_writer(path)
     for _ in range(max_retries):
         versions = txlog.committed_versions(path)
         if batch_id is not None and batch_id in committed_batch_ids(path):

@@ -390,3 +390,140 @@ class TestChangeDataFeedStream:
         assert set(got.columns) == {"_version", "_change", "k", "tag"}
         assert got.filter("_version = 0 AND tag IS NOT NULL").count() == 0
         assert got.filter("_version = 1 AND tag = 'new'").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Protocol versioning (round-9 verdict item 3): feature-unaware
+# writers/readers must refuse, not silently bypass
+# ---------------------------------------------------------------------------
+
+
+class TestProtocolVersioning:
+    def _doctor(self, table, *, reader=None, writer=None):
+        """Append a manifest requiring a higher protocol — what a
+        newer engine would leave behind."""
+        v = txlog.committed_versions(table)[-1] + 1
+        proto = txlog.table_protocol(table)
+        if reader is not None:
+            proto["min_reader_version"] = reader
+        if writer is not None:
+            proto["min_writer_version"] = writer
+        txlog._commit(
+            table, v, [],
+            extra={"protocol": proto, "metrics": {"op": "upgrade"}},
+        )
+
+    def test_default_protocol_is_1_1(self, spark, table):
+        txlog.create_table(spark.range(5), table)
+        assert txlog.table_protocol(table) == {
+            "min_reader_version": 1,
+            "min_writer_version": 1,
+        }
+
+    def test_feature_newer_table_refuses_every_write_path(
+        self, spark, table, tmp_path
+    ):
+        _register_source(spark)
+        txlog.create_table(
+            spark.range(5).select(F.col("id").alias("c")), table
+        )
+        self._doctor(table, writer=txlog.SUPPORTED_WRITER_VERSION + 1)
+        df = spark.createDataFrame([(9,)], "c long")
+        with pytest.raises(txlog.ProtocolError, match="min_writer"):
+            txlog.append(df, table)
+        with pytest.raises(txlog.ProtocolError, match="min_writer"):
+            txlog.delete_where(spark, table, F.col("c") == 1)
+        with pytest.raises(txlog.ProtocolError, match="min_writer"):
+            txlog.merge_upsert(spark, table, df, ["c"])
+        with pytest.raises(txlog.ProtocolError, match="min_writer"):
+            txlog.compact(spark, table)
+        with pytest.raises(txlog.ProtocolError, match="min_writer"):
+            C2.add_constraint(spark, table, "c_pos", "c >= 0")
+        with pytest.raises(Exception, match="min_writer"):
+            df.write.format("txlog").option("path", table).mode(
+                "append"
+            ).save()
+        # nothing landed through any path
+        base = txlog.committed_versions(table)[-1]
+        assert txlog.read_table(spark, table).count() == 5
+        assert txlog.committed_versions(table)[-1] == base
+
+    def test_feature_newer_table_refuses_reads(self, spark, table):
+        _register_source(spark)
+        txlog.create_table(spark.range(5), table)
+        self._doctor(table, reader=txlog.SUPPORTED_READER_VERSION + 1)
+        with pytest.raises(txlog.ProtocolError, match="min_reader"):
+            txlog.read_table(spark, table)
+        with pytest.raises(txlog.ProtocolError, match="min_reader"):
+            txlog.change_feed(spark, table, from_version=0)
+        with pytest.raises(txlog.ProtocolError, match="min_reader"):
+            txlog.table_count(table)
+        with pytest.raises(Exception, match="min_reader"):
+            spark.read.format("txlog").option("path", table).load().count()
+        # DESCRIBE HISTORY stays readable (it reports the log itself)
+        assert txlog.table_history(spark, table).count() >= 1
+
+    def test_add_constraint_bumps_writer_to_2(self, spark, table):
+        txlog.create_table(
+            spark.range(5).select(F.col("id").alias("c")), table
+        )
+        C2.add_constraint(spark, table, "c_pos", "c >= 0")
+        assert (
+            txlog.table_protocol(table)["min_writer_version"] == 2
+        )
+        # a writer-1 engine (simulated) now refuses to append — the
+        # x47 integrity hole this feature closes
+        import onechronos_etl_takehome_spark.sources.txlog as T
+
+        old = T.SUPPORTED_WRITER_VERSION
+        T.SUPPORTED_WRITER_VERSION = 1
+        try:
+            with pytest.raises(txlog.ProtocolError, match="min_writer"):
+                txlog.append(
+                    spark.createDataFrame([(1,)], "c long"), table
+                )
+        finally:
+            T.SUPPORTED_WRITER_VERSION = old
+        # the current engine appends fine (and still validates)
+        txlog.append(spark.createDataFrame([(1,)], "c long"), table)
+        assert txlog.read_table(spark, table).count() == 6
+
+    def test_protocol_is_time_travelable_and_carried(self, spark, table):
+        txlog.create_table(
+            spark.range(3).select(F.col("id").alias("c")), table
+        )
+        v_constraint = C2.add_constraint(spark, table, "c_pos", "c >= 0")
+        txlog.append(spark.createDataFrame([(7,)], "c long"), table)
+        # before the constraint: protocol 1; after: 2; the data commit
+        # CARRIES the bumped protocol forward (O(1) lookup)
+        assert (
+            txlog.table_protocol(table, version=v_constraint - 1)[
+                "min_writer_version"
+            ]
+            == 1
+        )
+        last = txlog.committed_versions(table)[-1]
+        with open(
+            os.path.join(txlog._log_path(table), f"{last:08d}.json")
+        ) as f:
+            newest = json.load(f)
+        assert newest["protocol"]["min_writer_version"] == 2
+
+    def test_pre_versioning_tables_keep_working(self, spark, table):
+        """A table whose manifests never carry a protocol field (all
+        of rounds 7-9) reads and writes exactly as before."""
+        txlog.create_table(spark.range(4), table)
+        # simulate: strip any protocol fields from every manifest
+        for v in txlog.committed_versions(table):
+            mp = os.path.join(txlog._log_path(table), f"{v:08d}.json")
+            with open(mp) as f:
+                m = json.load(f)
+            m.pop("protocol", None)
+            with open(mp, "w") as f:
+                json.dump(m, f)
+        assert txlog.table_protocol(table) == {
+            "min_reader_version": 1,
+            "min_writer_version": 1,
+        }
+        txlog.append(spark.range(4, 6), table)
+        assert txlog.read_table(spark, table).count() == 6
