@@ -224,6 +224,9 @@ HEADLINE = [
     # then an availableNow drain of readChangeFeed — stream start/stop
     # and the per-commit multiset diffs are IN the measured wall)
     "x48_txlog_cdf_stream",
+    # x49: column mapping (create+rename+append+drop, three read legs
+    # incl. two time travels — all metadata-only commits in the wall)
+    "x49_txlog_column_mapping",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
@@ -606,7 +609,19 @@ def main() -> None:
     spark = get_spark(
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR: several txlog witnesses carry EXPECTED-raise
+    # legs (x44's poisoned full-scan, x42's vacuumed-version read) that
+    # the query code catches, but log4j still printed the Java stack
+    # trace at ERROR — and that spam dominated the driver's 2000-char
+    # tail capture, burying the flag/ratio summary (round-9 verdict).
+    # Real bench failures are unaffected: they propagate as Python
+    # exceptions with full tracebacks regardless of the JVM log level.
+    spark.sparkContext.setLogLevel("FATAL")
+    import logging
+
+    # same reason: py4j's python-side logger re-prints captured Java
+    # exceptions from expected-raise legs
+    logging.getLogger("py4j").setLevel(logging.CRITICAL)
 
     # Untimed warmup: JVM/codegen spin-up shouldn't be charged to the
     # first query (a resident cluster serves queries warm).

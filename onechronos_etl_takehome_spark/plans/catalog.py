@@ -162,10 +162,13 @@ DRIVER_WINDOW: list[str] = [
 # Remaining rotation candidates for round 11: x48 (streaming change
 # data feed — readChangeFeed through the registered format, the
 # continuous form of x40's batch consumer; lands this round
-# gate-oracled at two SFs + benched), x46 (DESCRIBE HISTORY), x43
-# (metadata-only COUNT), x39 (null-count skipping), x41 (append-only
-# stream drain). x48 is the natural next one: it witnesses the only
-# txlog surface (DML-as-stream) no in-window row covers.
+# gate-oracled at two SFs + benched), x49 (column mapping:
+# metadata-only RENAME/DROP with time-travel legs, also new this
+# round), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39
+# (null-count skipping), x41 (append-only stream drain). x48 is the
+# natural next one: it witnesses the only txlog surface
+# (DML-as-stream) no in-window row covers; x49 close behind (the only
+# schema-DDL witness).
 # Round 9: x40 (incremental CDF consumer) rotates in, exactly as the
 # round-8 forecast named it — the incremental==rebuild contract
 # (v0 snapshot + change feed == latest snapshot, multiset-exact) that

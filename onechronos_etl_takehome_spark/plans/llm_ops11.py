@@ -5,6 +5,10 @@
   "true")`` emits ``(_version, _change, *cols)`` rows per commit, the
   continuous form of batch ``txlog.change_feed`` (round-9 verdict
   item 2; ``streaming/txlog_source.py``).
+
+- **Column mapping** (x49): RENAME/DROP COLUMN as metadata-only
+  commits — stable physical names, logical→physical manifest map,
+  protocol-gated (round-9 verdict item 4; ``sources/txlog.py``).
 """
 
 from __future__ import annotations
@@ -136,3 +140,114 @@ def x48_txlog_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "price_cents",
     )
+
+# ---------------------------------------------------------------------------
+# x49 — column mapping: RENAME/DROP COLUMN as metadata-only commits
+# ---------------------------------------------------------------------------
+
+_X49_CUT = "1997-01-01"
+
+# Three legs over the mapped lifecycle:
+#   tag 0 — the FULL table at latest read through the RENAMED column
+#           (pre-rename files resolve via the logical→physical map;
+#           post-rename files staged under the stable physical name);
+#   tag 1 — time travel to the pre-rename version, read through the
+#           ORIGINAL column name (the create half only);
+#   tag 2 — schema-width pin: the dropped column is hidden at latest
+#           (3 columns) but visible to pre-drop time travel (4).
+_X49_ORACLE = f"""
+    WITH t AS (
+      SELECT o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate AS d
+      FROM orders)
+    SELECT CAST(0 AS BIGINT) AS tag, status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM t GROUP BY status
+    UNION ALL
+    SELECT 1, status, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM t WHERE d < DATE '{_X49_CUT}' GROUP BY status
+    UNION ALL
+    SELECT 2, 'cols', 3, 4
+"""
+
+
+@register("x49_txlog_column_mapping", oracle=_X49_ORACLE)
+def x49_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME/DROP COLUMN on the ACID table as METADATA-ONLY commits
+    (``txlog.rename_column``/``drop_column`` — Delta's column
+    mapping): files keep stable PHYSICAL names forever, manifests map
+    logical → physical, so a rename rewrites ZERO files. The lifecycle
+    here: create the pre-cut half under ``o_totalprice_cents``,
+    RENAME it to ``price_cents``, append the post-cut half under the
+    NEW name (staged under the old physical name — pinned in
+    tests/test_round10_ops.py), then DROP the ``prio`` column. Tag 0
+    aggregates the whole table through the renamed column — its hash
+    match against the oracle's recomputation from the unsplit source
+    proves pre-rename files resolve exactly through the mapping. Tag
+    1 time-travels to the pre-rename version and reads the ORIGINAL
+    name. Tag 2 pins DROP semantics: 3 columns at latest, 4 at the
+    pre-drop version. Rename/drop bump the protocol to reader 2 /
+    writer 3, so mapping-unaware engines refuse rather than misread
+    (tests pin both refusals and the dropped-physical tombstone).
+
+    Scale: a rename on a 100-TB table is ONE manifest commit; reads
+    add a single projection node; footer stats stay physically keyed
+    so file pruning keeps working through the rename."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "o_totalprice_cents"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderdate",
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x49_{uuid.uuid4().hex[:8]}_")
+    cut = F.lit(_X49_CUT).cast("date")
+    txlog.create_table(
+        orders.filter(F.col("o_orderdate") < cut).select(
+            "orderkey", "status", "o_totalprice_cents", "prio"
+        ),
+        path,
+    )
+    v_rename = txlog.rename_column(
+        spark, path, "o_totalprice_cents", "price_cents"
+    )
+    txlog.append(
+        orders.filter(F.col("o_orderdate") >= cut).select(
+            "orderkey",
+            "status",
+            F.col("o_totalprice_cents").alias("price_cents"),
+            "prio",
+        ),
+        path,
+    )
+    v_drop = txlog.drop_column(spark, path, "prio")
+
+    latest = txlog.read_table(spark, path)
+    tag0 = latest.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price_cents").cast("long").alias("total_cents"),
+    ).select(F.lit(0).cast("long").alias("tag"), "*")
+    pre_rename = txlog.read_table(spark, path, version=v_rename - 1)
+    tag1 = pre_rename.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice_cents").cast("long").alias("total_cents"),
+    ).select(F.lit(1).cast("long").alias("tag"), "*")
+    n_now = len(latest.columns)
+    n_pre_drop = len(
+        txlog.read_table(spark, path, version=v_drop - 1).columns
+    )
+    tag2 = spark.createDataFrame(
+        [(2, "cols", n_now, n_pre_drop)],
+        "tag long, status string, n_orders long, total_cents long",
+    )
+    return tag0.unionByName(tag1).unionByName(tag2)

@@ -99,6 +99,14 @@ def validate_staged(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in staged_files]
     )
+    # column-mapped tables stage under PHYSICAL names; constraints
+    # speak logical — alias back before counting
+    mapping = txlog.table_mapping(path)
+    if mapping:
+        inv = {p_: l for l, p_ in mapping.items()}
+        df = df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
     # a constraint may reference table columns absent from this frame
     schema = txlog._latest_schema(path, txlog.committed_versions(path)[-1])
     if schema is not None:

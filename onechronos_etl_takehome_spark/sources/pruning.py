@@ -185,6 +185,21 @@ def _leaf_may_true(leaf: Leaf, info: dict) -> bool:
     raise AssertionError(f"unhandled leaf kind {k!r}")  # pragma: no cover
 
 
+def rename_columns(node, mapping: dict):
+    """Rewrite every leaf's column through ``mapping`` (logical →
+    physical): manifest stats are keyed by PHYSICAL names (stable
+    forever), predicates by logical ones, so a column-mapped table
+    translates the compiled node once before evaluation. Identity for
+    unmapped columns; UNKNOWN passes through."""
+    if isinstance(node, Leaf):
+        return Leaf(node.kind, mapping.get(node.col, node.col), node.value)
+    if isinstance(node, AndN):
+        return AndN(tuple(rename_columns(c, mapping) for c in node.children))
+    if isinstance(node, OrN):
+        return OrN(tuple(rename_columns(c, mapping) for c in node.children))
+    return node
+
+
 def may_match(node, info: dict) -> bool:
     """MAY ``info``'s file contain a row where the predicate is TRUE?
     ``info`` is one manifest entry: {"rows": n, "stats": {col: [min,

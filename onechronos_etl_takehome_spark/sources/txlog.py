@@ -82,10 +82,15 @@ _LOG_DIR = "_txlog"
 # as strong as the newest writer). Feature history:
 #   writer 1            base log (append / delete / merge / compact)
 #   writer 2            CHECK constraints (add_constraint bumps)
+#   writer 3 reader 2   column mapping (rename/drop bump both: files
+#                       keep stable PHYSICAL names, manifests map
+#                       logical → physical, so an unaware reader
+#                       would miss renamed columns and an unaware
+#                       writer would stage wrong physical names)
 # Tables that never declared a protocol read as {1, 1} and keep
 # working everywhere.
-SUPPORTED_READER_VERSION = 1
-SUPPORTED_WRITER_VERSION = 2
+SUPPORTED_READER_VERSION = 2
+SUPPORTED_WRITER_VERSION = 3
 
 
 class CommitConflict(Exception):
@@ -117,6 +122,70 @@ def table_protocol(path: str, *, version: int | None = None) -> dict:
         if "protocol" in manifest:
             return dict(manifest["protocol"])
     return {"min_reader_version": 1, "min_writer_version": 1}
+
+
+def _mapping_state(path: str, *, version: int | None = None) -> dict:
+    """``{"map": {logical: physical}, "dropped": [physical, ...]}``
+    active at ``version`` — the carry-forward fold the schema /
+    constraints / protocol fields use. Physical names are STABLE
+    FOREVER (a rename is pure metadata; data files never rewrite);
+    ``dropped`` tombstones physicals of dropped columns so a later
+    same-named add can never resurrect their bytes from old files."""
+    version, _ = _resolve_version(path, version)
+    for v in reversed(
+        [x for x in committed_versions(path) if x <= version]
+    ):
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        if "column_mapping" in manifest:
+            state = manifest["column_mapping"]
+            return {
+                "map": dict(state.get("map", {})),
+                "dropped": list(state.get("dropped", [])),
+            }
+    return {"map": {}, "dropped": []}
+
+
+def table_mapping(path: str, *, version: int | None = None) -> dict:
+    """Active logical → physical column mapping ({} = identity, every
+    pre-mapping table)."""
+    return _mapping_state(path, version=version)["map"]
+
+
+def _apply_mapping(df: DataFrame, schema, mapping: dict) -> DataFrame:
+    """Physical-name parquet frame → the LOGICAL columns of
+    ``schema``: each field selected from its physical column (aliased
+    back), null-padded when no live file carries it yet. The inverse
+    of the rename ``_stage_data`` applies at write time."""
+    cols = []
+    for fld in schema.fields:
+        phys = mapping.get(fld.name, fld.name)
+        if phys in df.columns:
+            cols.append(F.col(phys).alias(fld.name))
+        else:
+            cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+    return df.select(*cols)
+
+
+def _mapped_read(
+    spark: SparkSession, path: str, files, *, version: int | None
+) -> DataFrame:
+    """The one way engine code reads table files: mergeSchema parquet
+    over PHYSICAL names, then the logical view per the schema+mapping
+    at ``version``. Identity (and zero extra plan nodes) for unmapped
+    tables."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in sorted(files)]
+    )
+    version, _ = _resolve_version(path, version)
+    state = _mapping_state(path, version=version)
+    if not state["map"] and not state["dropped"]:
+        # never column-mapped: raw read, zero extra plan nodes (and
+        # the historical union-of-file-schemas semantics preserved)
+        return df
+    # a DROP leaves an empty map but live tombstones — the logical
+    # projection must still hide the dropped physical column
+    return _apply_mapping(df, _latest_schema(path, version), state["map"])
 
 
 def _require_writer(path: str) -> None:
@@ -443,9 +512,21 @@ def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
     """Write ``df``'s rows as immutable parquet files under the table
     root with collision-free names; returns [(file name, rows)].
     Files are invisible to readers until a manifest references them —
-    a crashed writer orphans bytes, never corrupts the table."""
+    a crashed writer orphans bytes, never corrupts the table.
+
+    Column-mapped tables stage under PHYSICAL names (the logical →
+    physical rename applied here, its inverse by ``_mapped_read``),
+    so every data file of the table — pre- and post-rename — agrees
+    on physical column names and footer stats stay physically keyed."""
     import pyarrow.parquet as pq
 
+    mapping = (
+        table_mapping(path) if committed_versions(path) else {}
+    )
+    if mapping:
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
     sess = df.sparkSession
     # Spark's default parquet timestamp encoding is INT96, which
@@ -618,6 +699,23 @@ def _union_schema_extra(path: str, base_version: int, df) -> dict:
     # same carry for the protocol: the newest manifest answers
     # table_protocol in O(1) instead of re-folding the log
     out["protocol"] = table_protocol(path, version=base_version)
+    # same carry for the column mapping — and the tombstone check: a
+    # NEW column whose name collides with a physical name already
+    # used (a renamed-away original, or a dropped column's storage
+    # name) would make old files' bytes resurface under the new
+    # column; refuse, as only id-based mapping could disambiguate
+    state = _mapping_state(path, version=base_version)
+    out["column_mapping"] = state
+    if state["map"] or state["dropped"]:
+        used_physicals = set(state["map"].values()) | set(state["dropped"])
+        colliding = sorted(n for n in new_by_name if n in used_physicals)
+        if colliding:
+            raise ValueError(
+                f"cannot add column(s) {colliding} to {path}: the "
+                "name(s) are PHYSICAL storage names of renamed or "
+                "dropped columns — old files would resurface their "
+                "bytes under the new column. Pick different names."
+            )
     return out
 
 
@@ -740,6 +838,155 @@ def append(
     raise CommitConflict(f"lost {max_retries} append races on {path}")
 
 
+def _constraint_referencing(path: str, base: int, col: str) -> str | None:
+    """Name of an active CHECK constraint whose expression mentions
+    ``col`` as a word, else None. Conservative textual check — the
+    refusal guard for rename/drop (a constraint left pointing at a
+    vanished logical name would break every subsequent validation)."""
+    import re as _re
+
+    from .constraints import table_constraints
+
+    pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])")
+    for name, expr in table_constraints(path, version=base).items():
+        if pat.search(expr):
+            return name
+    return None
+
+
+def _mapping_protocol(path: str, base: int) -> dict:
+    """Protocol after a column-mapping DDL: reader 2 / writer 3."""
+    proto = table_protocol(path, version=base)
+    return {
+        "min_reader_version": max(2, int(proto.get("min_reader_version", 1))),
+        "min_writer_version": max(3, int(proto.get("min_writer_version", 1))),
+    }
+
+
+def rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    *,
+    max_retries: int = 5,
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta's
+    column mapping): the manifest schema renames the field and the
+    logical→physical map records that ``new`` still reads the old
+    PHYSICAL column — zero files rewrite, old files resolve through
+    the mapping, and time travel before the commit still shows
+    ``old``. Bumps the protocol to reader 2 / writer 3 so mapping-
+    unaware engines refuse rather than misread. Refuses while an
+    active CHECK constraint references ``old`` (drop it first)."""
+    from .constraints import table_constraints
+
+    _require_writer(path)
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        schema = _latest_schema(path, base)
+        if schema is None:
+            raise ValueError(
+                f"table at {path} predates manifest schemas; append "
+                "once to record one before renaming columns"
+            )
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"no column {old!r} on {path} (has {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists on {path}")
+        holder = _constraint_referencing(path, base, old)
+        if holder:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint {holder!r} "
+                "references it; drop the constraint first"
+            )
+        state = _mapping_state(path, version=base)
+        mapping = dict(state["map"])
+        physical = mapping.pop(old, old)
+        mapping[new] = physical
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        extra = {
+            "schema": new_schema.json(),
+            "column_mapping": {"map": mapping, "dropped": state["dropped"]},
+            "constraints": table_constraints(path, version=base),
+            "protocol": _mapping_protocol(path, base),
+            "metrics": {"op": "rename-column", "from": old, "to": new},
+        }
+        try:
+            _commit(path, base + 1, [], extra=extra)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"lost {max_retries} rename races on {path}")
+
+
+def drop_column(
+    spark: SparkSession, path: str, name: str, *, max_retries: int = 5
+) -> int:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field
+    leaves the manifest schema, its PHYSICAL name is tombstoned (so a
+    later add of the same name cannot resurrect old bytes — see
+    ``_union_schema_extra``), and no file rewrites. The column stays
+    visible to time travel at pre-drop versions; its bytes go away
+    physically only when rewrites/vacuum retire the old files.
+    Protocol bumps as in ``rename_column``. Refuses while an active
+    CHECK constraint references the column."""
+    from .constraints import table_constraints
+
+    _require_writer(path)
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        schema = _latest_schema(path, base)
+        if schema is None or name not in schema.fieldNames():
+            raise ValueError(f"no column {name!r} on {path}")
+        if len(schema.fields) == 1:
+            raise ValueError(
+                f"cannot drop {name!r}: it is the only column of {path}"
+            )
+        holder = _constraint_referencing(path, base, name)
+        if holder:
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint {holder!r} "
+                "references it; drop the constraint first"
+            )
+        state = _mapping_state(path, version=base)
+        mapping = dict(state["map"])
+        physical = mapping.pop(name, name)
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        extra = {
+            "schema": new_schema.json(),
+            "column_mapping": {
+                "map": mapping,
+                "dropped": sorted({*state["dropped"], physical}),
+            },
+            "constraints": table_constraints(path, version=base),
+            "protocol": _mapping_protocol(path, base),
+            "metrics": {"op": "drop-column", "column": name},
+        }
+        try:
+            _commit(path, base + 1, [], extra=extra)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"lost {max_retries} drop races on {path}")
+
+
 def _may_match(info: dict, col: str, bound) -> bool:
     """File may contain rows matching ``bound`` on ``col``?
     Conservative: a file without the needed stats is always kept.
@@ -782,6 +1029,9 @@ def skipped_files(
     per-column null counts (a file with null_count == 0 cannot
     satisfy IS NULL; one with null_count == rows cannot satisfy
     IS NOT NULL)."""
+    mapping = table_mapping(path, version=version)
+    if mapping:
+        skip_where = {mapping.get(c, c): b for c, b in skip_where.items()}
     kept, pruned = [], []
     for f, info in sorted(live_file_stats(path, version=version).items()):
         if all(
@@ -807,10 +1057,14 @@ def pruned_files(
     twin of ``skipped_files``'s hand-fed dict (the gate pins
     auto == manual on the x36/x39 shapes plus an OR-of-ranges case
     the dict cannot express). Pure metadata, no file opened."""
-    from .pruning import compile_where, may_match
+    from .pruning import compile_where, may_match, rename_columns
 
     node, _ = compile_where(spark, where)
     version, versions = _resolve_version(path, version, timestamp=timestamp)
+    mapping = table_mapping(path, version=version)
+    if mapping:
+        # predicates speak LOGICAL names, manifest stats PHYSICAL ones
+        node = rename_columns(node, mapping)
     kept, pruned = [], []
     for f, info in sorted(_fold_live(path, version, versions).items()):
         (kept if may_match(node, info) else pruned).append(f)
@@ -873,15 +1127,9 @@ def read_table(
     if not names:
         # every file pruned: correct result is an EMPTY frame with
         # the live schema (schema comes from footers, zero rows read)
-        df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(path, f) for f in live])
-            .limit(0)
-        )
+        df = _mapped_read(spark, path, live, version=version).limit(0)
     else:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in names]
-        )
+        df = _mapped_read(spark, path, names, version=version)
     return df.filter(_residual(where)) if where is not None else df
 
 
@@ -903,15 +1151,13 @@ def delete_where(
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
-        paths = [os.path.join(path, f) for f in sorted(snapshot)]
         # mergeSchema on BOTH reads: on a schema-evolved table a plain
         # read picks one arbitrary file's schema, and an old-schema
         # pick would silently drop evolved columns from the rewrite —
         # permanent data loss committed to the log (round-8 advice)
         touched = [
             os.path.basename(r["f"])
-            for r in spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
+            for r in _mapped_read(spark, path, snapshot, version=base)
             .filter(condition)
             .select(
                 F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
@@ -927,11 +1173,9 @@ def delete_where(
             # `~condition` is NULL for those rows and the filter would
             # silently drop them (3VL bug caught in round 7: a
             # NULL-tag row sharing a file with a matched row vanished)
-            keep = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in sorted(touched)])
-                .filter(~F.coalesce(condition, F.lit(False)))
-            )
+            keep = _mapped_read(
+                spark, path, touched, version=base
+            ).filter(~F.coalesce(condition, F.lit(False)))
             staged = _stage_data(keep, path)
             actions += _add_actions(staged)
         # write-amplification observability, all metadata-plane: rows
@@ -988,13 +1232,11 @@ def merge_upsert(
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
-        paths = [os.path.join(path, f) for f in sorted(snapshot)]
         # provenance MUST be projected scan-side: input_file_name()
         # evaluated after the join loses the scan context and returns
         # '' (observed: a '' remove-action that deletes nothing)
         prov = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
+            _mapped_read(spark, path, snapshot, version=base)
             .select(
                 *key_cols,
                 F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
@@ -1022,11 +1264,9 @@ def merge_upsert(
         )
         survivor_staged: list[tuple[str, int, dict, dict]] = []
         if touched:
-            survivors = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*[os.path.join(path, f) for f in sorted(touched)])
-                .join(keys, key_cols, "left_anti")
-            )
+            survivors = _mapped_read(
+                spark, path, touched, version=base
+            ).join(keys, key_cols, "left_anti")
             survivor_staged = _stage_data(survivors, path)
             actions += _add_actions(survivor_staged)
         actions += _add_actions(update_staged)
@@ -1107,9 +1347,7 @@ def compact(
                 os.path.getsize(os.path.join(path, f)) for f in snapshot
             )
             n_out = zorder_files or max(1, -(-inv_bytes // target_bytes))
-            whole = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f) for f in sorted(snapshot)]
-            )
+            whole = _mapped_read(spark, path, snapshot, version=base)
             from .layout import zorder_frame
 
             clustered = zorder_frame(
@@ -1153,8 +1391,12 @@ def compact(
         for files in bins.values():
             if len(files) < 2:
                 continue  # a lone file gains nothing from a rewrite
-            merged = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f) for f in sorted(files)]
+            # through the logical view: _stage_data maps back to
+            # physical names, so the round trip is exact even under
+            # chained renames (raw physical columns fed to the stage
+            # rename could collide with a reused logical name)
+            merged = _mapped_read(
+                spark, path, files, version=base
             ).coalesce(1)
             staged = _stage_data(merged, path)
             actions += [{"remove": f} for f in files]
@@ -1225,9 +1467,9 @@ def change_feed(
         def _read(names: list[str]) -> DataFrame | None:
             if not names:
                 return None
-            return spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f) for f in sorted(names)]
-            )
+            # logical view at to_version: physical names are stable,
+            # so one mapping resolves every file era in the range
+            return _mapped_read(spark, path, names, version=to_version)
 
         a_df, r_df = _read(adds), _read(removes)
         if (

@@ -60,10 +60,13 @@ from ..sources import txlog
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, fname: str, schema_json: str):
+    def __init__(
+        self, path: str, fname: str, schema_json: str, mapping=None
+    ):
         self.path = path
         self.fname = fname
         self.schema_json = schema_json
+        self.mapping = mapping or {}
 
 
 class TxlogStreamReader(DataSourceStreamReader):
@@ -153,6 +156,13 @@ class TxlogStreamReader(DataSourceStreamReader):
             if self.read_change_feed
             else self.schema_json
         )
+        # logical→physical column mapping at stream start (physical
+        # names are stable, so one mapping resolves every file era)
+        self.mapping = (
+            txlog.table_mapping(self.path)
+            if txlog.committed_versions(self.path)
+            else {}
+        )
 
     def initialOffset(self) -> dict:
         self._cursor = self.starting_version
@@ -213,6 +223,7 @@ class TxlogStreamReader(DataSourceStreamReader):
                 start["version"],
                 end["version"],
                 self.table_schema_json,
+                self.mapping,
             )
             return out or [_FilePartition(self.path, "", self.schema_json)]
         out = []
@@ -239,7 +250,12 @@ class TxlogStreamReader(DataSourceStreamReader):
             for a in manifest["actions"]:
                 if "add" in a:
                     out.append(
-                        _FilePartition(self.path, a["add"], self.schema_json)
+                        _FilePartition(
+                            self.path,
+                            a["add"],
+                            self.schema_json,
+                            self.mapping,
+                        )
                     )
         # an empty batch is legal (e.g. every commit in range skipped)
         return out or [_FilePartition(self.path, "", self.schema_json)]
@@ -266,19 +282,23 @@ def _arrow_schema(schema_json: str):
     )
 
 
-def _aligned_table(path: str, fnames: list[str], target):
+def _aligned_table(path: str, fnames: list[str], target, mapping=None):
     """Concatenated pyarrow read of ``fnames`` aligned to ``target``:
-    columns cast to the target type, schema-evolved gaps null-padded."""
+    columns cast to the target type, schema-evolved gaps null-padded.
+    ``mapping`` (logical → physical, column-mapped tables) resolves
+    each target field from its stable PHYSICAL storage name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    mapping = mapping or {}
     tables = []
     for fname in fnames:
         tbl = pq.read_table(os.path.join(path, fname))
         cols = []
         for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl[field.name].cast(field.type))
+            phys = mapping.get(field.name, field.name)
+            if phys in tbl.column_names:
+                cols.append(tbl[phys].cast(field.type))
             else:  # schema-evolved history: older file lacks the column
                 cols.append(pa.nulls(len(tbl), type=field.type))
         tables.append(pa.table(cols, schema=target))
@@ -297,8 +317,9 @@ def _read_file_partition(partition: "_FilePartition"):
         return iter(())
     target = _arrow_schema(partition.schema_json)
     return iter(
-        _aligned_table(partition.path, [partition.fname], target)
-        .to_batches()
+        _aligned_table(
+            partition.path, [partition.fname], target, partition.mapping
+        ).to_batches()
     )
 
 
@@ -322,12 +343,14 @@ class _CdfFilePartition(InputPartition):
         table_schema_json: str,
         version: int,
         change: str,
+        mapping=None,
     ):
         self.path = path
         self.fname = fname
         self.table_schema_json = table_schema_json
         self.version = version
         self.change = change
+        self.mapping = mapping or {}
 
 
 class _CdfDiffPartition(InputPartition):
@@ -348,16 +371,22 @@ class _CdfDiffPartition(InputPartition):
         removes: list[str],
         table_schema_json: str,
         version: int,
+        mapping=None,
     ):
         self.path = path
         self.adds = adds
         self.removes = removes
         self.table_schema_json = table_schema_json
         self.version = version
+        self.mapping = mapping or {}
 
 
 def _cdf_partitions(
-    path: str, start_version: int, end_version: int, table_schema_json: str
+    path: str,
+    start_version: int,
+    end_version: int,
+    table_schema_json: str,
+    mapping=None,
 ) -> list:
     """Plan the CDF partitions for commits in (start, end] — pure
     manifest metadata, no data file opened."""
@@ -373,15 +402,21 @@ def _cdf_partitions(
         removes = [a["remove"] for a in manifest["actions"] if "remove" in a]
         if adds and removes:
             out.append(
-                _CdfDiffPartition(path, adds, removes, table_schema_json, v)
+                _CdfDiffPartition(
+                    path, adds, removes, table_schema_json, v, mapping
+                )
             )
         else:
             out.extend(
-                _CdfFilePartition(path, f, table_schema_json, v, "insert")
+                _CdfFilePartition(
+                    path, f, table_schema_json, v, "insert", mapping
+                )
                 for f in adds
             )
             out.extend(
-                _CdfFilePartition(path, f, table_schema_json, v, "delete")
+                _CdfFilePartition(
+                    path, f, table_schema_json, v, "delete", mapping
+                )
                 for f in removes
             )
     return out
@@ -468,12 +503,18 @@ def _read_cdf_partition(partition):
         + list(target)
     )
     if isinstance(partition, _CdfFilePartition):
-        tbl = _aligned_table(partition.path, [partition.fname], target)
+        tbl = _aligned_table(
+            partition.path, [partition.fname], target, partition.mapping
+        )
         return iter(
             _emit_changes(tbl, partition.version, partition.change, full)
         )
-    a = _aligned_table(partition.path, partition.adds, target)
-    r = _aligned_table(partition.path, partition.removes, target)
+    a = _aligned_table(
+        partition.path, partition.adds, target, partition.mapping
+    )
+    r = _aligned_table(
+        partition.path, partition.removes, target, partition.mapping
+    )
     ins, dele = _multiset_diff(a, r)
     batches = _emit_changes(
         _counter_to_table(ins, target), partition.version, "insert", full
@@ -645,25 +686,34 @@ class TxlogBatchReader(DataSourceReader):
             end = self.ending_version
             if end is None:
                 end = txlog.committed_versions(self.path)[-1]
+            mapping = txlog.table_mapping(self.path, version=end)
             parts = _cdf_partitions(
-                self.path, self.starting_version, end, self.table_schema_json
+                self.path,
+                self.starting_version,
+                end,
+                self.table_schema_json,
+                mapping,
             )
             return parts or [
                 _FilePartition(self.path, "", self.schema_json)
             ]
+        mapping = txlog.table_mapping(self.path, version=self.version)
         if self._prune is not None:
-            from ..sources.pruning import may_match
+            from ..sources.pruning import may_match, rename_columns
 
+            # predicates speak LOGICAL names, manifest stats PHYSICAL
+            prune = rename_columns(self._prune, mapping)
             stats = txlog.live_file_stats(self.path, version=self.version)
             live = sorted(
-                f for f, info in stats.items() if may_match(self._prune, info)
+                f for f, info in stats.items() if may_match(prune, info)
             )
         else:
             live = sorted(txlog.live_files(self.path, version=self.version))
         if not live:
             return [_FilePartition(self.path, "", self.schema_json)]
         return [
-            _FilePartition(self.path, f, self.schema_json) for f in live
+            _FilePartition(self.path, f, self.schema_json, mapping)
+            for f in live
         ]
 
     def read(self, partition):

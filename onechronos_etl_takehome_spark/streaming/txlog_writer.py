@@ -99,6 +99,16 @@ def _write_task_file(path: str, schema_json: str, iterator):
         [pa.field(f.name, f.type, nullable=True) for f in target]
     )
     tbl = tbl0 if tbl0.schema == target else tbl0.cast(target)
+    # column-mapped tables store PHYSICAL names (same rename
+    # _stage_data applies); constraints were validated on the LOGICAL
+    # view above, before the rename
+    mapping = (
+        txlog.table_mapping(path) if txlog.committed_versions(path) else {}
+    )
+    if mapping:
+        tbl = tbl.rename_columns(
+            [mapping.get(n, n) for n in tbl.schema.names]
+        )
     fname = f"part-{uuid.uuid4().hex}.parquet"
     full = os.path.join(path, fname)
     pq.write_table(tbl, full)

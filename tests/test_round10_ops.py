@@ -527,3 +527,196 @@ class TestProtocolVersioning:
         }
         txlog.append(spark.range(4, 6), table)
         assert txlog.read_table(spark, table).count() == 6
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (round-9 verdict item 4): RENAME/DROP COLUMN as
+# metadata-only commits; physical names stable forever
+# ---------------------------------------------------------------------------
+
+
+class TestColumnMapping:
+    def _seed(self, spark, table):
+        txlog.create_table(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            table,
+        )
+
+    def test_rename_is_metadata_only_and_resolves_old_files(
+        self, spark, table
+    ):
+        self._seed(spark, table)
+        files_before = set(txlog.live_files(table))
+        v = txlog.rename_column(spark, table, "v", "price")
+        assert set(txlog.live_files(table)) == files_before  # no rewrite
+        cur = txlog.read_table(spark, table)
+        assert cur.columns == ["k", "price"]
+        assert cur.agg(F.sum("price")).first()[0] == 450
+        # time travel before the rename still shows the old name
+        assert txlog.read_table(spark, table, version=v - 1).columns == [
+            "k", "v",
+        ]
+        assert txlog.table_protocol(table) == {
+            "min_reader_version": 2,
+            "min_writer_version": 3,
+        }
+
+    def test_new_appends_stage_under_the_stable_physical_name(
+        self, spark, table
+    ):
+        import pyarrow.parquet as pq
+
+        self._seed(spark, table)
+        txlog.rename_column(spark, table, "v", "price")
+        txlog.append(
+            spark.createDataFrame([(100, 5000)], "k long, price long"),
+            table,
+        )
+        last = txlog.committed_versions(table)[-1]
+        with open(
+            os.path.join(txlog._log_path(table), f"{last:08d}.json")
+        ) as f:
+            m = json.load(f)
+        fname = [a["add"] for a in m["actions"] if "add" in a][0]
+        phys = pq.read_table(os.path.join(table, fname)).column_names
+        assert phys == ["k", "v"]  # physical name never changes
+        got = txlog.read_table(spark, table).agg(F.sum("price")).first()[0]
+        assert got == 450 + 5000
+
+    def test_pruning_translates_logical_to_physical_stats(
+        self, spark, table
+    ):
+        txlog.create_table(
+            spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            table,
+            cluster_by="v",
+            cluster_files=4,
+        )
+        txlog.rename_column(spark, table, "v", "price")
+        kept, pruned = txlog.pruned_files(spark, table, "price > 900")
+        assert pruned, "stats pruning must engage through the mapping"
+        full = txlog.read_table(spark, table).filter("price > 900")
+        skipped = txlog.read_table(spark, table, where="price > 900")
+        assert skipped.exceptAll(full).count() == 0
+        assert full.exceptAll(skipped).count() == 0
+
+    def test_dml_round_trips_on_mapped_table(self, spark, table):
+        self._seed(spark, table)
+        txlog.rename_column(spark, table, "v", "price")
+        txlog.delete_where(spark, table, F.col("price") >= 80)
+        txlog.merge_upsert(
+            spark,
+            table,
+            spark.createDataFrame([(0, 999), (50, 500)], "k long, price long"),
+            ["k"],
+        )
+        assert txlog.compact(spark, table) is not None
+        got = {
+            r["k"]: r["price"]
+            for r in txlog.read_table(spark, table).collect()
+        }
+        want = {k: k * 10 for k in range(1, 8)}
+        want.update({0: 999, 50: 500})
+        assert got == want
+
+    def test_format_reader_and_cdf_speak_logical_names(
+        self, spark, table, tmp_path
+    ):
+        _register_source(spark)
+        self._seed(spark, table)
+        txlog.rename_column(spark, table, "v", "price")
+        txlog.delete_where(spark, table, F.col("price") < 30)
+        fmt = spark.read.format("txlog").option("path", table).load()
+        assert fmt.columns == ["k", "price"]
+        assert fmt.filter("price >= 50").count() == 5
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        feed = spark.read.parquet(out)
+        assert set(feed.columns) == {"_version", "_change", "k", "price"}
+        assert feed.filter("_change = 'delete'").count() == 3
+
+    def test_drop_hides_now_time_travel_still_shows(self, spark, table):
+        self._seed(spark, table)
+        txlog.append(
+            spark.range(3).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("v"),
+                F.lit("x").alias("tag"),
+            ),
+            table,
+        )
+        v = txlog.drop_column(spark, table, "tag")
+        assert txlog.read_table(spark, table).columns == ["k", "v"]
+        pre = txlog.read_table(spark, table, version=v - 1)
+        assert pre.columns == ["k", "v", "tag"]
+        assert pre.filter("tag = 'x'").count() == 3
+
+    def test_dropped_physical_name_is_tombstoned(self, spark, table):
+        self._seed(spark, table)
+        txlog.rename_column(spark, table, "v", "price")
+        # 'v' is price's PHYSICAL name: adding a logical 'v' would
+        # resurrect old bytes — refused
+        with pytest.raises(ValueError, match="PHYSICAL"):
+            txlog.append(
+                spark.createDataFrame([(1, 2, 3)],
+                                      "k long, price long, v long"),
+                table,
+            )
+        txlog.drop_column(spark, table, "price")
+        with pytest.raises(ValueError, match="PHYSICAL"):
+            txlog.append(
+                spark.createDataFrame([(1, 2)], "k long, v long"), table
+            )
+
+    def test_rename_refused_while_constraint_references(self, spark, table):
+        self._seed(spark, table)
+        C2.add_constraint(spark, table, "v_pos", "v >= 0")
+        with pytest.raises(ValueError, match="v_pos"):
+            txlog.rename_column(spark, table, "v", "price")
+        with pytest.raises(ValueError, match="v_pos"):
+            txlog.drop_column(spark, table, "v")
+        C2.drop_constraint(spark, table, "v_pos")
+        txlog.rename_column(spark, table, "v", "price")
+        assert txlog.read_table(spark, table).columns == ["k", "price"]
+
+    def test_mapped_table_refuses_reader_1_engines(self, spark, table):
+        self._seed(spark, table)
+        txlog.rename_column(spark, table, "v", "price")
+        import onechronos_etl_takehome_spark.sources.txlog as T
+
+        old_r = T.SUPPORTED_READER_VERSION
+        T.SUPPORTED_READER_VERSION = 1
+        try:
+            with pytest.raises(txlog.ProtocolError, match="min_reader"):
+                txlog.read_table(spark, table)
+        finally:
+            T.SUPPORTED_READER_VERSION = old_r
+
+    def test_constraints_validate_through_the_mapping(self, spark, table):
+        self._seed(spark, table)
+        txlog.rename_column(spark, table, "v", "price")
+        C2.add_constraint(spark, table, "price_cap", "price < 1000")
+        with pytest.raises(C2.ConstraintViolation, match="price_cap"):
+            txlog.append(
+                spark.createDataFrame([(1, 5000)], "k long, price long"),
+                table,
+            )
+        txlog.append(
+            spark.createDataFrame([(1, 500)], "k long, price long"), table
+        )
+        assert txlog.read_table(spark, table).count() == 11
