@@ -59,7 +59,9 @@ from dataclasses import dataclass
 class Leaf:
     """One comparison/null-test against a single column."""
 
-    kind: str  # '=', '!=', '<', '<=', '>', '>=', 'isnull', 'isnotnull'
+    kind: str  # comparison ('=', '!=', '<', '<=', '>', '>='), null
+    # test ('isnull', 'isnotnull'), or string prefix ('prefix',
+    # 'notprefix' — LIKE 'abc%' / startswith and its TRUE-row negation)
     col: str
     value: object = None
 
@@ -90,7 +92,23 @@ _INVERSE = {
     ">=": "<",
     "isnull": "isnotnull",
     "isnotnull": "isnull",
+    # LIKE 'p%' is NULL for NULL rows, so its FALSE rows are exactly
+    # the non-null rows outside [p, succ(p)) — leaf inversion exact
+    "prefix": "notprefix",
+    "notprefix": "prefix",
 }
+
+
+def _prefix_succ(p: str) -> str | None:
+    """Smallest string strictly greater than every string with prefix
+    ``p`` (the exclusive upper bound of the prefix range): increment
+    the rightmost incrementable code point. None when no such string
+    exists (every char is U+10FFFF — practically never)."""
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return None
 
 
 def negate(node):
@@ -165,6 +183,23 @@ def _leaf_may_true(leaf: Leaf, info: dict) -> bool:
     stats = info.get("stats", {})
     if leaf.col not in stats:
         return True  # no stats recorded: never prune
+    if leaf.kind in ("prefix", "notprefix"):
+        # RAW string comparison — _norm would lift date-shaped strings
+        # to datetime and break the lexicographic prefix algebra
+        lo, hi = stats[leaf.col]
+        p = leaf.value
+        if not (
+            isinstance(lo, str) and isinstance(hi, str)
+            and isinstance(p, str)
+        ):
+            return True  # non-string stats/literal: never prune
+        succ = _prefix_succ(p)
+        if leaf.kind == "prefix":
+            # a matching row lies in [p, succ): the file range must
+            # reach p and start below succ (Delta's prefix overlap)
+            return hi >= p and (succ is None or lo < succ)
+        # notprefix: any (non-null) row OUTSIDE [p, succ)
+        return lo < p or (succ is not None and hi >= succ)
     lo, hi = (_norm(b) for b in stats[leaf.col])
     v = _norm(leaf.value)
     if v is None or not (_comparable(lo, v) and _comparable(hi, v)):
@@ -260,9 +295,25 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 
 _KEYWORDS = {
-    "AND", "OR", "NOT", "IS", "NULL", "IN", "BETWEEN",
+    "AND", "OR", "NOT", "IS", "NULL", "IN", "BETWEEN", "LIKE",
     "TRUE", "FALSE", "DATE", "TIMESTAMP",
 }
+
+
+def _like_node(col: str, pattern):
+    """Compile ``col LIKE pattern`` for the shapes stats can prune:
+    a pure prefix ('abc%') → prefix leaf; no wildcards at all →
+    equality. Escapes, '_', or interior '%' degrade to UNKNOWN (the
+    residual filter keeps semantics; pruning just doesn't engage)."""
+    if not isinstance(pattern, str) or "\\" in pattern or "_" in pattern:
+        return UNKNOWN
+    if pattern.endswith("%") and "%" not in pattern[:-1]:
+        return Leaf("prefix", col, pattern[:-1])
+    if "%" not in pattern:
+        # wildcard-free LIKE is equality (NULL rows fail it, exactly
+        # like '=' — so plain Leaf negation stays exact)
+        return Leaf("=", col, pattern)
+    return UNKNOWN
 
 
 class _Parser:
@@ -379,6 +430,11 @@ class _Parser:
                 vals.append(self.literal())
             self.expect("op", ")")
             node = OrN(tuple(Leaf("=", col, v) for v in vals))
+            return negate(node) if neg else node
+        if self.accept("kw", "LIKE") is not None:
+            node = _like_node(col, self.literal())
+            if isinstance(node, Unknown):
+                return UNKNOWN  # NOT UNKNOWN is UNKNOWN anyway
             return negate(node) if neg else node
         if neg:
             raise _PredicateSyntax("dangling NOT")
@@ -535,6 +591,19 @@ def _walk_catalyst(e):
         if v is None or v is Ellipsis:
             return UNKNOWN
         return Leaf(_FN_CMP[name], col, v)
+    if name in ("startswith", "like"):
+        if len(kids) < 2:
+            return UNKNOWN
+        a, b = kids[0], kids[1]
+        if not (
+            isinstance(a, tuple) and a[0] == "col"
+            and isinstance(b, tuple) and b[0] == "lit"
+            and isinstance(b[1], str)
+        ):
+            return UNKNOWN
+        if name == "startswith":
+            return Leaf("prefix", a[1], b[1])
+        return _like_node(a[1], b[1])
     if name in ("<=>", "equalnullsafe"):
         if len(kids) != 2:
             return UNKNOWN

@@ -564,6 +564,7 @@ def _filter_to_node(f):
         LessThan,
         LessThanOrEqual,
         Not,
+        StringStartsWith,
     )
 
     from ..sources import pruning as P
@@ -605,6 +606,9 @@ def _filter_to_node(f):
         return P.AndN(
             (P.Leaf("=", col, norm(f.value)), P.Leaf("isnotnull", col))
         )
+    if isinstance(f, StringStartsWith):
+        # LIKE-prefix pruning (round 10): [p, succ(p)) vs [min, max]
+        return P.Leaf("prefix", col, f.value)
     if isinstance(f, In):
         return P.OrN(
             tuple(

@@ -749,10 +749,15 @@ class TestFormatFilterPushdown:
         assert empty == P.OrN(()) and not P.may_match(
             empty, {"stats": {"a": [0, 9]}}
         )
+        # round 10: startswith drives prefix pruning (exact negation)
+        assert _filter_to_node(StringStartsWith(("a",), "x")) == P.Leaf(
+            "prefix", "a", "x"
+        )
+        assert _filter_to_node(Not(StringStartsWith(("a",), "x"))) == P.Leaf(
+            "notprefix", "a", "x"
+        )
         # unsupported shapes stay Spark-side: None
-        assert _filter_to_node(StringStartsWith(("a",), "x")) is None
         assert _filter_to_node(EqualTo(("a", "b"), 1)) is None  # nested
-        assert _filter_to_node(Not(StringStartsWith(("a",), "x"))) is None
         # DATE literals widen to midnight datetime for the ISO stats
         d = _filter_to_node(EqualTo(("d",), datetime.date(1997, 6, 1)))
         assert d.value == datetime.datetime(1997, 6, 1)
