@@ -642,7 +642,21 @@ class TxlogBatchReader(DataSourceReader):
     NOTE: implementing ``pushFilters`` makes Spark REQUIRE
     ``spark.sql.python.filterPushdown.enabled=true`` for every read of
     this source (it refuses to silently skip pushdown) — get_spark and
-    pin_semantics both set it."""
+    pin_semantics both set it.
+
+    REUSE HAZARD (upstream, Spark 4.1): the JVM caches ONE planned
+    ``(partitions, read_function)`` per relation
+    (``PythonDataSourceV2.setReadInfo`` overwritten by every pushdown
+    planning; ``getOrCreateReadInfo`` reused by plannings with no
+    pushable filter). Filter-dependent partitions are therefore
+    unsafe for a RE-USED DataFrame/temp view: a filtered query
+    followed by an unfiltered one on the SAME ``load()`` would serve
+    the stale pruned file set and silently lose rows. Use a fresh
+    ``load()`` per query (every engine path does), or pass
+    ``option("filterPruning", "false")`` — filters then stay pure
+    row-level residuals, partitions are always the complete live set,
+    and any reuse is correct (``register_view`` defaults to this safe
+    mode; the gate pins all three behaviors)."""
 
     def __init__(self, schema, options: dict):
         options = {k.lower(): v for k, v in options.items()}
@@ -654,6 +668,11 @@ class TxlogBatchReader(DataSourceReader):
         # endingVersion (inclusive, default latest)
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        # filterPruning=false: never derive partitions from pushed
+        # filters — the reuse-safe mode (see REUSE HAZARD above)
+        self.prune_enabled = (
+            str(options.get("filterpruning", "true")).lower() != "false"
         )
         if self.read_change_feed:
             if "version" in options or "timestampasof" in options:
@@ -672,10 +691,11 @@ class TxlogBatchReader(DataSourceReader):
     def pushFilters(self, filters):
         from ..sources import pruning as P
 
-        if self.read_change_feed:
-            # no file pruning on the feed: a diff commit needs BOTH
-            # sides complete, and the meta columns carry no stats —
-            # Spark applies every filter row-side
+        if self.read_change_feed or not self.prune_enabled:
+            # no file pruning: on the feed a diff commit needs BOTH
+            # sides complete (and meta columns carry no stats); with
+            # filterPruning=false the caller asked for reuse-safe
+            # complete partitions. Spark applies every filter row-side.
             return filters
         nodes = [
             n for n in (_filter_to_node(f) for f in filters) if n is not None
@@ -738,6 +758,50 @@ def _resolve_option_version(path: str, options: dict) -> int | None:
         path, int(v) if v is not None else None, timestamp=ts
     )
     return resolved
+
+
+def register_view(
+    spark,
+    path: str,
+    name: str,
+    *,
+    version: int | None = None,
+    timestamp_as_of=None,
+    read_change_feed: bool = False,
+    prune: bool = False,
+) -> None:
+    """Serve the txlog table to PLAIN SQL: registers the format (
+    idempotent) and publishes ``name`` as a temp view over the batch
+    reader, so ``spark.sql("SELECT ... FROM name WHERE ...")`` plans
+    through ``pushFilters`` — the WHERE clause's pushable conjuncts
+    drive the same manifest-stats file pruning a ``.filter()`` call
+    gets, with zero DataFrame code. The last ergonomic gap between
+    the txlog and a cataloged lakehouse table: a BI tool that only
+    speaks SQL now reads (and prunes) the ACID table directly.
+    ``version``/``timestamp_as_of`` pin a time-travel snapshot;
+    ``read_change_feed`` publishes the CDF instead (the gate pins a
+    poisoned-pruned-file aggregate running as pure SQL).
+
+    ``prune`` defaults to FALSE because a view is the reuse-shaped
+    API and Spark 4.1 caches planned partitions per relation (see
+    the REUSE HAZARD note on TxlogBatchReader): the safe default
+    keeps partitions complete so ANY mix of queries on the view is
+    correct, trading away file skipping. Pass ``prune=True`` for a
+    view you query once (or re-register per query) to get the full
+    pushFilters pruning."""
+    spark.dataSource.register(TxlogStreamSource)
+    reader = spark.read.format("txlog").option("path", path)
+    if version is not None and timestamp_as_of is not None:
+        raise ValueError("pass version OR timestamp_as_of, not both")
+    if version is not None:
+        reader = reader.option("version", str(version))
+    if timestamp_as_of is not None:
+        reader = reader.option("timestampAsOf", str(timestamp_as_of))
+    if read_change_feed:
+        reader = reader.option("readChangeFeed", "true")
+    if not prune:
+        reader = reader.option("filterPruning", "false")
+    reader.load().createOrReplaceTempView(name)
 
 
 class TxlogStreamSource(DataSource):
