@@ -907,7 +907,10 @@ class TestSqlOverTxlog:
             ).alias("d"),
         )
         txlog.create_table(df, table, cluster_by="d", cluster_files=8)
-        register_view(spark, table, "sql_txlog_t")
+        # prune=True views carry the Spark 4.1 readInfo-reuse hazard
+        # (see register_view's docstring), so the discipline is: one
+        # fresh registration per query leg
+        register_view(spark, table, "sql_txlog_t", prune=True)
         cut = "d >= DATE '1997-01-01'"
         want = txlog.read_table(spark, table, where=cut).agg(
             F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
@@ -925,13 +928,62 @@ class TestSqlOverTxlog:
         for f in pruned:
             with open(os.path.join(table, f), "wb") as fh:
                 fh.write(b"poisoned: a pruned file must never be read")
+        register_view(spark, table, "sql_txlog_t2", prune=True)
         again = spark.sql(
-            f"SELECT COUNT(*) AS n, SUM(cents) AS s FROM sql_txlog_t "
+            f"SELECT COUNT(*) AS n, SUM(cents) AS s FROM sql_txlog_t2 "
             f"WHERE {cut}"
         ).collect()[0]
         assert (again["n"], again["s"]) == (want["n"], want["s"])
+        # a THIRD fresh view for the full scan so the raise comes from
+        # reading unpruned poisoned files, not stale cached partitions
+        register_view(spark, table, "sql_txlog_t3", prune=True)
         with pytest.raises(Exception):
-            spark.sql("SELECT COUNT(*) FROM sql_txlog_t").collect()
+            spark.sql("SELECT COUNT(*) FROM sql_txlog_t3").collect()
+
+    def test_default_view_reuse_safe_vs_pruned_view(self, spark, table):
+        """Pins BOTH register_view behaviors (round-10 verdict item 1):
+        the prune=False default serves a filtered-then-unfiltered query
+        mix correctly on ONE reused view (complete partitions defuse
+        the Spark 4.1 stale-readInfo hazard), while a fresh prune=True
+        view skips poisoned out-of-range files."""
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            register_view,
+        )
+
+        df = spark.range(2000).select(
+            (F.col("id") % 50).alias("k"), (F.col("id") * 7).alias("v")
+        )
+        txlog.create_table(df, table, cluster_by="v", cluster_files=6)
+        register_view(spark, table, "sql_reuse_v")  # default prune=False
+        cut = "v >= 7000"
+        filt = spark.sql(
+            f"SELECT COUNT(*) AS n, SUM(v) AS s FROM sql_reuse_v "
+            f"WHERE {cut}"
+        ).collect()[0]
+        want_f = txlog.read_table(spark, table, where=cut).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        ).collect()[0]
+        assert (filt["n"], filt["s"]) == (want_f["n"], want_f["s"])
+        # the reuse hazard case: an UNFILTERED query on the same view
+        # right after a filtered one must see every row
+        full = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(v) AS s FROM sql_reuse_v"
+        ).collect()[0]
+        assert (full["n"], full["s"]) == (2000, sum(i * 7
+                                                    for i in range(2000)))
+        # and the pruned single-use view really skips files: poison the
+        # out-of-range ones, fresh prune=True view still answers
+        _, pruned = txlog.pruned_files(spark, table, cut)
+        assert pruned
+        for f in pruned:
+            with open(os.path.join(table, f), "wb") as fh:
+                fh.write(b"poison")
+        register_view(spark, table, "sql_prune_v", prune=True)
+        again = spark.sql(
+            f"SELECT COUNT(*) AS n, SUM(v) AS s FROM sql_prune_v "
+            f"WHERE {cut}"
+        ).collect()[0]
+        assert (again["n"], again["s"]) == (want_f["n"], want_f["s"])
 
     def test_sql_view_time_travel_and_cdf(self, spark, table):
         from onechronos_etl_takehome_spark.streaming.txlog_source import (
