@@ -108,7 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "s09_cosine_topk_ivfpq",
     "x45_txlog_format_writer",  # df.write.format("txlog"): the write side
     "m04_binary_chunk_neardup",
-    "x40_txlog_incremental_consumer",  # CDF consumer: v0 + feed == latest
+    "x48_txlog_cdf_stream",  # streaming CDF: DML commits as a stream
     "x01_approx_sketches",
     "x03_heavy_hitters",
     "x06_salted_skew_join",
@@ -130,13 +130,42 @@ DRIVER_WINDOW: list[str] = [
     "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
     "x23_zorder_layout",  # z-order data layout (Morton clustering)
     "t21_leakage_safe_split",  # leakage-safe train/val/test split
-    "x34_txlog_time_travel",  # ACID commit log + CoW delete + time travel
+    "x49_txlog_column_mapping",  # metadata-only RENAME/DROP + time travel
     "x24_bucketed_join",  # co-located join over bucketed storage
     "x25_distribution_drift",  # windowed histogram drift (TVD)
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
     "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
     "x47_txlog_check_constraints",  # write-time CHECK invariant enforcement
 ]
+# Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
+# item 2 (and this file's own round-10 forecast) named them.
+# - x48_txlog_cdf_stream: the streaming change data feed — DML
+#   commits consumed as a stream over a create/append/CoW-delete/MERGE
+#   lifecycle, the only txlog surface (DML-as-stream) no in-window row
+#   covered. Displaced: x40_txlog_incremental_consumer — x48's oracle
+#   hash-matches the ENTIRE feed multiset (every version/change/row,
+#   carried survivors cancelled), which strictly implies x40's folded
+#   v0+feed==latest net-effect property (an exact feed applied to v0
+#   necessarily reproduces latest; the converse does not hold), and
+#   the gate pins streamed==batch change_feed equality
+#   (tests/test_round10_ops.py), so the batch-consumer leg is nested
+#   too; x40 stays gate-oracled at two SFs and benched.
+# - x49_txlog_column_mapping: metadata-only RENAME/DROP COLUMN with
+#   pre-rename/pre-drop time-travel legs and protocol bumps — the only
+#   schema-DDL witness. Displaced: x34_txlog_time_travel — x49 runs
+#   the same create/append commit lifecycle with TWO time-travel
+#   snapshot reads (v_rename-1 through the original name, v_drop-1 for
+#   the pre-drop width), nesting x34's snapshot-read legs under the
+#   strictly harder mapped-schema resolution; x34's remaining leg
+#   (copy-on-write DELETE) keeps in-window evidence via x48's
+#   delete_where commit (oracle-exact delete rows with carried
+#   survivors cancelled) and x35's file-pruned MERGE rewrite; x34
+#   stays gate-oracled at two SFs and benched.
+# Remaining rotation candidates for round 12: x50+ (this round's new
+# txlog surfaces — deletion vectors, partition columns, commit-time
+# change files — once gate-oracled), x46 (DESCRIBE HISTORY), x43
+# (metadata-only COUNT), x39 (null-count skipping), x41 (append-only
+# stream drain).
 # Round 10: x44 and x47 rotate in, exactly as the round-9 verdict's
 # item 1 (and this file's own round-9 forecast) named them.
 # - x44_txlog_filter_pushdown: query-derived file skipping through
