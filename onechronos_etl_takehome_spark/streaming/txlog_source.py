@@ -22,18 +22,22 @@ Delta tables are read as streams:
   ``partitions()`` raises by default, or skips such commits entirely
   with ``option("skipChangeCommits", "true")`` — the same lever and
   name Delta uses.
-- **Change data feed (round 10).** ``option("readChangeFeed",
-  "true")`` — Delta's option, same name — makes every commit
-  consumable as ``(_version, _change ∈ {'insert','delete'}, *table
-  columns)`` rows, the continuous form of batch ``txlog.change_feed``:
-  append-only commits stream as tagged file scans (one partition per
-  file, zero diff work); data-changing commits compute the per-commit
-  MULTISET diff in one partition bounded by the files that commit
-  touched, so copy-on-write carry-over rows cancel and an OPTIMIZE
-  rewrite is CDF-invisible. Works on the batch reader too
-  (``startingVersion``/``endingVersion``). The gate pins streamed
-  drain == batch change_feed over a create/append/delete/merge
-  lifecycle plus a restart that must not re-deliver (x48).
+- **Change data feed (round 10; commit-time change files round 11).**
+  ``option("readChangeFeed", "true")`` — Delta's option, same name —
+  makes every commit consumable as ``(_version, _change ∈
+  {'insert','delete'}, *table columns)`` rows, the continuous form of
+  batch ``txlog.change_feed``: append-only commits stream as tagged
+  file scans (one partition per file, zero diff work); DML commits
+  that stamped commit-time change files (every delete/merge from
+  round 11 on) stream as ordinary scans of those files — one
+  partition per change file; LEGACY data-changing commits compute the
+  per-commit MULTISET diff in one partition bounded by the files that
+  commit touched. Either way copy-on-write carry-over rows cancel and
+  an OPTIMIZE rewrite is CDF-invisible. Works on the batch reader too
+  (``startingVersion``/``endingVersion``, both INCLUSIVE — Delta's
+  semantics). The gate pins streamed drain == batch change_feed over
+  a create/append/delete/merge lifecycle plus a restart that must not
+  re-deliver (x48).
 - **Schema from the log.** The manifest ``schema`` field (written by
   every create/append since round 8) is the source schema; files are
   column-aligned to it with null padding, so schema-evolved histories
@@ -91,9 +95,12 @@ class TxlogStreamReader(DataSourceStreamReader):
                 "exclusive: the change feed EXPRESSES data-changing "
                 "commits, skipChangeCommits drops them"
             )
-        # startingVersion: first EXCLUDED version (-1 = full history);
-        # default -1 so a fresh query replays the table from creation,
-        # matching Delta's startingVersion=0 semantics.
+        # startingVersion: first DELIVERED version — INCLUSIVE, matching
+        # Delta's semantics exactly since the option carries Delta's
+        # name (round-10 advice: an exclusive reading under the same
+        # name silently shifted ported code by one commit). Default 0 =
+        # full history. Internally the reader tracks the EXCLUSIVE
+        # cursor (startingVersion - 1).
         # startingTimestamp (Delta's option): deliver commits whose
         # manifest ts is AT OR AFTER it — resolved once here to the
         # version just below the first qualifying commit. A timestamp
@@ -118,7 +125,14 @@ class TxlogStreamReader(DataSourceStreamReader):
                 at_or_after[0] - 1 if at_or_after else versions[-1]
             )
         else:
-            self.starting_version = int(options.get("startingversion", -1))
+            sv = int(options.get("startingversion", 0))
+            if sv < 0:
+                raise ValueError(
+                    f"startingVersion must be >= 0 (got {sv}); it is "
+                    "INCLUSIVE (Delta's semantics) — 0 replays the "
+                    "full history"
+                )
+            self.starting_version = sv - 1
         # maxFilesPerTrigger (Delta's option, same name): bound each
         # microbatch to ~N ADDED FILES so a catch-up read of a long
         # history drains as a sequence of bounded batches instead of
@@ -261,7 +275,10 @@ class TxlogStreamReader(DataSourceStreamReader):
         return out or [_FilePartition(self.path, "", self.schema_json)]
 
     def read(self, partition):
-        if isinstance(partition, (_CdfFilePartition, _CdfDiffPartition)):
+        if isinstance(
+            partition,
+            (_CdfFilePartition, _CdfDiffPartition, _CdcFilePartition),
+        ):
             return _read_cdf_partition(partition)
         return _read_file_partition(partition)
 
@@ -353,6 +370,29 @@ class _CdfFilePartition(InputPartition):
         self.mapping = mapping or {}
 
 
+class _CdcFilePartition(InputPartition):
+    """One commit-time CHANGE FILE (round 11): the DML that committed
+    wrote its exact row-level diff as ``change-*`` parquet (table
+    columns + ``_change``), so reading the commit's CDF is an
+    ordinary file scan — one partition per change file, scaling with
+    the commit's change volume instead of funneling every touched
+    file through one diff task."""
+
+    def __init__(
+        self,
+        path: str,
+        fname: str,
+        table_schema_json: str,
+        version: int,
+        mapping=None,
+    ):
+        self.path = path
+        self.fname = fname
+        self.table_schema_json = table_schema_json
+        self.version = version
+        self.mapping = mapping or {}
+
+
 class _CdfDiffPartition(InputPartition):
     """A commit that both ADDS and REMOVES files (copy-on-write
     delete / merge / compaction): its row-level changes are the
@@ -398,9 +438,40 @@ def _cdf_partitions(
             os.path.join(path, txlog._LOG_DIR, f"{v:08d}.json")
         ) as f:
             manifest = json.load(f)
+        if "cdf" in manifest:
+            # commit-time change files: one ordinary scan partition
+            # per file; an empty list = KNOWN data-invisible commit
+            # (OPTIMIZE) — nothing to emit, no diff to prove it
+            out.extend(
+                _CdcFilePartition(
+                    path, e["name"], table_schema_json, v, mapping
+                )
+                for e in manifest["cdf"]["files"]
+            )
+            continue
         adds = [a["add"] for a in manifest["actions"] if "add" in a]
         removes = [a["remove"] for a in manifest["actions"] if "remove" in a]
         if adds and removes:
+            # the diff keys rows by value tuples (Python Counter), so
+            # list/map/struct columns are unhashable — reject at PLAN
+            # time with a clear error instead of a worker TypeError
+            # (round-10 advice). Flat columns only is the documented
+            # diff-at-read bound; commit-time change files (round 11)
+            # have no such limit.
+            bad = [
+                fld["name"]
+                for fld in json.loads(table_schema_json)["fields"]
+                if isinstance(fld["type"], dict)
+            ]
+            if bad:
+                raise ValueError(
+                    f"change feed for commit {v} of {path} needs a "
+                    f"row-multiset diff, but non-flat column(s) "
+                    f"{bad} are not diffable at read time. Tables "
+                    "written with commit-time change files (any DML "
+                    "commit from protocol writer 3 on) stream CDF "
+                    "regardless of schema."
+                )
             out.append(
                 _CdfDiffPartition(
                     path, adds, removes, table_schema_json, v, mapping
@@ -502,6 +573,26 @@ def _read_cdf_partition(partition):
         ]
         + list(target)
     )
+    if isinstance(partition, _CdcFilePartition):
+        # commit-time change file: _change comes from the file itself,
+        # table columns align through the mapping like any data file
+        import pyarrow.parquet as pq
+
+        raw = pq.read_table(
+            os.path.join(partition.path, partition.fname)
+        )
+        n = len(raw)
+        cols = [
+            pa.array([partition.version] * n, type=pa.int64()),
+            raw["_change"].cast(pa.string()).combine_chunks(),
+        ]
+        for field in target:
+            phys = partition.mapping.get(field.name, field.name)
+            if phys in raw.column_names:
+                cols.append(raw[phys].cast(field.type))
+            else:  # evolved later than this commit: null-fill
+                cols.append(pa.nulls(n, type=field.type))
+        return iter(pa.table(cols, schema=full).to_batches())
     if isinstance(partition, _CdfFilePartition):
         tbl = _aligned_table(
             partition.path, [partition.fname], target, partition.mapping
@@ -663,9 +754,10 @@ class TxlogBatchReader(DataSourceReader):
         self.path = options["path"]
         self.schema_json = schema.json()
         self._prune = None
-        # batch CDF read (Delta's shape): readChangeFeed=true with
-        # startingVersion (exclusive, default -1 = whole history) /
-        # endingVersion (inclusive, default latest)
+        # batch CDF read (Delta's shape, Delta's SEMANTICS):
+        # readChangeFeed=true with startingVersion (INCLUSIVE, default
+        # 0 = whole history) / endingVersion (inclusive, default
+        # latest)
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
@@ -681,7 +773,14 @@ class TxlogBatchReader(DataSourceReader):
                     "not version/timestampAsOf"
                 )
             self.version = None
-            self.starting_version = int(options.get("startingversion", -1))
+            sv = int(options.get("startingversion", 0))
+            if sv < 0:
+                raise ValueError(
+                    f"startingVersion must be >= 0 (got {sv}); it is "
+                    "INCLUSIVE (Delta's semantics) — 0 reads the "
+                    "whole history"
+                )
+            self.starting_version = sv - 1
             ev = options.get("endingversion")
             self.ending_version = int(ev) if ev is not None else None
             self.table_schema_json = _strip_cdf_meta(self.schema_json)
@@ -741,7 +840,10 @@ class TxlogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition):
-        if isinstance(partition, (_CdfFilePartition, _CdfDiffPartition)):
+        if isinstance(
+            partition,
+            (_CdfFilePartition, _CdfDiffPartition, _CdcFilePartition),
+        ):
             return _read_cdf_partition(partition)
         return _read_file_partition(partition)
 

@@ -356,8 +356,9 @@ class TestChangeDataFeedStream:
                 r = r.option(k, v)
             return r.load()
 
-        # (1, 3] == batch change_feed over the same bounds
-        got = fmt(startingVersion="1", endingVersion="3")
+        # [2, 3] (startingVersion INCLUSIVE, Delta's semantics) ==
+        # batch change_feed over (1, 3]
+        got = fmt(startingVersion="2", endingVersion="3")
         want = txlog.change_feed(
             spark, table, from_version=1, to_version=3
         )

@@ -1,0 +1,435 @@
+"""Round-11 fixes and operators: backtick-quoted constraint detection
+on rename/drop, Delta-inclusive startingVersion, plan-time rejection of
+non-flat CDF diffs, the immutable-manifest fold cache, commit-time CDF
+change files, txlog partition columns, and deletion vectors."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from onechronos_etl_takehome_spark.sources import txlog
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _register_source(spark):
+    from onechronos_etl_takehome_spark.streaming.txlog_source import (
+        TxlogStreamSource,
+    )
+
+    spark.dataSource.register(TxlogStreamSource)
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (medium): backtick-quoted CHECK expressions must block
+# rename/drop of the referenced column
+# ---------------------------------------------------------------------------
+
+
+class TestQuotedConstraintReference:
+    def _mk(self, spark, table):
+        from onechronos_etl_takehome_spark.sources.constraints import (
+            add_constraint,
+        )
+
+        txlog.create_table(
+            spark.range(5).select(
+                F.col("id").alias("k"),
+                (F.col("id") + 1.0).alias("price"),
+            ),
+            table,
+        )
+        add_constraint(spark, table, "price_pos", "`price` > 0")
+
+    def test_rename_refuses_backtick_quoted_reference(self, spark, table):
+        self._mk(spark, table)
+        with pytest.raises(ValueError, match="price_pos"):
+            txlog.rename_column(spark, table, "price", "cents")
+        # the table is NOT write-bricked: appends still validate fine
+        txlog.append(
+            spark.createDataFrame([(9, 2.0)], "k long, price double"), table
+        )
+        assert txlog.read_table(spark, table).count() == 6
+
+    def test_drop_refuses_backtick_quoted_reference(self, spark, table):
+        self._mk(spark, table)
+        with pytest.raises(ValueError, match="price_pos"):
+            txlog.drop_column(spark, table, "price")
+
+    def test_unrelated_longer_name_still_allowed(self, spark, table):
+        """`price` > 0 must not pin down a column named price_usd."""
+        from onechronos_etl_takehome_spark.sources.constraints import (
+            add_constraint,
+        )
+
+        txlog.create_table(
+            spark.range(3).select(
+                F.col("id").alias("price_usd"),
+                (F.col("id") + 1.0).alias("price"),
+            ),
+            table,
+        )
+        add_constraint(spark, table, "price_pos", "`price` > 0")
+        v = txlog.rename_column(spark, table, "price_usd", "usd")
+        assert "usd" in txlog.read_table(spark, table).columns
+        assert v == 2
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (low): startingVersion is INCLUSIVE (Delta's semantics)
+# ---------------------------------------------------------------------------
+
+
+class TestStartingVersionInclusive:
+    def _lifecycle(self, spark, table):
+        txlog.create_table(spark.range(10).select(F.col("id").alias("k")),
+                           table)
+        txlog.append(spark.range(10, 15).select(F.col("id").alias("k")),
+                     table)
+        txlog.append(spark.range(15, 18).select(F.col("id").alias("k")),
+                     table)
+
+    def _cdf(self, spark, table, **opts):
+        r = (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def test_batch_inclusive_bounds(self, spark, table):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        # startingVersion=1 delivers versions 1 and 2 — NOT 2 and 3
+        got = self._cdf(spark, table, startingVersion="1")
+        assert sorted(
+            r["_version"] for r in got.select("_version").distinct().collect()
+        ) == [1, 2]
+        assert got.count() == 8
+        # 0 = full history (Delta's semantics for a table created at v0)
+        assert self._cdf(spark, table, startingVersion="0").count() == 18
+
+    def test_batch_negative_rejected(self, spark, table):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        with pytest.raises(Exception, match="INCLUSIVE"):
+            self._cdf(spark, table, startingVersion="-1").count()
+
+    def test_stream_inclusive(self, spark, table, tmp_path):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("startingVersion", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        got = spark.read.parquet(str(tmp_path / "out"))
+        # version 2 itself is delivered (15..17), version 1 is not
+        assert sorted(r.k for r in got.collect()) == [15, 16, 17]
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (low): non-flat tables reject the read-time CDF diff at
+# PLAN time with a clear error (Counter keys must be hashable)
+# ---------------------------------------------------------------------------
+
+
+class TestNonFlatCdfDiffRejected:
+    def test_plan_time_error_names_the_column(self, spark, table):
+        _register_source(spark)
+        txlog.create_table(
+            spark.range(4).select(
+                F.col("id").alias("k"), F.array(F.col("id")).alias("tags")
+            ).coalesce(1),  # one file → the delete leaves survivors
+            table,
+        )
+        # force a LEGACY diff commit (no change files) by stripping the
+        # cdf field a modern delete stamps
+        txlog.delete_where(spark, table, F.col("k") < 2)
+        v = txlog.committed_versions(table)[-1]
+        mf = os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")
+        with open(mf) as f:
+            manifest = json.load(f)
+        if "cdf" in manifest:
+            del manifest["cdf"]
+            os.unlink(mf)
+            with open(mf, "w") as f:
+                json.dump(manifest, f)
+        with pytest.raises(Exception, match="tags"):
+            (
+                spark.read.format("txlog")
+                .option("path", table)
+                .option("readChangeFeed", "true")
+                .load()
+                .count()
+            )
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (low): the manifest-field fold cache — correct across
+# delete-and-recreate at the same path (inode-keyed)
+# ---------------------------------------------------------------------------
+
+
+class TestFoldCache:
+    def test_recreated_table_never_serves_stale_state(self, spark, table):
+        txlog.create_table(spark.range(3).select(F.col("id").alias("a")),
+                           table)
+        txlog.rename_column(spark, table, "a", "b")
+        assert txlog.table_mapping(table) == {"b": "a"}
+        proto = txlog.table_protocol(table)
+        assert proto["min_reader_version"] == 2
+        # recreate an UNMAPPED table at the same path and versions
+        shutil.rmtree(table)
+        txlog.create_table(spark.range(3).select(F.col("id").alias("a")),
+                           table)
+        txlog.append(spark.range(3, 5).select(F.col("id").alias("a")),
+                     table)
+        assert txlog.table_mapping(table) == {}
+        assert txlog.table_protocol(table) == {
+            "min_reader_version": 1,
+            "min_writer_version": 1,
+        }
+
+    def test_legacy_fold_answers_once_then_cached(self, spark, table):
+        """A pre-feature table (no manifest ever carries protocol)
+        folds the whole log once, then answers from the cache."""
+        txlog.create_table(spark.range(2).select(F.col("id").alias("a")),
+                           table)
+        for i in range(3):
+            txlog.append(
+                spark.range(2 + i, 3 + i).select(F.col("id").alias("a")),
+                table,
+            )
+        # strip every stamped protocol/mapping field → legacy shape
+        for v in txlog.committed_versions(table):
+            mf = os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")
+            with open(mf) as f:
+                manifest = json.load(f)
+            manifest.pop("protocol", None)
+            manifest.pop("column_mapping", None)
+            os.unlink(mf)
+            with open(mf, "w") as f:
+                json.dump(manifest, f)
+        txlog._FOLD_CACHE.clear()
+        assert txlog.table_protocol(table) == {
+            "min_reader_version": 1,
+            "min_writer_version": 1,
+        }
+        latest = txlog.committed_versions(table)[-1]
+        key_hits = [
+            k for k in txlog._FOLD_CACHE
+            if k[1] == latest and k[2] == "protocol"
+        ]
+        assert key_hits, "legacy fold result must be cached"
+
+
+# ---------------------------------------------------------------------------
+# Commit-time CDF change files (round-10 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def _manifest(table, v):
+    with open(os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")) as f:
+        return json.load(f)
+
+
+class TestCommitTimeChangeFiles:
+    def _lifecycle(self, spark, table):
+        # two multi-row files per commit so the delete leaves
+        # survivors in every touched file (a mixed add+remove commit)
+        txlog.create_table(
+            spark.range(20).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("tag")
+            ).coalesce(2),
+            table,
+        )
+        txlog.append(
+            spark.range(20, 30).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("tag")
+            ).coalesce(2),
+            table,
+        )
+        txlog.delete_where(spark, table, F.col("tag") == 1)
+        txlog.merge_upsert(
+            spark,
+            table,
+            spark.range(0, 30, 7).select(
+                F.col("id").alias("k"), F.lit(9).cast("long").alias("tag")
+            ),
+            ["k"],
+        )
+
+    def test_dml_commits_stamp_change_files(self, spark, table):
+        self._lifecycle(spark, table)
+        ops = {}
+        for v in txlog.committed_versions(table):
+            m = _manifest(table, v)
+            ops[m.get("metrics", {}).get("op")] = m.get("cdf")
+        assert ops["create"] is None and ops["append"] is None
+        assert ops["delete"]["files"] and ops["merge"]["files"]
+        # the files exist on disk under the change- prefix
+        for e in ops["delete"]["files"] + ops["merge"]["files"]:
+            assert e["name"].startswith("change-")
+            assert os.path.exists(os.path.join(table, e["name"]))
+
+    def test_planner_scans_change_files_not_diff(self, spark, table):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            _cdf_partitions,
+            _CdcFilePartition,
+            _CdfDiffPartition,
+        )
+
+        self._lifecycle(spark, table)
+        schema = txlog.read_table(spark, table).schema.json()
+        parts = _cdf_partitions(
+            table, -1, txlog.committed_versions(table)[-1], schema, {}
+        )
+        kinds = {type(p).__name__ for p in parts}
+        assert "_CdcFilePartition" in kinds
+        assert "_CdfDiffPartition" not in kinds
+
+    def test_feed_matches_relational_recomputation(self, spark, table):
+        """The change-file path must produce EXACTLY the multiset the
+        legacy diff-at-read path does (same lifecycle, cdf stamps
+        stripped)."""
+        self._lifecycle(spark, table)
+        modern = txlog.change_feed(spark, table, from_version=0)
+        rows_modern = sorted(map(tuple, modern.collect()))
+        for v in txlog.committed_versions(table):
+            mf = os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")
+            m = _manifest(table, v)
+            if "cdf" in m:
+                del m["cdf"]
+                os.unlink(mf)
+                with open(mf, "w") as f:
+                    json.dump(m, f)
+        txlog._FOLD_CACHE.clear()
+        legacy = txlog.change_feed(spark, table, from_version=0)
+        assert sorted(map(tuple, legacy.collect())) == rows_modern
+
+    def test_streamed_equals_batch_through_change_files(
+        self, spark, table, tmp_path
+    ):
+        _register_source(spark)
+        self._lifecycle(spark, table)
+        txlog.compact(spark, table, target_bytes=10**9)
+        batch = (
+            spark.read.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        streamed = spark.read.parquet(str(tmp_path / "out"))
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        # the OPTIMIZE commit stamped a KNOWN-EMPTY change set and is
+        # invisible without any diff work
+        last = txlog.committed_versions(table)[-1]
+        assert _manifest(table, last)["cdf"] == {"files": []}
+        assert streamed.filter(F.col("_version") == last).count() == 0
+
+    def test_full_file_delete_skips_change_files(self, spark, table):
+        """A delete that kills every touched row commits pure removes:
+        no change files written (they would duplicate whole files),
+        and the feed still reports every deleted row."""
+        txlog.create_table(
+            spark.createDataFrame(
+                [(0, 0), (2, 0), (4, 0)], "k long, tag long"
+            ).coalesce(1),
+            table,
+        )
+        txlog.append(
+            spark.createDataFrame(
+                [(1, 1), (3, 1)], "k long, tag long"
+            ).coalesce(1),
+            table,
+        )
+        v = txlog.delete_where(spark, table, F.col("tag") == 0)
+        m = _manifest(table, v)
+        assert "cdf" not in m
+        assert all("remove" in a or "add" not in a for a in m["actions"])
+        feed = txlog.change_feed(spark, table, from_version=0)
+        got = sorted(
+            r["k"] for r in feed.filter("_change = 'delete'").collect()
+        )
+        assert got == [0, 2, 4]
+
+    def test_nonflat_table_dml_streams_cdf(self, spark, table, tmp_path):
+        """Array columns are undiffable at read time, but change-file
+        commits carry them fine — the capability the plan-time
+        rejection points users at."""
+        _register_source(spark)
+        txlog.create_table(
+            spark.range(8).select(
+                F.col("id").alias("k"),
+                F.array(F.col("id"), F.col("id") * 2).alias("tags"),
+            ).coalesce(1),
+            table,
+        )
+        txlog.delete_where(spark, table, F.col("k") < 3)
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", table)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        got = spark.read.parquet(str(tmp_path / "out"))
+        dels = got.filter("_change = 'delete'").select("k", "tags").collect()
+        assert sorted((r["k"], tuple(r["tags"])) for r in dels) == [
+            (0, (0, 0)), (1, (1, 2)), (2, (2, 4)),
+        ]
+
+    def test_vacuum_sweeps_unretained_change_files(self, spark, table):
+        self._lifecycle(spark, table)
+        delete_v = next(
+            v for v in txlog.committed_versions(table)
+            if (_manifest(table, v).get("metrics") or {}).get("op")
+            == "delete"
+        )
+        delete_cdf = [
+            e["name"] for e in _manifest(table, delete_v)["cdf"]["files"]
+        ]
+        # retain only the last commit (the merge): the delete's change
+        # files are out of window and must go
+        removed = txlog.vacuum(table, keep_versions=1, retention_seconds=0)
+        assert set(delete_cdf) <= set(removed)
+        merge_v = txlog.committed_versions(table)[-1]
+        for e in _manifest(table, merge_v)["cdf"]["files"]:
+            assert os.path.exists(os.path.join(table, e["name"]))

@@ -134,7 +134,7 @@ def test_starting_version_skips_history(spark, table, tmp_path):
     q = (
         spark.readStream.format("txlog")
         .option("path", table)
-        .option("startingVersion", "0")  # exclude v0's snapshot
+        .option("startingVersion", "1")  # INCLUSIVE: skip v0's snapshot
         .load()
         .writeStream.format("parquet")
         .option("path", str(tmp_path / "out"))
