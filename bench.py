@@ -227,6 +227,9 @@ HEADLINE = [
     # x49: column mapping (create+rename+append+drop, three read legs
     # incl. two time travels — all metadata-only commits in the wall)
     "x49_txlog_column_mapping",
+    # x50: partition columns (partitioned create + append + CoW delete,
+    # then a partition+stats-pruned read and a time travel in the wall)
+    "x50_txlog_partitioned",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

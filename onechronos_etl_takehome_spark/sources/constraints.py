@@ -96,9 +96,13 @@ def validate_staged(
     mergeSchema against the table schema, and NULL passes."""
     if not constraints or not staged_files:
         return
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in staged_files]
-    )
+    reader = spark.read.option("mergeSchema", "true")
+    if txlog.table_partitioning(path):
+        # partitioned staged files carry their partition values in
+        # directory names; basePath restores them so a constraint on a
+        # partition column validates against real values, not NULLs
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*[os.path.join(path, f) for f in staged_files])
     # column-mapped tables stage under PHYSICAL names; constraints
     # speak logical — alias back before counting
     mapping = txlog.table_mapping(path)
@@ -110,10 +114,17 @@ def validate_staged(
     # a constraint may reference table columns absent from this frame
     schema = txlog._latest_schema(path, txlog.committed_versions(path)[-1])
     if schema is not None:
+        pb = set(txlog.table_partitioning(path))
         for field in schema.fields:
             if field.name not in df.columns:
                 df = df.withColumn(
                     field.name, F.lit(None).cast(field.dataType)
+                )
+            elif field.name in pb:
+                # directory values type-infer (string '7' → int): cast
+                # back to the declared type before validating
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast(field.dataType)
                 )
     bad = count_violations(df, constraints)
     broken = {k: v for k, v in bad.items() if v}

@@ -87,10 +87,21 @@ _LOG_DIR = "_txlog"
 #                       logical → physical, so an unaware reader
 #                       would miss renamed columns and an unaware
 #                       writer would stage wrong physical names)
+#   writer 4 reader 3   partition columns (create_table(partition_by=
+#                       ...) stamps at v0: data files live under
+#                       Hive-style value directories and drop the
+#                       column from their bytes — an unaware reader
+#                       would return the table without its partition
+#                       columns, an unaware writer would stage flat
+#                       files that break the layout)
+#   writer 5 reader 4   deletion vectors (merge-on-read DELETE: an
+#                       add action may carry a ``dv`` descriptor
+#                       masking row positions — an unaware reader
+#                       would resurrect deleted rows)
 # Tables that never declared a protocol read as {1, 1} and keep
 # working everywhere.
-SUPPORTED_READER_VERSION = 2
-SUPPORTED_WRITER_VERSION = 3
+SUPPORTED_READER_VERSION = 4
+SUPPORTED_WRITER_VERSION = 5
 
 
 class CommitConflict(Exception):
@@ -187,6 +198,17 @@ def table_mapping(path: str, *, version: int | None = None) -> dict:
     return _mapping_state(path, version=version)["map"]
 
 
+def table_partitioning(
+    path: str, *, version: int | None = None
+) -> list[str]:
+    """The table's partition columns ([] = unpartitioned). Declared
+    once at ``create_table(partition_by=...)`` and immutable — every
+    schema-stamping commit carries the field forward."""
+    version, _ = _resolve_version(path, version)
+    pb = _manifest_field_fold(path, version, "partition_by")
+    return list(pb) if pb else []
+
+
 def _apply_mapping(df: DataFrame, schema, mapping: dict) -> DataFrame:
     """Physical-name parquet frame → the LOGICAL columns of
     ``schema``: each field selected from its physical column (aliased
@@ -208,19 +230,48 @@ def _mapped_read(
     """The one way engine code reads table files: mergeSchema parquet
     over PHYSICAL names, then the logical view per the schema+mapping
     at ``version``. Identity (and zero extra plan nodes) for unmapped
-    tables."""
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in sorted(files)]
-    )
+    tables.
+
+    Partitioned tables read with ``basePath`` so Spark restores the
+    partition columns from the Hive-style directory names (the files
+    themselves don't carry them), then project to the manifest-schema
+    column order so reads agree with the declared schema."""
     version, _ = _resolve_version(path, version)
+    pb = table_partitioning(path, version=version)
+    reader = spark.read.option("mergeSchema", "true")
+    if pb:
+        reader = reader.option("basePath", path)
+    df = reader.parquet(*[os.path.join(path, f) for f in sorted(files)])
     state = _mapping_state(path, version=version)
-    if not state["map"] and not state["dropped"]:
+    if state["map"] or state["dropped"]:
+        # a DROP leaves an empty map but live tombstones — the logical
+        # projection must still hide the dropped physical column
+        df = _apply_mapping(df, _latest_schema(path, version), state["map"])
+    elif pb:
+        # schema-ordered logical view (partition cols come last in the
+        # raw read; null-pad is a no-op here — every declared column
+        # is present via file bytes or directory values)
+        df = _apply_mapping(df, _latest_schema(path, version), {})
+    else:
         # never column-mapped: raw read, zero extra plan nodes (and
         # the historical union-of-file-schemas semantics preserved)
         return df
-    # a DROP leaves an empty map but live tombstones — the logical
-    # projection must still hide the dropped physical column
-    return _apply_mapping(df, _latest_schema(path, version), state["map"])
+    if pb:
+        # Spark TYPE-INFERS directory values (string '7' reads back as
+        # int) — cast partition columns to their DECLARED types so the
+        # logical view is exact (observed: a string partition column
+        # of digit values silently came back int and broke schema
+        # enforcement on the next rewrite)
+        schema = _latest_schema(path, version)
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in pb
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+    return df
 
 
 def _require_writer(path: str) -> None:
@@ -534,18 +585,62 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _add_actions(
-    staged: list[tuple[str, int, dict, dict]]
-) -> list[dict]:
-    return [
-        {"add": f, "rows": n, "stats": st, "nulls": nl}
-        for f, n, st, nl in staged
-    ]
+def _add_actions(staged: list[tuple]) -> list[dict]:
+    out = []
+    for f, n, st, nl, *rest in staged:
+        a = {"add": f, "rows": n, "stats": st, "nulls": nl}
+        if rest and rest[0]:  # partitioned file: {col: typed value}
+            a["partition"] = rest[0]
+        out.append(a)
+    return out
+
+
+_PARTITIONABLE = {
+    "tinyint", "smallint", "int", "bigint", "string", "date", "boolean",
+}
+
+
+def _parse_partition_dir(rel_dir: str, schema) -> dict:
+    """Hive-style ``col=value`` directory segments → typed partition
+    values per the frame's schema (int family → int, boolean → bool,
+    string/date stay text — dates as ISO strings, the form manifest
+    stats already store, so pruning's comparison lifting applies).
+    Partition columns are non-null by contract: Spark's
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel is refused loudly."""
+    import urllib.parse
+
+    out: dict = {}
+    if rel_dir in (".", ""):
+        return out
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    for seg in rel_dir.split(os.sep):
+        if "=" not in seg:
+            raise ValueError(f"unexpected staged directory {rel_dir!r}")
+        c, raw = seg.split("=", 1)
+        raw = urllib.parse.unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            raise ValueError(
+                f"partition column {c!r} has NULL values; partition "
+                "columns must be non-null (filter or default them "
+                "before writing)"
+            )
+        t = types.get(c, "string")
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            out[c] = int(raw)
+        elif t == "boolean":
+            out[c] = raw == "true"
+        else:
+            out[c] = raw
+    return out
 
 
 def _stage_data(
-    df: DataFrame, path: str, *, prefix: str = "part-"
-) -> list[tuple[str, int, dict]]:
+    df: DataFrame,
+    path: str,
+    *,
+    prefix: str = "part-",
+    partition_by: list[str] | None = None,
+) -> list[tuple]:
     """Write ``df``'s rows as immutable parquet files under the table
     root with collision-free names; returns [(file name, rows)].
     Files are invisible to readers until a manifest references them —
@@ -558,7 +653,17 @@ def _stage_data(
 
     ``prefix`` distinguishes file roles on disk: ``part-`` data files
     (the live set, vacuum's default sweep) vs ``change-`` CDF change
-    files (referenced by manifest ``cdf`` fields, swept separately)."""
+    files (referenced by manifest ``cdf`` fields, swept separately).
+
+    ``partition_by`` (txlog partition columns, round 11): write the
+    frame Hive-partitioned — data files land under ``col=value``
+    directories (the value leaves the file, the directory carries
+    it), each add action records its typed partition values, and the
+    values are ALSO merged into the manifest stats as exact ``[v, v]``
+    ranges with a zero null count, so every pruning surface
+    (skip_where / pruned_files / pushFilters) resolves partition
+    predicates from the manifest BEFORE footer stats — listing-level
+    pruning inside the ACID log."""
     import pyarrow.parquet as pq
 
     mapping = (
@@ -579,22 +684,39 @@ def _stage_data(
     prev = sess.conf.get(key)
     sess.conf.set(key, "TIMESTAMP_MICROS")
     try:
-        df.write.mode("overwrite").parquet(stage)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
     finally:
         sess.conf.set(key, prev)
     out = []
-    for fname in sorted(os.listdir(stage)):
-        if not fname.endswith(".parquet"):
-            continue
-        final = f"{prefix}{uuid.uuid4().hex}.parquet"
-        src = os.path.join(stage, fname)
-        # footer metadata only — no data read for the manifest stats
-        meta = pq.ParquetFile(src).metadata
-        if meta.num_rows == 0:
-            continue  # empty partitions add manifest + scan noise only
-        os.rename(src, os.path.join(path, final))
-        stats, nulls = _footer_stats(meta)
-        out.append((final, meta.num_rows, stats, nulls))
+    for dirpath, _dirs, files in sorted(os.walk(stage)):
+        rel_dir = os.path.relpath(dirpath, stage)
+        part_values = _parse_partition_dir(rel_dir, df.schema)
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            final = f"{prefix}{uuid.uuid4().hex}.parquet"
+            if rel_dir not in (".", ""):
+                final = os.path.join(rel_dir, final)
+                os.makedirs(
+                    os.path.join(path, rel_dir), exist_ok=True
+                )
+            src = os.path.join(dirpath, fname)
+            # footer metadata only — no data read for manifest stats
+            meta = pq.ParquetFile(src).metadata
+            if meta.num_rows == 0:
+                continue  # empty partitions add manifest noise only
+            os.rename(src, os.path.join(path, final))
+            stats, nulls = _footer_stats(meta)
+            if part_values:
+                stats = {
+                    **{c: [v, v] for c, v in part_values.items()},
+                    **stats,
+                }
+                nulls = {**{c: 0 for c in part_values}, **nulls}
+            out.append((final, meta.num_rows, stats, nulls, part_values))
     shutil.rmtree(stage, ignore_errors=True)
     return out
 
@@ -685,7 +807,7 @@ def _stage_change_data(
     for other in frames[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
     staged = _stage_data(df, path, prefix="change-")
-    return [{"name": f, "rows": n} for f, n, _, _ in staged]
+    return [{"name": f, "rows": n} for f, n, *_ in staged]
 
 
 def _align_for_diff(a: DataFrame, b: DataFrame):
@@ -794,6 +916,8 @@ def _union_schema_extra(path: str, base_version: int, df) -> dict:
     # same carry for the protocol: the newest manifest answers
     # table_protocol in O(1) instead of re-folding the log
     out["protocol"] = table_protocol(path, version=base_version)
+    # and for the (immutable) partition spec
+    out["partition_by"] = table_partitioning(path, version=base_version)
     # same carry for the column mapping — and the tombstone check: a
     # NEW column whose name collides with a physical name already
     # used (a renamed-away original, or a dropped column's storage
@@ -854,16 +978,62 @@ def create_table(
     *,
     cluster_by: str | None = None,
     cluster_files: int | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> int:
     """Commit version 0 with ``df``'s data. Fails if the table exists.
-    ``cluster_by``: range-cluster on a column so file stats prune."""
+    ``cluster_by``: range-cluster on a column so file stats prune.
+
+    ``partition_by`` (round 11): declare PARTITION COLUMNS for the
+    table — immutable for its lifetime, applied by every subsequent
+    write (append / delete / merge rewrites / OPTIMIZE). Data files
+    land under Hive-style ``col=value`` directories; each add action
+    records its typed partition values, merged into the manifest
+    stats as exact ``[v, v]`` ranges, so partition predicates prune
+    at the manifest — BEFORE footer stats — through every read
+    surface (read_table(where=), pushFilters, skip_where). Composes
+    with ``cluster_by``: the range clustering orders rows globally,
+    the partition split happens at write, so non-partition predicates
+    still prune within each partition. Partition columns must be
+    non-null and of simple types (int family / string / date /
+    boolean); declaring them bumps the protocol to reader 3 /
+    writer 4 so layout-unaware engines refuse rather than misread."""
     os.makedirs(path, exist_ok=True)
     if committed_versions(path):
         raise ValueError(f"table already exists: {path}")
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+    partition_by = list(partition_by or [])
+    if partition_by:
+        by_name = {f.name: f for f in df.schema.fields}
+        missing = [c for c in partition_by if c not in by_name]
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in frame")
+        bad = [
+            f"{c} ({by_name[c].dataType.simpleString()})"
+            for c in partition_by
+            if by_name[c].dataType.simpleString() not in _PARTITIONABLE
+        ]
+        if bad:
+            raise ValueError(
+                f"unpartitionable column type(s): {bad}; partition "
+                f"columns must be one of {sorted(_PARTITIONABLE)}"
+            )
+        if len(partition_by) >= len(df.columns):
+            raise ValueError("cannot partition by every column")
     adds = _add_actions(
-        _stage_data(_cluster(df, cluster_by, cluster_files), path)
+        _stage_data(
+            _cluster(df, cluster_by, cluster_files),
+            path,
+            partition_by=partition_by or None,
+        )
     )
     extra = _schema_extra(df)
+    extra["partition_by"] = partition_by
+    if partition_by:
+        extra["protocol"] = {
+            "min_reader_version": 3,
+            "min_writer_version": 4,
+        }
     extra["metrics"] = {
         "op": "create",
         "files_added": len(adds),
@@ -892,8 +1062,17 @@ def append(
     # not even write bytes (the commit-time check below is the
     # backstop for every other path)
     _union_schema_extra(path, committed_versions(path)[-1], df)
+    pb = table_partitioning(path)
+    if pb and any(c not in df.columns for c in pb):
+        raise ValueError(
+            f"append to {path} must carry its partition column(s) {pb}"
+        )
     adds = _add_actions(
-        _stage_data(_cluster(df, cluster_by, cluster_files), path)
+        _stage_data(
+            _cluster(df, cluster_by, cluster_files),
+            path,
+            partition_by=pb or None,
+        )
     )
     # CHECK constraints (sources/constraints.py): one count over the
     # just-staged files; raises + unlinks them when violated — the
@@ -991,6 +1170,12 @@ def rename_column(
             raise ValueError(f"no column {old!r} on {path} (has {names})")
         if new in names:
             raise ValueError(f"column {new!r} already exists on {path}")
+        if old in table_partitioning(path, version=base):
+            raise ValueError(
+                f"cannot rename partition column {old!r}: directory "
+                "names carry the value under the original name "
+                "(Delta refuses this too — rewrite the table instead)"
+            )
         holder = _constraint_referencing(path, base, old)
         if holder:
             raise ValueError(
@@ -1049,6 +1234,11 @@ def drop_column(
         if len(schema.fields) == 1:
             raise ValueError(
                 f"cannot drop {name!r}: it is the only column of {path}"
+            )
+        if name in table_partitioning(path, version=base):
+            raise ValueError(
+                f"cannot drop partition column {name!r}: the layout "
+                "is keyed on it (rewrite the table instead)"
             )
         holder = _constraint_referencing(path, base, name)
         if holder:
@@ -1244,15 +1434,19 @@ def delete_where(
     provenance scan (input_file_name over the snapshot) finds the
     touched set; the rewrite reads just those files."""
     _require_writer(path)
+    pb = table_partitioning(path) if committed_versions(path) else []
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
+        # basenames are uuid-unique, so the manifest-relative path
+        # (which may carry partition directories) resolves from them
+        rel_by_base = {os.path.basename(f): f for f in snapshot}
         # mergeSchema on BOTH reads: on a schema-evolved table a plain
         # read picks one arbitrary file's schema, and an old-schema
         # pick would silently drop evolved columns from the rewrite —
         # permanent data loss committed to the log (round-8 advice)
         touched = [
-            os.path.basename(r["f"])
+            rel_by_base[os.path.basename(r["f"])]
             for r in _mapped_read(spark, path, snapshot, version=base)
             .filter(condition)
             .select(
@@ -1273,7 +1467,7 @@ def delete_where(
             keep = _mapped_read(
                 spark, path, touched, version=base
             ).filter(~F.coalesce(condition, F.lit(False)))
-            staged = _stage_data(keep, path)
+            staged = _stage_data(keep, path, partition_by=pb or None)
             actions += _add_actions(staged)
             if staged:
                 # commit-time CDF change files (round-10 verdict item
@@ -1302,7 +1496,7 @@ def delete_where(
         # (round-8 advice); file counts stay exact either way.
         rows_known = all(snapshot[f] >= 0 for f in touched)
         rows_touched = sum(snapshot[f] for f in touched)
-        rows_kept = sum(n for _, n, _, _ in staged)
+        rows_kept = sum(n for _, n, *_ in staged)
         metrics = {
             "op": "delete",
             "files_removed": len(touched),
@@ -1347,10 +1541,12 @@ def merge_upsert(
     contract (the nightly-batch regime) — AQE broadcasts it in both
     the provenance scan and the anti-join."""
     _require_writer(path)
+    pb = table_partitioning(path) if committed_versions(path) else []
     keys = updates.select(*key_cols).distinct()
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
+        rel_by_base = {os.path.basename(f): f for f in snapshot}
         # provenance MUST be projected scan-side: input_file_name()
         # evaluated after the join loses the scan context and returns
         # '' (observed: a '' remove-action that deletes nothing)
@@ -1364,7 +1560,7 @@ def merge_upsert(
             )
         )
         touched = [
-            r["_f"]
+            rel_by_base[r["_f"]]
             for r in prov.join(keys, key_cols)
             .select("_f")
             .distinct()
@@ -1374,7 +1570,12 @@ def merge_upsert(
         # stage + validate the UPDATE side FIRST: survivors are
         # pre-existing rows and cannot violate a recorded constraint,
         # so on violation only the update files exist to unlink
-        update_staged = _stage_data(updates, path)
+        if pb and any(c not in updates.columns for c in pb):
+            raise ValueError(
+                f"merge into {path} must carry its partition "
+                f"column(s) {pb}"
+            )
+        update_staged = _stage_data(updates, path, partition_by=pb or None)
         from .constraints import table_constraints, validate_staged
 
         validate_staged(
@@ -1386,7 +1587,9 @@ def merge_upsert(
             survivors = _mapped_read(
                 spark, path, touched, version=base
             ).join(keys, key_cols, "left_anti")
-            survivor_staged = _stage_data(survivors, path)
+            survivor_staged = _stage_data(
+                survivors, path, partition_by=pb or None
+            )
             actions += _add_actions(survivor_staged)
         actions += _add_actions(update_staged)
         # commit-time CDF change files: the commit's row-level diff is
@@ -1412,8 +1615,8 @@ def merge_upsert(
             cdf_files = _stage_change_data(None, updates, path)
         rows_known = all(snapshot[f] >= 0 for f in touched)
         rows_touched = sum(snapshot[f] for f in touched)
-        rows_survived = sum(n for _, n, _, _ in survivor_staged)
-        rows_upserted = sum(n for _, n, _, _ in update_staged)
+        rows_survived = sum(n for _, n, *_ in survivor_staged)
+        rows_upserted = sum(n for _, n, *_ in update_staged)
         metrics = {
             "op": "merge",
             "files_removed": len(touched),
@@ -1480,6 +1683,10 @@ def compact(
     from ..operators.compaction import compaction_plan
 
     _require_writer(path)
+    # partitioned tables: rewrites restage through partitionBy, so a
+    # bin mixing partitions still lands every row in its correct
+    # value directory (it just emits one output file per value)
+    pb = table_partitioning(path) if committed_versions(path) else []
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
@@ -1494,7 +1701,7 @@ def compact(
             clustered = zorder_frame(
                 whole, zorder_by, n_files=n_out, bits=bits
             )
-            staged = _stage_data(clustered, path)
+            staged = _stage_data(clustered, path, partition_by=pb or None)
             actions = [{"remove": f} for f in snapshot]
             actions += _add_actions(staged)
             metrics = {
@@ -1502,7 +1709,7 @@ def compact(
                 "files_removed": len(snapshot),
                 "files_added": len(staged),
                 "files_carried": 0,
-                "rows_rewritten": sum(n for _, n, _, _ in staged),
+                "rows_rewritten": sum(n for _, n, *_ in staged),
             }
             try:
                 # OPTIMIZE rewrites are data-invisible by construction
@@ -1547,12 +1754,12 @@ def compact(
             merged = _mapped_read(
                 spark, path, files, version=base
             ).coalesce(1)
-            staged = _stage_data(merged, path)
+            staged = _stage_data(merged, path, partition_by=pb or None)
             actions += [{"remove": f} for f in files]
             actions += _add_actions(staged)
             n_removed += len(files)
             n_added += len(staged)
-            rows_rewritten += sum(n for _, n, _, _ in staged)
+            rows_rewritten += sum(n for _, n, *_ in staged)
         if not actions:
             return None
         metrics = {
@@ -1773,18 +1980,29 @@ def vacuum(
             reachable |= {e["name"] for e in cdf.get("files", [])}
     removed = []
     cutoff = time.time() - retention_seconds
-    for fname in os.listdir(path):
-        if (
-            fname.endswith(".parquet")
-            and (fname.startswith("part-") or fname.startswith("change-"))
-            and fname not in reachable
-        ):
-            full = os.path.join(path, fname)
-            try:
-                if os.path.getmtime(full) > cutoff:
-                    continue  # possibly a concurrent writer's staged file
-                os.unlink(full)
-            except FileNotFoundError:
-                continue  # another vacuum won the race
-            removed.append(fname)
+    for dirpath, dirnames, files in os.walk(path):
+        # never descend into the log or in-flight staging dirs
+        dirnames[:] = [
+            d for d in dirnames
+            if d != _LOG_DIR and not d.startswith("_stage-")
+        ]
+        for base in files:
+            rel = os.path.relpath(os.path.join(dirpath, base), path)
+            if (
+                base.endswith(".parquet")
+                and (
+                    base.startswith("part-")
+                    or base.startswith("change-")
+                    or base.startswith("dv-")
+                )
+                and rel not in reachable
+            ):
+                full = os.path.join(path, rel)
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly a concurrent writer's stage
+                    os.unlink(full)
+                except FileNotFoundError:
+                    continue  # another vacuum won the race
+                removed.append(rel)
     return sorted(removed)

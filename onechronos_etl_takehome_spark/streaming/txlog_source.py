@@ -299,11 +299,54 @@ def _arrow_schema(schema_json: str):
     )
 
 
+def _partition_values(fname: str) -> dict:
+    """Typed-ish partition values parsed from a file's Hive-style
+    directory segments (``col=value``): the relative path is
+    self-describing, so the executor needs no manifest access. Values
+    stay RAW TEXT here; ``_pa_partition_array`` casts per the target
+    arrow type."""
+    import urllib.parse
+
+    out: dict = {}
+    d = os.path.dirname(fname)
+    if not d:
+        return out
+    for seg in d.split(os.sep):
+        if "=" in seg:
+            c, raw = seg.split("=", 1)
+            out[c] = urllib.parse.unquote(raw)
+    return out
+
+
+def _pa_partition_array(raw: str, field, n: int):
+    """Constant arrow array of ``n`` copies of the partition value,
+    cast to the field's type (int family / string / date / boolean —
+    the txlog's partitionable set)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.types as pt
+
+    t = field.type
+    if pt.is_integer(t):
+        v = int(raw)
+    elif pt.is_boolean(t):
+        v = raw == "true"
+    elif pt.is_date(t):
+        v = datetime.date.fromisoformat(raw)
+    else:
+        v = raw
+    return pa.array([v] * n, type=t)
+
+
 def _aligned_table(path: str, fnames: list[str], target, mapping=None):
     """Concatenated pyarrow read of ``fnames`` aligned to ``target``:
-    columns cast to the target type, schema-evolved gaps null-padded.
-    ``mapping`` (logical → physical, column-mapped tables) resolves
-    each target field from its stable PHYSICAL storage name."""
+    columns cast to the target type, partition columns restored from
+    the Hive-style directory names (partitioned txlog tables keep the
+    value in the directory, not the file), schema-evolved gaps
+    null-padded. ``mapping`` (logical → physical, column-mapped
+    tables) resolves each target field from its stable PHYSICAL
+    storage name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -311,11 +354,14 @@ def _aligned_table(path: str, fnames: list[str], target, mapping=None):
     tables = []
     for fname in fnames:
         tbl = pq.read_table(os.path.join(path, fname))
+        pvals = _partition_values(fname)
         cols = []
         for field in target:
             phys = mapping.get(field.name, field.name)
             if phys in tbl.column_names:
                 cols.append(tbl[phys].cast(field.type))
+            elif phys in pvals:
+                cols.append(_pa_partition_array(pvals[phys], field, len(tbl)))
             else:  # schema-evolved history: older file lacks the column
                 cols.append(pa.nulls(len(tbl), type=field.type))
         tables.append(pa.table(cols, schema=target))

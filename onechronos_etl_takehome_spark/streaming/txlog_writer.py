@@ -118,6 +118,23 @@ def _write_task_file(path: str, schema_json: str, iterator):
     return [(fname, meta.num_rows, stats, nulls)]
 
 
+def _refuse_partitioned(path: str) -> None:
+    """The format writer stages FLAT files at the table root; a
+    partitioned table's layout is keyed on value directories, so a
+    flat write would silently break it — refuse with a pointer at the
+    API that partitions (txlog.append applies the spec itself)."""
+    if (
+        txlog.committed_versions(path)
+        and txlog.table_partitioning(path)
+    ):
+        raise ValueError(
+            f"df.write.format('txlog') does not support PARTITIONED "
+            f"tables yet ({path} declares partition columns); use "
+            "txlog.append / merge_upsert, which stage through the "
+            "partition spec"
+        )
+
+
 def _unlink_message_files(path: str, messages) -> None:
     for m in messages or []:
         if m is None:
@@ -206,6 +223,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         self.path = options["path"]
         self.overwrite = overwrite
         self.schema_json = schema.json()
+        _refuse_partitioned(self.path)
 
     def write(self, iterator):
         return TxlogWriteMessage(
@@ -236,6 +254,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         options = {k.lower(): v for k, v in options.items()}
         self.path = options["path"]
         self.schema_json = schema.json()
+        _refuse_partitioned(self.path)
 
     def write(self, iterator):
         return TxlogWriteMessage(

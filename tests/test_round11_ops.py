@@ -433,3 +433,199 @@ class TestCommitTimeChangeFiles:
         merge_v = txlog.committed_versions(table)[-1]
         for e in _manifest(table, merge_v)["cdf"]["files"]:
             assert os.path.exists(os.path.join(table, e["name"]))
+
+
+# ---------------------------------------------------------------------------
+# Partition columns inside the ACID log (round-10 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+class TestTxlogPartitionColumns:
+    def _mk(self, spark, table):
+        df = spark.range(120).select(
+            (F.col("id") % 3).cast("string").alias("region"),
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        txlog.create_table(df, table, partition_by="region")
+
+    def test_layout_and_protocol(self, spark, table):
+        self._mk(spark, table)
+        assert txlog.table_partitioning(table) == ["region"]
+        proto = txlog.table_protocol(table)
+        assert proto["min_reader_version"] >= 3
+        assert proto["min_writer_version"] >= 4
+        live = sorted(txlog.live_files(table))
+        assert live and all(f.split("/")[0].startswith("region=")
+                            for f in live)
+        # files do NOT carry the partition column in their bytes
+        import pyarrow.parquet as pq
+
+        cols = pq.read_table(os.path.join(table, live[0])).column_names
+        assert "region" not in cols
+        # ...but reads restore it, typed per the declared schema
+        rt = txlog.read_table(spark, table)
+        assert rt.columns == ["region", "k", "v"]
+        assert dict(rt.dtypes)["region"] == "string"
+        assert rt.count() == 120
+
+    def test_partition_pruning_with_poisoned_files(self, spark, table):
+        self._mk(spark, table)
+        kept, pruned = txlog.pruned_files(spark, table, "region = '1'")
+        assert kept and pruned
+        assert all(f.startswith("region=1/") for f in kept)
+        want = (
+            txlog.read_table(spark, table)
+            .filter("region = '1'")
+            .agg(F.sum("v").alias("s"))
+            .collect()[0]["s"]
+        )
+        for f in pruned:
+            with open(os.path.join(table, f), "wb") as fh:
+                fh.write(b"poison")
+        got = (
+            txlog.read_table(spark, table, where="region = '1'")
+            .agg(F.sum("v").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert got == want
+        # the registered format reader prunes the same way (pyarrow
+        # path restores the partition value from the directory name)
+        _register_source(spark)
+        fmt = (
+            spark.read.format("txlog")
+            .option("path", table)
+            .load()
+            .filter("region = '1'")
+            .agg(F.sum("v").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert fmt == want
+
+    def test_pruning_composes_with_cluster_stats(self, spark, table):
+        df = spark.range(400).select(
+            (F.col("id") % 4).cast("string").alias("region"),
+            F.col("id").alias("k"),
+            (F.col("id") * 3).alias("v"),
+        )
+        txlog.create_table(
+            df, table, partition_by="region", cluster_by="v",
+            cluster_files=4,
+        )
+        kept, pruned = txlog.pruned_files(
+            spark, table, "region = '2' AND v >= 900"
+        )
+        # both levers bite: only region=2 dirs AND only upper v ranges
+        assert all(f.startswith("region=2/") for f in kept)
+        assert len(kept) < sum(
+            1 for f in txlog.live_files(table) if f.startswith("region=2/")
+        )
+
+    def test_dml_preserves_layout_and_results(self, spark, table):
+        self._mk(spark, table)
+        txlog.append(
+            spark.range(120, 160).select(
+                (F.col("id") % 3).cast("string").alias("region"),
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("v"),
+            ),
+            table,
+        )
+        txlog.delete_where(spark, table, F.col("k") % 10 == 0)
+        txlog.merge_upsert(
+            spark,
+            table,
+            spark.range(0, 160, 13).select(
+                (F.col("id") % 3).cast("string").alias("region"),
+                F.col("id").alias("k"),
+                F.lit(-1).cast("long").alias("v"),
+            ),
+            ["k"],
+        )
+        rt = txlog.read_table(spark, table)
+        # oracle: recompute relationally
+        ids = [i for i in range(160) if i % 10]
+        merged = {i for i in range(0, 160, 13)}
+        expect_n = len(set(ids) | merged)
+        assert rt.count() == expect_n
+        assert rt.filter("v = -1").count() == len(merged)
+        assert all(
+            f.split("/")[0].startswith("region=")
+            for f in txlog.live_files(table)
+        )
+        # time travel unaffected
+        assert txlog.read_table(spark, table, version=0).count() == 120
+        # metadata-only count agrees
+        assert txlog.table_count(table) == expect_n
+
+    def test_cdf_carries_partition_column(self, spark, table):
+        self._mk(spark, table)
+        txlog.delete_where(spark, table, F.col("k") < 30)
+        feed = txlog.change_feed(spark, table, from_version=0)
+        dels = feed.filter("_change = 'delete'")
+        assert dels.count() == 30
+        assert dels.filter(F.col("region").isNull()).count() == 0
+
+    def test_partition_guards(self, spark, table):
+        self._mk(spark, table)
+        # rename/drop of a partition column refuse
+        with pytest.raises(ValueError, match="partition column"):
+            txlog.rename_column(spark, table, "region", "zone")
+        with pytest.raises(ValueError, match="partition column"):
+            txlog.drop_column(spark, table, "region")
+        # appends must carry the partition column
+        with pytest.raises(ValueError, match="partition column"):
+            txlog.append(
+                spark.range(3).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v")),
+                table,
+            )
+        # the flat format writer refuses partitioned tables
+        _register_source(spark)
+        with pytest.raises(Exception, match="PARTITIONED"):
+            (
+                spark.range(3)
+                .select(
+                    F.lit("1").alias("region"),
+                    F.col("id").alias("k"),
+                    F.col("id").alias("v"),
+                )
+                .write.format("txlog")
+                .option("path", table)
+                .mode("append")
+                .save()
+            )
+        # null partition values refused loudly
+        with pytest.raises(Exception, match="non-null"):
+            txlog.append(
+                spark.createDataFrame(
+                    [(None, 1, 2)], "region string, k long, v long"
+                ),
+                table,
+            )
+
+    def test_create_validation(self, spark, table):
+        df = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") + 0.5).alias("x")
+        )
+        with pytest.raises(ValueError, match="not in frame"):
+            txlog.create_table(df, table, partition_by="zone")
+        with pytest.raises(ValueError, match="unpartitionable"):
+            txlog.create_table(df, table, partition_by="x")
+
+    def test_old_reader_refuses_partitioned_table(
+        self, spark, table, monkeypatch
+    ):
+        self._mk(spark, table)
+        monkeypatch.setattr(txlog, "SUPPORTED_READER_VERSION", 2)
+        txlog._FOLD_CACHE.clear()
+        with pytest.raises(txlog.ProtocolError, match="min_reader_version"):
+            txlog.read_table(spark, table)
+
+    def test_vacuum_partitioned(self, spark, table):
+        self._mk(spark, table)
+        txlog.delete_where(spark, table, F.col("k") % 2 == 0)
+        removed = txlog.vacuum(table, keep_versions=1, retention_seconds=0)
+        assert removed and all("/" in f for f in removed if
+                               f.startswith("region="))
+        assert txlog.read_table(spark, table).count() == 60
