@@ -230,6 +230,9 @@ HEADLINE = [
     # x50: partition columns (partitioned create + append + CoW delete,
     # then a partition+stats-pruned read and a time travel in the wall)
     "x50_txlog_partitioned",
+    # x51: deletion vectors (clustered create + two stacked DV deletes,
+    # then masked/pruned/time-travel read legs in the wall)
+    "x51_txlog_deletion_vectors",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -235,13 +235,53 @@ def _mapped_read(
     Partitioned tables read with ``basePath`` so Spark restores the
     partition columns from the Hive-style directory names (the files
     themselves don't carry them), then project to the manifest-schema
-    column order so reads agree with the declared schema."""
+    column order so reads agree with the declared schema.
+
+    Files carrying a DELETION VECTOR (merge-on-read delete) read
+    through their mask: the scan exposes the physical row index
+    (``_metadata.row_index``) and anti-joins the DV's (file, pos)
+    set — dead rows never reach the logical view. Plain files take
+    the unmasked path; an undeleted table pays zero extra nodes."""
     version, _ = _resolve_version(path, version)
     pb = table_partitioning(path, version=version)
     reader = spark.read.option("mergeSchema", "true")
     if pb:
         reader = reader.option("basePath", path)
-    df = reader.parquet(*[os.path.join(path, f) for f in sorted(files)])
+    files = sorted(files)
+    fold = _fold_live(path, version)
+    dvmap = {
+        f: fold[f]["dv"] for f in files if "dv" in fold.get(f, {})
+    }
+    if not dvmap:
+        df = reader.parquet(*[os.path.join(path, f) for f in files])
+    else:
+        plain = [f for f in files if f not in dvmap]
+        masked = (
+            reader.parquet(*[os.path.join(path, f) for f in dvmap])
+            .withColumn(
+                "_dv_b",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+            )
+            .withColumn("_dv_pos", F.col("_metadata.row_index"))
+        )
+        dv_names = sorted({n for d in dvmap.values() for n in d["files"]})
+        dead = spark.read.parquet(
+            *[os.path.join(path, n) for n in dv_names]
+        ).select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("_dv_b"),
+            F.col("pos").alias("_dv_pos"),
+        )
+        masked = masked.join(dead, ["_dv_b", "_dv_pos"], "left_anti").drop(
+            "_dv_b", "_dv_pos"
+        )
+        if plain:
+            df = reader.parquet(
+                *[os.path.join(path, f) for f in plain]
+            ).unionByName(masked, allowMissingColumns=True)
+        else:
+            df = masked
     state = _mapping_state(path, version=version)
     if state["map"] or state["dropped"]:
         # a DROP leaves an empty map but live tombstones — the logical
@@ -379,7 +419,32 @@ def _fold_live(
 ) -> dict[str, dict]:
     """Fold manifests 0..version → {file: {"rows": n, "stats": {col:
     [min, max]}}}, starting from the newest checkpoint ≤ version when
-    one exists."""
+    one exists. Cached per (path, version, manifest identity) — the
+    same immutable-manifest discipline as ``_manifest_field_fold``
+    (reads hit this fold several times per statement: live set, DV
+    map, pruning stats)."""
+    key = None
+    try:
+        st = os.stat(os.path.join(_log_path(path), f"{version:08d}.json"))
+        key = (
+            os.path.realpath(path), version, "#live",
+            st.st_ino, st.st_mtime_ns, st.st_size,
+        )
+        if key in _FOLD_CACHE:
+            return _FOLD_CACHE[key]
+    except OSError:
+        pass
+    out = _fold_live_uncached(path, version, versions)
+    if key is not None:
+        if len(_FOLD_CACHE) > 4096:
+            _FOLD_CACHE.clear()
+        _FOLD_CACHE[key] = out
+    return out
+
+
+def _fold_live_uncached(
+    path: str, version: int, versions: list[int] | None = None
+) -> dict[str, dict]:
     versions = versions if versions is not None else committed_versions(path)
     live: dict[str, dict] = {}
     start = 0
@@ -402,14 +467,24 @@ def _fold_live(
             manifest = json.load(f)
         for a in manifest["actions"]:
             if "add" in a:
-                live[a["add"]] = {
-                    "rows": a.get("rows", -1),
-                    "stats": a.get("stats", {}),
-                    "nulls": a.get("nulls", {}),
-                }
+                live[a["add"]] = _action_info(a)
             elif "remove" in a:
                 live.pop(a["remove"], None)
     return live
+
+
+def _action_info(a: dict) -> dict:
+    """One add action → its fold entry; ``partition`` values and the
+    ``dv`` (deletion vector) descriptor ride along when present."""
+    info = {
+        "rows": a.get("rows", -1),
+        "stats": a.get("stats", {}),
+        "nulls": a.get("nulls", {}),
+    }
+    for k in ("partition", "dv"):
+        if k in a:
+            info[k] = a[k]
+    return info
 
 
 def _fold_live_raw(path: str, version: int) -> dict[str, dict]:
@@ -423,11 +498,7 @@ def _fold_live_raw(path: str, version: int) -> dict[str, dict]:
             manifest = json.load(f)
         for a in manifest["actions"]:
             if "add" in a:
-                live[a["add"]] = {
-                    "rows": a.get("rows", -1),
-                    "stats": a.get("stats", {}),
-                    "nulls": a.get("nulls", {}),
-                }
+                live[a["add"]] = _action_info(a)
             elif "remove" in a:
                 live.pop(a["remove"], None)
     return live
@@ -1419,6 +1490,72 @@ def read_table(
     return df.filter(_residual(where)) if where is not None else df
 
 
+def _provenance_view(
+    spark: SparkSession,
+    path: str,
+    files,
+    version: int,
+    *,
+    with_pos: bool = False,
+):
+    """Logical view of ``files`` that KEEPS row provenance — ``_txb``
+    (file basename; uuid-unique, so it resolves to the manifest
+    relpath driver-side) and, with ``with_pos``, ``_txpos`` (the
+    PHYSICAL row index) — alongside the mapped, partition-restored
+    table columns, with existing deletion-vector masks anti-joined
+    away. The scan every DML uses to locate matched files and
+    positions. Built on ``_metadata`` rather than
+    ``input_file_name()``: the latter refuses multi-source plans,
+    which DV masking makes routine."""
+    pb = table_partitioning(path, version=version)
+    fold = _fold_live(path, version)
+    schema = _latest_schema(path, version)
+    state = _mapping_state(path, version=version)
+    reader = spark.read.option("mergeSchema", "true")
+    if pb:
+        reader = reader.option("basePath", path)
+    raw = reader.parquet(
+        *[os.path.join(path, f) for f in sorted(files)]
+    ).select(
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("_txb"),
+        F.col("_metadata.row_index").alias("_txpos"),
+        "*",
+    )
+    if schema is not None:
+        sel = [F.col("_txb"), F.col("_txpos")]
+        for fld in schema.fields:
+            phys = state["map"].get(fld.name, fld.name)
+            col = (
+                F.col(phys)
+                if phys in raw.columns
+                else F.lit(None).cast(fld.dataType)
+            )
+            if fld.name in pb:
+                col = col.cast(fld.dataType)
+            sel.append(col.alias(fld.name))
+        lv = raw.select(*sel)
+    else:  # pre-schema table: raw columns (no mapping/partitioning)
+        lv = raw
+    dv_names = sorted(
+        {
+            n
+            for f in files
+            for n in fold.get(f, {}).get("dv", {}).get("files", [])
+        }
+    )
+    if dv_names:
+        dead = spark.read.parquet(
+            *[os.path.join(path, n) for n in dv_names]
+        ).select(
+            F.element_at(F.split(F.col("file"), "/"), -1).alias("_txb"),
+            F.col("pos").alias("_txpos"),
+        )
+        lv = lv.join(dead, ["_txb", "_txpos"], "left_anti")
+    return lv if with_pos else lv.drop("_txpos")
+
+
 def _residual(where):
     """The semantic row filter for a ``where`` predicate: SQL text
     goes through ``F.expr`` (the same path ``.filter(str)`` takes);
@@ -1427,12 +1564,44 @@ def _residual(where):
 
 
 def delete_where(
-    spark: SparkSession, path: str, condition, *, max_retries: int = 3
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    mode: str = "cow",
+    max_retries: int = 3,
 ) -> int:
-    """Copy-on-write DELETE: rewrite ONLY the live files that contain
-    matching rows; untouched files carry by reference. One
-    provenance scan (input_file_name over the snapshot) finds the
-    touched set; the rewrite reads just those files."""
+    """DELETE at file granularity, two write strategies:
+
+    ``mode="cow"`` (default) — copy-on-write: rewrite ONLY the live
+    files that contain matching rows; untouched files carry by
+    reference. One provenance scan (input_file_name over the
+    snapshot) finds the touched set; the rewrite reads just those
+    files. Write amplification = the full size of every touched file.
+
+    ``mode="dv"`` — merge-on-read DELETION VECTORS (round-10 verdict
+    item 4, Delta/Iceberg's v2 answer to CoW amplification): instead
+    of rewriting, the commit writes the matched rows' PHYSICAL
+    positions as ``dv-*`` parquet ((file, pos) pairs) and re-adds
+    each touched file with a ``dv`` descriptor; every read then
+    anti-joins the mask (``_mapped_read``; the pyarrow format-reader
+    path masks with a boolean filter). Bytes written scale with the
+    DELETED ROW COUNT, not the touched-file size — the probe in the
+    gate pins a ≥10× drop at 0.1% selectivity. Successive DV deletes
+    stack (each commit's vector carries the file's cumulative dead
+    set, so exactly ONE descriptor is ever live per file); a file
+    whose last live row dies commits as a plain remove; OPTIMIZE and
+    any CoW rewrite MATERIALIZE the mask (they read through it).
+    Requires protocol reader 4 / writer 5 — a DV-unaware engine
+    would resurrect deleted rows, so it must refuse. The commit
+    stamps change files like every DML, so CDF is identical across
+    modes (hash-pinned in the gate)."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+    if mode == "dv":
+        return _delete_where_dv(
+            spark, path, condition, max_retries=max_retries
+        )
     _require_writer(path)
     pb = table_partitioning(path) if committed_versions(path) else []
     for _ in range(max_retries):
@@ -1441,17 +1610,13 @@ def delete_where(
         # basenames are uuid-unique, so the manifest-relative path
         # (which may carry partition directories) resolves from them
         rel_by_base = {os.path.basename(f): f for f in snapshot}
-        # mergeSchema on BOTH reads: on a schema-evolved table a plain
-        # read picks one arbitrary file's schema, and an old-schema
-        # pick would silently drop evolved columns from the rewrite —
-        # permanent data loss committed to the log (round-8 advice)
+        # the provenance view merges schemas, restores partitions, and
+        # masks deletion vectors — matched rows are LIVE rows only
         touched = [
-            rel_by_base[os.path.basename(r["f"])]
-            for r in _mapped_read(spark, path, snapshot, version=base)
+            rel_by_base[r["_txb"]]
+            for r in _provenance_view(spark, path, snapshot, base)
             .filter(condition)
-            .select(
-                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f")
-            )
+            .select("_txb")
             .distinct()
             .collect()  # bounded: one row per TOUCHED FILE (metadata-plane)
         ]
@@ -1469,7 +1634,9 @@ def delete_where(
             ).filter(~F.coalesce(condition, F.lit(False)))
             staged = _stage_data(keep, path, partition_by=pb or None)
             actions += _add_actions(staged)
-            if staged:
+            fold = _fold_live(path, base)
+            any_dv = any("dv" in fold.get(f, {}) for f in touched)
+            if staged or any_dv:
                 # commit-time CDF change files (round-10 verdict item
                 # 3): the deleted rows are exactly the touched rows
                 # where the predicate IS TRUE — keep's exact
@@ -1477,7 +1644,10 @@ def delete_where(
                 # them now makes every CDF read of this commit an
                 # ordinary file scan (one partition per change file)
                 # instead of a read-time single-task multiset diff
-                # over everything it touched.
+                # over everything it touched. A DV-masked touched file
+                # forces this path even when no survivors staged: a
+                # raw per-file delete scan would resurrect its already
+                # -dead rows into the feed.
                 deleted = _mapped_read(
                     spark, path, touched, version=base
                 ).filter(condition)
@@ -1519,6 +1689,175 @@ def delete_where(
     raise CommitConflict(f"lost {max_retries} delete races on {path}")
 
 
+def _stage_dv(df: DataFrame, path: str) -> list[str]:
+    """Write a delete commit's (file, pos) deletion-vector rows as
+    ``dv-*`` parquet under the table root — invisible until a
+    manifest ``dv`` descriptor references them, like every other
+    byte. Sorted by (file, pos) within range partitions so a
+    per-file reader's pushdown touches few row groups. NO column
+    mapping applies (these are engine columns, not table columns)."""
+    stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
+    df.repartitionByRange(
+        max(1, min(32, df.sparkSession.sparkContext.defaultParallelism)),
+        "file",
+    ).sortWithinPartitions("file", "pos").write.mode("overwrite").parquet(
+        stage
+    )
+    import pyarrow.parquet as pq
+
+    out = []
+    for fname in sorted(os.listdir(stage)):
+        if not fname.endswith(".parquet"):
+            continue
+        src = os.path.join(stage, fname)
+        if pq.ParquetFile(src).metadata.num_rows == 0:
+            continue
+        final = f"dv-{uuid.uuid4().hex}.parquet"
+        os.rename(src, os.path.join(path, final))
+        out.append(final)
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, condition, *, max_retries: int = 3
+) -> int:
+    """The ``mode="dv"`` body of ``delete_where`` — see its docstring
+    for the contract. Per attempt: one provenance-and-position scan
+    over the snapshot (physical ``_metadata.row_index``, existing DV
+    masks anti-joined away so already-dead rows never re-delete),
+    the matched positions staged as ``dv-*`` parquet merged with each
+    touched file's prior cumulative vector, and a remove+re-add
+    commit per touched file whose descriptor points at the new
+    vector. Change files stamp the deleted rows for CDF exactly like
+    the CoW path."""
+    _require_writer(path)
+    pb = table_partitioning(path) if committed_versions(path) else []
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        fold = _fold_live(path, base)
+        snapshot = sorted(fold)
+        if not snapshot:
+            raise ValueError(f"version has no live files: {path}")
+        schema = _latest_schema(path, base)
+        if schema is None:
+            raise ValueError(
+                f"table at {path} predates manifest schemas; append "
+                "once to record one before DV deletes"
+            )
+        rel_by_base = {os.path.basename(f): f for f in snapshot}
+        # provenance view with physical positions, prior masks
+        # anti-joined away: an already-dead row must not re-delete
+        lv = _provenance_view(
+            spark, path, snapshot, base, with_pos=True
+        )
+        matched = lv.filter(condition)
+        rel_df = spark.createDataFrame(
+            list(rel_by_base.items()), "_txb string, file string"
+        )
+        new_pos = matched.select(
+            "_txb", F.col("_txpos").alias("pos")
+        ).join(rel_df, "_txb").select("file", "pos")
+        # per-file new-death counts — bounded: one row per TOUCHED file
+        new_counts = {
+            r["file"]: r["n"]
+            for r in new_pos.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        touched = sorted(new_counts)
+        cdf_files = _stage_change_data(
+            matched.drop("_txb", "_txpos") if touched else None, None, path
+        )
+        actions: list[dict] = []
+        dv_names: list[str] = []
+        if touched:
+            # cumulative vector: prior dead positions of touched files
+            # carry into the NEW dv files, so one descriptor per file
+            # is ever live and a reader opens exactly one generation
+            cum = new_pos
+            carried_names = sorted(
+                {
+                    n
+                    for f in touched
+                    for n in fold[f].get("dv", {}).get("files", [])
+                }
+            )
+            if carried_names:
+                prior = spark.read.parquet(
+                    *[os.path.join(path, n) for n in carried_names]
+                ).filter(F.col("file").isin(touched)).select("file", "pos")
+                cum = cum.unionByName(prior)
+            dv_names = _stage_dv(cum, path)
+            for f in touched:
+                info = fold[f]
+                prior_desc = info.get("dv") or {}
+                phys = int(prior_desc.get("phys_rows", info["rows"]))
+                dead_total = int(prior_desc.get("n", 0)) + new_counts[f]
+                live_after = phys - dead_total
+                actions.append({"remove": f})
+                if live_after <= 0:
+                    continue  # last live row died: plain remove
+                add = {
+                    "add": f,
+                    "rows": live_after,
+                    # stats stay a superset of the live rows (pruning
+                    # conservative); null counts BLANK — a physical
+                    # null count over a masked file can over-prune
+                    # IS NOT NULL (nulls_phys >= rows_live while live
+                    # non-nulls remain)
+                    "stats": info["stats"],
+                    "nulls": {},
+                    "dv": {
+                        "files": dv_names,
+                        "n": dead_total,
+                        "phys_rows": phys,
+                    },
+                }
+                if "partition" in info:
+                    add["partition"] = info["partition"]
+                actions.append(add)
+        rows_deleted = sum(new_counts.values())
+        metrics = {
+            "op": "delete-dv",
+            "files_masked": len(touched),
+            "files_carried": len(snapshot) - len(touched),
+            "rows_deleted": rows_deleted,
+            "files_added": 0,
+            "files_removed": sum(
+                1
+                for f in touched
+                if (
+                    int((fold[f].get("dv") or {}).get(
+                        "phys_rows", fold[f]["rows"]
+                    ))
+                    - int((fold[f].get("dv") or {}).get("n", 0))
+                    - new_counts[f]
+                )
+                <= 0
+            ),
+        }
+        extra = _union_schema_extra(path, base, schema)
+        proto = extra.get("protocol") or table_protocol(path, version=base)
+        extra["protocol"] = {
+            "min_reader_version": max(
+                4, int(proto.get("min_reader_version", 1))
+            ),
+            "min_writer_version": max(
+                5, int(proto.get("min_writer_version", 1))
+            ),
+        }
+        extra["metrics"] = metrics
+        extra["cdf"] = {"files": cdf_files}
+        try:
+            _commit(path, base + 1, actions, extra=extra)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue  # re-resolve the snapshot and re-plan
+    raise CommitConflict(f"lost {max_retries} DV delete races on {path}")
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -1547,22 +1886,18 @@ def merge_upsert(
         base = committed_versions(path)[-1]
         snapshot = live_files(path, version=base)
         rel_by_base = {os.path.basename(f): f for f in snapshot}
-        # provenance MUST be projected scan-side: input_file_name()
-        # evaluated after the join loses the scan context and returns
-        # '' (observed: a '' remove-action that deletes nothing)
-        prov = (
-            _mapped_read(spark, path, snapshot, version=base)
-            .select(
-                *key_cols,
-                F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
-                    "_f"
-                ),
-            )
+        # provenance is projected scan-side inside the view (the
+        # historical input_file_name() form lost the scan context
+        # after a join and returned '' — observed as a '' remove
+        # action that deletes nothing — and refuses multi-source
+        # plans outright, which DV masking makes routine)
+        prov = _provenance_view(spark, path, snapshot, base).select(
+            *key_cols, F.col("_txb")
         )
         touched = [
-            rel_by_base[r["_f"]]
+            rel_by_base[r["_txb"]]
             for r in prov.join(keys, key_cols)
-            .select("_f")
+            .select("_txb")
             .distinct()
             .collect()  # bounded: one row per TOUCHED FILE
         ]
@@ -1744,9 +2079,13 @@ def compact(
             bins.setdefault(r["bin_id"], []).append(r["file_id"])
         actions: list[dict] = []
         n_removed = n_added = rows_rewritten = 0
+        fold = _fold_live(path, base)
         for files in bins.values():
-            if len(files) < 2:
-                continue  # a lone file gains nothing from a rewrite
+            if len(files) < 2 and not any(
+                "dv" in fold.get(f, {}) for f in files
+            ):
+                continue  # a lone unmasked file gains nothing from a
+                # rewrite; a DV'd one still materializes its mask
             # through the logical view: _stage_data maps back to
             # physical names, so the round trip is exact even under
             # chained renames (raw physical columns fed to the stage
@@ -1972,7 +2311,10 @@ def vacuum(
     retained = versions[-keep_versions:]
     reachable: set[str] = set()
     for v in retained:
-        reachable |= set(live_files(path, version=v))
+        fold = _fold_live(path, v)
+        reachable |= set(fold)
+        for info in fold.values():  # deletion vectors of live files
+            reachable |= set(info.get("dv", {}).get("files", []))
     for v in versions[-keep_versions:]:
         with open(os.path.join(_log_path(path), f"{v:08d}.json")) as f:
             cdf = json.load(f).get("cdf")

@@ -65,12 +65,20 @@ from ..sources import txlog
 
 class _FilePartition(InputPartition):
     def __init__(
-        self, path: str, fname: str, schema_json: str, mapping=None
+        self,
+        path: str,
+        fname: str,
+        schema_json: str,
+        mapping=None,
+        dv=None,
     ):
         self.path = path
         self.fname = fname
         self.schema_json = schema_json
         self.mapping = mapping or {}
+        # deletion-vector descriptor {"files": [...], "n": …,
+        # "phys_rows": …} — the executor masks dead positions out
+        self.dv = dv
 
 
 class TxlogStreamReader(DataSourceStreamReader):
@@ -339,21 +347,50 @@ def _pa_partition_array(raw: str, field, n: int):
     return pa.array([v] * n, type=t)
 
 
-def _aligned_table(path: str, fnames: list[str], target, mapping=None):
+def _dv_mask(path: str, fname: str, dv: dict, n_rows: int):
+    """Boolean arrow mask for a DV'd file: True = row lives. The dv
+    parquet stores (file, pos); pushdown on ``file`` keeps the read
+    to the relevant row groups (the writer sorts by file)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mask = np.ones(n_rows, dtype=bool)
+    for dvf in dv.get("files", []):
+        t = pq.read_table(
+            os.path.join(path, dvf),
+            filters=[("file", "=", fname)],
+            columns=["pos"],
+        )
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        if len(pos):
+            mask[pos] = False
+    return pa.array(mask)
+
+
+def _aligned_table(
+    path: str, fnames: list[str], target, mapping=None, dv_by_file=None
+):
     """Concatenated pyarrow read of ``fnames`` aligned to ``target``:
     columns cast to the target type, partition columns restored from
     the Hive-style directory names (partitioned txlog tables keep the
-    value in the directory, not the file), schema-evolved gaps
-    null-padded. ``mapping`` (logical → physical, column-mapped
-    tables) resolves each target field from its stable PHYSICAL
-    storage name."""
+    value in the directory, not the file), deletion-vector masks
+    applied (dead positions filtered BEFORE alignment — positions are
+    physical), schema-evolved gaps null-padded. ``mapping`` (logical
+    → physical, column-mapped tables) resolves each target field from
+    its stable PHYSICAL storage name."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     mapping = mapping or {}
+    dv_by_file = dv_by_file or {}
     tables = []
     for fname in fnames:
         tbl = pq.read_table(os.path.join(path, fname))
+        if fname in dv_by_file:
+            tbl = tbl.filter(
+                _dv_mask(path, fname, dv_by_file[fname], len(tbl))
+            )
         pvals = _partition_values(fname)
         cols = []
         for field in target:
@@ -375,13 +412,23 @@ def _aligned_table(path: str, fnames: list[str], target, mapping=None):
 
 def _read_file_partition(partition: "_FilePartition"):
     """Executor-side file read shared by the batch and stream readers:
-    pyarrow parquet → column-aligned, null-padded Arrow batches."""
+    pyarrow parquet → DV-masked, column-aligned, null-padded Arrow
+    batches."""
     if not partition.fname:  # empty-snapshot sentinel
         return iter(())
     target = _arrow_schema(partition.schema_json)
+    dv_by_file = (
+        {partition.fname: partition.dv}
+        if getattr(partition, "dv", None)
+        else None
+    )
     return iter(
         _aligned_table(
-            partition.path, [partition.fname], target, partition.mapping
+            partition.path,
+            [partition.fname],
+            target,
+            partition.mapping,
+            dv_by_file,
         ).to_batches()
     )
 
@@ -867,21 +914,27 @@ class TxlogBatchReader(DataSourceReader):
                 _FilePartition(self.path, "", self.schema_json)
             ]
         mapping = txlog.table_mapping(self.path, version=self.version)
+        stats = txlog.live_file_stats(self.path, version=self.version)
         if self._prune is not None:
             from ..sources.pruning import may_match, rename_columns
 
             # predicates speak LOGICAL names, manifest stats PHYSICAL
             prune = rename_columns(self._prune, mapping)
-            stats = txlog.live_file_stats(self.path, version=self.version)
             live = sorted(
                 f for f, info in stats.items() if may_match(prune, info)
             )
         else:
-            live = sorted(txlog.live_files(self.path, version=self.version))
+            live = sorted(stats)
         if not live:
             return [_FilePartition(self.path, "", self.schema_json)]
         return [
-            _FilePartition(self.path, f, self.schema_json, mapping)
+            _FilePartition(
+                self.path,
+                f,
+                self.schema_json,
+                mapping,
+                stats[f].get("dv"),
+            )
             for f in live
         ]
 

@@ -629,3 +629,183 @@ class TestTxlogPartitionColumns:
         assert removed and all("/" in f for f in removed if
                                f.startswith("region="))
         assert txlog.read_table(spark, table).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors — merge-on-read DELETE (round-10 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+class TestDeletionVectors:
+    def _mk(self, spark, table, n=50000, files=4):
+        txlog.create_table(
+            spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 3).alias("v"),
+                (F.col("id") % 7).alias("tag"),
+            ).coalesce(files),
+            table,
+        )
+
+    def test_dv_read_hash_matches_cow_oracle(self, spark, tmp_path):
+        cow_t, dv_t = str(tmp_path / "cow"), str(tmp_path / "dv")
+        self._mk(spark, cow_t, n=20000)
+        self._mk(spark, dv_t, n=20000)
+        cond = F.col("k") % 997 == 0
+        txlog.delete_where(spark, cow_t, cond)
+        v = txlog.delete_where(spark, dv_t, cond, mode="dv")
+        cow = txlog.read_table(spark, cow_t)
+        dv = txlog.read_table(spark, dv_t)
+        assert dv.exceptAll(cow).count() == 0
+        assert cow.exceptAll(dv).count() == 0
+        # CDF emits the same delete rows in both modes
+        fc = txlog.change_feed(spark, cow_t, from_version=0)
+        fd = txlog.change_feed(spark, dv_t, from_version=0)
+        assert fc.exceptAll(fd).count() == 0
+        assert fd.exceptAll(fc).count() == 0
+        # the DV commit masked files without rewriting any
+        m = txlog.commit_metrics(dv_t, v)
+        assert m["op"] == "delete-dv" and m["files_added"] == 0
+        assert m["files_masked"] > 0
+        # protocol bumped so DV-unaware engines refuse
+        proto = txlog.table_protocol(dv_t)
+        assert proto["min_reader_version"] >= 4
+        assert proto["min_writer_version"] >= 5
+
+    def test_bytes_written_drop_at_low_selectivity(self, spark, tmp_path):
+        """The verdict's probe: a ~0.1%-selectivity delete writes
+        >= 10x fewer bytes in DV mode than in CoW mode."""
+        cow_t, dv_t = str(tmp_path / "cow"), str(tmp_path / "dv")
+        self._mk(spark, cow_t)
+        self._mk(spark, dv_t)
+        cond = F.col("k") % 1000 == 0  # 50 of 50k rows
+
+        def commit_new_bytes(table, v):
+            m = _manifest(table, v)
+            total, seen = 0, set()
+            for a in m["actions"]:
+                if "add" not in a:
+                    continue
+                if a.get("dv"):
+                    for n in a["dv"]["files"]:
+                        if n not in seen:
+                            seen.add(n)
+                            total += os.path.getsize(
+                                os.path.join(table, n)
+                            )
+                else:
+                    total += os.path.getsize(os.path.join(table, a["add"]))
+            for e in (m.get("cdf") or {}).get("files", []):
+                total += os.path.getsize(os.path.join(table, e["name"]))
+            return total
+
+        v_cow = txlog.delete_where(spark, cow_t, cond)
+        v_dv = txlog.delete_where(spark, dv_t, cond, mode="dv")
+        bc = commit_new_bytes(cow_t, v_cow)
+        bd = commit_new_bytes(dv_t, v_dv)
+        assert bc >= 10 * bd, f"cow={bc} dv={bd} ratio={bc / bd:.1f}"
+
+    def test_stacked_dvs_and_format_reader(self, spark, table):
+        _register_source(spark)
+        self._mk(spark, table, n=10000)
+        txlog.delete_where(spark, table, F.col("k") % 1000 == 0, mode="dv")
+        txlog.delete_where(spark, table, F.col("k") % 500 == 0, mode="dv")
+        expect = [i for i in range(10000) if i % 500 and i % 1000]
+        assert txlog.read_table(spark, table).count() == len(expect)
+        # metadata-only COUNT stays exact through stacked masks
+        assert txlog.table_count(table) == len(expect)
+        # exactly ONE descriptor generation is live per file
+        fold = txlog.live_file_stats(table)
+        for info in fold.values():
+            if "dv" in info:
+                assert info["dv"]["n"] > 0
+        # the pyarrow format-reader path masks identically
+        fmt = (
+            spark.read.format("txlog").option("path", table).load()
+        )
+        assert fmt.count() == len(expect)
+        got = sorted(r["k"] for r in fmt.filter("v < 60").collect())
+        assert got == [i for i in expect if i * 3 < 60]
+
+    def test_optimize_materializes_and_time_travel(self, spark, table):
+        self._mk(spark, table, n=10000)
+        txlog.delete_where(spark, table, F.col("k") % 100 == 0, mode="dv")
+        expect = 10000 - 100
+        assert txlog.compact(spark, table, target_bytes=10**9) is not None
+        fold = txlog.live_file_stats(table)
+        assert all("dv" not in info for info in fold.values())
+        assert txlog.read_table(spark, table).count() == expect
+        # pre-delete snapshot unaffected by the mask
+        assert txlog.read_table(spark, table, version=0).count() == 10000
+        # OPTIMIZE stayed CDF-invisible
+        feed = txlog.change_feed(spark, table, from_version=0)
+        assert feed.filter("_change = 'delete'").count() == 100
+
+    def test_dv_then_cow_and_merge_read_through_mask(self, spark, table):
+        self._mk(spark, table, n=5000)
+        txlog.delete_where(spark, table, F.col("k") % 50 == 0, mode="dv")
+        # a CoW delete on the masked table must not resurrect rows
+        txlog.delete_where(spark, table, F.col("tag") == 3)
+        expect = [i for i in range(5000) if i % 50 and i % 7 != 3]
+        assert txlog.read_table(spark, table).count() == len(expect)
+        # merge reads through the mask too
+        txlog.merge_upsert(
+            spark,
+            table,
+            spark.range(0, 5000, 777).select(
+                F.col("id").alias("k"),
+                F.lit(-1).cast("long").alias("v"),
+                F.lit(0).cast("long").alias("tag"),
+            ),
+            ["k"],
+        )
+        rt = txlog.read_table(spark, table)
+        merged = set(range(0, 5000, 777))
+        assert rt.filter("v = -1").count() == len(merged)
+        assert rt.count() == len(set(expect) | merged)
+
+    def test_dv_on_partitioned_table(self, spark, table):
+        txlog.create_table(
+            spark.range(6000).select(
+                (F.col("id") % 3).cast("string").alias("region"),
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("v"),
+            ),
+            table,
+            partition_by="region",
+        )
+        txlog.delete_where(spark, table, F.col("k") % 100 == 0, mode="dv")
+        expect = [i for i in range(6000) if i % 100]
+        rt = txlog.read_table(spark, table)
+        assert rt.count() == len(expect)
+        # partition values survive the masked read and still prune
+        kept, pruned = txlog.pruned_files(spark, table, "region = '1'")
+        assert pruned and all(f.startswith("region=1/") for f in kept)
+        assert rt.filter("region = '1'").count() == sum(
+            1 for i in expect if i % 3 == 1
+        )
+
+    def test_old_reader_refuses_dv_table(self, spark, table, monkeypatch):
+        self._mk(spark, table, n=1000)
+        txlog.delete_where(spark, table, F.col("k") == 7, mode="dv")
+        monkeypatch.setattr(txlog, "SUPPORTED_READER_VERSION", 3)
+        txlog._FOLD_CACHE.clear()
+        with pytest.raises(txlog.ProtocolError, match="min_reader_version"):
+            txlog.read_table(spark, table)
+
+    def test_vacuum_keeps_live_dv_files(self, spark, table):
+        self._mk(spark, table, n=2000)
+        txlog.delete_where(spark, table, F.col("k") % 10 == 0, mode="dv")
+        removed = txlog.vacuum(table, keep_versions=1, retention_seconds=0)
+        # the mask is still needed by the retained snapshot
+        fold = txlog.live_file_stats(table)
+        dv_files = {
+            n for i in fold.values() for n in i.get("dv", {}).get("files", [])
+        }
+        assert dv_files and not (dv_files & set(removed))
+        assert txlog.read_table(spark, table).count() == 1800
+        # after materialization the vector becomes unreachable and goes
+        txlog.compact(spark, table, target_bytes=10**9)
+        removed2 = txlog.vacuum(table, keep_versions=1, retention_seconds=0)
+        assert dv_files & set(removed2) == dv_files
+        assert txlog.read_table(spark, table).count() == 1800
