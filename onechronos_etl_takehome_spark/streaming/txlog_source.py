@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -399,6 +400,10 @@ def _aligned_table(
                 cols.append(tbl[phys].cast(field.type))
             elif phys in pvals:
                 cols.append(_pa_partition_array(pvals[phys], field, len(tbl)))
+            elif field.name == "_tx_alive":
+                # the reuse-safe pruning guard: constant TRUE, so the
+                # guarded view's residual filter passes every row
+                cols.append(pa.array([True] * len(tbl), type=field.type))
             else:  # schema-evolved history: older file lacks the column
                 cols.append(pa.nulls(len(tbl), type=field.type))
         tables.append(pa.table(cols, schema=target))
@@ -987,9 +992,21 @@ def register_view(
     API and Spark 4.1 caches planned partitions per relation (see
     the REUSE HAZARD note on TxlogBatchReader): the safe default
     keeps partitions complete so ANY mix of queries on the view is
-    correct, trading away file skipping. Pass ``prune=True`` for a
-    view you query once (or re-register per query) to get the full
-    pushFilters pruning."""
+    correct, trading away file skipping.
+
+    ``prune=True`` (round 11) is now ALSO reuse-safe via the PRUNING
+    GUARD: the relation carries an engine-reserved always-TRUE
+    ``_tx_alive`` column and the registered view filters on it
+    (projecting it away), so every planning through the view —
+    including a bare ``SELECT COUNT(*)`` — has at least one pushable
+    filter and overwrites the cached readInfo with the CURRENT
+    query's partitions. The stale-reuse hazard only bites plannings
+    with NO pushable filter (verified by the minimal repro in
+    tests/test_round11_ops.py, which also pins the hazard itself so
+    an upstream Spark fix is noticed); the guard makes that case
+    impossible on the view. One caveat stands: CONCURRENT queries on
+    one view can still interleave plan-and-execute on the shared
+    readInfo slot — serialize, or register per thread."""
     spark.dataSource.register(TxlogStreamSource)
     reader = spark.read.format("txlog").option("path", path)
     if version is not None and timestamp_as_of is not None:
@@ -1002,7 +1019,17 @@ def register_view(
         reader = reader.option("readChangeFeed", "true")
     if not prune:
         reader = reader.option("filterPruning", "false")
-    reader.load().createOrReplaceTempView(name)
+        reader.load().createOrReplaceTempView(name)
+        return
+    if read_change_feed:
+        # the CDF reader never derives partitions from filters, so
+        # there is nothing to guard
+        reader.load().createOrReplaceTempView(name)
+        return
+    df = reader.option("pruningGuard", "true").load()
+    df.where(F.col("_tx_alive")).drop("_tx_alive").createOrReplaceTempView(
+        name
+    )
 
 
 class TxlogStreamSource(DataSource):
@@ -1060,6 +1087,22 @@ class TxlogStreamSource(DataSource):
                 StructField("_version", LongType(), True),
                 StructField("_change", StringType(), True),
             ] + fields
+        if str(opts.get("pruningguard", "false")).lower() == "true":
+            from pyspark.sql.types import BooleanType
+
+            # reuse-safe pruning guard (round-10 verdict item 8): an
+            # engine-reserved always-TRUE column the guarded view
+            # filters on, so EVERY planning — including a bare
+            # SELECT COUNT(*) — carries a pushable filter and
+            # overwrites the JVM's cached readInfo. Without it, Spark
+            # 4.1 reuses the previous planning's (possibly pruned)
+            # partitions for plannings with no pushable filter
+            # (see TxlogBatchReader's REUSE HAZARD note).
+            if any(f.name == "_tx_alive" for f in fields):
+                raise ValueError(
+                    "pruningGuard reserves the column name _tx_alive"
+                )
+            fields = fields + [StructField("_tx_alive", BooleanType(), True)]
         return StructType(fields)
 
     def reader(self, schema) -> TxlogBatchReader:

@@ -809,3 +809,98 @@ class TestDeletionVectors:
         removed2 = txlog.vacuum(table, keep_versions=1, retention_seconds=0)
         assert dv_files & set(removed2) == dv_files
         assert txlog.read_table(spark, table).count() == 1800
+
+
+# ---------------------------------------------------------------------------
+# Reuse-safe pruning guard (round-10 verdict stretch item 8)
+# ---------------------------------------------------------------------------
+
+
+class TestPruningGuard:
+    def _mk(self, spark, table):
+        txlog.create_table(
+            spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            table,
+            cluster_by="k",
+            cluster_files=4,
+        )
+
+    def test_upstream_hazard_minimal_repro(self, spark, table):
+        """Pins the Spark 4.1 behavior the guard defends against: on a
+        RAW pruned load, an unfiltered planning reuses the previous
+        filtered planning's readInfo (stale pruned partitions) because
+        it carries no pushable filter. If this test ever FAILS with
+        1000 == 1000, upstream fixed getOrCreateReadInfo and the guard
+        can retire."""
+        _register_source(spark)
+        self._mk(spark, table)
+        df = spark.read.format("txlog").option("path", table).load()
+        assert df.filter("k >= 750").count() == 250
+        stale = df.count()
+        assert stale == 250, (
+            f"upstream reuse behavior changed (got {stale}); "
+            "re-evaluate the pruningGuard workaround"
+        )
+
+    def test_guarded_view_prunes_and_survives_reuse(self, spark, table):
+        """The stretch's done-criterion: ONE view serves a filtered
+        query (with real file skipping — poisoned pruned files are
+        never opened) and then an unfiltered one with correct
+        results."""
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            register_view,
+        )
+
+        self._mk(spark, table)
+        register_view(spark, table, "guard_v", prune=True)
+        assert (
+            spark.sql("SELECT COUNT(*) c FROM guard_v WHERE k >= 750")
+            .first()["c"]
+            == 250
+        )
+        # the hazard case: unfiltered right after filtered, same view
+        assert spark.sql("SELECT COUNT(*) c FROM guard_v").first()["c"] \
+            == 1000
+        # and again with a different filter
+        assert (
+            spark.sql("SELECT COUNT(*) c FROM guard_v WHERE k >= 500")
+            .first()["c"]
+            == 500
+        )
+        # the guard column never leaks into results
+        assert spark.sql("SELECT * FROM guard_v LIMIT 1").columns == [
+            "k", "v",
+        ]
+        # file skipping is REAL on the same reused view: poison the
+        # out-of-range files; filtered answers, full scan raises
+        _, pruned = txlog.pruned_files(spark, table, "k >= 750")
+        assert pruned
+        for f in pruned:
+            with open(os.path.join(table, f), "wb") as fh:
+                fh.write(b"poison")
+        assert (
+            spark.sql(
+                "SELECT COUNT(*) c, SUM(v) s FROM guard_v WHERE k >= 750"
+            ).first()["c"]
+            == 250
+        )
+        with pytest.raises(Exception):
+            spark.sql("SELECT COUNT(*) FROM guard_v").collect()
+
+    def test_guard_rejects_colliding_column(self, spark, table):
+        from onechronos_etl_takehome_spark.streaming.txlog_source import (
+            register_view,
+        )
+
+        _register_source(spark)
+        txlog.create_table(
+            spark.range(5).select(
+                F.col("id").alias("k"), F.lit(True).alias("_tx_alive")
+            ),
+            table,
+        )
+        with pytest.raises(Exception, match="_tx_alive"):
+            register_view(spark, table, "bad_guard", prune=True)
+            spark.sql("SELECT COUNT(*) FROM bad_guard").collect()
