@@ -233,6 +233,11 @@ HEADLINE = [
     # x51: deletion vectors (clustered create + two stacked DV deletes,
     # then masked/pruned/time-travel read legs in the wall)
     "x51_txlog_deletion_vectors",
+    # x52: UPDATE (CoW reprice + DV-mode zeroing, three read legs)
+    "x52_txlog_update",
+    # x53: RESTORE (create+append+delete, then the metadata-only reset
+    # with its distributed change-file diff and a CDF leg in the wall)
+    "x53_txlog_restore",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -1599,9 +1599,7 @@ def delete_where(
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     if mode == "dv":
-        return _delete_where_dv(
-            spark, path, condition, max_retries=max_retries
-        )
+        return _dv_commit(spark, path, condition, max_retries=max_retries)
     _require_writer(path)
     pb = table_partitioning(path) if committed_versions(path) else []
     for _ in range(max_retries):
@@ -1719,18 +1717,27 @@ def _stage_dv(df: DataFrame, path: str) -> list[str]:
     return out
 
 
-def _delete_where_dv(
-    spark: SparkSession, path: str, condition, *, max_retries: int = 3
+def _dv_commit(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    assignments: dict | None = None,
+    max_retries: int = 3,
 ) -> int:
-    """The ``mode="dv"`` body of ``delete_where`` — see its docstring
-    for the contract. Per attempt: one provenance-and-position scan
-    over the snapshot (physical ``_metadata.row_index``, existing DV
-    masks anti-joined away so already-dead rows never re-delete),
-    the matched positions staged as ``dv-*`` parquet merged with each
-    touched file's prior cumulative vector, and a remove+re-add
-    commit per touched file whose descriptor points at the new
-    vector. Change files stamp the deleted rows for CDF exactly like
-    the CoW path."""
+    """The deletion-vector commit shared by ``delete_where(mode=
+    "dv")`` (``assignments=None``) and ``update_where(mode="dv")``.
+    Per attempt: one provenance-and-position scan over the snapshot
+    (physical ``_metadata.row_index``, existing DV masks anti-joined
+    away so already-dead rows never re-match), the matched positions
+    staged as ``dv-*`` parquet merged with each touched file's prior
+    cumulative vector, and a remove+re-add commit per touched file
+    whose descriptor points at the new vector. For an UPDATE the
+    matched rows additionally restage WITH the assignments applied as
+    fresh adds (validated against CHECK constraints) — so bytes
+    written scale with matched rows, never touched-file size. Change
+    files stamp the preimage (and postimage) for CDF exactly like the
+    CoW paths."""
     _require_writer(path)
     pb = table_partitioning(path) if committed_versions(path) else []
     for _ in range(max_retries):
@@ -1766,8 +1773,31 @@ def _delete_where_dv(
             .collect()
         }
         touched = sorted(new_counts)
+        preimage = matched.drop("_txb", "_txpos")
+        postimage = None
+        post_staged: list[tuple] = []
+        if assignments is not None and touched:
+            postimage = preimage.select(
+                *[
+                    (assignments[c] if c in assignments else F.col(c)).alias(
+                        c
+                    )
+                    for c in preimage.columns
+                ]
+            )
+            post_staged = _stage_data(
+                postimage, path, partition_by=pb or None
+            )
+            from .constraints import table_constraints, validate_staged
+
+            validate_staged(
+                spark,
+                path,
+                [f for f, *_ in post_staged],
+                table_constraints(path, version=base),
+            )
         cdf_files = _stage_change_data(
-            matched.drop("_txb", "_txpos") if touched else None, None, path
+            preimage if touched else None, postimage, path
         )
         actions: list[dict] = []
         dv_names: list[str] = []
@@ -1817,13 +1847,16 @@ def _delete_where_dv(
                 if "partition" in info:
                     add["partition"] = info["partition"]
                 actions.append(add)
-        rows_deleted = sum(new_counts.values())
+        actions += _add_actions(post_staged)
+        rows_matched = sum(new_counts.values())
         metrics = {
-            "op": "delete-dv",
+            "op": "delete-dv" if assignments is None else "update-dv",
             "files_masked": len(touched),
             "files_carried": len(snapshot) - len(touched),
-            "rows_deleted": rows_deleted,
-            "files_added": 0,
+            (
+                "rows_deleted" if assignments is None else "rows_updated"
+            ): rows_matched,
+            "files_added": len(post_staged),
             "files_removed": sum(
                 1
                 for f in touched
@@ -1855,7 +1888,244 @@ def _delete_where_dv(
             return base + 1
         except CommitConflict:
             continue  # re-resolve the snapshot and re-plan
-    raise CommitConflict(f"lost {max_retries} DV delete races on {path}")
+    raise CommitConflict(f"lost {max_retries} DV commit races on {path}")
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set: dict,
+    *,
+    mode: str = "cow",
+    max_retries: int = 3,
+) -> int:
+    """UPDATE as a log transaction — the missing member of the DML
+    tetrad (append/delete/merge landed earlier rounds). ``set`` maps
+    column names to Column expressions (or SQL text) evaluated over
+    each MATCHED row's PREIMAGE — assignments are simultaneous, SQL
+    UPDATE semantics, and a row where ``condition`` is NULL is
+    untouched (3VL). Unknown columns refuse; updated rows validate
+    against CHECK constraints before anything commits.
+
+    ``mode="cow"`` rewrites only the files containing matches (one
+    provenance scan; untouched files carry by reference).
+    ``mode="dv"`` masks the preimage positions with a deletion vector
+    and adds ONLY the postimage rows — bytes written scale with
+    matched rows, not touched-file size. Both stamp commit-time
+    change files (delete-preimage + insert-postimage), so CDF is
+    identical across modes (pinned in tests). Updating a partition
+    column restages rows into their new value directories."""
+    assignments = {
+        c: (F.expr(v) if isinstance(v, str) else v) for c, v in set.items()
+    }
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
+    _require_writer(path)
+    schema = _latest_schema(path, committed_versions(path)[-1])
+    if schema is not None:
+        unknown = sorted(n for n in assignments if n not in
+                         schema.fieldNames())
+        if unknown:
+            raise ValueError(
+                f"unknown column(s) in SET: {unknown} "
+                f"(table has {schema.fieldNames()})"
+            )
+    if not assignments:
+        raise ValueError("SET must assign at least one column")
+    if mode == "dv":
+        return _dv_commit(
+            spark, path, condition,
+            assignments=assignments, max_retries=max_retries,
+        )
+    pb = table_partitioning(path)
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        snapshot = live_files(path, version=base)
+        rel_by_base = {os.path.basename(f): f for f in snapshot}
+        touched = [
+            rel_by_base[r["_txb"]]
+            for r in _provenance_view(spark, path, snapshot, base)
+            .filter(condition)
+            .select("_txb")
+            .distinct()
+            .collect()  # bounded: one row per TOUCHED FILE
+        ]
+        actions: list[dict] = [{"remove": f} for f in touched]
+        staged: list[tuple] = []
+        cdf_files: list[dict] = []
+        rows_updated = 0
+        if touched:
+            rows = _mapped_read(spark, path, touched, version=base)
+            # when() fires only where condition IS TRUE: NULL rows
+            # keep their preimage (3VL) — and one select evaluates
+            # every RHS against the preimage row (simultaneous)
+            rewritten = rows.select(
+                *[
+                    F.when(condition, assignments[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                    for c in rows.columns
+                ]
+            )
+            staged = _stage_data(rewritten, path, partition_by=pb or None)
+            from .constraints import table_constraints, validate_staged
+
+            validate_staged(
+                spark, path, [f for f, *_ in staged],
+                table_constraints(path, version=base),
+            )
+            actions += _add_actions(staged)
+            preimage = rows.filter(condition)
+            postimage = preimage.select(
+                *[
+                    (assignments[c] if c in assignments else F.col(c)).alias(
+                        c
+                    )
+                    for c in preimage.columns
+                ]
+            )
+            cdf_files = _stage_change_data(preimage, postimage, path)
+            # preimage + postimage rows per matched row: derive the
+            # matched count from the staged change-file row totals
+            # instead of an extra count() job
+            rows_updated = sum(e["rows"] for e in cdf_files) // 2
+        metrics = {
+            "op": "update",
+            "files_removed": len(touched),
+            "files_added": len(staged),
+            "files_carried": len(snapshot) - len(touched),
+            "rows_updated": rows_updated,
+        }
+        extra = {"metrics": metrics, "cdf": {"files": cdf_files}}
+        if touched:
+            extra.update(_union_schema_extra(path, base, rewritten))
+        try:
+            _commit(path, base + 1, actions, extra=extra)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue  # re-resolve the snapshot and re-plan
+    raise CommitConflict(f"lost {max_retries} update races on {path}")
+
+
+def restore_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    timestamp=None,
+    max_retries: int = 3,
+) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (Delta's restore):
+    ONE commit whose actions reset the live file set to the target
+    snapshot's — removes for files added (or re-masked) since,
+    re-adds carrying the target's original stats / partition values /
+    DV descriptors for files retired since. Pure metadata: zero data
+    files rewrite, history stays intact (every pre-restore version
+    still time-travels), and the restore is itself just another
+    version. Missing target files (vacuumed past retention) fail the
+    restore loudly BEFORE committing a dangling snapshot. The commit
+    stamps change files computed distributed (snapshot exceptAll
+    snapshot aligned to the union schema), so incremental consumers
+    see exactly the net resurrected/retired rows. Restores across
+    column-mapping DDL (rename/drop since the target) refuse — the
+    two snapshots' logical views don't line up."""
+    _require_writer(path)
+    for _ in range(max_retries):
+        base = committed_versions(path)[-1]
+        target, _ = _resolve_version(path, version, timestamp=timestamp)
+        if target >= base:
+            if target == base:
+                return base  # no-op: already at the target state
+            raise ValueError(
+                f"cannot restore {path} forward to {target} (at {base})"
+            )
+        if _mapping_state(path, version=target) != _mapping_state(
+            path, version=base
+        ):
+            raise ValueError(
+                f"cannot restore {path} to {target}: column-mapping "
+                "DDL (rename/drop) happened since — the snapshots' "
+                "logical views don't line up"
+            )
+        cur = _fold_live(path, base)
+        tgt = _fold_live(path, target)
+        removes = sorted(
+            f for f in cur if f not in tgt or cur[f] != tgt[f]
+        )
+        adds = sorted(
+            f for f in tgt if f not in cur or cur[f] != tgt[f]
+        )
+        missing = [
+            f
+            for f in adds
+            if not os.path.exists(os.path.join(path, f))
+        ] + [
+            n
+            for f in adds
+            for n in tgt[f].get("dv", {}).get("files", [])
+            if not os.path.exists(os.path.join(path, n))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore {path} to {target}: file(s) "
+                f"{missing[:5]} are gone (vacuum removed them); "
+                "the snapshot is no longer reconstructible"
+            )
+        if not removes and not adds:
+            return base  # live sets identical: nothing to do
+        cur_df = _mapped_read(spark, path, sorted(cur), version=base)
+        tgt_df = _mapped_read(spark, path, sorted(tgt), version=target)
+        c_al, t_al = _align_for_diff(cur_df, tgt_df)
+        cdf_files = _stage_change_data(
+            c_al.exceptAll(t_al), t_al.exceptAll(c_al), path
+        )
+        actions = [{"remove": f} for f in removes]
+        # remove-then-add order matters: the fold applies actions in
+        # sequence, so a file whose descriptor changes re-adds last
+        actions += [{"add": f, **_strip_info(tgt[f])} for f in adds]
+        from .constraints import table_constraints
+
+        extra = {
+            "constraints": table_constraints(path, version=base),
+            "protocol": table_protocol(path, version=base),
+            "column_mapping": _mapping_state(path, version=base),
+            "partition_by": table_partitioning(path, version=base),
+            "cdf": {"files": cdf_files},
+            "metrics": {
+                "op": "restore",
+                "restored_to": target,
+                "files_removed": len(removes),
+                "files_added": len(adds),
+                "files_carried": len(cur) - len(removes),
+            },
+        }
+        target_schema = _latest_schema(path, target)
+        if target_schema is not None:
+            extra["schema"] = target_schema.json()
+        try:
+            _commit(path, base + 1, actions, extra=extra)
+            _maybe_checkpoint(path, base + 1)
+            return base + 1
+        except CommitConflict:
+            continue  # re-resolve both snapshots and re-plan
+    raise CommitConflict(f"lost {max_retries} restore races on {path}")
+
+
+def _strip_info(info: dict) -> dict:
+    """Fold entry → the add-action fields it round-trips to."""
+    out = {
+        "rows": info["rows"],
+        "stats": info.get("stats", {}),
+        "nulls": info.get("nulls", {}),
+    }
+    for k in ("partition", "dv"):
+        if k in info:
+            out[k] = info[k]
+    return out
 
 
 def merge_upsert(

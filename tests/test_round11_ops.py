@@ -904,3 +904,175 @@ class TestPruningGuard:
         with pytest.raises(Exception, match="_tx_alive"):
             register_view(spark, table, "bad_guard", prune=True)
             spark.sql("SELECT COUNT(*) FROM bad_guard").collect()
+
+
+# ---------------------------------------------------------------------------
+# UPDATE (x52) and RESTORE (x53) — completing the DML surface
+# ---------------------------------------------------------------------------
+
+
+class TestUpdateWhere:
+    def _mk(self, spark, table, n=2000):
+        txlog.create_table(
+            spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("v"),
+                (F.col("id") % 5).alias("tag"),
+            ).coalesce(4),
+            table,
+        )
+
+    def test_cow_update_semantics_and_3vl(self, spark, table):
+        txlog.create_table(
+            spark.createDataFrame(
+                [(1, 10, "a"), (2, 20, None), (3, 30, "b")],
+                "k long, v long, s string",
+            ).coalesce(1),
+            table,
+        )
+        # NULL predicate rows are untouched (SQL UPDATE semantics)
+        v = txlog.update_where(
+            spark, table, F.col("s") == "a", {"v": F.col("v") + 100}
+        )
+        rows = {
+            r["k"]: r["v"] for r in txlog.read_table(spark, table).collect()
+        }
+        assert rows == {1: 110, 2: 20, 3: 30}
+        m = txlog.commit_metrics(table, v)
+        assert m["op"] == "update" and m["rows_updated"] == 1
+        # time travel shows the preimage
+        assert {
+            r["k"]: r["v"]
+            for r in txlog.read_table(spark, table, version=0).collect()
+        } == {1: 10, 2: 20, 3: 30}
+
+    def test_dv_update_matches_cow_and_cdf(self, spark, tmp_path):
+        cow_t, dv_t = str(tmp_path / "cow"), str(tmp_path / "dv")
+        self._mk(spark, cow_t)
+        self._mk(spark, dv_t)
+        cond = F.col("k") % 97 == 0
+        assign = {"v": F.col("v") + 1000}
+        v_cow = txlog.update_where(spark, cow_t, cond, assign)
+        v_dv = txlog.update_where(spark, dv_t, cond, assign, mode="dv")
+        a = txlog.read_table(spark, cow_t)
+        b = txlog.read_table(spark, dv_t)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        fa = txlog.change_feed(spark, cow_t, from_version=0)
+        fb = txlog.change_feed(spark, dv_t, from_version=0)
+        assert fa.exceptAll(fb).count() == 0
+        assert fb.exceptAll(fa).count() == 0
+        # the DV commit wrote only postimage adds
+        m = txlog.commit_metrics(dv_t, v_dv)
+        assert m["op"] == "update-dv" and m["rows_updated"] == 21
+        assert txlog.commit_metrics(cow_t, v_cow)["op"] == "update"
+
+    def test_update_refuses_unknown_column(self, spark, table):
+        self._mk(spark, table, n=10)
+        with pytest.raises(ValueError, match="unknown column"):
+            txlog.update_where(
+                spark, table, F.col("k") == 1, {"nope": F.lit(1)}
+            )
+
+    def test_update_enforces_check_constraints(self, spark, table):
+        from onechronos_etl_takehome_spark.sources.constraints import (
+            ConstraintViolation,
+            add_constraint,
+        )
+
+        self._mk(spark, table, n=100)
+        add_constraint(spark, table, "v_nonneg", "v >= 0")
+        before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+        with pytest.raises(ConstraintViolation):
+            txlog.update_where(
+                spark, table, F.col("k") < 5, {"v": F.lit(-1).cast("long")}
+            )
+        after = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+        assert after == before  # nothing committed
+
+    def test_update_moves_rows_across_partitions(self, spark, table):
+        txlog.create_table(
+            spark.range(300).select(
+                (F.col("id") % 3).cast("string").alias("region"),
+                F.col("id").alias("k"),
+            ),
+            table,
+            partition_by="region",
+        )
+        txlog.update_where(
+            spark,
+            table,
+            F.col("region") == "2",
+            {"region": F.lit("1")},
+        )
+        rt = txlog.read_table(spark, table)
+        assert rt.filter("region = '2'").count() == 0
+        assert rt.filter("region = '1'").count() == 200
+        # layout still honors directories, and pruning follows
+        assert all(
+            f.split("/")[0].startswith("region=")
+            for f in txlog.live_files(table)
+        )
+        kept, _ = txlog.pruned_files(spark, table, "region = '2'")
+        assert kept == []
+
+
+class TestRestoreTable:
+    def _mk(self, spark, table):
+        txlog.create_table(
+            spark.range(100).select(F.col("id").alias("k")).coalesce(2),
+            table,
+        )
+        txlog.append(
+            spark.range(100, 150).select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+        return txlog.delete_where(spark, table, F.col("k") % 10 == 0)
+
+    def test_restore_resets_live_set_metadata_only(self, spark, table):
+        v_del = self._mk(spark, table)
+        files_before = set(txlog.live_files(table, version=v_del - 1))
+        v_r = txlog.restore_table(spark, table, version=v_del - 1)
+        assert set(txlog.live_files(table)) == files_before
+        assert txlog.read_table(spark, table).count() == 150
+        # history intact: the deleted state still reads AT its version
+        assert txlog.read_table(spark, table, version=v_del).count() == 135
+        m = txlog.commit_metrics(table, v_r)
+        assert m["op"] == "restore" and m["restored_to"] == v_del - 1
+
+    def test_restore_cdf_shows_resurrected_rows(self, spark, table):
+        v_del = self._mk(spark, table)
+        v_r = txlog.restore_table(spark, table, version=v_del - 1)
+        feed = txlog.change_feed(
+            spark, table, from_version=v_r - 1, to_version=v_r
+        )
+        ins = sorted(
+            r["k"] for r in feed.filter("_change = 'insert'").collect()
+        )
+        assert ins == [i for i in range(150) if i % 10 == 0]
+        assert feed.filter("_change = 'delete'").count() == 0
+
+    def test_restore_refuses_vacuumed_target(self, spark, table):
+        v_del = self._mk(spark, table)
+        txlog.compact(spark, table, target_bytes=10**9)
+        txlog.vacuum(table, keep_versions=1, retention_seconds=0)
+        with pytest.raises(ValueError, match="vacuum"):
+            txlog.restore_table(spark, table, version=v_del - 1)
+
+    def test_restore_of_dv_snapshot_carries_descriptors(
+        self, spark, table
+    ):
+        txlog.create_table(
+            spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(2),
+            table,
+        )
+        v_dv = txlog.delete_where(
+            spark, table, F.col("k") % 100 == 0, mode="dv"
+        )
+        txlog.delete_where(spark, table, F.col("k") < 500)  # CoW on top
+        txlog.restore_table(spark, table, version=v_dv)
+        rt = txlog.read_table(spark, table)
+        assert rt.count() == 990  # masks restored with the files
+        fold = txlog.live_file_stats(table)
+        assert any("dv" in i for i in fold.values())
