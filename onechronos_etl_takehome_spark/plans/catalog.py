@@ -163,11 +163,16 @@ DRIVER_WINDOW: list[str] = [
 #   delete_where commit (oracle-exact delete rows with carried
 #   survivors cancelled) and x35's file-pruned MERGE rewrite; x34
 #   stays gate-oracled at two SFs and benched.
-# Remaining rotation candidates for round 12: x50+ (this round's new
-# txlog surfaces — deletion vectors, partition columns, commit-time
-# change files — once gate-oracled), x46 (DESCRIBE HISTORY), x43
-# (metadata-only COUNT), x39 (null-count skipping), x41 (append-only
-# stream drain).
+# Remaining rotation candidates for round 12, in forecast order: x50
+# (partition columns — the only manifest-level layout witness; landed
+# round 11 gate-oracled at two SFs + benched), x51 (deletion vectors —
+# the only merge-on-read witness; same round, same evidence), x52
+# (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x46
+# (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39 (null-count
+# skipping), x41 (append-only stream drain). x50 and x51 are the
+# natural next two: each witnesses a storage-layer capability class
+# (listing-level pruning inside the log; masked reads) that nothing
+# in-window covers.
 # Round 10: x44 and x47 rotate in, exactly as the round-9 verdict's
 # item 1 (and this file's own round-9 forecast) named them.
 # - x44_txlog_filter_pushdown: query-derived file skipping through
