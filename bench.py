@@ -238,6 +238,9 @@ HEADLINE = [
     # x53: RESTORE (create+append+delete, then the metadata-only reset
     # with its distributed change-file diff and a CDF leg in the wall)
     "x53_txlog_restore",
+    # x54: SHALLOW CLONE (DV'd source, zero-copy clone, divergent DML,
+    # three read legs incl. the clone's v0 time travel in the wall)
+    "x54_txlog_shallow_clone",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -228,3 +228,93 @@ def x53_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
     )
     return tag0.unionByName(tag1).unionByName(tag2)
+
+
+# ---------------------------------------------------------------------------
+# x54 — SHALLOW CLONE: zero-copy table clone by absolute-path
+# reference; DML on the clone never touches the source
+# ---------------------------------------------------------------------------
+
+# Lifecycle: build the source (create + DV delete of every 61st key),
+# shallow-clone it, then DIVERGE the clone (CoW delete of the pre-cut
+# half's F rows). Legs:
+#   tag 0 — the diverged clone, grouped by status;
+#   tag 1 — the SOURCE after the clone's DML: untouched;
+#   tag 2 — the clone's v0 == the source snapshot it cloned.
+_X54_ORACLE = """
+    WITH t AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+             o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    src AS (SELECT * FROM t WHERE orderkey % 61 <> 0)
+    SELECT CAST(0 AS BIGINT) AS tag, status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM src WHERE NOT (status = 'F' AND cents % 3 = 0)
+    GROUP BY status
+    UNION ALL
+    SELECT 1, status, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM src GROUP BY status
+    UNION ALL
+    SELECT 2, status, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM src GROUP BY status
+"""
+
+
+@register("x54_txlog_shallow_clone", oracle=_X54_ORACLE)
+def x54_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (``txlog.shallow_clone`` — Delta's zero-copy
+    clone): the clone's v0 references the source snapshot's files BY
+    ABSOLUTE PATH — no bytes move, O(files) manifest work — and from
+    there the tables are independent: the clone's DML stages under
+    ITS root and retires source references from ITS manifest only.
+    The source here carries a DELETION VECTOR before cloning (the
+    descriptor clones too — masked reads on the clone stay exact,
+    basename-keyed since vector rows carry source-relative names);
+    the clone then diverges with a CoW delete. Tag 0 hash-matches
+    the DIVERGED clone, tag 1 the source AFTER the clone's DML
+    (byte-identical to pre-clone — independence), tag 2 the clone's
+    v0 time travel (== the cloned snapshot). The gate additionally
+    pins vacuum independence (the clone's vacuum never deletes
+    shared source bytes) and the partitioned-source refusal.
+
+    Scale: cloning a 100-TB table for a staging experiment is one
+    manifest write; the experiment's writes cost only their own
+    delta. Caveat (Delta's own): vacuum on the SOURCE can retire
+    files a clone still references."""
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix=f"txlog_x54s_{uuid.uuid4().hex[:8]}_")
+    dst = tempfile.mkdtemp(prefix=f"txlog_x54c_{uuid.uuid4().hex[:8]}_")
+    import shutil as _sh
+
+    _sh.rmtree(dst)
+    txlog.create_table(orders, src, cluster_by="cents", cluster_files=6)
+    txlog.delete_where(spark, src, F.col("orderkey") % 61 == 0, mode="dv")
+    txlog.shallow_clone(spark, src, dst)
+    txlog.delete_where(
+        spark,
+        dst,
+        (F.col("status") == "F") & (F.col("cents") % 3 == 0),
+    )
+
+    def agg(df: DataFrame, tag: int) -> DataFrame:
+        return df.groupBy("status").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select(F.lit(tag).cast("long").alias("tag"), "*")
+
+    return (
+        agg(txlog.read_table(spark, dst), 0)
+        .unionByName(agg(txlog.read_table(spark, src), 1))
+        .unionByName(agg(txlog.read_table(spark, dst, version=0), 2))
+    )

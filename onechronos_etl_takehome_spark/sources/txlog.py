@@ -1814,9 +1814,21 @@ def _dv_commit(
                 }
             )
             if carried_names:
-                prior = spark.read.parquet(
-                    *[os.path.join(path, n) for n in carried_names]
-                ).filter(F.col("file").isin(touched)).select("file", "pos")
+                # basename-keyed (uuid-unique): a shallow clone's
+                # touched names are absolute while carried vector rows
+                # may store the source-relative name
+                touched_bases = [os.path.basename(f) for f in touched]
+                prior = (
+                    spark.read.parquet(
+                        *[os.path.join(path, n) for n in carried_names]
+                    )
+                    .filter(
+                        F.element_at(
+                            F.split(F.col("file"), "/"), -1
+                        ).isin(touched_bases)
+                    )
+                    .select("file", "pos")
+                )
                 cum = cum.unionByName(prior)
             dv_names = _stage_dv(cum, path)
             for f in touched:
@@ -2113,6 +2125,75 @@ def restore_table(
         except CommitConflict:
             continue  # re-resolve both snapshots and re-plan
     raise CommitConflict(f"lost {max_retries} restore races on {path}")
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
+    """ZERO-COPY table clone (Delta's SHALLOW CLONE): ``dst``'s
+    version 0 references the source snapshot's data files BY ABSOLUTE
+    PATH — no byte moves, O(files) manifest work. The clone is a
+    fully independent table from there: DML on it stages new files
+    under ITS root and retires source references from ITS manifest
+    only (the source never changes); the clone's vacuum walks only
+    its own root, so shared bytes are never deleted from either side.
+    Schema, CHECK constraints, column mapping, and protocol copy from
+    the source AS OF the cloned version. The one standing caveat is
+    Delta's own: VACUUM ON THE SOURCE can remove files the clone
+    still references — retire clones before deep-cleaning sources.
+    Partitioned sources refuse (the clone read path would need one
+    basePath spanning two roots)."""
+    _require_reader(src)
+    version, _ = _resolve_version(src, version, timestamp=timestamp)
+    if committed_versions(dst):
+        raise ValueError(f"clone target already exists: {dst}")
+    if table_partitioning(src, version=version):
+        raise ValueError(
+            f"cannot shallow-clone {src}: partitioned sources are not "
+            "supported (a clone read would need basePath across two "
+            "roots) — deep-copy with create_table(read_table(...)) "
+            "instead"
+        )
+    fold = _fold_live(src, version)
+    src_abs = os.path.realpath(src)
+    actions = []
+    for f in sorted(fold):
+        info = _strip_info(fold[f])
+        if "dv" in info:
+            info["dv"] = {
+                **info["dv"],
+                "files": [
+                    os.path.join(src_abs, n) for n in info["dv"]["files"]
+                ],
+            }
+        actions.append({"add": os.path.join(src_abs, f), **info})
+    from .constraints import table_constraints
+
+    schema = _latest_schema(src, version)
+    extra = {
+        "constraints": table_constraints(src, version=version),
+        "protocol": table_protocol(src, version=version),
+        "column_mapping": _mapping_state(src, version=version),
+        "partition_by": [],
+        "metrics": {
+            "op": "clone",
+            "source": src_abs,
+            "source_version": version,
+            "files_added": len(actions),
+            "rows_written": 0,  # zero bytes move: references only
+        },
+    }
+    if schema is not None:
+        extra["schema"] = schema.json()
+    os.makedirs(dst, exist_ok=True)
+    _commit(dst, 0, actions, extra=extra)
+    _maybe_checkpoint(dst, 0)
+    return 0
 
 
 def _strip_info(info: dict) -> dict:

@@ -350,19 +350,31 @@ def _pa_partition_array(raw: str, field, n: int):
 
 def _dv_mask(path: str, fname: str, dv: dict, n_rows: int):
     """Boolean arrow mask for a DV'd file: True = row lives. The dv
-    parquet stores (file, pos); pushdown on ``file`` keeps the read
-    to the relevant row groups (the writer sorts by file)."""
+    parquet stores (file, pos); matching is by BASENAME (uuid-unique)
+    because a shallow clone references source files by absolute path
+    while the vector's rows may carry the source-relative name. The
+    exact-name pushdown runs first (covers every non-clone read with
+    row-group pruning; the writer sorts by file), the basename pass
+    only when it finds nothing."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    base = os.path.basename(fname)
     mask = np.ones(n_rows, dtype=bool)
     for dvf in dv.get("files", []):
+        full = os.path.join(path, dvf)
         t = pq.read_table(
-            os.path.join(path, dvf),
-            filters=[("file", "=", fname)],
-            columns=["pos"],
+            full, filters=[("file", "=", fname)], columns=["pos"]
         )
+        if t.num_rows == 0 and base != fname:
+            t = pq.read_table(full, columns=["file", "pos"])
+            keep = [
+                i
+                for i, f in enumerate(t["file"].to_pylist())
+                if os.path.basename(f) == base
+            ]
+            t = t.take(pa.array(keep, type=pa.int64())).select(["pos"])
         pos = t["pos"].to_numpy(zero_copy_only=False)
         if len(pos):
             mask[pos] = False

@@ -1076,3 +1076,118 @@ class TestRestoreTable:
         assert rt.count() == 990  # masks restored with the files
         fold = txlog.live_file_stats(table)
         assert any("dv" in i for i in fold.values())
+
+
+# ---------------------------------------------------------------------------
+# SHALLOW CLONE (x54)
+# ---------------------------------------------------------------------------
+
+
+class TestShallowClone:
+    def _mk_src(self, spark, src):
+        txlog.create_table(
+            spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(4),
+            src,
+        )
+        txlog.delete_where(spark, src, F.col("k") % 100 == 0, mode="dv")
+
+    def test_clone_reads_and_diverges_independently(
+        self, spark, tmp_path
+    ):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        self._mk_src(spark, src)
+        v = txlog.shallow_clone(spark, src, dst)
+        assert v == 0
+        # zero bytes moved: no data files under the clone root yet
+        assert not [
+            f for f in os.listdir(dst) if f.endswith(".parquet")
+        ]
+        a = txlog.read_table(spark, src)
+        b = txlog.read_table(spark, dst)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert txlog.table_count(dst) == 990
+        m = txlog.commit_metrics(dst, 0)
+        assert m["op"] == "clone" and m["source_version"] == 1
+        # diverge the clone: source must not move
+        txlog.delete_where(spark, dst, F.col("k") < 500)
+        txlog.update_where(
+            spark, dst, F.col("k") == 777, {"v": F.lit(-1).cast("long")}
+        )
+        assert txlog.read_table(spark, src).count() == 990
+        expect = [i for i in range(500, 1000) if i % 100]
+        rt = txlog.read_table(spark, dst)
+        assert rt.count() == len(expect)
+        assert rt.filter("v = -1").count() == 1
+        # the clone's v0 still time-travels to the cloned snapshot
+        assert txlog.read_table(spark, dst, version=0).count() == 990
+
+    def test_dv_on_clone_and_format_reader(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        _register_source(spark)
+        self._mk_src(spark, src)
+        txlog.shallow_clone(spark, src, dst)
+        # a DV delete ON THE CLONE must merge with the cloned vector
+        txlog.delete_where(spark, dst, F.col("k") % 7 == 0, mode="dv")
+        expect = [i for i in range(1000) if i % 100 and i % 7]
+        assert txlog.read_table(spark, dst).count() == len(expect)
+        fmt = spark.read.format("txlog").option("path", dst).load()
+        assert fmt.count() == len(expect)
+        # pruning through absolute references
+        got = txlog.read_table(spark, dst, where="k >= 900").count()
+        assert got == sum(1 for i in expect if i >= 900)
+
+    def test_clone_vacuum_never_touches_source(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        self._mk_src(spark, src)
+        txlog.shallow_clone(spark, src, dst)
+        txlog.delete_where(spark, dst, F.col("k") < 900)  # retire refs
+        removed = txlog.vacuum(dst, keep_versions=1, retention_seconds=0)
+        assert all(not os.path.isabs(f) for f in removed)
+        assert txlog.read_table(spark, src).count() == 990
+        assert txlog.read_table(spark, dst).count() == sum(
+            1 for i in range(900, 1000) if i % 100
+        )
+
+    def test_clone_guards(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        txlog.create_table(
+            spark.range(10).select(
+                (F.col("id") % 2).cast("string").alias("p"),
+                F.col("id").alias("k"),
+            ),
+            src,
+            partition_by="p",
+        )
+        with pytest.raises(ValueError, match="partitioned"):
+            txlog.shallow_clone(spark, src, dst)
+        plain = str(tmp_path / "plain")
+        txlog.create_table(
+            spark.range(5).select(F.col("id").alias("k")), plain
+        )
+        txlog.shallow_clone(spark, plain, str(tmp_path / "c1"))
+        with pytest.raises(ValueError, match="already exists"):
+            txlog.shallow_clone(spark, plain, str(tmp_path / "c1"))
+
+    def test_clone_constraints_and_protocol_carry(self, spark, tmp_path):
+        from onechronos_etl_takehome_spark.sources.constraints import (
+            ConstraintViolation,
+            add_constraint,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        txlog.create_table(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") + 1.0).alias("p")
+            ),
+            src,
+        )
+        add_constraint(spark, src, "p_pos", "p > 0")
+        txlog.shallow_clone(spark, src, dst)
+        with pytest.raises(ConstraintViolation):
+            txlog.append(
+                spark.createDataFrame([(99, -1.0)], "k long, p double"),
+                dst,
+            )
+        assert txlog.table_protocol(dst)["min_writer_version"] >= 2
