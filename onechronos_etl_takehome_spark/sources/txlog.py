@@ -2344,6 +2344,7 @@ def compact(
     zorder_by: list[str] | None = None,
     zorder_files: int | None = None,
     bits: int = 8,
+    where=None,
     max_retries: int = 3,
 ) -> int | None:
     """OPTIMIZE: bin-pack undersized live files into ~``target_bytes``
@@ -2365,7 +2366,15 @@ def compact(
     on any of them (x38 witnesses two-dimensional pruning from one
     layout). ``zorder_files`` sets the output file count (default:
     ceil(live bytes / target_bytes)); the non-null listed columns are
-    the caller's contract, as in write_zordered."""
+    the caller's contract, as in write_zordered.
+
+    ``where`` (OPTIMIZE ... WHERE, round 11): restrict the
+    maintenance scope to files that MAY match the predicate — the
+    same manifest-stats compiler every read uses (partition
+    predicates select exactly their value directories). A nightly
+    "optimize yesterday's partition" stops paying for the whole
+    table; pruned files are simply not maintenance candidates (no
+    row-level semantics — maintenance never changes data)."""
     from ..operators.compaction import compaction_plan
 
     _require_writer(path)
@@ -2375,7 +2384,19 @@ def compact(
     pb = table_partitioning(path) if committed_versions(path) else []
     for _ in range(max_retries):
         base = committed_versions(path)[-1]
-        snapshot = live_files(path, version=base)
+        all_live = live_files(path, version=base)
+        if where is not None:
+            # maintenance scope: only files that MAY match — the same
+            # manifest-stats pruning every read uses; the rest simply
+            # aren't candidates (no rows change, so no residual filter)
+            in_scope, _out = pruned_files(
+                spark, path, where, version=base
+            )
+            snapshot = {f: all_live[f] for f in in_scope}
+        else:
+            snapshot = all_live
+        if not snapshot:
+            return None  # nothing in scope: nothing to maintain
         if zorder_by:
             inv_bytes = sum(
                 os.path.getsize(os.path.join(path, f)) for f in snapshot
@@ -2394,7 +2415,7 @@ def compact(
                 "op": "zorder",
                 "files_removed": len(snapshot),
                 "files_added": len(staged),
-                "files_carried": 0,
+                "files_carried": len(all_live) - len(snapshot),
                 "rows_rewritten": sum(n for _, n, *_ in staged),
             }
             try:
@@ -2456,7 +2477,7 @@ def compact(
             "op": "compact",
             "files_removed": n_removed,
             "files_added": n_added,
-            "files_carried": len(snapshot) - n_removed,
+            "files_carried": len(all_live) - n_removed,
             "rows_rewritten": rows_rewritten,
         }
         try:
@@ -2631,6 +2652,52 @@ def commit_metrics(path: str, version: int | None = None) -> dict | None:
     version, _ = _resolve_version(path, version)
     with open(os.path.join(_log_path(path), f"{version:08d}.json")) as f:
         return json.load(f).get("metrics")
+
+
+def describe_detail(path: str, *, version: int | None = None) -> dict:
+    """Delta's ``DESCRIBE DETAIL`` twin: one dict summarizing the
+    table's CURRENT (or as-of) physical state from metadata alone —
+    live file/row/byte counts, deletion-vector load, partition
+    columns, clustering of the newest commit, protocol, column
+    mapping, constraint names, and clone provenance when v0 was a
+    shallow clone. O(files) driver-side; zero data files opened (byte
+    sizes come from os.stat)."""
+    version, _ = _resolve_version(path, version)
+    fold = _fold_live(path, version)
+    n_bytes = 0
+    for f in fold:
+        try:
+            n_bytes += os.path.getsize(os.path.join(path, f))
+        except OSError:
+            pass  # vacuumed-out historical file at an old snapshot
+    dv_files = {
+        n for i in fold.values() for n in i.get("dv", {}).get("files", [])
+    }
+    rows = sum(i["rows"] for i in fold.values() if i["rows"] >= 0)
+    with open(os.path.join(_log_path(path), "00000000.json")) as f:
+        v0 = json.load(f)
+    clone = (v0.get("metrics") or {})
+    from .constraints import table_constraints
+
+    schema = _latest_schema(path, version)
+    return {
+        "version": version,
+        "num_files": len(fold),
+        "num_rows": rows,
+        "size_bytes": n_bytes,
+        "num_dv_files": len(dv_files),
+        "num_masked_files": sum(1 for i in fold.values() if "dv" in i),
+        "partition_columns": table_partitioning(path, version=version),
+        "columns": schema.fieldNames() if schema is not None else None,
+        "protocol": table_protocol(path, version=version),
+        "column_mapping": table_mapping(path, version=version),
+        "constraints": sorted(
+            table_constraints(path, version=version)
+        ),
+        "cloned_from": clone.get("source")
+        if clone.get("op") == "clone"
+        else None,
+    }
 
 
 def vacuum(

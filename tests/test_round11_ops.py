@@ -1191,3 +1191,95 @@ class TestShallowClone:
                 dst,
             )
         assert txlog.table_protocol(dst)["min_writer_version"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ... WHERE (scoped maintenance) and DESCRIBE DETAIL
+# ---------------------------------------------------------------------------
+
+
+class TestScopedOptimizeAndDetail:
+    def test_compact_where_touches_only_matching_partition(
+        self, spark, table
+    ):
+        txlog.create_table(
+            spark.range(600).select(
+                (F.col("id") % 3).cast("string").alias("region"),
+                F.col("id").alias("k"),
+            ).repartition(4),
+            table,
+            partition_by="region",
+        )
+        before = set(txlog.live_files(table))
+        v = txlog.compact(
+            spark, table, target_bytes=10**9, where="region = '1'"
+        )
+        assert v is not None
+        after = set(txlog.live_files(table))
+        # only region=1 files were removed/rewritten
+        assert all(
+            f.startswith("region=1/") for f in before - after
+        )
+        assert all(
+            f.startswith("region=1/") for f in after - before
+        )
+        assert (before - after) and len(after) < len(before)
+        assert txlog.read_table(spark, table).count() == 600
+        # out-of-scope predicate: nothing to do
+        assert (
+            txlog.compact(
+                spark, table, target_bytes=10**9, where="region = 'zz'"
+            )
+            is None
+        )
+
+    def test_zorder_where_scopes_rewrite(self, spark, table):
+        txlog.create_table(
+            spark.range(400).select(
+                (F.col("id") % 2).cast("string").alias("p"),
+                F.col("id").alias("k"),
+                (F.col("id") * 7 % 100).alias("a"),
+            ).repartition(4),
+            table,
+            partition_by="p",
+        )
+        before = set(txlog.live_files(table))
+        txlog.compact(
+            spark, table, target_bytes=10**9, zorder_by=["a"],
+            where="p = '0'",
+        )
+        after = set(txlog.live_files(table))
+        assert all(f.startswith("p=0/") for f in before - after)
+        assert txlog.read_table(spark, table).count() == 400
+        m = txlog.commit_metrics(table)
+        assert m["op"] == "zorder" and m["files_carried"] > 0
+
+    def test_describe_detail(self, spark, tmp_path):
+        from onechronos_etl_takehome_spark.sources.constraints import (
+            add_constraint,
+        )
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        txlog.create_table(
+            spark.range(100).select(
+                F.col("id").alias("k"), (F.col("id") + 1.0).alias("p")
+            ).coalesce(2),
+            src,
+        )
+        add_constraint(spark, src, "p_pos", "p > 0")
+        txlog.delete_where(spark, src, F.col("k") % 10 == 0, mode="dv")
+        d = txlog.describe_detail(src)
+        assert d["num_rows"] == 90 and d["num_files"] == 2
+        assert d["num_masked_files"] == 2 and d["num_dv_files"] >= 1
+        assert d["constraints"] == ["p_pos"]
+        assert d["cloned_from"] is None
+        assert d["size_bytes"] > 0
+        assert d["protocol"]["min_reader_version"] >= 4
+        # as-of detail: the pre-delete state had no masks
+        d0 = txlog.describe_detail(src, version=0)
+        assert d0["num_rows"] == 100 and d0["num_masked_files"] == 0
+        # clone provenance surfaces
+        txlog.shallow_clone(spark, src, dst)
+        dc = txlog.describe_detail(dst)
+        assert dc["cloned_from"] == os.path.realpath(src)
+        assert dc["num_rows"] == 90
