@@ -167,9 +167,10 @@ DRIVER_WINDOW: list[str] = [
 # (partition columns — the only manifest-level layout witness; landed
 # round 11 gate-oracled at two SFs + benched), x51 (deletion vectors —
 # the only merge-on-read witness; same round, same evidence), x52
-# (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x46
-# (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39 (null-count
-# skipping), x41 (append-only stream drain). x50 and x51 are the
+# (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x54
+# (SHALLOW CLONE), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT),
+# x39 (null-count skipping), x41 (append-only stream drain). x50 and
+# x51 are the
 # natural next two: each witnesses a storage-layer capability class
 # (listing-level pruning inside the log; masked reads) that nothing
 # in-window covers.
