@@ -1283,3 +1283,122 @@ class TestScopedOptimizeAndDetail:
         dc = txlog.describe_detail(dst)
         assert dc["cloned_from"] == os.path.realpath(src)
         assert dc["num_rows"] == 90
+
+
+# ---------------------------------------------------------------------------
+# Concurrency: the new DML paths under commit races
+# ---------------------------------------------------------------------------
+
+
+class TestRound11Races:
+    def test_dv_delete_racing_append_both_land(self, spark, table):
+        """A DV delete losing the version race to a concurrent append
+        must re-resolve and land; the final state reflects BOTH."""
+        import threading
+
+        txlog.create_table(
+            spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(2),
+            table,
+        )
+        errs = []
+
+        def do_append():
+            try:
+                txlog.append(
+                    spark.range(1000, 1200).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") * 2).alias("v"),
+                    ).coalesce(1),
+                    table,
+                )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        def do_delete():
+            try:
+                txlog.delete_where(
+                    spark, table, F.col("k") % 100 == 0, mode="dv",
+                    max_retries=5,
+                )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=do_append),
+            threading.Thread(target=do_delete),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        got = sorted(
+            r["k"] for r in txlog.read_table(spark, table).collect()
+        )
+        # the delete's snapshot may or may not include the appended
+        # rows (it re-plans on conflict) — both serializable outcomes
+        # are exact: every pre-append key %100!=0 survives, appended
+        # keys present, and appended %100 keys either masked or not
+        pre = [i for i in range(1000) if i % 100]
+        appended = set(got) - set(pre)
+        assert [k for k in got if k < 1000] == pre
+        assert appended <= set(range(1000, 1200))
+        assert {k for k in range(1000, 1200) if k % 100} <= appended
+        # the log replays cleanly end-to-end
+        assert txlog.table_count(table) == len(got)
+
+    def test_restore_racing_append_is_serializable(self, spark, table):
+        """restore_table losing the race re-resolves against the new
+        head; whichever serialization wins, the result equals a clean
+        sequential application."""
+        import threading
+
+        txlog.create_table(
+            spark.range(100).select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+        v_del = txlog.delete_where(spark, table, F.col("k") < 50)
+        errs = []
+
+        def do_append():
+            try:
+                txlog.append(
+                    spark.range(200, 220).select(
+                        F.col("id").alias("k")
+                    ).coalesce(1),
+                    table,
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def do_restore():
+            try:
+                txlog.restore_table(
+                    spark, table, version=v_del - 1, max_retries=5
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [
+            threading.Thread(target=do_append),
+            threading.Thread(target=do_restore),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+        got = sorted(
+            r["k"] for r in txlog.read_table(spark, table).collect()
+        )
+        # restore-first-then-append → 0..99 + 200..219;
+        # append-first-then-restore → the restore target predates the
+        # append, so the appended file is NOT part of the target live
+        # set and is retired: 0..99 exactly
+        assert got in (
+            list(range(100)),
+            list(range(100)) + list(range(200, 220)),
+        )
+        assert txlog.table_count(table) == len(got)
