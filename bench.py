@@ -614,7 +614,60 @@ def _m12_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
     return int(row["n"] - row["cross"]), int(row["cross"])
 
 
+# Exception types whose tracebacks are pure worker-daemon TEARDOWN
+# noise (a python worker's socket closing under it as the JVM reaps the
+# daemon): harmless (rc stays 0, results are already materialized) but
+# five of them opened BENCH_r11's 2000-char tail capture and buried the
+# lines that matter (round-11 verdict, What's wrong #1).
+_DROP_EXCS = ("BrokenPipeError", "ConnectionResetError", "EOFError")
+# chained-traceback separators: NOT block terminators
+_CHAIN_LINES = ("During handling of the above", "The above exception")
+
+
+def _install_stderr_filter() -> None:
+    """Drop pyspark-daemon teardown tracebacks from fd 2. The JVM and
+    its python worker daemons INHERIT the process's stderr fd, so a
+    sys.stderr wrapper never sees their output — the filter has to sit
+    at the fd level: fd 2 is re-pointed at a pipe, a pump thread
+    forwards everything to the real stderr EXCEPT traceback blocks
+    that terminate in one of the teardown exception types. Our own
+    summary prints re-point sys.stderr at the saved real fd and skip
+    the filter entirely (no risk of eating a scale10x/REGRESSION
+    line). Best-effort by design: interleaved writes from concurrent
+    daemons can garble a block, which then simply passes through."""
+    import threading
+
+    real = os.fdopen(os.dup(2), "w", buffering=1)
+    r_fd, w_fd = os.pipe()
+    os.dup2(w_fd, 2)
+    os.close(w_fd)
+    sys.stderr = real  # our prints bypass the filter
+
+    def _pump() -> None:
+        buf: list[str] = []
+        with os.fdopen(r_fd, "r", errors="replace") as src:
+            for line in src:
+                if buf:
+                    buf.append(line)
+                    if line[:1] in (" ", "\t") or line.startswith(
+                        _CHAIN_LINES
+                    ):
+                        continue  # still inside the traceback block
+                    if not line.startswith(_DROP_EXCS):
+                        real.writelines(buf)  # a REAL traceback: keep
+                    buf.clear()
+                elif line.startswith("Traceback (most recent call last):"):
+                    buf.append(line)
+                else:
+                    real.write(line)
+        if buf:  # EOF inside a block: flush, never swallow silently
+            real.writelines(buf)
+
+    threading.Thread(target=_pump, daemon=True, name="stderr-filter").start()
+
+
 def main() -> None:
+    _install_stderr_filter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # No console progress bars: the driver tail-captures our output and

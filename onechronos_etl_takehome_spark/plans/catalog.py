@@ -126,8 +126,8 @@ DRIVER_WINDOW: list[str] = [
     "q19_purchase_last_view_asof",  # as-of join
     "q57_concurrent_sessions",  # interval-overlap range join (binned)
     "q25_rolling_customer_spend",  # rows-frame window
-    "x32_partition_pruned_scan",  # Hive-partition pruning (scan skips dirs)
-    "x42_txlog_batch_reader",  # format reader: version+timestamp time travel
+    "x50_txlog_partitioned",  # partition columns IN the ACID log
+    "x51_txlog_deletion_vectors",  # merge-on-read DELETE (DV masks)
     "t13_gopher_quality",  # quality-gate rule battery
     "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
     "x23_zorder_layout",  # z-order data layout (Morton clustering)
@@ -139,6 +139,45 @@ DRIVER_WINDOW: list[str] = [
     "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
     "x47_txlog_check_constraints",  # write-time CHECK invariant enforcement
 ]
+# Round 12: x50 and x51 rotate in, exactly as the round-11 verdict's
+# item 1 (and this file's own round-11 forecast) named them.
+# - x50_txlog_partitioned: partition columns declared IN the ACID log —
+#   Hive-style value directories, typed partition values in every add
+#   action, manifest-level pruning BEFORE footer stats, DML preserving
+#   the layout, and a v0 time travel. Displaced:
+#   x32_partition_pruned_scan — x50 runs the same capability class
+#   (Hive value-directory layout + a partition-pruned read whose hash
+#   match proves the pruned scan loses nothing) STRICTLY STRONGER:
+#   the layout lives inside the ACID table (partition values ride the
+#   manifest, so pruning happens at the log before any listing or
+#   footer), the pruned leg stacks a stats predicate on top, the
+#   layout provably survives append + copy-on-write delete, and the
+#   gate pins the poisoned-pruned-file file-set proof
+#   (tests/test_round11_ops.py). x32's raw-layout form (writer +
+#   PartitionFilters assertion) stays gate-oracled at two SFs and
+#   benched (tests/test_layout.py).
+# - x51_txlog_deletion_vectors: merge-on-read DELETE — the only
+#   masked-read witness (per-file row-position vectors, stacked
+#   generations, stats-pruned reads THROUGH the mask, time travel past
+#   it, protocol reader-4 refusal). Displaced: x42_txlog_batch_reader,
+#   whose two capabilities keep strictly-stronger in-window evidence:
+#   the registered-format batch READ surface via x44 (the same
+#   DataSource reader machinery under the strictly harder pushFilters
+#   compilation + poisoned-pruned-file raise contract) and x48 (the
+#   same Python-datasource read stack driven as a stream over every
+#   commit), and snapshot TIME TRAVEL via x49 (two time-travel reads
+#   under mapped-schema resolution — strictly harder than x42's
+#   plain-schema reads) plus the new x50/x51 tag-2 legs (v0 reads
+#   across a partition layout and past DV masks). x42 stays
+#   gate-oracled at two SFs and benched. x45 (the ONLY format-WRITER
+#   witness) deliberately stays in-window — no other row drives
+#   df.write.format("txlog").
+# Remaining rotation candidates for round 13, in forecast order: x55
+# (conditional MERGE, landing this round gate-oracled at two SFs +
+# benched — the only multi-clause DML witness once it rotates), x52
+# (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x54
+# (SHALLOW CLONE), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT),
+# x39 (null-count skipping), x41 (append-only stream drain).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

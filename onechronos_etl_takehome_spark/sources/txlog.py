@@ -596,9 +596,15 @@ def live_file_stats(
     path: str, *, version: int | None = None
 ) -> dict[str, dict]:
     """Snapshot live set WITH manifest stats: {file: {"rows": n,
-    "stats": {col: [min, max]}}} — the data-skipping index."""
+    "stats": {col: [min, max]}}} — the data-skipping index. Returns a
+    DEEP COPY: the underlying fold is cached per (path, version) and
+    shared by every internal read/DML planner, so handing the cached
+    dict out by reference would let one caller's mutation poison all
+    subsequent reads at that snapshot until a cache reset."""
+    import copy
+
     version, versions = _resolve_version(path, version)
-    return _fold_live(path, version, versions)
+    return copy.deepcopy(_fold_live(path, version, versions))
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
@@ -2089,8 +2095,28 @@ def restore_table(
             )
         if not removes and not adds:
             return base  # live sets identical: nothing to do
-        cur_df = _mapped_read(spark, path, sorted(cur), version=base)
-        tgt_df = _mapped_read(spark, path, sorted(tgt), version=target)
+
+        # either side may be a legitimately EMPTY snapshot — restoring
+        # past a delete-everything (cur empty, the canonical undo), or
+        # restoring TO one (tgt empty). _mapped_read with zero files
+        # would die in parquet schema inference; read_table's
+        # empty-snapshot path (typed empty frame from the manifest
+        # schema) is the contract, so mirror it here for the diff.
+        def _snapshot_df(files: dict, at_version: int) -> DataFrame:
+            if files:
+                return _mapped_read(
+                    spark, path, sorted(files), version=at_version
+                )
+            schema = _latest_schema(path, at_version)
+            if schema is None:
+                raise ValueError(
+                    f"empty snapshot {path}@{at_version} predates "
+                    "manifest schemas; cannot diff for change files"
+                )
+            return spark.createDataFrame([], schema)
+
+        cur_df = _snapshot_df(cur, base)
+        tgt_df = _snapshot_df(tgt, target)
         c_al, t_al = _align_for_diff(cur_df, tgt_df)
         cdf_files = _stage_change_data(
             c_al.exceptAll(t_al), t_al.exceptAll(c_al), path

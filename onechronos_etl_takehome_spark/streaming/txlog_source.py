@@ -352,10 +352,16 @@ def _dv_mask(path: str, fname: str, dv: dict, n_rows: int):
     """Boolean arrow mask for a DV'd file: True = row lives. The dv
     parquet stores (file, pos); matching is by BASENAME (uuid-unique)
     because a shallow clone references source files by absolute path
-    while the vector's rows may carry the source-relative name. The
-    exact-name pushdown runs first (covers every non-clone read with
-    row-group pruning; the writer sorts by file), the basename pass
-    only when it finds nothing."""
+    while the vector's rows may carry the source-relative name — and
+    one vector file can hold BOTH spellings of the same data file (a
+    DV delete on a clone unions new absolute-path positions with
+    carried source-relative rows). A bare-basename read name (the
+    unpartitioned non-clone case) provably has one spelling, so the
+    exact-name pushdown alone is complete (row-group pruning; the
+    writer sorts by file); any other name runs the basename pass over
+    the whole (deleted-rows-sized) vector — NEVER gated on the exact
+    pass finding nothing, which silently skipped carried dead
+    positions when both spellings shared a file."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -364,10 +370,11 @@ def _dv_mask(path: str, fname: str, dv: dict, n_rows: int):
     mask = np.ones(n_rows, dtype=bool)
     for dvf in dv.get("files", []):
         full = os.path.join(path, dvf)
-        t = pq.read_table(
-            full, filters=[("file", "=", fname)], columns=["pos"]
-        )
-        if t.num_rows == 0 and base != fname:
+        if base == fname:
+            t = pq.read_table(
+                full, filters=[("file", "=", fname)], columns=["pos"]
+            )
+        else:
             t = pq.read_table(full, columns=["file", "pos"])
             keep = [
                 i
