@@ -241,6 +241,10 @@ HEADLINE = [
     # x54: SHALLOW CLONE (DV'd source, zero-copy clone, divergent DML,
     # three read legs incl. the clone's v0 time travel in the wall)
     "x54_txlog_shallow_clone",
+    # x55: conditional MERGE INTO (four-clause CDC apply — delete /
+    # conditional update / conditional insert / by-source sweep — with
+    # the commit's CDF read leg in the wall)
+    "x55_txlog_merge_into",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

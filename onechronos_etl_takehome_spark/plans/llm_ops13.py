@@ -240,7 +240,10 @@ def x53_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # half's F rows). Legs:
 #   tag 0 — the diverged clone, grouped by status;
 #   tag 1 — the SOURCE after the clone's DML: untouched;
-#   tag 2 — the clone's v0 == the source snapshot it cloned.
+#   tag 2 — the clone's v0 == the source snapshot it cloned;
+#   tag 3 — a PARTITIONED source cloned (round 12: partition values
+#           restored from the log, not a basePath), diverged with a
+#           CoW delete, read back partition-pruned.
 _X54_ORACLE = """
     WITH t AS (
       SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
@@ -259,6 +262,9 @@ _X54_ORACLE = """
     UNION ALL
     SELECT 2, status, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
     FROM src GROUP BY status
+    UNION ALL
+    SELECT 3, 'O', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM t WHERE orderkey % 50 <> 0 AND status = 'O'
 """
 
 
@@ -275,9 +281,15 @@ def x54_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clone then diverges with a CoW delete. Tag 0 hash-matches
     the DIVERGED clone, tag 1 the source AFTER the clone's DML
     (byte-identical to pre-clone — independence), tag 2 the clone's
-    v0 time travel (== the cloned snapshot). The gate additionally
-    pins vacuum independence (the clone's vacuum never deletes
-    shared source bytes) and the partitioned-source refusal.
+    v0 time travel (== the cloned snapshot). Tag 3 (round 12) clones
+    a PARTITIONED source — the clone read restores partition values
+    from the LOG (``_raw_file_read`` groups absolute references by
+    manifest partition values; a single basePath can't span two
+    roots), diverges it with a CoW delete whose restages land under
+    the clone's own value directories, and reads back
+    partition-pruned. The gate additionally pins vacuum independence
+    (the clone's vacuum never deletes shared source bytes) and the
+    partitioned-clone DML battery (tests/test_round12_ops.py).
 
     Scale: cloning a 100-TB table for a staging experiment is one
     manifest write; the experiment's writes cost only their own
@@ -307,14 +319,30 @@ def x54_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("status") == "F") & (F.col("cents") % 3 == 0),
     )
 
+    # partitioned leg: clone a status-partitioned source, diverge it,
+    # read back through a partition predicate (pruned at the manifest)
+    psrc = tempfile.mkdtemp(prefix=f"txlog_x54p_{uuid.uuid4().hex[:8]}_")
+    pdst = tempfile.mkdtemp(prefix=f"txlog_x54q_{uuid.uuid4().hex[:8]}_")
+    _sh.rmtree(pdst)
+    txlog.create_table(orders, psrc, partition_by="status")
+    txlog.shallow_clone(spark, psrc, pdst)
+    txlog.delete_where(spark, pdst, F.col("orderkey") % 50 == 0)
+
     def agg(df: DataFrame, tag: int) -> DataFrame:
         return df.groupBy("status").agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.sum("cents").cast("long").alias("total_cents"),
         ).select(F.lit(tag).cast("long").alias("tag"), "*")
 
+    tag3 = txlog.read_table(spark, pdst, where="status = 'O'").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(
+        F.lit(3).cast("long").alias("tag"), F.lit("O").alias("status"), "*"
+    )
     return (
         agg(txlog.read_table(spark, dst), 0)
         .unionByName(agg(txlog.read_table(spark, src), 1))
         .unionByName(agg(txlog.read_table(spark, dst, version=0), 2))
+        .unionByName(tag3)
     )

@@ -50,8 +50,10 @@ data file; each microbatch reads exactly the files its commits added
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -1049,6 +1051,33 @@ def register_view(
     df.where(F.col("_tx_alive")).drop("_tx_alive").createOrReplaceTempView(
         name
     )
+
+
+@contextlib.contextmanager
+def isolated_view(spark, path: str, name: str | None = None, **kwargs):
+    """CONCURRENCY-SAFE guarded view (round 12): the one caveat left
+    on ``register_view(prune=True)`` is that concurrent queries on
+    ONE view share its relation's planned-partition slot and can
+    interleave plan-and-execute (the upstream Spark 4.1 reuse hazard,
+    minimal-repro-pinned in tests/test_round11_ops.py) — the
+    documented mitigation is "register per thread". This context
+    manager IS that mitigation as an API: it registers a fresh
+    uuid-suffixed temp view (``reader.load()`` builds a NEW relation
+    instance, so its partition slot is private to this caller),
+    yields the generated name for SQL text, and drops the view on
+    exit. Concurrent workers each open their own::
+
+        with isolated_view(spark, path, prune=True) as v:
+            spark.sql(f"SELECT count(*) FROM {v} WHERE k > 5")
+
+    Accepts every ``register_view`` keyword (version /
+    timestamp_as_of / read_change_feed / prune)."""
+    vname = f"{name or 'txlog_view'}_{uuid.uuid4().hex[:12]}"
+    register_view(spark, path, vname, **kwargs)
+    try:
+        yield vname
+    finally:
+        spark.catalog.dropTempView(vname)
 
 
 class TxlogStreamSource(DataSource):

@@ -1160,8 +1160,11 @@ class TestShallowClone:
             src,
             partition_by="p",
         )
-        with pytest.raises(ValueError, match="partitioned"):
-            txlog.shallow_clone(spark, src, dst)
+        # round 12: partitioned sources CLONE now (values restored
+        # from the log; tests/test_round12_ops.py carries the battery)
+        txlog.shallow_clone(spark, src, dst)
+        assert txlog.table_partitioning(dst) == ["p"]
+        assert txlog.read_table(spark, dst).count() == 10
         plain = str(tmp_path / "plain")
         txlog.create_table(
             spark.range(5).select(F.col("id").alias("k")), plain
