@@ -2601,11 +2601,16 @@ def merge_into(
             F.lit(True).alias("_txsm"),
         )
 
-        # --- classify every live target row against the source ------
+        # --- classify live target rows against the source ------------
         with_pos = mode == "dv"
-        if snapshot:
+
+        def _classify(files: list[str]) -> DataFrame:
+            """(_txb[, _txpos], t struct, s struct, _txap) over the
+            given files: left-join against the source and tag each
+            row with the index of the FIRST applied clause of its
+            population (-1 = keep)."""
             prov = _provenance_view(
-                spark, path, snapshot, base, with_pos=with_pos
+                spark, path, files, base, with_pos=with_pos
             )
             tg = prov.select(
                 "_txb",
@@ -2631,12 +2636,19 @@ def merge_into(
                     if ap is None
                     else ap.when(gate, F.lit(i))
                 )
-            applied = ap.otherwise(F.lit(-1)) if ap is not None else F.lit(-1)
-            classified = joined.withColumn("_txap", applied)
+            applied = (
+                ap.otherwise(F.lit(-1)) if ap is not None else F.lit(-1)
+            )
+            return joined.withColumn("_txap", applied)
+
+        if snapshot:
             rel_by_base = {os.path.basename(f): f for f in snapshot}
-            # bounded: one row per (file, applied clause) pair
+            # ONE full provenance scan discovers the touched files and
+            # per-clause row counts — bounded collect: one row per
+            # (file, applied clause) pair
+            full = _classify(snapshot)
             hit = (
-                classified.filter(F.col("_txap") != -1)
+                full.filter(F.col("_txap") != -1)
                 .groupBy("_txb", "_txap")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -2647,9 +2659,15 @@ def merge_into(
                 clause_rows[h["_txap"]] = (
                     clause_rows.get(h["_txap"], 0) + h["n"]
                 )
-            tkeys = prov.select(
-                *[F.col(k) for k in on]
-            ).distinct()
+            # every later pass (survivors, preimage/postimage, DV
+            # positions) re-classifies ONLY the touched files — a
+            # row-level _txb filter on the full frame could never
+            # prune at the file level, so it would re-scan the whole
+            # table per staging pass
+            classified = _classify(touched) if touched else None
+            tkeys = _provenance_view(
+                spark, path, snapshot, base
+            ).select(*[F.col(k) for k in on]).distinct()
         else:  # empty live set: everything in the source is unmatched
             classified = None
             touched, clause_rows = [], {}
@@ -2677,7 +2695,6 @@ def merge_into(
 
         new_vals = [_applied_val(c) for c in tcols]
         pre_cols = [F.col("t").getField(c).alias(c) for c in tcols]
-        touched_bases = [os.path.basename(f) for f in touched]
         affected = (
             classified.filter(F.col("_txap") != -1)
             if classified is not None
@@ -2752,13 +2769,11 @@ def merge_into(
         if mode == "cow":
             actions += [{"remove": f} for f in touched]
             if touched:
-                # _txb is already the basename (provenance contract)
+                # classified covers exactly the touched files
                 survivors = classified.filter(
                     ~F.col("_txap").isin(delete_idx)
                     if delete_idx
                     else F.lit(True)
-                ).filter(
-                    F.col("_txb").isin(touched_bases)
                 ).select(*new_vals)
                 staged_new += _stage_data(
                     survivors, path, partition_by=pb or None
