@@ -2466,6 +2466,7 @@ def merge_into(
     *,
     clauses: list[dict],
     mode: str = "cow",
+    evolve_schema: bool = False,
     max_retries: int = 3,
 ) -> int:
     """Full conditional MERGE INTO (Delta's multi-clause form; the
@@ -2504,11 +2505,19 @@ def merge_into(
     and inserted rows validate against CHECK constraints before
     anything commits; partitioned tables restage through their spec.
 
+    ``evolve_schema=True`` (Delta's autoMerge): SOURCE columns absent
+    from the target extend the table schema — carried files null-fill
+    on read (the same column-ADDITION evolution every append
+    supports), ``INSERT *`` lands the new values, and SET/VALUES may
+    target the new columns. The default refuses unknown columns, the
+    write-contract posture everywhere else.
+
     Scale: one provenance scan classifies every live row against the
     broadcast-sized source (AQE broadcasts it, the dimension-batch
     contract shared with merge_upsert); files without an applied row
-    never rewrite, and the insert anti-join's build side is the
-    distinct key set."""
+    never rewrite — every staging pass re-classifies only the touched
+    files — and the insert anti-join's build side is the distinct key
+    set."""
     from pyspark.sql.types import StructType
 
     if mode not in ("cow", "dv"):
@@ -2585,14 +2594,31 @@ def merge_into(
             raise ValueError(
                 f"key column(s) {bad_on} missing from table or source"
             )
-        types = {f.name: f.dataType for f in schema.fields}
+        # evolve_schema (Delta's autoMerge): new SOURCE columns extend
+        # the OUTPUT schema; existing rows null-fill (the supported
+        # column-ADDITION evolution — the commit's union-schema stamp
+        # and mergeSchema reads carry the rest)
+        out_fields = list(schema.fields)
+        if evolve_schema:
+            out_fields += [
+                f for f in source.schema.fields if f.name not in tcols
+            ]
+        out_schema = StructType(out_fields)
+        ocols = out_schema.fieldNames()
+        types = {f.name: f.dataType for f in out_fields}
         for cl in norm:
             m = cl.get("set") or cl.get("values") or {}
-            unknown = sorted(c for c in m if c not in tcols)
+            unknown = sorted(c for c in m if c not in ocols)
             if unknown:
                 raise ValueError(
                     f"unknown column(s) in clause: {unknown} "
-                    f"(table has {tcols})"
+                    f"(table has {tcols}"
+                    + (
+                        f"; evolvable source columns {sorted(set(ocols) - set(tcols))}"
+                        if evolve_schema
+                        else "; pass evolve_schema=True to add columns"
+                    )
+                    + ")"
                 )
         keyc = [f"_txmk{i}" for i in range(len(on))]
         src = source.select(
@@ -2678,7 +2704,8 @@ def merge_into(
         def _applied_val(c: str):
             """Post-clause value of column ``c``: the first applied
             UPDATE clause's SET expression (preimage for unset
-            columns), cast to the declared type."""
+            columns; an EVOLVED column's preimage is NULL), cast to
+            the declared type."""
             e = None
             for i in update_idx:
                 st = norm[i]["set"]
@@ -2690,10 +2717,14 @@ def merge_into(
                     if e is None
                     else e.when(F.col("_txap") == i, v)
                 )
-            tc = F.col("t").getField(c)
+            tc = (
+                F.col("t").getField(c)
+                if c in tcols
+                else F.lit(None).cast(types[c])
+            )
             return (e.otherwise(tc) if e is not None else tc).alias(c)
 
-        new_vals = [_applied_val(c) for c in tcols]
+        new_vals = [_applied_val(c) for c in ocols]
         pre_cols = [F.col("t").getField(c).alias(c) for c in tcols]
         affected = (
             classified.filter(F.col("_txap") != -1)
@@ -2749,7 +2780,7 @@ def merge_into(
                 return e.alias(c)
 
             inserts = sview.filter(F.col("_txap") != -1).select(
-                *[_insert_val(c) for c in tcols]
+                *[_insert_val(c) for c in ocols]
             )
 
         from .constraints import table_constraints, validate_staged
@@ -2834,7 +2865,7 @@ def merge_into(
                 - rows_deleted,
             ),
         }
-        extra = _union_schema_extra(path, base, schema)
+        extra = _union_schema_extra(path, base, out_schema)
         if mode == "dv":
             proto = extra.get("protocol") or table_protocol(
                 path, version=base

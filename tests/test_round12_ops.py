@@ -833,6 +833,73 @@ class TestMergeInto:
         for f in txlog.live_files(table):
             assert f.split(os.sep)[0].startswith("p=")
 
+    def test_evolve_schema_insert_star_and_set(self, spark, table):
+        """Delta's autoMerge: new source columns extend the table —
+        existing rows null-fill, INSERT * lands the values, SET may
+        target the new column; default mode still refuses."""
+        txlog.create_table(
+            spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+            table,
+        )
+        src = spark.createDataFrame(
+            [(2, 99, "beta"), (3, 30, "gamma")],
+            "k long, v long, label string",
+        )
+        # default: targeting the unknown column refuses with a hint
+        with pytest.raises(ValueError, match="evolve_schema"):
+            txlog.merge_into(
+                spark, table, src, ["k"],
+                clauses=[{"when": "matched", "action": "update",
+                          "set": {"label": "s.label"}}],
+            )
+        txlog.merge_into(
+            spark, table, src, ["k"],
+            clauses=[
+                {"when": "matched", "action": "update",
+                 "set": {"v": "s.v", "label": "s.label"}},
+                {"when": "not_matched", "action": "insert"},
+            ],
+            evolve_schema=True,
+        )
+        got = {
+            r["k"]: (r["v"], r["label"])
+            for r in txlog.read_table(spark, table).collect()
+        }
+        # k=1 untouched (carried file null-fills), k=2 updated,
+        # k=3 inserted with the evolved column
+        assert got == {1: (10, None), 2: (99, "beta"), 3: (30, "gamma")}
+        # the manifest schema evolved
+        assert "label" in txlog.read_table(spark, table).columns
+        # a later plain append without the column still works
+        txlog.append(
+            spark.createDataFrame([(4, 40)], "k long, v long"), table
+        )
+        assert txlog.read_table(spark, table).filter(
+            "label IS NULL"
+        ).count() == 2
+
+    def test_evolve_schema_dv_mode(self, spark, table):
+        txlog.create_table(
+            spark.createDataFrame(
+                [(1, 10), (2, 20), (3, 30)], "k long, v long"
+            ).coalesce(1),
+            table,
+        )
+        src = spark.createDataFrame(
+            [(2, "hot")], "k long, tag string"
+        )
+        txlog.merge_into(
+            spark, table, src, ["k"],
+            clauses=[{"when": "matched", "action": "update",
+                      "set": {"tag": "s.tag"}}],
+            mode="dv", evolve_schema=True,
+        )
+        got = {
+            r["k"]: (r["v"], r["tag"])
+            for r in txlog.read_table(spark, table).collect()
+        }
+        assert got == {1: (10, None), 2: (20, "hot"), 3: (30, None)}
+
     def test_cdf_stream_reads_merge_commit(self, spark, table):
         """The streaming CDF path consumes a merge-into commit's
         change files exactly like the batch feed."""
