@@ -387,6 +387,30 @@ class TestPartitionedClone:
         assert fmt.exceptAll(jvm).count() == 0
         assert jvm.exceptAll(fmt).count() == 0
 
+    def test_optimize_localizes_clone(self, spark, tmp_path):
+        """OPTIMIZE on a clone materializes the absolute source
+        references under the CLONE's root — after it, the standing
+        source-vacuum caveat no longer applies to this clone (every
+        live byte is clone-local). Works for partitioned clones too:
+        rewrites restage through the partition spec."""
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        self._mk_src(spark, src)
+        txlog.shallow_clone(spark, src, dst)
+        assert txlog.compact(spark, dst, target_bytes=10**9) is not None
+        live = txlog.live_files(dst)
+        assert live and all(not os.path.isabs(f) for f in live)
+        assert all(
+            f.split(os.sep)[0].startswith("p=") for f in live
+        )
+        # a hostile source vacuum can no longer hurt the clone
+        txlog.vacuum(src, keep_versions=1, retention_seconds=0)
+        assert txlog.read_table(spark, dst).count() == 1000
+        got = {
+            (r["p"], r["k"]) for r in
+            txlog.read_table(spark, dst).select("p", "k").collect()
+        }
+        assert got == {(str(i % 5), i) for i in range(1000)}
+
     def test_partitioned_clone_merge_into(self, spark, tmp_path):
         src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
         self._mk_src(spark, src, n=500)
