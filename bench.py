@@ -245,6 +245,9 @@ HEADLINE = [
     # conditional update / conditional insert / by-source sweep — with
     # the commit's CDF read leg in the wall)
     "x55_txlog_merge_into",
+    # x56: legacy CDF backfill (lifecycle + stamp strip + distributed
+    # backfill + the full feed read — GENERATE's whole story in the wall)
+    "x56_txlog_cdf_backfill",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

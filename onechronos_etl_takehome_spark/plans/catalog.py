@@ -177,8 +177,10 @@ DRIVER_WINDOW: list[str] = [
 # (conditional MERGE, landing this round gate-oracled at two SFs +
 # benched — the only multi-clause DML witness once it rotates), x52
 # (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x54
-# (SHALLOW CLONE), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT),
-# x39 (null-count skipping), x41 (append-only stream drain).
+# (SHALLOW CLONE, now with the partitioned tag-3 leg), x56 (legacy
+# CDF backfill, also landing this round oracled + benched), x46
+# (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39 (null-count
+# skipping), x41 (append-only stream drain).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

@@ -6,6 +6,11 @@
   SOURCE THEN UPDATE/DELETE``), Delta's CDC-apply surface, with a
   deletion-vector mode whose bytes written scale with changed rows
   (round-11 verdict items 2+3; ``sources/txlog.py``).
+
+- **Legacy CDF backfill** (x56): ``txlog.generate_change_files`` —
+  Delta's GENERATE: stamp commit-time change files onto legacy
+  two-sided commits, computed distributed, retiring the read-time
+  diff (round-11 verdict item 5).
 """
 
 from __future__ import annotations
@@ -169,3 +174,117 @@ def x55_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
     ).select(F.lit(1).cast("long").alias("tag"), "*")
     return tag0.unionByName(tag1)
+
+
+# ---------------------------------------------------------------------------
+# x56 — LEGACY CDF BACKFILL: strip a lifecycle's commit-time change
+# files (simulating a pre-writer-3 table), backfill them with
+# generate_change_files, and hash-match the resulting feed against a
+# relational recomputation of every commit's net changes.
+# ---------------------------------------------------------------------------
+
+_X56_ORACLE = """
+    WITH t AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+             o_orderstatus AS status,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    live2 AS (SELECT * FROM t WHERE cents % 5 <> 0),
+    u AS (
+      SELECT orderkey, status, cents + 9 AS cents
+      FROM live2 WHERE orderkey % 7 = 0)
+    SELECT CAST(1 AS BIGINT) AS vsn, 'insert' AS chg,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM t WHERE orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM t WHERE cents % 5 = 0
+    UNION ALL
+    SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM live2 WHERE orderkey % 7 = 0
+    UNION ALL
+    SELECT 3, 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(cents) AS BIGINT)
+    FROM u
+"""
+
+
+@register("x56_txlog_cdf_backfill", oracle=_X56_ORACLE)
+def x56_txlog_cdf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGACY CHANGE-FILE BACKFILL (``txlog.generate_change_files`` —
+    the moral equivalent of Delta's ``GENERATE``, round-11 verdict
+    item 5): a pre-writer-3 DML commit carries no commit-time change
+    files, so its CDF derives with a read-time multiset diff. This
+    witness builds a create / append / copy-on-write DELETE /
+    file-pruned MERGE lifecycle, then STRIPS every ``cdf`` stamp and
+    its change files from the manifests — byte-for-byte the shape an
+    old writer leaves — runs the backfill (each two-sided commit's
+    diff computed DISTRIBUTED via the same aligned ``exceptAll`` the
+    DMLs use at commit time, manifests stamped atomically in place),
+    and returns the CHANGE DATA FEED grouped by (version, change
+    kind). The hash match against a relational recomputation of every
+    commit's net row-level changes proves the backfilled files carry
+    EXACTLY the multiset the read-time diff would have derived —
+    append inserts, delete preimages, merge replaced-preimage deletes
+    + upsert inserts, with copy-on-write carry-over rows cancelled.
+    The gate additionally pins derived==backfilled equality, the
+    diff-partition retirement in the streaming planner, idempotence,
+    non-flat-schema streamability after backfill, and the
+    vacuumed-commit refusal (tests/test_round12_ops.py).
+
+    Scale: backfill reads only the files each commit touched (the log
+    is the prune) and writes bytes proportional to the real change
+    volume; after it, every CDF read of the table is ordinary
+    per-file scan partitions — the one-Python-task read-time diff is
+    retired for good."""
+    import json
+    import os
+    import tempfile
+
+    from ..sources import txlog
+
+    pin_semantics(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix=f"txlog_x56_{uuid.uuid4().hex[:8]}_")
+    txlog.create_table(
+        orders.filter(F.col("orderkey") % 2 == 1).coalesce(2), path
+    )
+    txlog.append(orders.filter(F.col("orderkey") % 2 == 0).coalesce(2), path)
+    txlog.delete_where(spark, path, F.col("cents") % 5 == 0)
+    live2 = txlog.read_table(spark, path)
+    txlog.merge_upsert(
+        spark,
+        path,
+        live2.filter(F.col("orderkey") % 7 == 0).select(
+            "orderkey", "status", (F.col("cents") + 9).alias("cents")
+        ),
+        ["orderkey"],
+    )
+    # strip every cdf stamp + change file: the byte shape a legacy
+    # (pre-writer-3) writer leaves behind
+    for v in txlog.committed_versions(path):
+        mf = os.path.join(path, txlog._LOG_DIR, f"{v:08d}.json")
+        with open(mf) as f:
+            m = json.load(f)
+        if "cdf" in m:
+            for e in m["cdf"]["files"]:
+                os.unlink(os.path.join(path, e["name"]))
+            del m["cdf"]
+            os.unlink(mf)
+            with open(mf, "w") as f:
+                json.dump(m, f)
+    txlog._FOLD_CACHE.clear()
+    txlog.generate_change_files(spark, path)
+    return txlog.change_feed(spark, path, from_version=0).groupBy(
+        F.col("_version").alias("vsn"), F.col("_change").alias("chg")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
