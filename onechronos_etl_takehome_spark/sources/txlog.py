@@ -3332,10 +3332,15 @@ def vacuum(
     *,
     keep_versions: int = 2,
     retention_seconds: float = 24 * 3600,
+    dry_run: bool = False,
 ) -> list[str]:
     """Physically remove data files referenced ONLY by versions older
     than the last ``keep_versions`` commits (they are unreachable
     from any retained snapshot). Returns the removed names.
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns exactly
+    what a real run would remove under the same retention rules and
+    deletes NOTHING — the look-before-you-leap every operator wants
+    before an irreversible sweep.
 
     ``retention_seconds`` (mtime-based, Delta-style) protects
     IN-FLIGHT writers: ``_stage_data`` renames staged files into the
@@ -3388,7 +3393,8 @@ def vacuum(
                 try:
                     if os.path.getmtime(full) > cutoff:
                         continue  # possibly a concurrent writer's stage
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                 except FileNotFoundError:
                     continue  # another vacuum won the race
                 removed.append(rel)

@@ -892,16 +892,58 @@ class TxlogBatchReader(DataSourceReader):
                     "not version/timestampAsOf"
                 )
             self.version = None
-            sv = int(options.get("startingversion", 0))
-            if sv < 0:
+            if (
+                "startingversion" in options
+                and "startingtimestamp" in options
+            ):
                 raise ValueError(
-                    f"startingVersion must be >= 0 (got {sv}); it is "
-                    "INCLUSIVE (Delta's semantics) — 0 reads the "
-                    "whole history"
+                    "pass startingVersion OR startingTimestamp, not both"
                 )
-            self.starting_version = sv - 1
-            ev = options.get("endingversion")
-            self.ending_version = int(ev) if ev is not None else None
+            if "endingversion" in options and "endingtimestamp" in options:
+                raise ValueError(
+                    "pass endingVersion OR endingTimestamp, not both"
+                )
+            versions = txlog.committed_versions(self.path)
+            if "startingtimestamp" in options:
+                # Delta's option: deliver commits whose manifest ts is
+                # AT OR AFTER it (same resolution the stream reader
+                # does; a timestamp past the newest commit yields an
+                # empty feed — the batch read has no 'future commits')
+                t = txlog._as_epoch(options["startingtimestamp"])
+                at_or_after = [
+                    v
+                    for v in versions
+                    if txlog._manifest_ts(self.path, v) >= t
+                ]
+                self.starting_version = (
+                    at_or_after[0] - 1 if at_or_after else versions[-1]
+                )
+            else:
+                sv = int(options.get("startingversion", 0))
+                if sv < 0:
+                    raise ValueError(
+                        f"startingVersion must be >= 0 (got {sv}); it is "
+                        "INCLUSIVE (Delta's semantics) — 0 reads the "
+                        "whole history"
+                    )
+                self.starting_version = sv - 1
+            if "endingtimestamp" in options:
+                # newest commit AT OR BEFORE it — timestampAsOf's rule
+                t = txlog._as_epoch(options["endingtimestamp"])
+                at_or_before = [
+                    v
+                    for v in versions
+                    if txlog._manifest_ts(self.path, v) <= t
+                ]
+                if not at_or_before:
+                    raise ValueError(
+                        f"endingTimestamp {options['endingtimestamp']} "
+                        f"predates every commit of {self.path}"
+                    )
+                self.ending_version = at_or_before[-1]
+            else:
+                ev = options.get("endingversion")
+                self.ending_version = int(ev) if ev is not None else None
             self.table_schema_json = _strip_cdf_meta(self.schema_json)
         else:
             self.version = _resolve_option_version(self.path, options)
@@ -1108,7 +1150,14 @@ class TxlogStreamSource(DataSource):
         # aligns to the schema at endingVersion (default latest).
         if cdf:
             ev = opts.get("endingversion")
-            at = int(ev) if ev is not None else versions[-1]
+            if ev is not None:
+                at = int(ev)
+            elif "endingtimestamp" in opts:
+                at, _ = txlog._resolve_version(
+                    path, None, timestamp=opts["endingtimestamp"]
+                )
+            else:
+                at = versions[-1]
         else:
             at = _resolve_option_version(path, opts)
             at = at if at is not None else versions[-1]

@@ -462,6 +462,87 @@ _CDC_CLAUSES = [
 ]
 
 
+class TestCdfTimestampOptions:
+    def test_batch_cdf_timestamp_bounds(self, spark, table):
+        """Delta's startingTimestamp/endingTimestamp on the BATCH CDF
+        reader: commits resolve by manifest ts with the same rules the
+        stream reader and timestampAsOf use."""
+        _register_source(spark)
+        txlog.create_table(
+            spark.range(10).select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+        txlog.append(
+            spark.range(10, 20).select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )  # v1
+        txlog.append(
+            spark.range(20, 30).select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )  # v2
+        t1 = txlog._manifest_ts(table, 1)
+        t2 = txlog._manifest_ts(table, 2)
+
+        def cdf(**opts):
+            r = (
+                spark.read.format("txlog")
+                .option("path", table)
+                .option("readChangeFeed", "true")
+            )
+            for k, v in opts.items():
+                r = r.option(k, str(v))
+            return r.load()
+
+        # startingTimestamp at v1's ts delivers v1 and v2
+        got = cdf(startingTimestamp=t1)
+        assert sorted(
+            r["_version"] for r in got.select("_version").distinct()
+            .collect()
+        ) == [1, 2]
+        # endingTimestamp at v1's ts stops there (newest at-or-before)
+        got = cdf(endingTimestamp=t1)
+        assert sorted(
+            r["_version"] for r in got.select("_version").distinct()
+            .collect()
+        ) == [0, 1]
+        # both bounds: exactly v1..v2
+        got = cdf(startingTimestamp=t1, endingTimestamp=t2)
+        assert got.count() == 20
+        # mutual exclusion
+        with pytest.raises(Exception, match="not both"):
+            cdf(startingVersion=1, startingTimestamp=t1).collect()
+        with pytest.raises(Exception, match="not both"):
+            cdf(endingVersion=1, endingTimestamp=t1).collect()
+        # a pre-history endingTimestamp refuses loudly
+        with pytest.raises(Exception, match="predates"):
+            cdf(endingTimestamp=t1 - 10_000).collect()
+
+
+class TestVacuumDryRun:
+    def test_dry_run_reports_without_deleting(self, spark, table):
+        txlog.create_table(
+            spark.range(100).select(F.col("id").alias("k")).coalesce(1),
+            table,
+        )
+        txlog.delete_where(spark, table, F.col("k") < 50)
+        would = txlog.vacuum(
+            table, keep_versions=1, retention_seconds=0, dry_run=True
+        )
+        assert would  # the retired v0 file qualifies
+        # nothing was deleted: every reported file still exists and
+        # the pre-delete snapshot still reads
+        for f in would:
+            assert os.path.exists(os.path.join(table, f))
+        assert txlog.read_table(spark, table, version=0).count() == 100
+        # the real run removes exactly the dry run's report
+        removed = txlog.vacuum(
+            table, keep_versions=1, retention_seconds=0
+        )
+        assert removed == would
+        for f in would:
+            assert not os.path.exists(os.path.join(table, f))
+
+
 class TestIsolatedView:
     def test_concurrent_pruned_sql_exact(self, spark, table):
         """Each caller's isolated_view owns a fresh relation, so
