@@ -629,6 +629,77 @@ def _m12_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
 _DROP_EXCS = ("BrokenPipeError", "ConnectionResetError", "EOFError")
 # chained-traceback separators: NOT block terminators
 _CHAIN_LINES = ("During handling of the above", "The above exception")
+# a block only qualifies as teardown noise if its frames actually run
+# in the python worker daemon (round-12 advice: a GENUINE driver-side
+# EOFError — e.g. py4j dying mid-query — must reach the tail capture;
+# matching the terminal exception type alone also ate those)
+_DAEMON_FRAMES = ("pyspark/daemon.py", "pyspark/worker.py")
+
+
+def _filter_stderr_lines(lines, emit) -> None:
+    """The filter's pure core (unit-tested in tests/test_round13_ops.py):
+    stream ``lines``, calling ``emit(line)`` for everything that
+    should reach the real stderr. Traceback GROUPS — a block plus any
+    chained continuations, buffered whole so a dropped group's
+    'During handling' separators never leak through orphaned — are
+    dropped only when they BOTH terminate in a teardown exception
+    type AND carry a pyspark daemon/worker frame; a driver-side
+    EOFError (round-12 advice: e.g. py4j dying mid-query) keeps its
+    evidence."""
+    buf: list[str] = []  # the pending traceback GROUP
+    in_tb = False  # inside a block (frames) vs after its terminal
+    terminal = ""  # last terminal exception line seen
+    chained = False  # chain separator seen since the last terminal
+
+    def _flush() -> None:
+        nonlocal in_tb, terminal, chained
+        if buf:
+            noise = terminal.startswith(_DROP_EXCS) and any(
+                m in ln for ln in buf for m in _DAEMON_FRAMES
+            )
+            if not noise:
+                for ln in buf:
+                    emit(ln)
+            buf.clear()
+        in_tb, terminal, chained = False, "", False
+
+    for line in lines:
+        if in_tb:
+            buf.append(line)
+            if line[:1] not in (" ", "\t") and not line.startswith(
+                _CHAIN_LINES
+            ):
+                in_tb = False  # block terminal
+                terminal = line
+                chained = False  # each continuation needs a separator
+        elif buf:
+            # between a terminal and a possible chained continuation:
+            # blank lines and chain separators stay pending; a new
+            # Traceback joins the group ONLY after a separator (two
+            # back-to-back INDEPENDENT tracebacks judge separately)
+            if line.startswith("Traceback (most recent call last):"):
+                if not chained:
+                    _flush()
+                buf.append(line)
+                in_tb = True
+            elif line.startswith(_CHAIN_LINES):
+                buf.append(line)
+                chained = True
+            elif not line.strip():
+                buf.append(line)
+            else:
+                _flush()
+                emit(line)
+        elif line.startswith("Traceback (most recent call last):"):
+            buf.append(line)
+            in_tb = True
+        else:
+            emit(line)
+    if in_tb and buf:  # EOF mid-block: flush, never swallow silently
+        for ln in buf:
+            emit(ln)
+    else:
+        _flush()
 
 
 def _install_stderr_filter() -> None:
@@ -636,12 +707,12 @@ def _install_stderr_filter() -> None:
     its python worker daemons INHERIT the process's stderr fd, so a
     sys.stderr wrapper never sees their output — the filter has to sit
     at the fd level: fd 2 is re-pointed at a pipe, a pump thread
-    forwards everything to the real stderr EXCEPT traceback blocks
-    that terminate in one of the teardown exception types. Our own
-    summary prints re-point sys.stderr at the saved real fd and skip
-    the filter entirely (no risk of eating a scale10x/REGRESSION
-    line). Best-effort by design: interleaved writes from concurrent
-    daemons can garble a block, which then simply passes through."""
+    forwards everything to the real stderr through
+    ``_filter_stderr_lines``. Our own summary prints re-point
+    sys.stderr at the saved real fd and skip the filter entirely (no
+    risk of eating a scale10x/REGRESSION line). Best-effort by
+    design: interleaved writes from concurrent daemons can garble a
+    block, which then simply passes through."""
     import threading
 
     real = os.fdopen(os.dup(2), "w", buffering=1)
@@ -651,24 +722,8 @@ def _install_stderr_filter() -> None:
     sys.stderr = real  # our prints bypass the filter
 
     def _pump() -> None:
-        buf: list[str] = []
         with os.fdopen(r_fd, "r", errors="replace") as src:
-            for line in src:
-                if buf:
-                    buf.append(line)
-                    if line[:1] in (" ", "\t") or line.startswith(
-                        _CHAIN_LINES
-                    ):
-                        continue  # still inside the traceback block
-                    if not line.startswith(_DROP_EXCS):
-                        real.writelines(buf)  # a REAL traceback: keep
-                    buf.clear()
-                elif line.startswith("Traceback (most recent call last):"):
-                    buf.append(line)
-                else:
-                    real.write(line)
-        if buf:  # EOF inside a block: flush, never swallow silently
-            real.writelines(buf)
+            _filter_stderr_lines(src, real.write)
 
     threading.Thread(target=_pump, daemon=True, name="stderr-filter").start()
 

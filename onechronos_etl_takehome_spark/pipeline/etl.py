@@ -285,6 +285,15 @@ class ReconciliationPipeline:
         the production 128 MB default (no task explosion), while an
         under-split local input divides across every core. Driver-side
         file metadata only — zero Spark actions.
+
+        FLOORED (round-12 verdict item 1): input at or under one 4 MB
+        floor split returns None — the adaptation cannot add
+        parallelism there (any split ≥ the floor still reads it as
+        one partition), and the per-run conf set/restore churn was
+        the confirmed etl_reference_pipeline regression (each SQL
+        conf write invalidates cached relation plans). run() also
+        skips the whole conf dance when the computed split equals the
+        session's current value.
         """
         import glob
 
@@ -295,16 +304,21 @@ class ReconciliationPipeline:
             )
         except OSError:
             return None
-        if not total:
+        if total <= (4 << 20):
             return None
         par = self.spark.sparkContext.defaultParallelism
         return max(4 << 20, min(128 << 20, total // max(par, 1)))
 
     def run(self, output_dir: str = ".") -> dict[str, int]:
         split = self._adaptive_split_bytes()
-        prev_split = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+        prev_split: str | None = None
         if split is not None:
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+            cur = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
+            if str(split) != cur:
+                prev_split = cur
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(split)
+                )
         trades, fills, symbols = self.extract()
         validated = self.transform(trades, fills, symbols).cache()
         try:
@@ -345,6 +359,7 @@ class ReconciliationPipeline:
             return self.metrics
         finally:
             validated.unpersist()
-            self.spark.conf.set(
-                "spark.sql.files.maxPartitionBytes", prev_split
-            )
+            if prev_split is not None:
+                self.spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", prev_split
+                )

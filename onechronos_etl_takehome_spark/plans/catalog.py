@@ -79,7 +79,6 @@ DRIVER_WINDOW: list[str] = [
     "d04_simhash_near_pairs",
     "d05_deterministic_dedup",
     "d06_embedding_neardup_pairs",
-    "d07_dedup_groups",
     "d09_decontaminate",
     "d11_fuzzy_dedup_e2e",
     "t25_segment_dedup",
@@ -137,9 +136,47 @@ DRIVER_WINDOW: list[str] = [
     "x24_bucketed_join",  # co-located join over bucketed storage
     "x25_distribution_drift",  # windowed histogram drift (TVD)
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
-    "x35_txlog_merge",  # file-pruned MERGE INTO (ACID table DML)
+    "x55_txlog_merge_into",  # conditional multi-clause MERGE (CDC apply)
+    "x56_txlog_cdf_backfill",  # legacy change-file backfill (GENERATE)
     "x47_txlog_check_constraints",  # write-time CHECK invariant enforcement
 ]
+# Round 13: x55 and x56 rotate in, exactly as the round-12 verdict's
+# item 2 (and this file's own round-12 forecast) named them.
+# - x55_txlog_merge_into: conditional multi-clause MERGE — the
+#   CDC-apply surface (WHEN MATCHED [AND cond] UPDATE/DELETE, WHEN
+#   NOT MATCHED [AND cond] INSERT, WHEN NOT MATCHED BY SOURCE), hash-
+#   matching BOTH the post-merge table and the merge commit's change
+#   data feed. Displaced: x35_txlog_merge — x55 runs the same
+#   capability class (file-pruned copy-on-write MERGE INTO: one
+#   provenance scan against a broadcast-sized source, only files
+#   containing an applied-clause row rewrite, carries by reference)
+#   STRICTLY STRONGER: the two-clause upsert pair x35 witnesses
+#   (update-on-match + insert-on-no-match) is a sub-surface of x55's
+#   four conditional clauses, x55 additionally pins the commit's CDF
+#   by kind and runs under clause CONDITIONS (3VL fall-through), and
+#   the gate stacks DV-mode == CoW hash equality, the matched-sparse
+#   bytes-written drop, CHECK enforcement on postimages, and a
+#   two-writer race on the same entry (tests/test_round12_ops.py).
+#   x35 stays gate-oracled at two SFs and benched.
+# - x56_txlog_cdf_backfill: legacy change-file backfill (Delta's
+#   GENERATE) — strip a DML lifecycle's commit-time change files,
+#   recompute each two-sided commit's diff distributed, stamp the
+#   manifests, and hash-match the resulting feed against a relational
+#   recomputation of every commit's net changes; the only witness of
+#   the read-time derived diff AND its retirement (round-12 advice
+#   hardened it to ignore later DV masks; tests/test_round13_ops.py
+#   pins inserted-at-v-then-DV-deleted-at-v' round-trips). Displaced:
+#   d07_dedup_groups, whose BOTH capabilities keep strictly-stronger
+#   in-window evidence: the exact-Jaccard pair join via
+#   d15_prefix_jaccard_pairs (the same n-gram Jaccard predicate under
+#   the strictly harder PPJoin prefix/positional-filter plan — every
+#   pair d07's all-bucket join finds, found with provably fewer
+#   candidates), and connected components + canonical assignment via
+#   d11_fuzzy_dedup_e2e (the same dedup_components operator, driven
+#   over the harder capped-LSH candidate graph, whose oracle pins
+#   transitive-chain collapse and per-component survivors/sizes —
+#   d07's grouping is the single-stage special case). d07 stays
+#   gate-oracled at two SFs and benched.
 # Round 12: x50 and x51 rotate in, exactly as the round-11 verdict's
 # item 1 (and this file's own round-11 forecast) named them.
 # - x50_txlog_partitioned: partition columns declared IN the ACID log —
@@ -173,12 +210,9 @@ DRIVER_WINDOW: list[str] = [
 #   gate-oracled at two SFs and benched. x45 (the ONLY format-WRITER
 #   witness) deliberately stays in-window — no other row drives
 #   df.write.format("txlog").
-# Remaining rotation candidates for round 13, in forecast order: x55
-# (conditional MERGE, landing this round gate-oracled at two SFs +
-# benched — the only multi-clause DML witness once it rotates), x52
+# Remaining rotation candidates for round 14, in forecast order: x52
 # (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x54
-# (SHALLOW CLONE, now with the partitioned tag-3 leg), x56 (legacy
-# CDF backfill, also landing this round oracled + benched), x46
+# (SHALLOW CLONE, now with the partitioned tag-3 leg), x46
 # (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39 (null-count
 # skipping), x41 (append-only stream drain).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
@@ -203,7 +237,9 @@ DRIVER_WINDOW: list[str] = [
 #   strictly harder mapped-schema resolution; x34's remaining leg
 #   (copy-on-write DELETE) keeps in-window evidence via x48's
 #   delete_where commit (oracle-exact delete rows with carried
-#   survivors cancelled) and x35's file-pruned MERGE rewrite; x34
+#   survivors cancelled) and x35's file-pruned MERGE rewrite (round
+#   13: that leg now rides x55's strictly-stronger conditional MERGE,
+#   which runs the same CoW rewrite machinery in-window); x34
 #   stays gate-oracled at two SFs and benched.
 # Remaining rotation candidates for round 12, in forecast order: x50
 # (partition columns — the only manifest-level layout witness; landed
@@ -385,8 +421,9 @@ DRIVER_WINDOW: list[str] = [
 # the key-equality + half-open-range join shape that serves every
 # event-time feature lookup). Displaced: d01 exact dedup (the exact
 # hash-groupBy machinery is witnessed in-window by d05's deterministic
-# dedup over the same exact groups, d07's group ids, and d11's e2e;
-# d01 stays locally oracled in the full gate) and t04 rolling
+# dedup over the same exact groups, d07's group ids (round 13: d07
+# rotated out; the group-id leg rides d11's e2e canonical survivors),
+# and d11's e2e; d01 stays locally oracled in the full gate) and t04 rolling
 # fingerprint (the rolling-hash family is witnessed in-window by
 # m05's content-defined chunking, whose boundaries come from the same
 # rolling-hash construction, fully hash-matched; t04 stays locally

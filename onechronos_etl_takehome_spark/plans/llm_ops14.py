@@ -46,7 +46,7 @@ _X55_ORACLE = f"""
       SELECT orderkey, 'U', cents + 555
       FROM t WHERE orderkey % 13 = 0 AND orderkey % 97 <> 0
       UNION ALL
-      SELECT orderkey + 10000000, 'I', cents % 100000
+      SELECT -orderkey - 1, 'I', cents % 100000
       FROM t WHERE orderkey % 31 = 0),
     m AS (
       SELECT t.orderkey, t.status, t.cents, s.op, s.new_cents,
@@ -140,7 +140,13 @@ def x55_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") + 555).alias("new_cents"),
     )
     news = orders.filter(F.col("orderkey") % 31 == 0).select(
-        (F.col("orderkey") + 10_000_000).alias("orderkey"),
+        # STRICTLY NEGATIVE keys: o_orderkey ≥ 0 at every scale
+        # factor, so -(k+1) ≤ -1 can never collide with a
+        # delete/update source key (round-12 advice: +10M collided at
+        # sf10, where orderkeys reach ~60M, tripping the
+        # duplicate-source-key ambiguity raise; bare -k still collided
+        # on the testdata's orderkey-0 row)
+        (-F.col("orderkey") - 1).alias("orderkey"),
         F.lit("I").alias("op"),
         (F.col("cents") % 100_000).alias("new_cents"),
     )

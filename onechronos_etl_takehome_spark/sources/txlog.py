@@ -325,7 +325,8 @@ def _dv_dead_side(spark: SparkSession, path: str, dvmap: dict) -> DataFrame:
 
 
 def _mapped_read(
-    spark: SparkSession, path: str, files, *, version: int | None
+    spark: SparkSession, path: str, files, *, version: int | None,
+    mask: bool = True,
 ) -> DataFrame:
     """The one way engine code reads table files: mergeSchema parquet
     over PHYSICAL names, then the logical view per the schema+mapping
@@ -341,14 +342,23 @@ def _mapped_read(
     through their mask: the scan exposes the physical row index
     (``_metadata.row_index``) and anti-joins the DV's (file, pos)
     set — dead rows never reach the logical view. Plain files take
-    the unmasked path; an undeleted table pays zero extra nodes."""
+    the unmasked path; an undeleted table pays zero extra nodes.
+
+    ``mask=False`` reads file BYTES as written — the commit-time view
+    a legacy CDF diff needs. DV masks are attached by LATER commits;
+    applying them to an older commit's file diff would mis-cancel
+    rows that were alive when that commit ran (round-12 advice: the
+    backfilled change set must equal the streaming source's raw-byte
+    multiset diff, not the latest masked view)."""
     version, _ = _resolve_version(path, version)
     pb = table_partitioning(path, version=version)
     files = sorted(files)
     fold = _fold_live(path, version)
-    dvmap = {
-        f: fold[f]["dv"] for f in files if "dv" in fold.get(f, {})
-    }
+    dvmap = (
+        {f: fold[f]["dv"] for f in files if "dv" in fold.get(f, {})}
+        if mask
+        else {}
+    )
     if not dvmap:
         df = _raw_file_read(spark, path, files, pb=pb, fold=fold)
     else:
@@ -3131,8 +3141,15 @@ def change_feed(
             if not names:
                 return None
             # logical view at to_version: physical names are stable,
-            # so one mapping resolves every file era in the range
-            return _mapped_read(spark, path, names, version=to_version)
+            # so one mapping resolves every file era in the range.
+            # mask=False: the diff must see file bytes as THIS commit
+            # wrote them — a DV attached by a LATER commit would
+            # mis-cancel rows alive at v (that later delete is its
+            # own feed entry), and the streaming source's raw-byte
+            # diff would disagree (round-12 advice).
+            return _mapped_read(
+                spark, path, names, version=to_version, mask=False
+            )
 
         a_df, r_df = _read(adds), _read(removes)
         if (
@@ -3248,11 +3265,17 @@ def generate_change_files(spark: SparkSession, path: str) -> list[int]:
                 "reconstructible"
             )
         # logical view at LATEST (physical names are stable, so one
-        # mapping resolves every file era) — exactly the batch
-        # change_feed contract, so backfilled == derived is a
-        # multiset identity, not an approximation
-        a_df = _mapped_read(spark, path, adds, version=latest)
-        r_df = _mapped_read(spark, path, removes, version=latest)
+        # mapping resolves every file era) but UNMASKED (mask=False):
+        # legacy files carry no DVs at their own commit — a DV a
+        # LATER commit attached must not understate this commit's
+        # inserts (round-12 advice: rows inserted at v and DV-deleted
+        # at v' are an insert at v AND a delete at v', not neither).
+        # Matches the batch change_feed derived diff and the
+        # streaming source's raw-byte diff exactly.
+        a_df = _mapped_read(spark, path, adds, version=latest, mask=False)
+        r_df = _mapped_read(
+            spark, path, removes, version=latest, mask=False
+        )
         a_al, r_al = _align_for_diff(a_df, r_df)
         cdf_files = _stage_change_data(
             r_al.exceptAll(a_al), a_al.exceptAll(r_al), path

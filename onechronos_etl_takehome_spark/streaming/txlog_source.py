@@ -357,13 +357,19 @@ def _dv_mask(path: str, fname: str, dv: dict, n_rows: int):
     while the vector's rows may carry the source-relative name — and
     one vector file can hold BOTH spellings of the same data file (a
     DV delete on a clone unions new absolute-path positions with
-    carried source-relative rows). A bare-basename read name (the
-    unpartitioned non-clone case) provably has one spelling, so the
-    exact-name pushdown alone is complete (row-group pruning; the
-    writer sorts by file); any other name runs the basename pass over
-    the whole (deleted-rows-sized) vector — NEVER gated on the exact
-    pass finding nothing, which silently skipped carried dead
-    positions when both spellings shared a file."""
+    carried source-relative rows). A RELATIVE read name (bare
+    basename or a Hive-style ``part=value/...`` path — every
+    non-clone-reference file) provably has exactly one spelling: the
+    table's own DV commits store the manifest-relative name, and
+    carried mixed-spelling rows only ever describe ABSOLUTE clone
+    references. So relative names keep the exact-name pushdown
+    (row-group pruning; the writer sorts by file) and only absolute
+    names run the basename pass over the whole (deleted-rows-sized)
+    vector — NEVER gated on the exact pass finding nothing, which
+    silently skipped carried dead positions when both spellings
+    shared a file (round-12 fix; the round-12 advice then restored
+    the pushdown for partitioned non-clone reads, which the
+    over-broad ``base == fname`` gate had regressed to full scans)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -372,7 +378,7 @@ def _dv_mask(path: str, fname: str, dv: dict, n_rows: int):
     mask = np.ones(n_rows, dtype=bool)
     for dvf in dv.get("files", []):
         full = os.path.join(path, dvf)
-        if base == fname:
+        if not os.path.isabs(fname):
             t = pq.read_table(
                 full, filters=[("file", "=", fname)], columns=["pos"]
             )

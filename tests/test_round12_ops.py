@@ -58,9 +58,19 @@ class TestDvMaskMixedSpellings:
         # are dead — the regression masked only pos 3
         mask = _dv_mask(root, absf, dv, 5).to_pylist()
         assert mask == [True, False, True, False, True]
-        # dir-qualified relative spelling (partitioned table) too
-        mask = _dv_mask(root, "p=1/" + rel, dv, 5).to_pylist()
-        assert mask == [True, False, True, False, True]
+        # dir-qualified relative spelling (partitioned non-clone
+        # table): the DV writer stores the manifest-relative name
+        # (txlog._dv_commit maps basename → manifest path), so the
+        # exact-name pushdown is complete — round-12 advice restored
+        # it after the base==fname gate regressed these reads to full
+        # vector scans
+        part = "p=1/part-0000cafe.parquet"
+        pq.write_table(
+            pa.table({"file": [part], "pos": [2]}),
+            os.path.join(root, "dv-3.parquet"),
+        )
+        mask = _dv_mask(root, part, {"files": ["dv-3.parquet"]}, 4)
+        assert mask.to_pylist() == [True, True, False, True]
         # bare-basename read (unpartitioned non-clone): exact pushdown
         # path — clone-local files are only ever named by basename, so
         # a single spelling exists and it must still mask

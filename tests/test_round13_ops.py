@@ -1,0 +1,289 @@
+"""Round-13 fixes and operators: legacy CDF diffs computed UNMASKED
+(a later commit's deletion vectors must not understate an older
+commit's change set — round-12 advice, medium), collision-proof x55
+insert keys, partitioned-table DV pushdown restored, and the
+CommitCoordinator seam."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from onechronos_etl_takehome_spark.sources import txlog
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _manifest(table, v):
+    with open(os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")) as f:
+        return json.load(f)
+
+
+def _strip_cdf_stamps(table):
+    """Simulate a legacy (pre-writer-3) table: remove every manifest's
+    commit-time change-file stamp and its change files."""
+    for v in txlog.committed_versions(table):
+        mf = os.path.join(table, txlog._LOG_DIR, f"{v:08d}.json")
+        m = _manifest(table, v)
+        if "cdf" in m:
+            for e in m["cdf"]["files"]:
+                os.unlink(os.path.join(table, e["name"]))
+            del m["cdf"]
+            os.unlink(mf)
+            with open(mf, "w") as f:
+                json.dump(m, f)
+    txlog._FOLD_CACHE.clear()
+
+
+def _feed(spark, table, **kw):
+    return sorted(
+        map(tuple, txlog.change_feed(spark, table, **kw).collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (medium): generate_change_files / the legacy read-time
+# diff computed each commit's change set through _mapped_read at the
+# LATEST version, whose fold applies deletion-vector masks attached by
+# LATER commits to files the OLD commit added. Rows inserted at v and
+# DV-deleted at v' must read as an insert at v AND a delete at v' —
+# the masked diff dropped the insert (backfill: baked permanently) and
+# mis-cancelled carries into spurious v-deletes. Both paths now read
+# file bytes as written (mask=False), matching the streaming source's
+# raw-byte multiset diff.
+# ---------------------------------------------------------------------------
+
+
+class TestLegacyDiffUnmasked:
+    def _legacy_then_dv(self, spark, table):
+        """v0 create, v1 CoW delete (the legacy two-sided commit),
+        strip stamps, v2 DV delete touching v1's ADDED files."""
+        txlog.create_table(
+            spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ).coalesce(2),
+            table,
+        )
+        txlog.delete_where(spark, table, F.col("k") % 100 == 0)
+        correct_v1 = _feed(spark, table, from_version=0)
+        _strip_cdf_stamps(table)
+        # the DV commit stamps its own change files (writer-3 DML),
+        # so only v1 is legacy/unstamped afterwards
+        txlog.delete_where(spark, table, F.col("k") % 7 == 0, mode="dv")
+        return correct_v1
+
+    def test_derived_diff_ignores_later_dv_masks(self, spark, table):
+        correct_v1 = self._legacy_then_dv(spark, table)
+        # the expected full feed = correct v1 changes + v2's own
+        # stamped change files (read directly, trusted: written by
+        # the DV commit itself at commit time)
+        expected = sorted(
+            correct_v1
+            + _feed(spark, table, from_version=1)
+        )
+        # read-time derived diff for legacy v1 must NOT apply v2's
+        # masks: no spurious v1-deletes of k%7 carries, no missing
+        # inserts
+        assert _feed(spark, table, from_version=0) == expected
+        # and the bounded read reproduces exactly the pre-DV answer
+        assert _feed(
+            spark, table, from_version=0, to_version=1
+        ) == correct_v1
+
+    def test_backfill_stamps_the_unmasked_diff(self, spark, table):
+        correct_v1 = self._legacy_then_dv(spark, table)
+        expected = sorted(
+            correct_v1 + _feed(spark, table, from_version=1)
+        )
+        stamped = txlog.generate_change_files(spark, table)
+        assert stamped == [1]
+        # the baked change files reproduce the commit-time diff —
+        # the masked bug understated inserts permanently
+        assert _feed(
+            spark, table, from_version=0, to_version=1
+        ) == correct_v1
+        assert _feed(spark, table, from_version=0) == expected
+        # fold property: v0 + feed == latest (x40's net-effect law),
+        # which the masked backfill broke whenever a DV killed a
+        # legacy insert
+        latest = sorted(
+            map(tuple, txlog.read_table(spark, table).collect())
+        )
+        import collections
+
+        net = collections.Counter(
+            map(
+                tuple,
+                txlog.read_table(spark, table, version=0).collect(),
+            )
+        )
+        for row in txlog.change_feed(
+            spark, table, from_version=0
+        ).collect():
+            key = tuple(row)[2:]
+            if row["_change"] == "insert":
+                net[key] += 1
+            else:
+                net[key] -= 1
+        assert sorted(
+            k for k, c in net.items() for _ in range(c)
+        ) == latest
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (low): bench.py's fd-2 teardown filter dropped ANY
+# traceback ending in BrokenPipeError/ConnectionResetError/EOFError —
+# including a genuine driver-side failure — and let a dropped chained
+# block's 'During handling' separator leak through orphaned. The core
+# now requires a pyspark daemon/worker frame and buffers whole groups.
+# ---------------------------------------------------------------------------
+
+
+def _run_filter(text: str) -> str:
+    import bench
+
+    out: list[str] = []
+    bench._filter_stderr_lines(text.splitlines(keepends=True), out.append)
+    return "".join(out)
+
+
+_DAEMON_TB = (
+    "Traceback (most recent call last):\n"
+    '  File "/usr/lib/python3/pyspark/daemon.py", line 222, in main\n'
+    "    code = worker(sock)\n"
+    "EOFError\n"
+)
+_DRIVER_TB = (
+    "Traceback (most recent call last):\n"
+    '  File "/root/repo/bench.py", line 100, in _run\n'
+    "    rows = df.collect()\n"
+    '  File "/usr/lib/python3/py4j/java_gateway.py", line 50, in recv\n'
+    "    raise EOFError\n"
+    "EOFError\n"
+)
+
+
+class TestBenchStderrFilter:
+    def test_daemon_teardown_dropped(self):
+        assert _run_filter("before\n" + _DAEMON_TB + "after\n") == (
+            "before\nafter\n"
+        )
+
+    def test_driver_side_eoferror_kept(self):
+        # same terminal exception type, no daemon/worker frame: a REAL
+        # failure whose evidence must reach the tail capture
+        got = _run_filter(_DRIVER_TB)
+        assert got == _DRIVER_TB
+
+    def test_chained_group_drops_whole_including_separator(self):
+        chained = (
+            _DAEMON_TB
+            + "\nDuring handling of the above exception, another "
+            "exception occurred:\n\n"
+            + "Traceback (most recent call last):\n"
+            '  File "/usr/lib/python3/pyspark/worker.py", line 9, in x\n'
+            "    write(out)\n"
+            "BrokenPipeError: [Errno 32] Broken pipe\n"
+        )
+        assert _run_filter("a\n" + chained + "b\n") == "a\nb\n"
+
+    def test_chained_group_kept_whole_when_real(self):
+        chained = (
+            "Traceback (most recent call last):\n"
+            '  File "/root/repo/plans/x.py", line 1, in q\n'
+            "    run()\n"
+            "ValueError: boom\n"
+            "\nDuring handling of the above exception, another "
+            "exception occurred:\n\n"
+            "Traceback (most recent call last):\n"
+            '  File "/root/repo/bench.py", line 2, in main\n'
+            "    q()\n"
+            "RuntimeError: rethrown\n"
+        )
+        assert _run_filter(chained) == chained
+
+    def test_real_traceback_kept_and_noise_around_it_dropped(self):
+        text = _DAEMON_TB + _DRIVER_TB + _DAEMON_TB
+        assert _run_filter(text) == _DRIVER_TB
+
+    def test_eof_mid_block_flushes(self):
+        partial = (
+            "Traceback (most recent call last):\n"
+            '  File "/usr/lib/python3/pyspark/daemon.py", line 1, in m\n'
+        )
+        assert _run_filter(partial) == partial
+
+    def test_plain_lines_pass_through(self):
+        text = "x\n\ny REGRESSION etl:1.4x\n"
+        assert _run_filter(text) == text
+
+
+# ---------------------------------------------------------------------------
+# Advice fix (low): _dv_mask's exact-name row-group-pruned pushdown
+# must stay on for PARTITIONED non-clone reads ('status=O/x.parquet' —
+# a relative name provably has one spelling in the vector); only
+# absolute (clone-reference) names need the full basename pass.
+# ---------------------------------------------------------------------------
+
+
+class TestDvMaskPushdown:
+    def _mask_calls(self, monkeypatch):
+        import pyarrow.parquet as pq
+
+        calls: list[tuple] = []
+        orig = pq.read_table
+
+        def spy(path, *a, **kw):
+            calls.append((path, kw.get("filters")))
+            return orig(path, *a, **kw)
+
+        monkeypatch.setattr(pq, "read_table", spy)
+        return calls
+
+    def test_partitioned_relative_name_uses_exact_pushdown(
+        self, spark, table, monkeypatch
+    ):
+        from onechronos_etl_takehome_spark.streaming import (
+            txlog_source as src,
+        )
+
+        txlog.create_table(
+            spark.range(200).select(
+                (F.col("id") % 2).cast("string").alias("p"),
+                F.col("id").alias("k"),
+            ),
+            table,
+            partition_by=["p"],
+        )
+        txlog.delete_where(spark, table, F.col("k") % 5 == 0, mode="dv")
+        fold = txlog._fold_live(
+            table, txlog.committed_versions(table)[-1]
+        )
+        dvd = {f: i["dv"] for f, i in fold.items() if "dv" in i}
+        assert dvd, "fixture must produce a masked partitioned file"
+        import pyarrow.parquet as pq
+
+        calls = self._mask_calls(monkeypatch)
+        dead = 0
+        for fname, dv in dvd.items():
+            assert "/" in fname and not os.path.isabs(fname)
+            n_rows = pq.read_metadata(
+                os.path.join(table, fname)
+            ).num_rows
+            del calls[:]
+            mask = src._dv_mask(table, fname, dv, n_rows)
+            # every vector read pushed the exact-name filter down
+            assert calls and all(
+                flt == [("file", "=", fname)] for _, flt in calls
+            )
+            dead += n_rows - sum(1 for x in mask.to_pylist() if x)
+        # and the masks are still complete: k%5==0 → 40 dead rows
+        assert dead == 40
+        assert txlog.read_table(spark, table).count() == 160
