@@ -67,6 +67,21 @@ QUANT_CHROMA = np.array(
     dtype=np.int32,
 )
 
+def _scaled_quant(base: np.ndarray, quality: int | None) -> np.ndarray:
+    """libjpeg's quality scaling of a base quantization table
+    (jcparam.c: scale = 5000/Q below 50, 200-2Q above; entries clipped
+    to [1, 255] for 8-bit DQT). ``None`` keeps the Annex-K table as
+    is — the historical encoder behavior, byte-identical output."""
+    if quality is None:
+        return base
+    if not 1 <= int(quality) <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality!r}")
+    quality = int(quality)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base.astype(np.int64) * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
 # (bits-per-length counts, symbol values) per Annex K
 DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUMA_VALS = list(range(12))
@@ -324,6 +339,7 @@ def jpeg_from_pixels(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    quality: int | None = None,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB (or (h, w) grayscale) array as a
     baseline JFIF JPEG with the Annex-K tables. ``subsampling``:
@@ -332,15 +348,20 @@ def jpeg_from_pixels(
     then 16×16 with four Y blocks per chroma block). Grayscale ignores
     it (single component). ``restart_interval`` > 0 emits a DRI
     segment and an RSTn marker every that-many MCUs (DC predictors
-    reset — the resync points real MJPEG streams carry)."""
+    reset — the resync points real MJPEG streams carry). ``quality``
+    applies libjpeg's table scaling (None = Annex-K unscaled ≈ Q50,
+    byte-identical to the historical encoder); the scaled tables ride
+    the DQT segments, so any conformant decoder round-trips."""
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
     if progressive:
         if restart_interval:
             raise ValueError(
                 "restart markers unsupported in progressive encode"
             )
-        return _jpeg_progressive(px, subsampling)
+        return _jpeg_progressive(px, subsampling, quality=quality)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     sub420 = subsampling == "420" and not gray
@@ -375,7 +396,7 @@ def jpeg_from_pixels(
                 prev = _encode_block(
                     writer,
                     plane[by : by + 8, bx : bx + 8],
-                    QUANT_LUMA,
+                    ql,
                     dc_l,
                     ac_l,
                     prev,
@@ -404,7 +425,7 @@ def jpeg_from_pixels(
                                     by + 8 * v : by + 8 * v + 8,
                                     bx + 8 * hh : bx + 8 * hh + 8,
                                 ],
-                                QUANT_LUMA,
+                                ql,
                                 dc_l,
                                 ac_l,
                                 prev[0],
@@ -416,7 +437,7 @@ def jpeg_from_pixels(
                                 by // 2 : by // 2 + 8,
                                 bx // 2 : bx // 2 + 8,
                             ],
-                            QUANT_CHROMA,
+                            qc,
                             dc_c,
                             ac_c,
                             prev[ci],
@@ -431,7 +452,7 @@ def jpeg_from_pixels(
                         prev[ci] = _encode_block(
                             writer,
                             plane[by : by + 8, bx : bx + 8],
-                            QUANT_LUMA if ci == 0 else QUANT_CHROMA,
+                            ql if ci == 0 else qc,
                             dc_l if ci == 0 else dc_c,
                             ac_l if ci == 0 else ac_c,
                             prev[ci],
@@ -457,9 +478,9 @@ def jpeg_from_pixels(
         sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
         sos_comp += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     out = b"\xff\xd8"  # SOI
-    out += dqt(0, QUANT_LUMA)
+    out += dqt(0, ql)
     if not gray:
-        out += dqt(1, QUANT_CHROMA)
+        out += dqt(1, qc)
     out += seg(0xFFC0, sof)
     out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
     out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
@@ -832,6 +853,7 @@ def synthesize_jpeg(
     *,
     subsampling: str = "444",
     progressive: bool = False,
+    quality: int | None = None,
 ) -> bytes:
     """Deterministic valid JPEG (seeded smooth gradient + noise —
     smooth content keeps quantization loss visibly small); opt into
@@ -853,7 +875,8 @@ def synthesize_jpeg(
         255,
     ).astype(np.uint8)
     return jpeg_from_pixels(
-        px, subsampling=subsampling, progressive=progressive
+        px, subsampling=subsampling, progressive=progressive,
+        quality=quality,
     )
 
 
@@ -1014,7 +1037,9 @@ def _emit_ac_refine_scan(
                     writer.write(b, 1)
 
 
-def _jpeg_progressive(px: np.ndarray, subsampling: str) -> bytes:
+def _jpeg_progressive(
+    px: np.ndarray, subsampling: str, *, quality: int | None = None
+) -> bytes:
     """Progressive (SOF2) encode with the libjpeg-shaped scan script:
     DC first (Al=1) → DC refine → per-component AC bands (Al=1, luma
     split 1-5 / 6-63 for real spectral selection) → per-component AC
@@ -1031,10 +1056,12 @@ def _jpeg_progressive(px: np.ndarray, subsampling: str) -> bytes:
     def pad(plane):
         return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
     if gray:
         comps = [
             {"cid": 1, "hi": 1, "vi": 1, "qid": 0,
-             "plane": pad(px.astype(np.float64)), "quant": QUANT_LUMA}
+             "plane": pad(px.astype(np.float64)), "quant": ql}
         ]
     else:
         ycc = _rgb_to_ycbcr(px.astype(np.float64))
@@ -1047,18 +1074,18 @@ def _jpeg_progressive(px: np.ndarray, subsampling: str) -> bytes:
             )
             comps = [
                 {"cid": 1, "hi": 2, "vi": 2, "qid": 0,
-                 "plane": pad(ycc[..., 0]), "quant": QUANT_LUMA},
+                 "plane": pad(ycc[..., 0]), "quant": ql},
                 {"cid": 2, "hi": 1, "vi": 1, "qid": 1,
-                 "plane": cb, "quant": QUANT_CHROMA},
+                 "plane": cb, "quant": qc},
                 {"cid": 3, "hi": 1, "vi": 1, "qid": 1,
-                 "plane": cr, "quant": QUANT_CHROMA},
+                 "plane": cr, "quant": qc},
             ]
         else:
             comps = [
                 {"cid": c + 1, "hi": 1, "vi": 1,
                  "qid": 0 if c == 0 else 1,
                  "plane": pad(ycc[..., c]),
-                 "quant": QUANT_LUMA if c == 0 else QUANT_CHROMA}
+                 "quant": ql if c == 0 else qc}
                 for c in range(3)
             ]
     hmax = max(c["hi"] for c in comps)
@@ -1088,13 +1115,13 @@ def _jpeg_progressive(px: np.ndarray, subsampling: str) -> bytes:
     out = b"\xff\xd8"
     out += seg(
         0xFFDB,
-        bytes([0]) + bytes(int(x) for x in QUANT_LUMA.flatten()[_ZIGZAG]),
+        bytes([0]) + bytes(int(x) for x in ql.flatten()[_ZIGZAG]),
     )
     if not gray:
         out += seg(
             0xFFDB,
             bytes([1])
-            + bytes(int(x) for x in QUANT_CHROMA.flatten()[_ZIGZAG]),
+            + bytes(int(x) for x in qc.flatten()[_ZIGZAG]),
         )
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for c in comps:

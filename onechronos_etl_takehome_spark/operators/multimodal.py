@@ -561,10 +561,18 @@ def demo_noisy_image_payloads(
     df: DataFrame, id_col: str, *, modulus: int = 10
 ) -> DataFrame:
     """Perceptual near-dup image fixture stream: ``id % modulus == 0``
-    rows each get a BMP; consecutive qualifying ids pair up
+    rows each get an image; consecutive qualifying ids pair up
     (``id // (2·modulus)`` shares a base scene) and the odd member
     carries mild sensor noise — one visually-near-duplicate pair per
-    group, distinct scenes across groups. Executor-side, id-seeded."""
+    group, distinct scenes across groups. Executor-side, id-seeded.
+
+    Containers (the round-12 verdict's 4:2:0 leg): even (clean)
+    members are BMP; the noisy twin of every ODD group re-encodes as
+    a REAL 4:2:0 JPEG (quality=100 — near-lossless, so the planted
+    pair set is pinned unchanged against the all-BMP corpus in
+    tests/test_round13_ops.py) — the 'same photo, re-encoded lossy'
+    case the tolerant near-dup family exists for, riding the
+    subsampled decode path (16×16 MCUs) end-to-end."""
     from .util import spread
 
     # payload synthesis + downstream decode are pure-CPU per-id work:
@@ -588,6 +596,15 @@ def demo_noisy_image_payloads(
                 # scenes that blow the scale probe superlinear
                 if (i // modulus) % 2 == 1:
                     px = _variant_image(grp)
+                    if grp % 2 == 1:
+                        from .jpeg import jpeg_from_pixels
+
+                        content.append(
+                            jpeg_from_pixels(
+                                px, subsampling="420", quality=100
+                            )
+                        )
+                        continue
                 else:
                     px = _smooth_image(grp)
                 content.append(bmp_from_pixels(px))
@@ -628,7 +645,10 @@ def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
     # different container, so the pair set still equals m08's (dHash
     # is encoding-invariant) while the lineage proves mixed-format
     # disk ingestion through one binaryFile scan
-    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v3"
+    # v4: odd groups' noisy twins land as 4:2:0 quality-100 JPEG —
+    # byte-identical to the stream's encode (deterministic encoder),
+    # so m11 == m08 stays EXACT even though JPEG is lossy
+    out = f"/tmp/spark_graft_media_{tag}_m{modulus}_v4"
     if os.path.isdir(out):
         return out
     # driver-side fixture write: bounded at n_docs/modulus small files
@@ -650,6 +670,11 @@ def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
         if (i // modulus) % 2 == 0:
             with open(os.path.join(tmp, f"doc_{i:09d}.png"), "wb") as f:
                 f.write(png_from_pixels(px[..., ::-1].copy()))  # BGR→RGB
+        elif grp % 2 == 1:
+            from .jpeg import jpeg_from_pixels
+
+            with open(os.path.join(tmp, f"doc_{i:09d}.jpg"), "wb") as f:
+                f.write(jpeg_from_pixels(px, subsampling="420", quality=100))
         else:
             with open(os.path.join(tmp, f"doc_{i:09d}.bmp"), "wb") as f:
                 f.write(bmp_from_pixels(px))

@@ -238,15 +238,19 @@ def m07_cdc_gear_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("m08_image_dhash_neardup")  # binary image decode → rows-only
 def m08_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image near-dup: REAL BMP decode → 64-bit dHash →
-    banded pigeonhole Hamming join (``operators/multimodal.py:
+    """Perceptual image near-dup: REAL image decode (BMP, plus odd
+    groups' noisy twins as 4:2:0 quality-100 JPEG — the lossy
+    re-encode case, through the pure-numpy subsampled decoder) →
+    64-bit dHash → banded pigeonhole Hamming join
+    (``operators/multimodal.py:
     image_dhash``/``dhash_near_pairs`` — same blocking scheme as the
     SimHash text path: ham ≤ bands-1 guarantees an intact 16-bit
     chunk, so candidates come from equality joins, never all-pairs).
-    Rows-only BY DESIGN (SQL cannot parse BMP containers); the
-    fixture stream plants one noisy near-dup pair per scene group and
+    Rows-only BY DESIGN (SQL cannot parse image containers); the
+    fixture stream plants one noisy near-dup pair per scene group,
     the gate pins the banded join's pair set against a brute-force
-    Hamming scan."""
+    Hamming scan, and tests/test_round13_ops.py pins the pair set
+    unchanged vs the all-BMP corpus."""
     from ..operators import multimodal as mm
 
     pin_semantics(spark)
@@ -263,21 +267,24 @@ def m11_binaryfile_image_neardup(
     starts at a real ``binaryFile`` scan (``sources/readers.py:
     read_binary_dir`` — distributed file listing, pathGlobFilter
     pruning BEFORE bytes are read) over a materialized MIXED-FORMAT
-    corpus (scenes land alternately as .bmp and .png — the PNG half
-    exercises the real zlib-inflate decoder), then the same decode →
-    dHash → banded Hamming join as m08. The pixels are identical to
-    m08's synthesized stream (``materialize_demo_image_corpus``) and
-    dHash is encoding-invariant, so the gate pins m11's pair set ==
-    m08's — proving the disk path, both containers, and the in-query
-    path are the same operator. Rows-only BY DESIGN (SQL cannot read
-    a binary file tree, let alone parse image containers)."""
+    corpus (scenes land as .png, .bmp, and — odd groups' noisy twins —
+    4:2:0 quality-100 .jpg: the PNG leg exercises the real
+    zlib-inflate decoder, the JPEG leg the subsampled huffman+IDCT
+    decoder), then the same decode → dHash → banded Hamming join as
+    m08. The bytes are identical to m08's synthesized stream
+    (``materialize_demo_image_corpus``; lossless containers share
+    pixels, the lossy JPEG leg shares the deterministic encoder), so
+    the gate pins m11's pair set == m08's — proving the disk path,
+    all three containers, and the in-query path are the same
+    operator. Rows-only BY DESIGN (SQL cannot read a binary file
+    tree, let alone parse image containers)."""
     from ..operators import multimodal as mm
     from ..sources.readers import read_binary_dir
 
     pin_semantics(spark)
     corpus = mm.materialize_demo_image_corpus(sf_dir)
-    payloads = read_binary_dir(spark, corpus, glob="*.{bmp,png}").select(
-        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png)$", 1)
+    payloads = read_binary_dir(spark, corpus, glob="*.{bmp,png,jpg}").select(
+        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png|jpg)$", 1)
         .cast("long")
         .alias("id"),
         "content",
