@@ -248,6 +248,9 @@ HEADLINE = [
     # x56: legacy CDF backfill (lifecycle + stamp strip + distributed
     # backfill + the full feed read — GENERATE's whole story in the wall)
     "x56_txlog_cdf_backfill",
+    # t27: deterministic training shards (hash exchange + per-shard
+    # window checksum — the no-total-sort shuffle's whole manifest)
+    "t27_training_shards",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -61,6 +61,7 @@ from . import llm_ops11  # noqa: E402,F401
 from . import llm_ops12  # noqa: E402,F401
 from . import llm_ops13  # noqa: E402,F401
 from . import llm_ops14  # noqa: E402,F401
+from . import llm_ops15  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50

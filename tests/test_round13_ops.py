@@ -226,6 +226,107 @@ class TestBenchStderrFilter:
 
 
 # ---------------------------------------------------------------------------
+# t27 training shards: deterministic global shuffle without a total
+# sort — hash-sharded, within-shard sorted, byte-deterministic writer.
+# ---------------------------------------------------------------------------
+
+
+class TestTrainingShards:
+    def test_writer_is_byte_deterministic_and_ordered(
+        self, spark, tmp_path
+    ):
+        import glob
+        import hashlib
+
+        from onechronos_etl_takehome_spark.operators import shards
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+
+        def land(d):
+            out = str(tmp_path / d)
+            shards.write_training_shards(
+                docs, "doc_id", out, n_shards=8, seed=7
+            )
+            files = sorted(
+                glob.glob(out + "/_shard=*/*.parquet"),
+                key=lambda p: p.split("_shard=")[1],
+            )
+            return out, {
+                p.split(out + "/")[1].rsplit("/", 1)[0]: hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+                for p in files
+            }
+
+        out1, h1 = land("a")
+        out2, h2 = land("b")
+        assert h1 == h2 and len(h1) == 8  # one file per shard, same bytes
+        # within-file order IS the shuffle-key order
+        got = spark.read.parquet(out1 + "/_shard=3")
+        keys = [r["_shuffle_key"] for r in got.collect()]
+        assert keys == sorted(keys) and keys
+        # every doc landed exactly once
+        assert (
+            spark.read.parquet(out1).select("doc_id").distinct().count()
+            == docs.count()
+        )
+
+    def test_seed_changes_the_permutation(self, spark):
+        from onechronos_etl_takehome_spark.operators import shards
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        a = shards.shard_manifest(docs, "doc_id", n_shards=8, seed=1)
+        b = shards.shard_manifest(docs, "doc_id", n_shards=8, seed=2)
+        assert sorted(map(tuple, a.collect())) != sorted(
+            map(tuple, b.collect())
+        )
+        # …but each is self-reproducible
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(
+                tuple,
+                shards.shard_manifest(
+                    docs, "doc_id", n_shards=8, seed=1
+                ).collect(),
+            )
+        )
+
+    def test_manifest_is_single_exchange(self, spark):
+        """One hash exchange total: the window's partitioning is
+        reused by the per-shard aggregation (no second shuffle), and
+        there is no global Sort above the Exchange — the whole point
+        vs ORDER BY random()."""
+        from onechronos_etl_takehome_spark.plans import QUERIES
+
+        df = QUERIES["t27_training_shards"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+        assert tree.count("Exchange") == 1
+        assert "rangepartitioning" not in plan  # no total sort
+
+    def test_shards_are_balanced(self, spark):
+        from onechronos_etl_takehome_spark.operators import shards
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        rows = shards.shard_manifest(
+            docs, "doc_id", n_shards=16, seed=7
+        ).collect()
+        counts = [r["n_docs"] for r in rows]
+        assert len(counts) == 16
+        # md5 balance: no shard more than 2x the ideal at 500 docs
+        assert max(counts) <= 2 * (sum(counts) / len(counts))
+
+
+# ---------------------------------------------------------------------------
 # JPEG quality knob + the m08/m11 4:2:0 corpus leg (round-12 verdict
 # item 6): libjpeg-style quant-table scaling on the encoder, and the
 # noisy twin of every odd scene group re-encoded as a REAL 4:2:0
