@@ -181,12 +181,36 @@ class ClaimTableCoordinator(CommitCoordinator):
 
     def publish(self, tmp: str, target: str) -> None:
         with self._lock:  # the conditional write: claim if unclaimed
-            if target in self._claims or os.path.exists(target):
+            holder = self._claims.get(target)
+            if holder is not None or os.path.exists(target):
+                # RECOVERY (the S3DynamoDBLogStore rule): a claim
+                # whose final object never landed means the winner
+                # crashed mid-publish — any later writer/reader
+                # completes the copy from the claim's recorded temp
+                # location, THEN concedes. The loser never wedges the
+                # table and never wins retroactively.
+                if (
+                    holder is not None
+                    and not os.path.exists(target)
+                    and os.path.exists(holder)
+                ):
+                    shutil.copyfile(holder, target)
                 raise CommitConflict(f"{target} already committed")
             self._claims[target] = tmp
-        # claim held: complete the publish (readers of the claim table
-        # could finish this copy if we crashed here)
-        shutil.copyfile(tmp, target)
+        # claim held: complete the publish (a crash-DEATH here leaves
+        # the temp object on storage, and the recovery branch above
+        # heals it); a LIVE failure (copy raised, process continues)
+        # releases the claim — the caller is about to delete its temp,
+        # so an unreleased claim could never be recovered and would
+        # wedge the version for every writer (DynamoDB deployments
+        # expire claims by TTL for the same reason).
+        try:
+            shutil.copyfile(tmp, target)
+        except BaseException:
+            with self._lock:
+                if not os.path.exists(target):
+                    self._claims.pop(target, None)
+            raise
 
 
 _COMMIT_COORDINATOR: CommitCoordinator = PosixLinkCoordinator()

@@ -569,6 +569,58 @@ class TestCommitCoordinator:
         with open(target) as f:  # winner's bytes, untouched by loser
             assert f.read() == '{"w": 1}'
 
+    def test_claim_crash_recovery_completes_the_copy(self, tmp_path):
+        """Winner claims then DIES before copying (its temp object
+        survives, as on a real object store): the next writer's
+        publish completes the winner's copy from the claim's recorded
+        location, then concedes — the table never wedges and the
+        loser never wins retroactively."""
+        c = txlog.ClaimTableCoordinator()
+        tmp_w = str(tmp_path / "winner")
+        tmp_l = str(tmp_path / "loser")
+        target = str(tmp_path / "00000003.json")
+        for p, body in ((tmp_w, '{"w": 1}'), (tmp_l, '{"w": 2}')):
+            with open(p, "w") as f:
+                f.write(body)
+        # simulate the crash: claim recorded, copy never ran
+        c._claims[target] = tmp_w
+        with pytest.raises(txlog.CommitConflict):
+            c.publish(tmp_l, target)
+        with open(target) as f:
+            assert f.read() == '{"w": 1}'  # the WINNER's bytes landed
+
+    def test_claim_releases_on_live_copy_failure(
+        self, tmp_path, monkeypatch
+    ):
+        """A LIVE copy failure (disk full etc.) must release the
+        claim: the caller deletes its temp next, so an unreleased
+        claim could never recover and would wedge the version."""
+        import shutil as _shutil
+
+        c = txlog.ClaimTableCoordinator()
+        tmp = str(tmp_path / "m")
+        target = str(tmp_path / "00000004.json")
+        with open(tmp, "w") as f:
+            f.write('{"w": 1}')
+        real = _shutil.copyfile
+        state = {"fail": True}
+
+        def flaky(src, dst):
+            if state["fail"]:
+                state["fail"] = False
+                raise OSError("disk full")
+            return real(src, dst)
+
+        import onechronos_etl_takehome_spark.sources.txlog as txmod
+
+        monkeypatch.setattr(txmod.shutil, "copyfile", flaky)
+        with pytest.raises(OSError):
+            c.publish(tmp, target)
+        # claim released: the same (or another) writer succeeds
+        c.publish(tmp, target)
+        with open(target) as f:
+            assert f.read() == '{"w": 1}'
+
     def test_dml_suite_runs_on_claim_coordinator(self, spark, table):
         """create → append → CoW delete → DV delete → merge all publish
         through the claim-table coordinator; reads and CDF agree with
