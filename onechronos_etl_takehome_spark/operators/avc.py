@@ -1,0 +1,334 @@
+"""AVC (H.264) stream metadata in pure stdlib — SPS parsing.
+
+Pixel DECODE of AVC/HEVC stays out of scope (a conformant inter
+decoder needs a media library; ``operators/mp4.py`` raises loudly).
+But a 100-TB video corpus job needs the layer BELOW decode on every
+payload: what codec is this, what profile/level (can the downstream
+decoder fleet even play it?), what coded dimensions, what chroma
+format — the routing/cataloging pass that decides which payloads go
+to which decode pool and dedups obvious container-level twins. That
+layer is a bit-exact, fully-specified parse (ISO/IEC 14496-10 §7.3.2.1.1
+seq_parameter_set_rbsp + the 14496-15 AVCDecoderConfigurationRecord),
+implementable and testable without any codec library:
+
+- :func:`parse_sps` — exp-Golomb walk of one SPS RBSP: profile/level,
+  chroma format, bit depths, and the EXACT display dimensions
+  (macroblock grid minus frame cropping, with the spec's per-chroma
+  crop units; interlaced map units handled via frame_mbs_only_flag).
+- :func:`parse_avcc` — the avcC box payload: configuration version,
+  profile/level bytes, NAL length size, and the embedded SPS list
+  (each parsed via :func:`parse_sps`).
+- :func:`annexb_sps` — locate the SPS NAL in an Annex-B elementary
+  stream (start-code scan + emulation-prevention strip).
+
+Corrupt/truncated payloads raise ValueError only — the same
+fall-to-stub contract every decoder in this package honors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# profiles whose SPS carries the chroma/bit-depth extension block
+# (14496-10 table A-1 high profiles et al.)
+_EXTENDED_PROFILES = {
+    100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135,
+}
+
+
+class _BitReader:
+    """MSB-first bit reader with ue(v)/se(v) exp-Golomb decodes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("SPS truncated mid-field")
+            out = (out << 1) | (
+                (self.data[byte] >> (7 - (self.pos & 7))) & 1
+            )
+            self.pos += 1
+        return out
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("invalid exp-Golomb code in SPS")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
+def _strip_emulation(rbsp: bytes) -> bytes:
+    """Remove emulation-prevention bytes (00 00 03 → 00 00)."""
+    out = bytearray()
+    i = 0
+    while i < len(rbsp):
+        if (
+            i + 2 < len(rbsp)
+            and rbsp[i] == 0
+            and rbsp[i + 1] == 0
+            and rbsp[i + 2] == 3
+        ):
+            out += rbsp[i : i + 2]
+            i += 3
+        else:
+            out.append(rbsp[i])
+            i += 1
+    return bytes(out)
+
+
+def _skip_scaling_list(r: _BitReader, size: int) -> None:
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = last if nxt == 0 else nxt
+
+
+def parse_sps(sps: bytes) -> dict:
+    """Parse one SPS NAL (header byte included) → metadata dict with
+    the exact coded+cropped dimensions. Raises ValueError on anything
+    that is not a well-formed SPS."""
+    if not sps:
+        raise ValueError("empty SPS")
+    if sps[0] & 0x1F != 7:
+        raise ValueError(
+            f"not an SPS NAL (nal_unit_type={sps[0] & 0x1F})"
+        )
+    r = _BitReader(_strip_emulation(sps[1:]))
+    profile_idc = r.u(8)
+    constraint_flags = r.u(8)
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # 4:2:0 default for non-extended profiles
+    separate_planes = 0
+    bit_depth_luma = bit_depth_chroma = 8
+    if profile_idc in _EXTENDED_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_planes = r.u(1)
+        bit_depth_luma = r.ue() + 8
+        bit_depth_chroma = r.ue() + 8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if r.u(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()  # offset_for_ref_frame[i]
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # crop units per §7.4.2.1.1: monochrome / separate planes crop in
+    # luma samples; 4:2:0 and 4:2:2 halve horizontally; 4:2:0 also
+    # halves vertically — and vertical units double for interlaced
+    # (map units are field-pairs when frame_mbs_only is 0)
+    if chroma_format_idc == 0 or separate_planes:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    else:
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        unit_x = sub_w
+        unit_y = sub_h * (2 - frame_mbs_only)
+    width = w_mbs * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * h_map_units * 16 - unit_y * (
+        crop_t + crop_b
+    )
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS cropping exceeds the coded frame")
+    return {
+        "codec": "avc",
+        "profile_idc": profile_idc,
+        "constraint_flags": constraint_flags,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth_luma": bit_depth_luma,
+        "bit_depth_chroma": bit_depth_chroma,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": bool(frame_mbs_only),
+    }
+
+
+def parse_avcc(avcc: bytes) -> dict:
+    """Parse an AVCDecoderConfigurationRecord (the ``avcC`` box
+    payload, 14496-15 §5.3.3.1): profile/level bytes, NAL length
+    size, and the first SPS parsed in full."""
+    if len(avcc) < 7:
+        raise ValueError("avcC record truncated")
+    if avcc[0] != 1:
+        raise ValueError(f"avcC configurationVersion {avcc[0]} != 1")
+    out = {
+        "avcc_profile": avcc[1],
+        "avcc_level": avcc[3],
+        "nal_length_size": (avcc[4] & 0x03) + 1,
+    }
+    n_sps = avcc[5] & 0x1F
+    pos = 6
+    sps_list = []
+    for _ in range(n_sps):
+        if pos + 2 > len(avcc):
+            raise ValueError("avcC SPS list truncated")
+        ln = struct.unpack_from(">H", avcc, pos)[0]
+        pos += 2
+        if pos + ln > len(avcc):
+            raise ValueError("avcC SPS payload truncated")
+        sps_list.append(avcc[pos : pos + ln])
+        pos += ln
+    if not sps_list:
+        raise ValueError("avcC carries no SPS")
+    out.update(parse_sps(sps_list[0]))
+    return out
+
+
+def annexb_sps(stream: bytes) -> dict:
+    """Find and parse the SPS NAL in an Annex-B elementary stream
+    (00 00 [00] 01 start codes)."""
+    i = 0
+    n = len(stream)
+    while i + 3 < n:
+        if stream[i] == 0 and stream[i + 1] == 0:
+            if stream[i + 2] == 1:
+                start = i + 3
+            elif i + 4 < n and stream[i + 2] == 0 and stream[i + 3] == 1:
+                start = i + 4
+            else:
+                i += 1
+                continue
+            # NAL runs to the next start code (or EOS)
+            j = start
+            while j + 3 < n and not (
+                stream[j] == 0
+                and stream[j + 1] == 0
+                and stream[j + 2] in (0, 1)
+                and (stream[j + 2] == 1 or stream[j + 3] == 1)
+            ):
+                j += 1
+            end = j if j + 3 < n else n
+            if start < n and stream[start] & 0x1F == 7:
+                return parse_sps(stream[start:end])
+            i = end
+        else:
+            i += 1
+    raise ValueError("no SPS NAL in Annex-B stream")
+
+
+# ---------------------------------------------------------------------------
+# Fixture-side SPS writer: emits a real baseline SPS so the parser is
+# pinned round-trip AND against hand-built bit vectors in the tests.
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, val: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((val >> k) & 1)
+
+    def ue(self, val: int) -> None:
+        code = val + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def synthesize_sps(
+    width: int, height: int, *, profile_idc: int = 66, level_idc: int = 30
+) -> bytes:
+    """Emit a conformant baseline (or given-profile) SPS NAL for the
+    requested display size: the macroblock grid rounds up to 16 and a
+    frame-cropping block trims the remainder (4:2:0 crop units, so
+    width/height must be even — real 4:2:0 streams are)."""
+    if width % 2 or height % 2:
+        raise ValueError("4:2:0 dimensions must be even")
+    w_mbs = -(-width // 16)
+    h_mbs = -(-height // 16)
+    crop_r = (w_mbs * 16 - width) // 2  # CropUnitX = 2 at 4:2:0
+    crop_b = (h_mbs * 16 - height) // 2  # CropUnitY = 2, frame_mbs_only
+    w = _BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint flags + reserved
+    w.u(level_idc, 8)
+    w.ue(0)  # seq_parameter_set_id
+    if profile_idc in _EXTENDED_PROFILES:
+        w.ue(1)  # chroma_format_idc 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)  # seq_scaling_matrix_present_flag
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type 0
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    if crop_r or crop_b:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return bytes([0x67]) + w.bytes()  # nal_ref_idc=3, type=7
+
+
+def synthesize_avcc(
+    width: int, height: int, *, profile_idc: int = 66, level_idc: int = 30
+) -> bytes:
+    """Emit an AVCDecoderConfigurationRecord embedding one
+    :func:`synthesize_sps` (and a minimal PPS entry), the avcC box
+    payload an ``avc1`` sample entry carries."""
+    sps = synthesize_sps(
+        width, height, profile_idc=profile_idc, level_idc=level_idc
+    )
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])  # minimal well-formed PPS
+    return (
+        bytes([1, profile_idc, 0, level_idc, 0xFF, 0xE1])
+        + struct.pack(">H", len(sps))
+        + sps
+        + bytes([1])
+        + struct.pack(">H", len(pps))
+        + pps
+    )

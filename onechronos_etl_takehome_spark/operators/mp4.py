@@ -286,3 +286,188 @@ def _samples_in_chunk(runs: list[tuple[int, int]], chunk_no: int) -> int:
         else:
             break
     return spc
+
+
+# ---------------------------------------------------------------------------
+# Stream METADATA (no pixel decode): the routing/cataloging pass a
+# 100-TB video corpus runs on every payload before deciding which
+# decode pool (if any) can play it. MJPEG reports its own sample
+# table; avc1 parses the avcC record's SPS for exact coded+cropped
+# dimensions (operators/avc.py); hvc1/hev1 report the hvcC record's
+# profile/tier/level plus the sample-entry dimensions (an HEVC SPS
+# parse is out of scope, honestly — the entry dims are the container's
+# own declaration, which real muxers fill).
+# ---------------------------------------------------------------------------
+
+
+def mp4_video_metadata(payload: bytes) -> dict:
+    """Container + codec metadata of the FIRST video track:
+    ``{container, codec, width, height, n_samples, profile_idc,
+    level_idc}`` (profile/level None for MJPEG). Raises ValueError on
+    non-MP4 / torn payloads — the fall-to-stub contract."""
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for fc, tb, te in _iter_boxes(payload, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(payload, *mdia, b"minf")
+        stbl = minf and _find(payload, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("video trak missing stbl")
+        stsd = _find(payload, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("stbl missing stsd")
+        entry_start = stsd[0] + 8  # past version/flags + entry_count
+        codec = payload[entry_start + 4 : entry_start + 8]
+        # VisualSampleEntry: 8-byte box header, 6 reserved + 2 dref,
+        # 16 pre_defined/reserved, then 16-bit width/height
+        w, h = struct.unpack_from(">HH", payload, entry_start + 32)
+        n_samples = len(_parse_stsz(payload, stbl))
+        out = {
+            "container": "mp4",
+            "codec": codec.decode("latin-1").strip(),
+            "width": int(w),
+            "height": int(h),
+            "n_samples": n_samples,
+            "profile_idc": None,
+            "level_idc": None,
+        }
+        entry_len = struct.unpack_from(">I", payload, entry_start)[0]
+        children = (entry_start + 8 + 78, entry_start + entry_len)
+        if codec in (b"avc1", b"avc3"):
+            from .avc import parse_avcc
+
+            avcc = _find(payload, *children, b"avcC")
+            if avcc is None:
+                raise ValueError("avc1 entry missing avcC record")
+            sps = parse_avcc(payload[avcc[0] : avcc[1]])
+            out.update(
+                codec="avc",
+                width=sps["width"],
+                height=sps["height"],
+                profile_idc=sps["profile_idc"],
+                level_idc=sps["level_idc"],
+            )
+        elif codec in (b"hvc1", b"hev1"):
+            hvcc = _find(payload, *children, b"hvcC")
+            if hvcc is None:
+                raise ValueError("hvc1 entry missing hvcC record")
+            rec = payload[hvcc[0] : hvcc[1]]
+            if len(rec) < 13 or rec[0] != 1:
+                raise ValueError("hvcC record truncated or not v1")
+            out.update(
+                codec="hevc",
+                profile_idc=rec[1] & 0x1F,
+                level_idc=rec[12],
+            )
+        elif codec in (b"jpeg", b"mjpa", b"MJPG"):
+            out["codec"] = "mjpeg"
+        return out
+    raise ValueError("MP4 has no video track")
+
+
+def mp4_avc_fixture(
+    width: int,
+    height: int,
+    *,
+    n_samples: int = 2,
+    profile_idc: int = 66,
+    level_idc: int = 30,
+    seed: int = 0,
+) -> bytes:
+    """A structurally REAL avc1 MP4 (full moov + sample tables + an
+    avcC record embedding a conformant SPS from operators/avc.py) whose
+    mdat carries opaque seeded bytes instead of coded slices — the
+    fixture for the metadata pass, which never opens mdat. Pixel
+    decode of this file raises, exactly like any other AVC payload."""
+    from .avc import synthesize_avcc
+
+    samples = [
+        bytes(((seed + 17 * k + j) * 131) % 256 for j in range(64))
+        for k in range(n_samples)
+    ]
+    sizes = [len(s) for s in samples]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2avc1")
+    mdat = _box(b"mdat", b"".join(samples))
+    chunk_off = len(ftyp) + 8
+    n = n_samples
+    fps = 10
+    timescale = 1000
+    duration = n * timescale // fps
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">iHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 3,
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(
+            ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(
+        b"dinf",
+        _full_box(
+            b"dref", 0, 0,
+            struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""),
+        ),
+    )
+    avcc = _box(
+        b"avcC",
+        synthesize_avcc(
+            width, height, profile_idc=profile_idc, level_idc=level_idc
+        ),
+    )
+    entry = _box(
+        b"avc1",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + avcc,
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

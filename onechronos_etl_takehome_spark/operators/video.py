@@ -43,6 +43,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .multimodal import chunk_pair_join, dhash64, sniff_modality
 
@@ -651,3 +652,172 @@ def materialize_demo_video_corpus(
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # another builder won
     return out
+
+
+def avi_video_metadata(payload: bytes) -> dict:
+    """Container + codec metadata from the AVI header chunks (avih
+    dims/frame count, strh fccHandler) — a proper RIFF walk, no frame
+    decode. Raises ValueError on non-AVI / torn payloads."""
+    if sniff_modality(payload) != "avi":
+        raise ValueError("not an AVI payload")
+    out: dict = {"container": "avi", "profile_idc": None, "level_idc": None}
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = payload[off : off + 4]
+            size = struct.unpack_from("<I", payload, off + 4)[0]
+            body = off + 8
+            if body + size > len(payload):
+                raise ValueError("AVI chunk overruns payload")
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)
+            elif fourcc == b"avih":
+                # dwTotalFrames at +16, dwWidth/dwHeight at +32/+36
+                out["n_samples"] = struct.unpack_from(
+                    "<I", payload, body + 16
+                )[0]
+                out["width"], out["height"] = struct.unpack_from(
+                    "<II", payload, body + 32
+                )
+            elif fourcc == b"strh" and payload[body : body + 4] == b"vids":
+                handler = payload[body + 4 : body + 8]
+                out["codec"] = (
+                    "mjpeg" if handler == b"MJPG" else
+                    handler.decode("latin-1").strip().lower() or "raw"
+                )
+            off = body + size + (size & 1)
+
+    walk(12, len(payload))
+    if "width" not in out or "codec" not in out:
+        raise ValueError("AVI missing avih/strh headers")
+    return out
+
+
+def video_stream_metadata(payloads: DataFrame) -> DataFrame:
+    """The CATALOGING pass of a video corpus: per payload — container,
+    codec, coded dimensions, sample count, and (AVC/HEVC) the
+    profile/level a decode pool needs to check BEFORE claiming the
+    payload. MP4 metadata walks the real box tree (avc1 parses the
+    avcC record's SPS bit-exactly — operators/avc.py; MJPEG reports
+    its sample table); AVI walks the RIFF headers. NO pixel decode
+    anywhere — this is the layer that routes 100 TB of mixed-codec
+    uploads to the right decoder fleet (or to quarantine) at
+    metadata cost. Non-video payloads are dropped; torn containers
+    raise ValueError per-payload and fall out as nulls-free drops."""
+    from .mp4 import mp4_video_metadata
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["content"]):
+                data = bytes(b)
+                kind = sniff_modality(data)
+                try:
+                    if kind == "mp4":
+                        meta = mp4_video_metadata(data)
+                    elif kind == "avi":
+                        meta = avi_video_metadata(data)
+                    else:
+                        continue
+                except ValueError:
+                    continue  # torn container: drop, never crash
+                rows.append(
+                    (
+                        int(i),
+                        meta["container"],
+                        meta["codec"],
+                        meta["width"],
+                        meta["height"],
+                        meta["n_samples"],
+                        meta["profile_idc"],
+                        meta["level_idc"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "container", "codec", "width", "height",
+                    "n_samples", "profile_idc", "level_idc",
+                ],
+            ).astype(
+                {
+                    "id": "int64", "width": "int64", "height": "int64",
+                    "n_samples": "int64",
+                    "profile_idc": "Int64", "level_idc": "Int64",
+                }
+            )
+
+    return payloads.mapInPandas(
+        compute,
+        schema=(
+            "id long, container string, codec string, width long, "
+            "height long, n_samples long, profile_idc long, "
+            "level_idc long"
+        ),
+    )
+
+
+def demo_codec_zoo_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10
+) -> DataFrame:
+    """Mixed-codec video fixture stream for the metadata pass
+    (``id % modulus == 0`` rows): rotating MJPEG-MP4 / avc1-MP4 /
+    MJPEG-AVI containers whose dimensions, profile, and level are pure
+    functions of the id — so a relational oracle can recompute what
+    the parser must extract. Executor-side, id-seeded (the same
+    pattern as demo_media_payloads)."""
+    import numpy as np
+
+    from .util import spread
+
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import mp4_avc_fixture, mp4_from_frames
+
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 34 + (i % 7) * 2
+                h = 18 + (i % 5) * 2
+                if i % 3 == 0:
+                    rng = np.random.RandomState(i % 997)
+                    frames = rng.randint(
+                        0, 256, size=(2, h, w, 3)
+                    ).astype(np.uint8)
+                    content.append(mp4_from_frames(frames))
+                elif i % 3 == 1:
+                    content.append(
+                        mp4_avc_fixture(
+                            w,
+                            h,
+                            n_samples=2,
+                            profile_idc=100 if i % 2 else 66,
+                            level_idc=30 + i % 3,
+                            seed=i % 997,
+                        )
+                    )
+                else:
+                    rng = np.random.RandomState(i % 997)
+                    frames = rng.randint(
+                        0, 256, size=(2, h, w, 3)
+                    ).astype(np.uint8)
+                    content.append(
+                        avi_from_frames(frames, codec="MJPG")
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["video"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(
+        gen, schema="id long, content binary, modality string"
+    )

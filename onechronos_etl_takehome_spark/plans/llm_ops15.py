@@ -1,15 +1,22 @@
-"""Round-13 operator batch: training-shard materialization.
+"""Round-13 operator batch: training-shard materialization + the
+video cataloging pass.
 
 - **Deterministic training shards** (t27): ``operators/shards.py`` —
   the last mile of a training-data pipeline: seeded global
   pseudo-random order WITHOUT a total sort (hash-sharded, within-shard
   sorted), plus the order-pinning manifest a 100-TB shard job ships
   with its output.
+- **Video stream metadata** (m14): ``operators/video.py:
+  video_stream_metadata`` — container/codec/dimensions/profile/level
+  per payload WITHOUT pixel decode (AVC via a bit-exact SPS parse,
+  ``operators/avc.py``): the routing pass that decides which decode
+  pool can even play each of 100 TB of mixed uploads.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import pin_semantics
 from ..sources.tables import load_table
@@ -66,4 +73,68 @@ def t27_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return shard_manifest(
         docs, "doc_id", n_shards=_T27_SHARDS, seed=_T27_SEED
+    )
+
+
+# ---------------------------------------------------------------------------
+# m14 — video stream metadata: parse REAL containers (MJPEG-MP4 /
+# avc1-MP4 with a full SPS bit-parse / MJPEG-AVI), hash-matched
+# against a relational recomputation of the fixture's parameters.
+# The parse is the hard direction; the oracle recomputes what the
+# deterministic fixture embedded — parse(synthesize(params)) == params
+# per payload, the same witness shape as v01.
+# ---------------------------------------------------------------------------
+
+_M14_ORACLE = """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id
+      FROM documents WHERE doc_id % 10 = 0),
+    p AS (
+      SELECT id,
+             34 + (id % 7) * 2 AS w,
+             18 + (id % 5) * 2 AS h,
+             id % 3 AS kind
+      FROM ids)
+    SELECT id,
+           CASE WHEN kind = 2 THEN 'avi' ELSE 'mp4' END AS container,
+           CASE WHEN kind = 1 THEN 'avc' ELSE 'mjpeg' END AS codec,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(2 AS BIGINT) AS n_samples,
+           CASE WHEN kind = 1 THEN
+             CAST(CASE WHEN id % 2 = 1 THEN 100 ELSE 66 END AS BIGINT)
+           END AS profile_idc,
+           CASE WHEN kind = 1 THEN CAST(30 + id % 3 AS BIGINT)
+           END AS level_idc
+    FROM p
+"""
+
+
+@register("m14_video_metadata", oracle=_M14_ORACLE)
+def m14_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO STREAM METADATA (``operators/video.py:
+    video_stream_metadata``): the cataloging/routing pass a 100-TB
+    mixed-codec video corpus runs BEFORE any decode — container,
+    codec, coded dimensions, sample count, and for AVC the
+    profile/level a decode pool must support. MP4 walks the real box
+    tree; ``avc1`` entries parse the avcC record's SPS BIT-EXACTLY
+    (exp-Golomb, chroma-aware crop-unit arithmetic —
+    ``operators/avc.py``; pixel decode of AVC stays an explicit
+    raise); AVI walks the RIFF headers. The fixture stream rotates
+    all three containers with id-derived parameters, so the oracle
+    recomputes relationally exactly what the parser must extract —
+    parse ∘ synthesize == id, per payload, hash-matched.
+
+    Scale: pure metadata cost (box/header walk over the payload head;
+    mdat is never opened), embarrassingly parallel in the same
+    Arrow-batched stage every media op uses."""
+    from ..operators import video as vid
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = vid.demo_codec_zoo_payloads(docs, "doc_id")
+    return vid.video_stream_metadata(payloads).select(
+        F.col("id"),
+        "container", "codec", "width", "height", "n_samples",
+        "profile_idc", "level_idc",
     )

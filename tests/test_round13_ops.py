@@ -226,6 +226,124 @@ class TestBenchStderrFilter:
 
 
 # ---------------------------------------------------------------------------
+# AVC stream metadata (m14): exp-Golomb SPS parse, avcC record,
+# Annex-B scan, MP4/AVI metadata walks — the no-decode cataloging
+# pass for mixed-codec corpora.
+# ---------------------------------------------------------------------------
+
+
+class TestAvcMetadata:
+    def test_parse_sps_against_hand_built_bits(self):
+        """Pin the parser against a bit vector assembled HERE from the
+        spec's field layout (independent of synthesize_sps): baseline
+        profile 66 level 30, 40x24 macroblocks... actually 2x2 MBs
+        (32x32) cropped to 30x20 — chroma 4:2:0 crop units (x2)."""
+        from onechronos_etl_takehome_spark.operators import avc
+
+        bits = ""
+        bits += format(66, "08b")  # profile_idc
+        bits += "00000000"  # constraint flags
+        bits += format(30, "08b")  # level_idc
+
+        def ue_bits(v):
+            code = v + 1
+            n = code.bit_length()
+            return "0" * (n - 1) + format(code, f"0{n}b")
+
+        bits += ue_bits(0)  # sps id
+        bits += ue_bits(0)  # log2_max_frame_num_minus4
+        bits += ue_bits(0)  # pic_order_cnt_type
+        bits += ue_bits(0)  # log2_max_pic_order_cnt_lsb_minus4
+        bits += ue_bits(1)  # max_num_ref_frames
+        bits += "0"  # gaps flag
+        bits += ue_bits(1)  # pic_width_in_mbs_minus1 (2 MBs = 32)
+        bits += ue_bits(1)  # pic_height_in_map_units_minus1 (2 = 32)
+        bits += "1"  # frame_mbs_only_flag
+        bits += "1"  # direct_8x8_inference_flag
+        bits += "1"  # frame_cropping_flag
+        bits += ue_bits(0) + ue_bits(1)  # left 0, right 1 (x2 = 2px)
+        bits += ue_bits(0) + ue_bits(6)  # top 0, bottom 6 (x2 = 12px)
+        bits += "0"  # vui_parameters_present_flag
+        bits += "1"  # rbsp stop bit
+        bits += "0" * (-len(bits) % 8)
+        rbsp = bytes(
+            int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+        )
+        m = avc.parse_sps(bytes([0x67]) + rbsp)
+        assert (m["width"], m["height"]) == (30, 20)
+        assert m["profile_idc"] == 66 and m["level_idc"] == 30
+        assert m["chroma_format_idc"] == 1 and m["frame_mbs_only"]
+
+    def test_roundtrip_matrix(self):
+        from onechronos_etl_takehome_spark.operators import avc
+
+        for w, h, p in [
+            (1920, 1080, 100), (1280, 720, 66), (354, 288, 77),
+            (16, 16, 66), (3840, 2160, 100),
+        ]:
+            m = avc.parse_sps(avc.synthesize_sps(w, h, profile_idc=p))
+            assert (m["width"], m["height"], m["profile_idc"]) == (
+                w, h, p,
+            )
+            rec = avc.parse_avcc(
+                avc.synthesize_avcc(w, h, profile_idc=p)
+            )
+            assert (rec["width"], rec["height"]) == (w, h)
+            assert rec["nal_length_size"] == 4
+
+    def test_annexb_scan_with_emulation_bytes(self):
+        from onechronos_etl_takehome_spark.operators import avc
+
+        sps = avc.synthesize_sps(320, 240)
+        stream = (
+            b"\x00\x00\x00\x01\x09\xf0"  # AUD NAL first
+            + b"\x00\x00\x01" + sps
+            + b"\x00\x00\x01\x68\xce\x38\x80"  # PPS after
+        )
+        m = avc.annexb_sps(stream)
+        assert (m["width"], m["height"]) == (320, 240)
+        # emulation-prevention strip: 00 00 03 xx → 00 00 xx
+        assert avc._strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+
+    def test_corrupt_contract(self):
+        from onechronos_etl_takehome_spark.operators import avc
+
+        with pytest.raises(ValueError):
+            avc.parse_sps(b"\x68\x42")  # PPS NAL, not SPS
+        with pytest.raises(ValueError):
+            avc.parse_sps(bytes([0x67, 66, 0]))  # truncated
+        with pytest.raises(ValueError):
+            avc.parse_avcc(b"\x02\x42")  # wrong version / truncated
+
+    def test_mp4_and_avi_metadata(self):
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import mp4, video
+
+        frames = np.zeros((3, 18, 34, 3), dtype=np.uint8)
+        m = mp4.mp4_video_metadata(mp4.mp4_from_frames(frames))
+        assert m == {
+            "container": "mp4", "codec": "mjpeg", "width": 34,
+            "height": 18, "n_samples": 3, "profile_idc": None,
+            "level_idc": None,
+        }
+        b = mp4.mp4_avc_fixture(354, 288, profile_idc=100, level_idc=31)
+        m = mp4.mp4_video_metadata(b)
+        assert (m["codec"], m["width"], m["height"]) == ("avc", 354, 288)
+        assert (m["profile_idc"], m["level_idc"]) == (100, 31)
+        # pixel decode of the avc fixture still raises — metadata is
+        # the supported surface, decode stays honest
+        with pytest.raises(ValueError, match="avc1"):
+            mp4.mp4_frames(b)
+        a = video.avi_video_metadata(
+            video.avi_from_frames(frames, codec="MJPG")
+        )
+        assert (a["codec"], a["width"], a["height"], a["n_samples"]) == (
+            "mjpeg", 34, 18, 3,
+        )
+
+
+# ---------------------------------------------------------------------------
 # t27 training shards: deterministic global shuffle without a total
 # sort — hash-sharded, within-shard sorted, byte-deterministic writer.
 # ---------------------------------------------------------------------------
