@@ -251,6 +251,8 @@ HEADLINE = [
     # t27: deterministic training shards (hash exchange + per-shard
     # window checksum — the no-total-sort shuffle's whole manifest)
     "t27_training_shards",
+    # m14: video stream metadata (container/SPS walks, no pixel decode)
+    "m14_video_metadata",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -332,3 +332,182 @@ def synthesize_avcc(
         + struct.pack(">H", len(pps))
         + pps
     )
+
+
+# ---------------------------------------------------------------------------
+# HEVC (H.265): the same metadata layer — profile_tier_level walk +
+# SPS dimensions with the conformance-window crop (ISO/IEC 23008-2
+# §7.3.2.2.1), and the hvcC record's NAL arrays (14496-15 §8.3.3.1).
+# ---------------------------------------------------------------------------
+
+
+def parse_hevc_sps(sps: bytes) -> dict:
+    """Parse one HEVC SPS NAL (2-byte NAL header included) → codec
+    metadata with exact cropped dimensions."""
+    if len(sps) < 3:
+        raise ValueError("HEVC SPS truncated")
+    nal_type = (sps[0] >> 1) & 0x3F
+    if nal_type != 33:
+        raise ValueError(f"not an HEVC SPS NAL (type={nal_type})")
+    r = _BitReader(_strip_emulation(sps[2:]))
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers = r.u(3)
+    r.u(1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, max_sub_layers)
+    r.u(2)  # general_profile_space
+    tier = r.u(1)
+    profile_idc = r.u(5)
+    r.u(32)  # general_profile_compatibility_flags
+    r.u(48)  # general constraint flags (incl. progressive/interlace)
+    level_idc = r.u(8)
+    sub_profile = [r.u(1) for _ in range(max_sub_layers)]
+    sub_level = [r.u(1) for _ in range(max_sub_layers)]
+    if max_sub_layers > 0:
+        for _ in range(8 - max_sub_layers):
+            r.u(2)  # reserved_zero_2bits alignment
+    for p, lv in zip(sub_profile, sub_level):
+        if p:
+            r.u(88)  # sub-layer profile block
+        if lv:
+            r.u(8)  # sub_layer_level_idc
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane_flag
+    width = r.ue()  # pic_width_in_luma_samples
+    height = r.ue()  # pic_height_in_luma_samples
+    if r.u(1):  # conformance_window_flag
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        width -= sub_w * (left + right)
+        height -= sub_h * (top + bottom)
+    if width <= 0 or height <= 0:
+        raise ValueError("HEVC conformance window exceeds the frame")
+    return {
+        "codec": "hevc",
+        "profile_idc": profile_idc,
+        "tier": tier,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def parse_hvcc(hvcc: bytes) -> dict:
+    """Parse an HEVCDecoderConfigurationRecord (the ``hvcC`` box
+    payload): record-level profile/tier/level plus — when the record
+    carries its SPS NAL array, as real muxers write — the exact SPS
+    dimensions via :func:`parse_hevc_sps`."""
+    if len(hvcc) < 23 or hvcc[0] != 1:
+        raise ValueError("hvcC record truncated or not v1")
+    out = {
+        "codec": "hevc",
+        "profile_idc": hvcc[1] & 0x1F,
+        "tier": (hvcc[1] >> 5) & 1,
+        "level_idc": hvcc[12],
+    }
+    n_arrays = hvcc[22]
+    pos = 23
+    for _ in range(n_arrays):
+        if pos + 3 > len(hvcc):
+            raise ValueError("hvcC NAL array truncated")
+        nal_type = hvcc[pos] & 0x3F
+        n_nalus = struct.unpack_from(">H", hvcc, pos + 1)[0]
+        pos += 3
+        for _ in range(n_nalus):
+            if pos + 2 > len(hvcc):
+                raise ValueError("hvcC NAL length truncated")
+            ln = struct.unpack_from(">H", hvcc, pos)[0]
+            pos += 2
+            nal = hvcc[pos : pos + ln]
+            if len(nal) != ln:
+                raise ValueError("hvcC NAL payload truncated")
+            pos += ln
+            if nal_type == 33 and "width" not in out:
+                out.update(parse_hevc_sps(nal))
+    return out
+
+
+def synthesize_hevc_sps(
+    width: int,
+    height: int,
+    *,
+    profile_idc: int = 1,
+    level_idc: int = 93,
+    tier: int = 0,
+) -> bytes:
+    """Emit a conformant HEVC SPS NAL for the requested display size:
+    luma samples round up to the 8-sample minimum CTB alignment and a
+    conformance window trims the remainder (4:2:0 units — dimensions
+    must be even)."""
+    if width % 2 or height % 2:
+        raise ValueError("4:2:0 dimensions must be even")
+    w_al = -(-width // 8) * 8
+    h_al = -(-height // 8) * 8
+    w = _BitWriter()
+    w.u(0, 4)  # sps_video_parameter_set_id
+    w.u(0, 3)  # sps_max_sub_layers_minus1
+    w.u(1, 1)  # sps_temporal_id_nesting_flag
+    w.u(0, 2)  # general_profile_space
+    w.u(tier, 1)
+    w.u(profile_idc, 5)
+    w.u(1 << (31 - profile_idc), 32)  # compatibility flag for self
+    w.u(0, 48)  # constraint flags
+    w.u(level_idc, 8)
+    w.ue(0)  # sps_seq_parameter_set_id
+    w.ue(1)  # chroma_format_idc 4:2:0
+    w.ue(w_al)  # pic_width_in_luma_samples
+    w.ue(h_al)
+    if w_al != width or h_al != height:
+        w.u(1, 1)  # conformance_window_flag
+        w.ue(0)
+        w.ue((w_al - width) // 2)  # right, SubWidthC=2
+        w.ue(0)
+        w.ue((h_al - height) // 2)  # bottom, SubHeightC=2
+    else:
+        w.u(0, 1)
+    # minimal tail the parser needs nothing past the window — but emit
+    # the mandatory next fields so third-party parsers don't read OOB:
+    w.ue(0)  # bit_depth_luma_minus8
+    w.ue(0)  # bit_depth_chroma_minus8
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    # NAL header: forbidden_zero(1)=0, type(6)=33, layer(6)=0, tid+1(3)=1
+    return bytes([33 << 1, 1]) + w.bytes()
+
+
+def synthesize_hvcc(
+    width: int,
+    height: int,
+    *,
+    profile_idc: int = 1,
+    level_idc: int = 93,
+    tier: int = 0,
+) -> bytes:
+    """Emit an HEVCDecoderConfigurationRecord embedding one
+    :func:`synthesize_hevc_sps` in its type-33 NAL array."""
+    sps = synthesize_hevc_sps(
+        width, height,
+        profile_idc=profile_idc, level_idc=level_idc, tier=tier,
+    )
+    head = bytes(
+        [
+            1,  # configurationVersion
+            (tier << 5) | profile_idc,  # space/tier/profile
+        ]
+    )
+    head += struct.pack(">I", 1 << (31 - profile_idc))  # compat flags
+    head += b"\x00" * 6  # constraint flags
+    head += bytes([level_idc])
+    head += b"\xf0\x00"  # min_spatial_segmentation_idc (reserved bits)
+    head += b"\xfc"  # parallelismType
+    head += b"\xfd"  # chroma_format_idc 1 + reserved
+    head += b"\xf8\xf8"  # bit depths + reserved
+    head += b"\x00\x00"  # avgFrameRate
+    head += bytes([0x03])  # constantFrameRate/numTemporalLayers/lengthSize
+    head += bytes([1])  # numOfArrays
+    arr = bytes([33])  # array_completeness=0, nal_unit_type 33 (SPS)
+    arr += struct.pack(">H", 1)
+    arr += struct.pack(">H", len(sps)) + sps
+    return head + arr

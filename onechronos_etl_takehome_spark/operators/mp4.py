@@ -356,16 +356,21 @@ def mp4_video_metadata(payload: bytes) -> dict:
                 level_idc=sps["level_idc"],
             )
         elif codec in (b"hvc1", b"hev1"):
+            from .avc import parse_hvcc
+
             hvcc = _find(payload, *children, b"hvcC")
             if hvcc is None:
                 raise ValueError("hvc1 entry missing hvcC record")
-            rec = payload[hvcc[0] : hvcc[1]]
-            if len(rec) < 13 or rec[0] != 1:
-                raise ValueError("hvcC record truncated or not v1")
+            rec = parse_hvcc(payload[hvcc[0] : hvcc[1]])
             out.update(
                 codec="hevc",
-                profile_idc=rec[1] & 0x1F,
-                level_idc=rec[12],
+                profile_idc=rec["profile_idc"],
+                level_idc=rec["level_idc"],
+                # exact SPS dims when the record ships its SPS array
+                # (real muxers do); otherwise keep the entry's own
+                # declared dimensions
+                width=rec.get("width", out["width"]),
+                height=rec.get("height", out["height"]),
             )
         elif codec in (b"jpeg", b"mjpa", b"MJPG"):
             out["codec"] = "mjpeg"
@@ -381,13 +386,15 @@ def mp4_avc_fixture(
     profile_idc: int = 66,
     level_idc: int = 30,
     seed: int = 0,
+    codec: str = "avc",
 ) -> bytes:
-    """A structurally REAL avc1 MP4 (full moov + sample tables + an
-    avcC record embedding a conformant SPS from operators/avc.py) whose
-    mdat carries opaque seeded bytes instead of coded slices — the
-    fixture for the metadata pass, which never opens mdat. Pixel
-    decode of this file raises, exactly like any other AVC payload."""
-    from .avc import synthesize_avcc
+    """A structurally REAL avc1 (or, ``codec="hevc"``, hvc1) MP4 —
+    full moov + sample tables + an avcC/hvcC record embedding a
+    conformant SPS from operators/avc.py — whose mdat carries opaque
+    seeded bytes instead of coded slices: the fixture for the metadata
+    pass, which never opens mdat. Pixel decode of this file raises,
+    exactly like any other AVC/HEVC payload."""
+    from .avc import synthesize_avcc, synthesize_hvcc
 
     samples = [
         bytes(((seed + 17 * k + j) * 131) % 256 for j in range(64))
@@ -438,14 +445,24 @@ def mp4_avc_fixture(
             struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""),
         ),
     )
-    avcc = _box(
-        b"avcC",
-        synthesize_avcc(
-            width, height, profile_idc=profile_idc, level_idc=level_idc
-        ),
-    )
+    if codec == "hevc":
+        avcc = _box(
+            b"hvcC",
+            synthesize_hvcc(
+                width, height,
+                profile_idc=profile_idc, level_idc=level_idc,
+            ),
+        )
+    else:
+        avcc = _box(
+            b"avcC",
+            synthesize_avcc(
+                width, height,
+                profile_idc=profile_idc, level_idc=level_idc,
+            ),
+        )
     entry = _box(
-        b"avc1",
+        b"hvc1" if codec == "hevc" else b"avc1",
         b"\x00" * 6
         + struct.pack(">H", 1)
         + b"\x00" * 16

@@ -762,10 +762,10 @@ def demo_codec_zoo_payloads(
 ) -> DataFrame:
     """Mixed-codec video fixture stream for the metadata pass
     (``id % modulus == 0`` rows): rotating MJPEG-MP4 / avc1-MP4 /
-    MJPEG-AVI containers whose dimensions, profile, and level are pure
-    functions of the id — so a relational oracle can recompute what
-    the parser must extract. Executor-side, id-seeded (the same
-    pattern as demo_media_payloads)."""
+    MJPEG-AVI / hvc1-MP4 containers whose dimensions, profile, and
+    level are pure functions of the id — so a relational oracle can
+    recompute what the parser must extract. Executor-side, id-seeded
+    (the same pattern as demo_media_payloads)."""
     import numpy as np
 
     from .util import spread
@@ -785,13 +785,18 @@ def demo_codec_zoo_payloads(
                 i = int(i)
                 w = 34 + (i % 7) * 2
                 h = 18 + (i % 5) * 2
-                if i % 3 == 0:
+                kind = i % 4
+                if kind in (0, 2):
                     rng = np.random.RandomState(i % 997)
                     frames = rng.randint(
                         0, 256, size=(2, h, w, 3)
                     ).astype(np.uint8)
-                    content.append(mp4_from_frames(frames))
-                elif i % 3 == 1:
+                    content.append(
+                        mp4_from_frames(frames)
+                        if kind == 0
+                        else avi_from_frames(frames, codec="MJPG")
+                    )
+                elif kind == 1:
                     content.append(
                         mp4_avc_fixture(
                             w,
@@ -802,13 +807,17 @@ def demo_codec_zoo_payloads(
                             seed=i % 997,
                         )
                     )
-                else:
-                    rng = np.random.RandomState(i % 997)
-                    frames = rng.randint(
-                        0, 256, size=(2, h, w, 3)
-                    ).astype(np.uint8)
+                else:  # kind == 3: hvc1 (HEVC main=1 / main-10=2)
                     content.append(
-                        avi_from_frames(frames, codec="MJPG")
+                        mp4_avc_fixture(
+                            w,
+                            h,
+                            n_samples=2,
+                            profile_idc=2 if i % 2 else 1,
+                            level_idc=90 + (i % 3) * 3,
+                            seed=i % 997,
+                            codec="hevc",
+                        )
                     )
             yield pd.DataFrame(
                 {

@@ -93,18 +93,23 @@ _M14_ORACLE = """
       SELECT id,
              34 + (id % 7) * 2 AS w,
              18 + (id % 5) * 2 AS h,
-             id % 3 AS kind
+             id % 4 AS kind
       FROM ids)
     SELECT id,
            CASE WHEN kind = 2 THEN 'avi' ELSE 'mp4' END AS container,
-           CASE WHEN kind = 1 THEN 'avc' ELSE 'mjpeg' END AS codec,
+           CASE WHEN kind = 1 THEN 'avc'
+                WHEN kind = 3 THEN 'hevc'
+                ELSE 'mjpeg' END AS codec,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
            CAST(2 AS BIGINT) AS n_samples,
            CASE WHEN kind = 1 THEN
              CAST(CASE WHEN id % 2 = 1 THEN 100 ELSE 66 END AS BIGINT)
+                WHEN kind = 3 THEN
+             CAST(CASE WHEN id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
            END AS profile_idc,
            CASE WHEN kind = 1 THEN CAST(30 + id % 3 AS BIGINT)
+                WHEN kind = 3 THEN CAST(90 + (id % 3) * 3 AS BIGINT)
            END AS level_idc
     FROM p
 """
@@ -120,10 +125,13 @@ def m14_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tree; ``avc1`` entries parse the avcC record's SPS BIT-EXACTLY
     (exp-Golomb, chroma-aware crop-unit arithmetic —
     ``operators/avc.py``; pixel decode of AVC stays an explicit
-    raise); AVI walks the RIFF headers. The fixture stream rotates
-    all three containers with id-derived parameters, so the oracle
-    recomputes relationally exactly what the parser must extract —
-    parse ∘ synthesize == id, per payload, hash-matched.
+    raise); ``hvc1`` parses the hvcC record's profile/tier/level AND
+    its embedded HEVC SPS (profile_tier_level walk + conformance
+    window); AVI walks the RIFF headers. The fixture stream rotates
+    all four container/codec combinations with id-derived parameters,
+    so the oracle recomputes relationally exactly what the parser
+    must extract — parse ∘ synthesize == id, per payload,
+    hash-matched.
 
     Scale: pure metadata cost (box/header walk over the payload head;
     mdat is never opened), embarrassingly parallel in the same

@@ -315,6 +315,35 @@ class TestAvcMetadata:
         with pytest.raises(ValueError):
             avc.parse_avcc(b"\x02\x42")  # wrong version / truncated
 
+    def test_hevc_sps_and_hvcc(self):
+        from onechronos_etl_takehome_spark.operators import avc, mp4
+
+        for w, h, p, lv, t in [
+            (1920, 1080, 1, 93, 0), (3840, 2160, 2, 120, 1),
+            (354, 288, 1, 90, 0), (16, 16, 1, 30, 0),
+        ]:
+            m = avc.parse_hevc_sps(
+                avc.synthesize_hevc_sps(
+                    w, h, profile_idc=p, level_idc=lv, tier=t
+                )
+            )
+            assert (
+                m["width"], m["height"], m["profile_idc"],
+                m["level_idc"], m["tier"],
+            ) == (w, h, p, lv, t)
+        rec = avc.parse_hvcc(avc.synthesize_hvcc(354, 288))
+        assert (rec["width"], rec["height"]) == (354, 288)
+        with pytest.raises(ValueError):
+            avc.parse_hevc_sps(b"\x02\x01\x00")  # wrong NAL type
+        b = mp4.mp4_avc_fixture(
+            100, 64, profile_idc=2, level_idc=120, codec="hevc"
+        )
+        m = mp4.mp4_video_metadata(b)
+        assert (m["codec"], m["width"], m["height"]) == ("hevc", 100, 64)
+        assert (m["profile_idc"], m["level_idc"]) == (2, 120)
+        with pytest.raises(ValueError, match="hvc1"):
+            mp4.mp4_frames(b)  # pixel decode stays honest
+
     def test_mp4_and_avi_metadata(self):
         import numpy as np
 
