@@ -88,6 +88,36 @@ def write_training_shards(
     )
 
 
+def append_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    *,
+    n_shards: int,
+    seed: int = 0,
+) -> None:
+    """Append a corpus slice into an existing shard layout WITHOUT
+    touching what's already written: hash placement is stable in
+    (seed, id), so each shard directory gains one new internally
+    sorted segment file and every existing file stays byte-identical
+    — the incremental property that makes the layout cheap to grow
+    at 100 TB (a daily slice writes slice-sized bytes, never
+    corpus-sized). A shard then holds a LIST of sorted segments; a
+    reader recovers the full within-shard shuffle-key order by
+    merging them (one ``sortWithinPartitions`` over shard-local data
+    — segment-bounded, spill-safe). tests/test_round13_ops.py pins
+    incremental == full rebuild (same multiset per shard, same merged
+    order, old files untouched) — the x27 SCD2 witness shape."""
+    out = assign_shards(df, id_col, n_shards=n_shards, seed=seed)
+    (
+        out.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_shuffle_key", id_col)
+        .write.partitionBy("_shard")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def shard_manifest(
     df: DataFrame, id_col: str, *, n_shards: int, seed: int = 0
 ) -> DataFrame:

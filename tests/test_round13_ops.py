@@ -420,6 +420,59 @@ class TestTrainingShards:
             == docs.count()
         )
 
+    def test_append_equals_rebuild_and_touches_nothing(
+        self, spark, tmp_path
+    ):
+        """The incremental leg: append a slice into an existing
+        layout — old files byte-identical, and per shard the merged
+        (shuffle-key-ordered) content equals a full rebuild of the
+        union. The x27 incremental==rebuild witness shape."""
+        import glob
+        import hashlib
+
+        from onechronos_etl_takehome_spark.operators import shards
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        a = docs.filter(F.col("doc_id") % 3 != 0)
+        b = docs.filter(F.col("doc_id") % 3 == 0)
+        inc = str(tmp_path / "inc")
+        shards.write_training_shards(a, "doc_id", inc, n_shards=8, seed=7)
+
+        def md5s(root):
+            return {
+                p.split(root + "/")[1]: hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+                for p in glob.glob(root + "/_shard=*/*.parquet")
+            }
+
+        before = md5s(inc)
+        shards.append_training_shards(
+            b, "doc_id", inc, n_shards=8, seed=7
+        )
+        after = md5s(inc)
+        # every original file untouched; every shard gained segments
+        assert {k: after[k] for k in before} == before
+        assert len(after) > len(before)
+        # merged order per shard == full rebuild
+        full = str(tmp_path / "full")
+        shards.write_training_shards(
+            docs, "doc_id", full, n_shards=8, seed=7
+        )
+
+        def ordered(root):
+            rows = (
+                spark.read.parquet(root)
+                .sort("_shard", "_shuffle_key", "doc_id")
+                .select("_shard", "_shuffle_key", "doc_id")
+                .collect()
+            )
+            return list(map(tuple, rows))
+
+        assert ordered(inc) == ordered(full)
+
     def test_seed_changes_the_permutation(self, spark):
         from onechronos_etl_takehome_spark.operators import shards
 
