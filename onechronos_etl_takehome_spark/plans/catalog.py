@@ -212,8 +212,14 @@ DRIVER_WINDOW: list[str] = [
 #   witness) deliberately stays in-window — no other row drives
 #   df.write.format("txlog").
 # Remaining rotation candidates for round 14, in forecast order: x52
-# (UPDATE, the DML member no in-window row runs), x53 (RESTORE), x54
-# (SHALLOW CLONE, now with the partitioned tag-3 leg), x46
+# (UPDATE, the DML member no in-window row runs — though x55's
+# matched/by-source UPDATE clauses now give the capability class
+# in-window evidence), x53 (RESTORE — no in-window row rewinds a
+# commit), x54 (SHALLOW CLONE, now with the partitioned tag-3 leg),
+# t27 (deterministic training shards — landed round 13 gate-oracled
+# at two SFs + benched; the only no-total-sort global-shuffle
+# witness), m14 (video stream metadata — same round, oracled via
+# parse∘synthesize==id over a four-codec container zoo), x46
 # (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39 (null-count
 # skipping), x41 (append-only stream drain).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
