@@ -1,8 +1,22 @@
-"""Round-13 fixes and operators: legacy CDF diffs computed UNMASKED
-(a later commit's deletion vectors must not understate an older
-commit's change set — round-12 advice, medium), collision-proof x55
-insert keys, partitioned-table DV pushdown restored, and the
-CommitCoordinator seam."""
+"""Round-13 fixes and operators:
+
+- legacy CDF diffs computed UNMASKED (a later commit's deletion
+  vectors must not understate an older commit's change set —
+  round-12 advice, medium), both the read-time derived path and the
+  generate_change_files backfill;
+- the bench stderr filter's daemon-frame requirement + chained-group
+  buffering (a genuine driver-side EOFError keeps its evidence);
+- partitioned-table DV exact-name pushdown restored (relative
+  manifest names provably have one vector spelling);
+- the CommitCoordinator seam: POSIX hard-link default and the
+  claim-table (S3/DynamoDB-shape) implementation, two-writer races,
+  crash recovery, claim release on live failure;
+- AVC/HEVC stream metadata (SPS/avcC/hvcC parses, the m14 container
+  zoo) — the no-decode cataloging pass;
+- t27 deterministic training shards: byte-deterministic writer,
+  single-exchange manifest plan, incremental append == full rebuild;
+- the JPEG encoder quality knob and the m08/m11 4:2:0 corpus leg
+  with the planted pair set pinned unchanged."""
 
 from __future__ import annotations
 
