@@ -291,6 +291,10 @@ SCALE_PROBES = [
     "t19_bpe_tokenize",
     # hybrid fusion: the retrievers scale, the fuse stays shortlist-sized
     "s07_hybrid_rrf",
+    # training shards: one hash exchange + N shard-local window sorts —
+    # ~linear in corpus rows at fixed shard count (the no-total-sort
+    # claim, measured)
+    "t27_training_shards",
     # media family (round 6): decode-bound (m08, Arrow BMP decode +
     # banded Hamming join) and join-bound (m10, AVI decode feeding the
     # inverted-index containment join) regimes, each with candidate
