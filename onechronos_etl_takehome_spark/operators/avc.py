@@ -360,8 +360,13 @@ def parse_hevc_sps(sps: bytes) -> dict:
     r.u(32)  # general_profile_compatibility_flags
     r.u(48)  # general constraint flags (incl. progressive/interlace)
     level_idc = r.u(8)
-    sub_profile = [r.u(1) for _ in range(max_sub_layers)]
-    sub_level = [r.u(1) for _ in range(max_sub_layers)]
+    # ISO/IEC 23008-2 §7.3.3 interleaves the two present flags PER
+    # sub-layer (profile[i], level[i], profile[i+1], ...) — reading
+    # them as two separate runs mis-skips every temporally scalable
+    # stream with >=2 sub-layers and mixed flags (round-13 advice).
+    pairs = [(r.u(1), r.u(1)) for _ in range(max_sub_layers)]
+    sub_profile = [p for p, _ in pairs]
+    sub_level = [lv for _, lv in pairs]
     if max_sub_layers > 0:
         for _ in range(8 - max_sub_layers):
             r.u(2)  # reserved_zero_2bits alignment

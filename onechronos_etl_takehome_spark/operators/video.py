@@ -785,7 +785,17 @@ def demo_codec_zoo_payloads(
                 i = int(i)
                 w = 34 + (i % 7) * 2
                 h = 18 + (i % 5) * 2
-                kind = i % 4
+                # Derive the rotation selectors from the QUALIFYING-ROW
+                # index (i // modulus), not i itself: with modulus=10,
+                # i % 4 only ever hits {0, 2} (and i % 2 only 0), so the
+                # avc1/hvc1 legs — and their profile alternation — were
+                # unreachable (round-13 advice).
+                kind = (i // modulus) % 4
+                # ...and the profile alternator from the next index
+                # digit: (i // modulus) % 2 is CORRELATED with kind
+                # (kind 1/3 rows always have an odd index), which
+                # would again pin one profile per codec.
+                alt = (i // (modulus * 4)) % 2
                 if kind in (0, 2):
                     rng = np.random.RandomState(i % 997)
                     frames = rng.randint(
@@ -802,7 +812,7 @@ def demo_codec_zoo_payloads(
                             w,
                             h,
                             n_samples=2,
-                            profile_idc=100 if i % 2 else 66,
+                            profile_idc=100 if alt else 66,
                             level_idc=30 + i % 3,
                             seed=i % 997,
                         )
@@ -813,7 +823,7 @@ def demo_codec_zoo_payloads(
                             w,
                             h,
                             n_samples=2,
-                            profile_idc=2 if i % 2 else 1,
+                            profile_idc=2 if alt else 1,
                             level_idc=90 + (i % 3) * 3,
                             seed=i % 997,
                             codec="hevc",

@@ -93,7 +93,8 @@ _M14_ORACLE = """
       SELECT id,
              34 + (id % 7) * 2 AS w,
              18 + (id % 5) * 2 AS h,
-             id % 4 AS kind
+             (id // 10) % 4 AS kind,
+             (id // 40) % 2 AS alt
       FROM ids)
     SELECT id,
            CASE WHEN kind = 2 THEN 'avi' ELSE 'mp4' END AS container,
@@ -104,9 +105,9 @@ _M14_ORACLE = """
            CAST(h AS BIGINT) AS height,
            CAST(2 AS BIGINT) AS n_samples,
            CASE WHEN kind = 1 THEN
-             CAST(CASE WHEN id % 2 = 1 THEN 100 ELSE 66 END AS BIGINT)
+             CAST(CASE WHEN alt = 1 THEN 100 ELSE 66 END AS BIGINT)
                 WHEN kind = 3 THEN
-             CAST(CASE WHEN id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT)
+             CAST(CASE WHEN alt = 1 THEN 2 ELSE 1 END AS BIGINT)
            END AS profile_idc,
            CASE WHEN kind = 1 THEN CAST(30 + id % 3 AS BIGINT)
                 WHEN kind = 3 THEN CAST(90 + (id % 3) * 3 AS BIGINT)

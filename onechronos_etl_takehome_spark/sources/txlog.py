@@ -194,7 +194,7 @@ class ClaimTableCoordinator(CommitCoordinator):
                     and not os.path.exists(target)
                     and os.path.exists(holder)
                 ):
-                    shutil.copyfile(holder, target)
+                    self._copy_then_rename(holder, target)
                 raise CommitConflict(f"{target} already committed")
             self._claims[target] = tmp
         # claim held: complete the publish (a crash-DEATH here leaves
@@ -205,11 +205,35 @@ class ClaimTableCoordinator(CommitCoordinator):
         # wedge the version for every writer (DynamoDB deployments
         # expire claims by TTL for the same reason).
         try:
-            shutil.copyfile(tmp, target)
+            self._copy_then_rename(tmp, target)
         except BaseException:
             with self._lock:
                 if not os.path.exists(target):
                     self._claims.pop(target, None)
+            raise
+
+    @staticmethod
+    def _copy_then_rename(src: str, target: str) -> None:
+        """Create ``target`` all-or-nothing: copy to a hidden unique
+        temp IN target's directory, then ``os.rename`` over it. A bare
+        ``shutil.copyfile(src, target)`` creates the published name
+        non-atomically — a reader listing the log dir mid-copy would
+        json.load a torn manifest, and a live copy failure would leave
+        the partial target ON DISK while the failure branch released
+        the claim, wedging the version (round-13 advice). The rename is
+        atomic on POSIX and the held claim guarantees a single
+        publisher, so renaming over a concurrent publish is impossible;
+        on failure the temp is removed so nothing torn survives."""
+        d, base = os.path.split(target)
+        stage = os.path.join(d, f".{base}.{uuid.uuid4().hex}.staging")
+        try:
+            shutil.copyfile(src, stage)
+            os.rename(stage, target)
+        except BaseException:
+            try:
+                os.unlink(stage)
+            except OSError:
+                pass
             raise
 
 
