@@ -102,10 +102,10 @@ def append_training_shards(
     sorted segment file and every existing file stays byte-identical
     — the incremental property that makes the layout cheap to grow
     at 100 TB (a daily slice writes slice-sized bytes, never
-    corpus-sized). A shard then holds a LIST of sorted segments; a
-    reader recovers the full within-shard shuffle-key order by
-    merging them (one ``sortWithinPartitions`` over shard-local data
-    — segment-bounded, spill-safe). tests/test_round13_ops.py pins
+    corpus-sized). A shard then holds a LIST of sorted segments;
+    :func:`read_training_shards` recovers the full within-shard
+    shuffle-key order by merging them (one shard-local sort —
+    segment-bounded, spill-safe). tests/test_round13_ops.py pins
     incremental == full rebuild (same multiset per shard, same merged
     order, old files untouched) — the x27 SCD2 witness shape."""
     out = assign_shards(df, id_col, n_shards=n_shards, seed=seed)
@@ -115,6 +115,44 @@ def append_training_shards(
         .write.partitionBy("_shard")
         .mode("append")
         .parquet(path)
+    )
+
+
+def read_training_shards(
+    spark, path: str, id_col: str, *, n_shards: int | None = None
+) -> DataFrame:
+    """Merge-on-read CONSUMER of a shard layout — the other half of
+    :func:`append_training_shards`'s contract: after appends, a shard
+    directory holds a LIST of internally sorted segment files, and
+    the reader recovers the full within-shard shuffle-key order by
+    merging them. Returns every row with ``(_shard, _pos)`` — the
+    1-based replay position inside its shard — so any consumer
+    (or test) can verify it is visiting the exact (seed, corpus)
+    order the layout pinned at write time.
+
+    Plan shape: ONE hash exchange on ``_shard`` (shard-local data
+    only — segment-bounded, spill-safe, AQE-sizable) and one
+    within-shard sort over the stored ``_shuffle_key`` — never a
+    global sort, and no re-hashing: the key column rides the files,
+    so replay needs zero knowledge of the seed. Reading shard K alone
+    (``path/_shard=K``) costs only shard K's bytes — the Hive layout
+    is the prune.
+
+    The ``n_shards`` parameter is accepted for symmetry with the
+    writers but unused: the window's own hash exchange on ``_shard``
+    already routes each shard's segments to one task — adding an
+    explicit ``repartition`` would just pay the same exchange twice
+    (the shard_manifest lesson: reuse the window's exchange)."""
+    del n_shards
+    df = spark.read.parquet(path)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_shard").orderBy("_shuffle_key", id_col)
+    return df.withColumns(
+        {
+            "_shard": F.col("_shard").cast("long"),
+            "_pos": F.row_number().over(w).cast("long"),
+        }
     )
 
 

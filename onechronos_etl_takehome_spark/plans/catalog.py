@@ -62,6 +62,7 @@ from . import llm_ops12  # noqa: E402,F401
 from . import llm_ops13  # noqa: E402,F401
 from . import llm_ops14  # noqa: E402,F401
 from . import llm_ops15  # noqa: E402,F401
+from . import llm_ops16  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50
@@ -128,7 +129,7 @@ DRIVER_WINDOW: list[str] = [
     "q57_concurrent_sessions",  # interval-overlap range join (binned)
     "q25_rolling_customer_spend",  # rows-frame window
     "x50_txlog_partitioned",  # partition columns IN the ACID log
-    "x51_txlog_deletion_vectors",  # merge-on-read DELETE (DV masks)
+    "x52_txlog_update",  # UPDATE: CoW + DV modes, pruned-through-mask
     "t13_gopher_quality",  # quality-gate rule battery
     "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
     "x23_zorder_layout",  # z-order data layout (Morton clustering)
@@ -138,9 +139,47 @@ DRIVER_WINDOW: list[str] = [
     "x25_distribution_drift",  # windowed histogram drift (TVD)
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
     "x55_txlog_merge_into",  # conditional multi-clause MERGE (CDC apply)
-    "x56_txlog_cdf_backfill",  # legacy change-file backfill (GENERATE)
+    "x53_txlog_restore",  # RESTORE: one metadata commit rewinds the table
     "x47_txlog_check_constraints",  # write-time CHECK invariant enforcement
 ]
+# Round 14: x52 and x53 rotate in, exactly as the round-13 verdict's
+# item 1 (and this file's own round-13 forecast) named them — the two
+# DML ops carried never-windowed across three verdicts.
+# - x52_txlog_update: UPDATE as a log transaction — the missing member
+#   of the DML tetrad, run in BOTH write strategies (file-pruned
+#   copy-on-write reprice + a deletion-vector-mode update whose bytes
+#   written scale with matched rows), with tag 1 reading stats-pruned
+#   THROUGH the DV mask and tag 2 time-traveling past both updates.
+#   Displaced: x51_txlog_deletion_vectors — the merge-on-read
+#   masked-read capability class keeps STRICTLY STRONGER in-window
+#   evidence via x52's DV-mode leg: an update writes the same per-file
+#   row-position vector a DV delete writes AND adds the postimage rows
+#   in the same commit (delete is the postimage-free special case),
+#   the pruned read goes through the mask, v0 time-travels past it,
+#   and the gate stacks CDF-identical-across-modes, CHECK enforcement
+#   over postimages, and partition-column updates moving rows between
+#   directories (tests/test_round11_ops.py). x51's remaining sub-legs
+#   (stacked DV generations, protocol reader-4 refusal) stay
+#   gate-pinned at two SFs and benched (tests/test_round11_ops.py,
+#   test_round12_ops.py).
+# - x53_txlog_restore: RESTORE TABLE ... TO VERSION AS OF — ONE
+#   metadata commit resets the live file set (re-adds carry original
+#   stats/partition values/DV descriptors by reference), history stays
+#   time-travelable (tag 1 pins the deleted state AT its version), and
+#   the restore commit stamps change files computed distributed whose
+#   feed tag 2 hash-matches relationally. Displaced:
+#   x56_txlog_cdf_backfill — both its capabilities keep
+#   strictly-stronger in-window evidence: the two-sided multiset diff
+#   with carry-over cancellation (snapshot exceptAll snapshot) is
+#   computed and CDF-stamped by x53's restore commit against the
+#   strictly harder rewound live set and hash-matched by tag 2, and
+#   whole-feed exactness across a DML lifecycle (change-file AND
+#   derived commits read identically) rides x48's streamed feed
+#   multiset hash; x56's backfill-specific legs (already-stamped
+#   commits skipped idempotently, later-DV-mask immunity of historic
+#   diffs) stay gate-pinned at two SFs and benched
+#   (tests/test_round13_ops.py). x56 rotated in r13 and holds a green
+#   CORRECTNESS_r13 row.
 # Round 13: x55 and x56 rotate in, exactly as the round-12 verdict's
 # item 2 (and this file's own round-12 forecast) named them.
 # - x55_txlog_merge_into: conditional multi-clause MERGE — the
@@ -211,17 +250,15 @@ DRIVER_WINDOW: list[str] = [
 #   gate-oracled at two SFs and benched. x45 (the ONLY format-WRITER
 #   witness) deliberately stays in-window — no other row drives
 #   df.write.format("txlog").
-# Remaining rotation candidates for round 14, in forecast order: x52
-# (UPDATE, the DML member no in-window row runs — though x55's
-# matched/by-source UPDATE clauses now give the capability class
-# in-window evidence), x53 (RESTORE — no in-window row rewinds a
-# commit), x54 (SHALLOW CLONE, now with the partitioned tag-3 leg),
-# t27 (deterministic training shards — landed round 13 gate-oracled
-# at two SFs + benched; the only no-total-sort global-shuffle
-# witness), m14 (video stream metadata — same round, oracled via
-# parse∘synthesize==id over a four-codec container zoo), x46
-# (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39 (null-count
-# skipping), x41 (append-only stream drain).
+# Remaining rotation candidates for round 15, in forecast order: t27
+# (deterministic training shards — landed round 13 gate-oracled at
+# two SFs + benched; the only no-total-sort global-shuffle witness),
+# m14 (video stream metadata — same round, oracled over the
+# four-codec container zoo, all four legs + both profiles live since
+# round 14's advice fix), x54 (SHALLOW CLONE, with the partitioned
+# tag-3 leg), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39
+# (null-count skipping), x41 (append-only stream drain), t28 (shard
+# replay — the merge-on-read consumer, landing round 14).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML
