@@ -64,7 +64,25 @@ def displacement_claims(catalog_src: str) -> dict[str, str]:
     return claims
 
 
-def main() -> int:
+def forecast_mentions(catalog_src: str) -> set[str]:
+    """Query names named in a ``rotation candidates`` forecast comment
+    — the documented why-not-yet-windowed form short of a full
+    displacement claim (the gate accepts either for NEW
+    registrations)."""
+    text = re.sub(r"\n#\s?", " ", catalog_src)
+    out: set[str] = set()
+    for m in re.finditer(
+        r"rotation candidates[^.]*\.", text, flags=re.IGNORECASE
+    ):
+        out.update(re.findall(r"\b([a-z]\d{2}\w*)", m.group(0)))
+    return out
+
+
+def audit() -> dict:
+    """One-shot audit record: never-windowed queries, displacement
+    claims, forecast mentions, and structural problems. Used by both
+    the CLI report and the pytest gate (tests/test_window_audit.py)
+    so rotation debt can't silently grow."""
     from onechronos_etl_takehome_spark.plans.catalog import (
         DRIVER_WINDOW,
         ORACLES,
@@ -75,7 +93,8 @@ def main() -> int:
         REPO, "onechronos_etl_takehome_spark", "plans", "catalog.py"
     )
     with open(cat_path) as f:
-        claims = displacement_claims(f.read())
+        src = f.read()
+    claims = displacement_claims(src)
     hist = historical_rows()
     covered = set(hist) | set(DRIVER_WINDOW)
     never = [q for q in QUERIES if q not in covered]
@@ -91,6 +110,33 @@ def main() -> int:
         problems.append(
             f"displaced-but-still-in-window: {contradictions}"
         )
+    # forecast comments name queries by their short prefix ("t28",
+    # "x54") — expand each mention to the registered names it covers
+    mentions = forecast_mentions(src)
+    forecast = {
+        q
+        for q in QUERIES
+        if q in mentions or q.split("_", 1)[0] in mentions
+    }
+    return {
+        "queries": list(QUERIES),
+        "oracled": list(ORACLES),
+        "window": list(DRIVER_WINDOW),
+        "historical": hist,
+        "never": never,
+        "claims": claims,
+        "forecast": forecast,
+        "problems": problems,
+    }
+
+
+def main() -> int:
+    a = audit()
+    hist, claims, never = a["historical"], a["claims"], a["never"]
+    DRIVER_WINDOW, QUERIES, ORACLES = (
+        a["window"], a["queries"], a["oracled"],
+    )
+    problems = a["problems"]
 
     n_hist_only = len(set(hist) - set(DRIVER_WINDOW))
     print(
