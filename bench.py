@@ -5,13 +5,15 @@ the last 2000 chars of output, and round 4's full per-query dict
 overflowed it, leaving the round with no machine-readable bench):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {<ETL numbers + a dozen flagship entries>}, "sf": <sf>,
-   "n_queries": N, "queries_file": "BENCH_queries.json",
+   "n_queries": N, "queries_file": "BENCH_last.json",
    "regressions": ["name:1.4x", ...]}
 
 The FULL record — every per-query timing, candidate-pair counts for the
 fuzzy-dedup probes, the streaming-throughput entry — goes to
-``BENCH_queries.json`` next to this file (committed per round, so it
-doubles as the vs-prev baseline when the driver record is unusable).
+``BENCH_last.json`` (gitignored scratch) on every run; the committed
+vs-prev baseline ``BENCH_queries.json`` is rewritten only under an
+explicit ``--pin`` flag, so a plain bench run leaves the working tree
+clean and the pin changes only in a commit that says so.
 
 Each query is forced end-to-end with a noop sink (full materialization,
 no disk-write noise). JVM/session startup is excluded from per-query
@@ -563,15 +565,21 @@ def _m08_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
     return int(row["n"] - row["cross"]), int(row["cross"])
 
 
-def _m12_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
-    """(within_copy, cross_copy) candidate counts of m12's two-chunk
+def _m12_candidate_split(
+    spark, scaled_dir: str, arity: int = 2
+) -> tuple[int, int]:
+    """(within_copy, cross_copy) candidate counts of m12's
     composite banded-Hamming join over the 10× video fixture — the
     m08 decomposition applied to the video pipeline (same 10M-doc_id
     copy blocks, and ``demo_crosscodec_video_payloads`` passes ids
     through unchanged). Candidates are counted at the operator's own
     granularity: one row per (video pair, frame-hash pair) surviving
     the composite-key join, pre-popcount — exactly what
-    video_tolerant.candidates observes."""
+    video_tolerant.candidates observes. ``arity`` mirrors the
+    operator's composite_arity: 2-chunk 16-bit keys (the default
+    below the corpus crossover) or 3-chunk 24-bit keys (the
+    birthday-term lever whose measured collapse the round-14 probe
+    pins per-round)."""
     from pyspark.sql import functions as F
 
     from onechronos_etl_takehome_spark.operators import video as vid
@@ -588,16 +596,33 @@ def _m12_candidate_split(spark, scaled_dir: str) -> tuple[int, int]:
             F.lit(mask)
         )
 
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(i * bands + j).alias("ci"),
-                (_chunk(i) * F.lit(1 << width) + _chunk(j)).alias("cv"),
-            )
-            for i in range(bands)
-            for j in range(i + 1, bands)
-        ]
-    )
+    if arity == 3:
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit((i * bands + j) * bands + k).alias("ci"),
+                    (
+                        (_chunk(i) * F.lit(1 << width) + _chunk(j))
+                        * F.lit(1 << width)
+                        + _chunk(k)
+                    ).alias("cv"),
+                )
+                for i in range(bands)
+                for j in range(i + 1, bands)
+                for k in range(j + 1, bands)
+            ]
+        )
+    else:
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit(i * bands + j).alias("ci"),
+                    (_chunk(i) * F.lit(1 << width) + _chunk(j)).alias("cv"),
+                )
+                for i in range(bands)
+                for j in range(i + 1, bands)
+            ]
+        )
     sig = fp.select("id", "chash", F.explode(chunks).alias("c")).select(
         "id", "chash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
@@ -882,6 +907,49 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Round 14 (verdict item 4): exercise the ARITY-3 leg on the
+    # bench. The 10× corpus (5,000 videos) sits below the ~6,200
+    # crossover, so the self-selection correctly stays at 2 — which
+    # means the documented 67× cross-candidate collapse of 3-chunk
+    # 24-bit keys was never measured per-round. Force
+    # composite_arity=3 over the same fixture: a timed end-to-end
+    # entry plus the candidate decomposition, so the claim stays
+    # pinned against drift.
+    def _m12_arity3(spark, data_dir):
+        from pyspark.sql import functions as F
+
+        from onechronos_etl_takehome_spark.operators import video as vid
+
+        docs = spark.read.parquet(
+            os.path.join(data_dir, "documents.parquet")
+        )
+        payloads = vid.demo_crosscodec_video_payloads(docs, "doc_id")
+        return vid.video_match_pairs_tolerant(
+            payloads, min_containment=0.6, composite_arity=3
+        )
+
+    t0 = time.perf_counter()
+    _m12_arity3(spark, llm10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["m12_crosscodec_video_neardup_10x_arity3"] = round(
+        time.perf_counter() - t0, 3
+    )
+    m12_a3 = _m12_candidate_split(spark, llm10, arity=3)
+    candidate_counts["m12_crosscodec_video_neardup_10x_arity3_within_copy"] = (
+        m12_a3[0]
+    )
+    candidate_counts["m12_crosscodec_video_neardup_10x_arity3_cross_copy"] = (
+        m12_a3[1]
+    )
+    collapse = m12_split[1] / max(m12_a3[1], 1)
+    print(
+        f"m12 arity3: cross-copy candidates {m12_split[1]} -> "
+        f"{m12_a3[1]} ({collapse:.0f}x collapse; documented lever "
+        f"claims ~67x), within-copy {m12_split[0]} -> {m12_a3[0]}",
+        file=sys.stderr,
+    )
+
     # 100× embeddings (500k × 64): the GEMM-vs-interpreted crossover.
     # At sf0.1's 5k vectors every similarity query is python-worker /
     # scheduling overhead and the interpreted fold (s01) ties the BLAS
@@ -1008,20 +1076,25 @@ def main() -> None:
             json.dump(vs_prev, f, indent=1)
         print("vs_prev written to BENCH_vs_prev.json", file=sys.stderr)
 
-    # FULL record → side file (committed per round; doubles as the
-    # next round's vs-prev baseline).
-    with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as f:
-        json.dump(
-            {
-                "sf": sf,
-                "total": total,
-                "queries": timings,
-                "candidate_counts": candidate_counts,
-                "streaming": streaming,
-            },
-            f,
-            indent=1,
-        )
+    # FULL record → BENCH_last.json (uncommitted scratch) ALWAYS;
+    # BENCH_queries.json — the committed vs-prev baseline — only under
+    # an explicit --pin. Unconditional pinning made every driver
+    # post-commit bench run dirty the committed baseline in the
+    # working tree (round-13 verdict: the pin must change only in a
+    # commit that says so).
+    record = {
+        "sf": sf,
+        "total": total,
+        "queries": timings,
+        "candidate_counts": candidate_counts,
+        "streaming": streaming,
+    }
+    with open(os.path.join(repo_dir, "BENCH_last.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    if "--pin" in sys.argv:
+        with open(os.path.join(repo_dir, "BENCH_queries.json"), "w") as f:
+            json.dump(record, f, indent=1)
+        print("baseline pinned to BENCH_queries.json", file=sys.stderr)
 
     # The compact driver-parseable JSON is the FINAL stdout line — it
     # MUST stay well under the driver's 2000-char tail capture (round
@@ -1053,7 +1126,7 @@ def main() -> None:
         "queries": {k: timings[k] for k in compact_keys if k in timings},
         "sf": sf,
         "n_queries": len(timings),
-        "queries_file": "BENCH_queries.json",
+        "queries_file": "BENCH_last.json",
         "regressions": regressions,
     }
     line = json.dumps(out)
