@@ -255,6 +255,8 @@ HEADLINE = [
     "t27_training_shards",
     # m14: video stream metadata (container/SPS walks, no pixel decode)
     "m14_video_metadata",
+    # m15: AVC I_PCM ingest near-dup (real H.264 write+decode leg)
+    "m15_avc_ipcm_video_neardup",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
@@ -275,6 +277,8 @@ CANDIDATE_QUERIES = {
     "m10_video_neardup",
     # round 7: the tolerant cross-codec frame join gets its own count
     "m12_crosscodec_video_neardup",
+    # round 14: the AVC I_PCM leg rides the same tolerant join
+    "m15_avc_ipcm_video_neardup",
 }
 
 # Fuzzy-dedup / ANN paths probed on a 10× corpus (see

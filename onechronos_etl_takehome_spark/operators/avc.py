@@ -1,15 +1,22 @@
-"""AVC (H.264) stream metadata in pure stdlib — SPS parsing.
+"""AVC (H.264) stream metadata + the I_PCM sample coding layer, in
+pure stdlib/numpy.
 
-Pixel DECODE of AVC/HEVC stays out of scope (a conformant inter
-decoder needs a media library; ``operators/mp4.py`` raises loudly).
-But a 100-TB video corpus job needs the layer BELOW decode on every
-payload: what codec is this, what profile/level (can the downstream
-decoder fleet even play it?), what coded dimensions, what chroma
-format — the routing/cataloging pass that decides which payloads go
-to which decode pool and dedups obvious container-level twins. That
-layer is a bit-exact, fully-specified parse (ISO/IEC 14496-10 §7.3.2.1.1
-seq_parameter_set_rbsp + the 14496-15 AVCDecoderConfigurationRecord),
-implementable and testable without any codec library:
+Entropy-coded pixel DECODE of AVC/HEVC stays out of scope (a
+conformant CAVLC/CABAC + inter decoder needs a media library;
+``operators/mp4.py`` raises loudly). Two layers ARE in scope:
+
+1. The layer BELOW decode, which a 100-TB video corpus job needs on
+   every payload: what codec is this, what profile/level (can the
+   downstream decoder fleet even play it?), what coded dimensions,
+   what chroma format — the routing/cataloging pass that decides
+   which payloads go to which decode pool and dedups obvious
+   container-level twins. That layer is a bit-exact, fully-specified
+   parse (ISO/IEC 14496-10 §7.3.2.1.1 seq_parameter_set_rbsp + the
+   14496-15 AVCDecoderConfigurationRecord).
+2. The I_PCM intra subset (§7.3.5) — raw byte-aligned macroblock
+   samples, fully conformant H.264 that round-trips bit-exactly —
+   encoded and decoded at the bottom of this module, which gives the
+   near-dup family a real AVC corpus leg without a codec library.
 
 - :func:`parse_sps` — exp-Golomb walk of one SPS RBSP: profile/level,
   chroma format, bit depths, and the EXACT display dimensions
@@ -124,10 +131,11 @@ def parse_sps(sps: bytes) -> dict:
             for i in range(8 if chroma_format_idc != 3 else 12):
                 if r.u(1):
                     _skip_scaling_list(r, 16 if i < 6 else 64)
-    r.ue()  # log2_max_frame_num_minus4
+    log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+        log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
         r.u(1)  # delta_pic_order_always_zero_flag
         r.se()  # offset_for_non_ref_pic
@@ -173,6 +181,16 @@ def parse_sps(sps: bytes) -> dict:
         "width": width,
         "height": height,
         "frame_mbs_only": bool(frame_mbs_only),
+        # the coded grid + crop origin, which a sample DECODER needs
+        # (display dims alone can't place the conformance window)
+        "coded_width": w_mbs * 16,
+        "coded_height": (2 - frame_mbs_only) * h_map_units * 16,
+        "crop_left": unit_x * crop_l,
+        "crop_top": unit_y * crop_t,
+        # slice-header field widths (the I_PCM decode layer reads them)
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
     }
 
 
@@ -516,3 +534,203 @@ def synthesize_hvcc(
     arr += struct.pack(">H", 1)
     arr += struct.pack(">H", len(sps)) + sps
     return head + arr
+
+
+# ---------------------------------------------------------------------------
+# I_PCM coding layer: REAL AVC sample encode/decode for the intra-PCM
+# subset (14496-10 §7.3.5/§8.3): every macroblock of an IDR slice is
+# mb_type I_PCM — raw byte-aligned luma+chroma samples in the RBSP.
+# I_PCM is fully conformant H.264 (any decoder plays it; the spec
+# guarantees bit-exact reconstruction, and at the QP=0 the standard
+# assigns PCM blocks the deblocking thresholds are zero, so the loop
+# filter provably never alters a PCM-only frame). It is the honest
+# lossless subset a pure-python engine can both WRITE and READ —
+# entropy-coded (CAVLC/CABAC) residual decode still raises, loudly.
+# ---------------------------------------------------------------------------
+
+
+class _RbspWriter:
+    """MSB-first bit writer with byte-aligned raw appends — the shape
+    I_PCM needs (exp-Golomb header bits, then aligned PCM bytes)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, val: int, bits: int) -> None:
+        for k in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                self.acc = self.n = 0
+
+    def ue(self, val: int) -> None:
+        code = val + 1
+        ln = code.bit_length()
+        self.u(0, ln - 1)
+        self.u(code, ln)
+
+    def se(self, val: int) -> None:
+        self.ue(2 * val - 1 if val > 0 else -2 * val)
+
+    def align_zero(self) -> None:
+        if self.n:
+            self.u(0, 8 - self.n)
+
+    def raw(self, data: bytes) -> None:
+        assert self.n == 0, "raw bytes must land byte-aligned"
+        self.buf += data
+
+    def trailing(self) -> bytes:
+        self.u(1, 1)  # rbsp_stop_one_bit
+        self.align_zero()
+        return bytes(self.buf)
+
+
+def _escape_emulation(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes: any 00 00 followed by a
+    byte <= 3 gets 03 interposed (the inverse of _strip_emulation)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def parse_pps(pps: bytes) -> dict:
+    """Parse one PPS NAL (header byte included) — the fields an
+    I-slice header parse depends on (14496-10 §7.3.2.2, up to the
+    more_rbsp_data tail, which I_PCM never needs)."""
+    if not pps or pps[0] & 0x1F != 8:
+        raise ValueError("not a PPS NAL")
+    r = _BitReader(_strip_emulation(pps[1:]))
+    d = {
+        "pps_id": r.ue(),
+        "sps_id": r.ue(),
+        "entropy_coding_mode": r.u(1),
+        "bottom_field_poc_present": r.u(1),
+        "num_slice_groups": r.ue() + 1,
+    }
+    if d["num_slice_groups"] > 1:
+        raise ValueError("FMO slice groups unsupported")
+    d["num_ref_idx_l0"] = r.ue() + 1
+    d["num_ref_idx_l1"] = r.ue() + 1
+    d["weighted_pred"] = r.u(1)
+    d["weighted_bipred_idc"] = r.u(2)
+    d["pic_init_qp"] = 26 + r.se()
+    d["pic_init_qs"] = 26 + r.se()
+    d["chroma_qp_index_offset"] = r.se()
+    d["deblocking_filter_control_present"] = r.u(1)
+    d["constrained_intra_pred"] = r.u(1)
+    d["redundant_pic_cnt_present"] = r.u(1)
+    return d
+
+
+def encode_ipcm_idr(
+    y, cb, cr, *, idr_pic_id: int = 0, sps: dict | None = None
+) -> bytes:
+    """Encode one frame of planar samples (uint8 numpy: Y at the full
+    coded grid, Cb/Cr at the 4:2:0 half grid; dimensions multiples of
+    16/8) as ONE conformant IDR slice NAL whose macroblocks are all
+    I_PCM. Slice-header field widths come from ``sps`` (a parse_sps
+    dict) — defaults match :func:`synthesize_sps`'s output."""
+    h, w = y.shape
+    if h % 16 or w % 16 or cb.shape != (h // 2, w // 2) or cr.shape != cb.shape:
+        raise ValueError("I_PCM planes must cover the 16-aligned grid")
+    frame_num_bits = (sps or {}).get("log2_max_frame_num", 4)
+    poc_bits = (sps or {}).get("log2_max_poc_lsb", 4)
+    wr = _RbspWriter()
+    wr.ue(0)  # first_mb_in_slice
+    wr.ue(7)  # slice_type: I (all slices of the picture are I)
+    wr.ue(0)  # pic_parameter_set_id
+    wr.u(0, frame_num_bits)  # frame_num == 0 in an IDR picture
+    wr.ue(idr_pic_id)
+    wr.u(0, poc_bits)  # pic_order_cnt_lsb (poc_type 0)
+    wr.u(0, 1)  # no_output_of_prior_pics_flag
+    wr.u(0, 1)  # long_term_reference_flag
+    wr.se(0)  # slice_qp_delta
+    # (the embedded PPS has deblocking_filter_control_present == 0, so
+    # no deblocking fields in the header; with all-PCM content the
+    # default-on filter is a provable no-op — thresholds at QP 0 are 0)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            wr.ue(25)  # mb_type I_PCM (I-slice table 7-11)
+            wr.align_zero()  # pcm_alignment_zero_bit(s)
+            wr.raw(y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16].tobytes())
+            wr.raw(cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes())
+            wr.raw(cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes())
+    # nal_ref_idc=3, nal_unit_type=5 (IDR coded slice)
+    return bytes([0x65]) + _escape_emulation(wr.trailing())
+
+
+def decode_ipcm_idr(nal: bytes, sps: dict, pps: dict | None = None):
+    """Decode one all-I_PCM IDR slice NAL → (y, cb, cr) uint8 planes
+    at the coded grid. Raises ValueError on anything the I_PCM subset
+    cannot represent (entropy-coded macroblocks, fields, non-4:2:0) —
+    the caller's fall-to-stub / skip contract."""
+    import numpy as np
+
+    if not nal or nal[0] & 0x1F != 5:
+        raise ValueError("not an IDR slice NAL")
+    if sps.get("chroma_format_idc") != 1 or not sps.get("frame_mbs_only"):
+        raise ValueError("I_PCM decode supports progressive 4:2:0 only")
+    if pps is not None and pps.get("entropy_coding_mode"):
+        raise ValueError("CABAC slices are not I_PCM-decodable here")
+    r = _BitReader(_strip_emulation(nal[1:]))
+    r.ue()  # first_mb_in_slice (single-slice pictures: 0)
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise ValueError(f"not an I slice (slice_type={slice_type})")
+    r.ue()  # pic_parameter_set_id
+    r.u(sps.get("log2_max_frame_num", 4))  # frame_num
+    r.ue()  # idr_pic_id
+    if sps.get("poc_type", 0) == 0:
+        r.u(sps.get("log2_max_poc_lsb", 4))
+        if pps is not None and pps.get("bottom_field_poc_present"):
+            r.se()  # delta_pic_order_cnt_bottom
+    elif sps.get("poc_type") == 1:
+        raise ValueError("poc_type 1 slice headers unsupported")
+    r.u(1)  # no_output_of_prior_pics_flag
+    r.u(1)  # long_term_reference_flag
+    r.se()  # slice_qp_delta
+    if pps is not None and pps.get("deblocking_filter_control_present"):
+        if r.ue() != 1:  # disable_deblocking_filter_idc
+            r.se()  # slice_alpha_c0_offset_div2
+            r.se()  # slice_beta_offset_div2
+    h, w = sps["coded_height"], sps["coded_width"]
+    y = np.empty((h, w), dtype=np.uint8)
+    cb = np.empty((h // 2, w // 2), dtype=np.uint8)
+    cr = np.empty((h // 2, w // 2), dtype=np.uint8)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            mb_type = r.ue()
+            if mb_type != 25:
+                raise ValueError(
+                    f"entropy-coded macroblock (mb_type={mb_type}): only "
+                    "the I_PCM subset decodes without a media library"
+                )
+            if r.pos % 8:  # pcm_alignment_zero_bit(s)
+                r.u(8 - r.pos % 8)
+            by = r.pos >> 3
+            need = 256 + 64 + 64
+            data = r.data[by : by + need]
+            if len(data) != need:
+                raise ValueError("I_PCM samples truncated")
+            r.pos += need * 8
+            mb = np.frombuffer(data, dtype=np.uint8)
+            y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = mb[
+                :256
+            ].reshape(16, 16)
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = mb[
+                256:320
+            ].reshape(8, 8)
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = mb[
+                320:
+            ].reshape(8, 8)
+    return y, cb, cr

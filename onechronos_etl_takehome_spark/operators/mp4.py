@@ -167,11 +167,14 @@ def _find(payload: bytes, off: int, end: int, fourcc: bytes):
 
 
 def mp4_frames(payload: bytes) -> "object":
-    """REAL decode of an MJPEG MP4: box walk → video trak → sample
-    table → per-sample JPEG decode. Returns (n, h, w, 3) uint8 BGR
-    (the ``avi_frames`` contract, so fingerprinting is container-
-    agnostic). ValueError on non-MP4 magic, non-MJPEG codecs, and any
-    truncated/corrupt structure."""
+    """REAL decode of an MJPEG or I_PCM-AVC MP4: box walk → video
+    trak → sample table → per-sample decode (JPEG entropy decode for
+    ``jpeg`` entries; the byte-exact I_PCM slice layer of
+    ``operators/avc.py`` for ``avc1`` entries). Returns (n, h, w, 3)
+    uint8 BGR (the ``avi_frames`` contract, so fingerprinting is
+    container-agnostic). ValueError on non-MP4 magic, entropy-coded
+    AVC / HEVC (ffmpeg territory), and any truncated/corrupt
+    structure."""
     import numpy as np
 
     from .jpeg import jpeg_pixels
@@ -209,10 +212,13 @@ def _mp4_frames_checked(payload: bytes, jpeg_pixels, np) -> list:
         if stsd is None:
             raise ValueError("stbl missing stsd")
         codec = payload[stsd[0] + 12 : stsd[0] + 16]
-        if codec not in (b"jpeg", b"mjpa", b"MJPG"):
+        decode_avc = None
+        if codec == b"avc1":
+            decode_avc = _avc_sample_decoder(payload, stsd, np)
+        elif codec not in (b"jpeg", b"mjpa", b"MJPG"):
             raise ValueError(
-                f"unsupported MP4 codec {codec!r} (MJPEG only; AVC/HEVC "
-                "need ffmpeg)"
+                f"unsupported MP4 codec {codec!r} (MJPEG + I_PCM AVC "
+                "only; entropy-coded AVC / HEVC need ffmpeg)"
             )
         sizes = _parse_stsz(payload, stbl)
         offsets = _parse_chunk_offsets(payload, stbl)
@@ -231,11 +237,75 @@ def _mp4_frames_checked(payload: bytes, jpeg_pixels, np) -> list:
                 data = payload[pos : pos + sizes[si]]
                 if len(data) != sizes[si]:
                     raise ValueError("sample overruns mdat")
-                rgb = jpeg_pixels(data)
-                frames.append(rgb[..., ::-1])  # contract is BGR
+                if decode_avc is not None:
+                    frames.extend(
+                        rgb[..., ::-1] for rgb in decode_avc(data)
+                    )
+                else:
+                    rgb = jpeg_pixels(data)
+                    frames.append(rgb[..., ::-1])  # contract is BGR
                 pos += sizes[si]
                 si += 1
     return frames
+
+
+def _avc_sample_decoder(payload: bytes, stbl_stsd, np):
+    """Build the per-sample decoder for an ``avc1`` track: parse the
+    sample entry's avcC record (SPS + NAL length size), then decode
+    each sample's length-prefixed NALs through the I_PCM layer.
+    Entropy-coded slices raise ValueError — the fall-to-stub contract
+    — while I_PCM streams (our own writer, or any conformant encoder
+    in PCM mode) reconstruct bit-exactly."""
+    from .avc import decode_ipcm_idr, parse_avcc
+    from .jpeg import _ycbcr_to_rgb
+
+    stsd0 = stbl_stsd[0]
+    entry_size = struct.unpack_from(">I", payload, stsd0 + 8)[0]
+    entry_end = stsd0 + 8 + entry_size
+    # children follow the 78-byte VisualSampleEntry fixed fields
+    avcc_loc = _find(payload, stsd0 + 16 + 78, entry_end, b"avcC")
+    if avcc_loc is None:
+        raise ValueError("avc1 entry missing avcC record")
+    cfg = parse_avcc(payload[avcc_loc[0] : avcc_loc[1]])
+    nls = cfg["nal_length_size"]
+    x0, y0 = cfg["crop_left"], cfg["crop_top"]
+    w, h = cfg["width"], cfg["height"]
+
+    def decode(sample: bytes) -> list:
+        out = []
+        pos = 0
+        while pos < len(sample):
+            if pos + nls > len(sample):
+                raise ValueError("AVC NAL length field truncated")
+            ln = int.from_bytes(sample[pos : pos + nls], "big")
+            pos += nls
+            nal = sample[pos : pos + ln]
+            if len(nal) != ln or not nal:
+                raise ValueError("AVC NAL overruns its sample")
+            pos += ln
+            t = nal[0] & 0x1F
+            if t == 5:  # IDR slice — the I_PCM decode path
+                y, cb, cr = decode_ipcm_idr(nal, cfg)
+                ycc = np.empty((*y.shape, 3), dtype=np.float64)
+                ycc[..., 0] = y
+                # 4:2:0 → nearest-neighbor upsample
+                ycc[..., 1] = np.repeat(np.repeat(cb, 2, 0), 2, 1)
+                ycc[..., 2] = np.repeat(np.repeat(cr, 2, 0), 2, 1)
+                rgb = (_ycbcr_to_rgb(ycc) + 0.5).astype(np.uint8)
+                out.append(rgb[y0 : y0 + h, x0 : x0 + w])
+            elif t in (1,):  # non-IDR slice: inter prediction
+                raise ValueError(
+                    "inter-coded AVC slice: decode needs ffmpeg"
+                )
+            # SPS/PPS/SEI/AUD ride along in-sample for some muxers —
+            # parameter sets already came from avcC; skip them.
+            elif t not in (6, 7, 8, 9):
+                raise ValueError(
+                    f"AVC NAL type {t} is outside the I_PCM subset"
+                )
+        return out
+
+    return decode
 
 
 def _parse_stsz(payload: bytes, stbl) -> list[int]:
@@ -393,19 +463,78 @@ def mp4_avc_fixture(
     conformant SPS from operators/avc.py — whose mdat carries opaque
     seeded bytes instead of coded slices: the fixture for the metadata
     pass, which never opens mdat. Pixel decode of this file raises,
-    exactly like any other AVC/HEVC payload."""
-    from .avc import synthesize_avcc, synthesize_hvcc
-
+    exactly like any other entropy-coded AVC/HEVC payload (the bytes
+    are not valid length-prefixed NALs)."""
     samples = [
         bytes(((seed + 17 * k + j) * 131) % 256 for j in range(64))
         for k in range(n_samples)
     ]
+    return _avc_container(
+        samples, width, height,
+        profile_idc=profile_idc, level_idc=level_idc, codec=codec,
+    )
+
+
+def mp4_from_frames_avc(frames: "object", *, fps: int = 10) -> bytes:
+    """Serialize an (n, h, w, 3) uint8 BGR array as an avc1 MP4 whose
+    samples are REAL spec-conformant H.264: one IDR slice of I_PCM
+    macroblocks per frame (14496-10 §7.3.5 — raw byte-aligned 4:2:0
+    samples, bit-exact by construction, playable by any conformant
+    decoder). The lossless write-side twin of :func:`mp4_from_frames`'s
+    lossy MJPEG: the pair gives the near-dup family a real AVC corpus
+    leg without a media library. Even display dims required (4:2:0);
+    the coded grid pads to 16 by edge replication and the SPS
+    conformance window crops it back."""
+    import numpy as np
+
+    from .avc import encode_ipcm_idr, parse_sps, synthesize_sps
+    from .jpeg import _rgb_to_ycbcr
+
+    n, h, w = frames.shape[:3]
+    sps = parse_sps(synthesize_sps(w, h))
+    ch, cw = sps["coded_height"], sps["coded_width"]
+    samples = []
+    for k in range(n):
+        rgb = frames[k][..., ::-1].astype(np.float64)  # BGR contract
+        pad = np.pad(
+            rgb, ((0, ch - h), (0, cw - w), (0, 0)), mode="edge"
+        )
+        ycc = np.clip(_rgb_to_ycbcr(pad) + 0.5, 0, 255).astype(np.uint8)
+        y = ycc[..., 0]
+        # 4:2:0 chroma: mean of each 2x2 block, rounded half-up
+        cbcr = ycc[..., 1:].astype(np.float64)
+        sub = (
+            cbcr.reshape(ch // 2, 2, cw // 2, 2, 2).mean(axis=(1, 3))
+            + 0.5
+        ).astype(np.uint8)
+        nal = encode_ipcm_idr(
+            y, sub[..., 0], sub[..., 1], idr_pic_id=k % 2, sps=sps
+        )
+        samples.append(struct.pack(">I", len(nal)) + nal)
+    return _avc_container(samples, w, h, fps=fps)
+
+
+def _avc_container(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    *,
+    profile_idc: int = 66,
+    level_idc: int = 30,
+    codec: str = "avc",
+    fps: int = 10,
+) -> bytes:
+    """One-video-track avc1/hvc1 MP4 around the given mdat samples
+    (length-prefixed NALs for real streams; opaque bytes for the
+    metadata fixtures)."""
+    from .avc import synthesize_avcc, synthesize_hvcc
+
+    n_samples = len(samples)
     sizes = [len(s) for s in samples]
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2avc1")
     mdat = _box(b"mdat", b"".join(samples))
     chunk_off = len(ftyp) + 8
     n = n_samples
-    fps = 10
     timescale = 1000
     duration = n * timescale // fps
     mvhd = _full_box(

@@ -756,8 +756,9 @@ def decode_features(
     MP4 (the ISO-BMFF box walk in ``operators/mp4.py`` — features of
     the lead frame) and 16-bit-PCM WAV decode FOR REAL (see
     ``_decode_bmp`` / ``_decode_png`` / ``_decode_jpeg`` /
-    ``_decode_mp4`` / ``_decode_wav``); the remaining variants
-    (AVC/HEVC sample codecs) fall to
+    ``_decode_mp4`` / ``_decode_wav``; round 14: ``avc1`` tracks
+    whose slices are I_PCM decode for real through the same MP4
+    path); the remaining variants (entropy-coded AVC/HEVC) fall to
     the deterministic stub, or raise NotImplementedError under
     ``require_real_decoder=True``. The ``decoder`` output column says
     which path each row took.

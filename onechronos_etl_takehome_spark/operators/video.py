@@ -16,10 +16,12 @@ frame chunks, the original Microsoft layout — a RIFF chunk walker +
 the same bottom-up stride-padded pixel reshape the BMP decoder uses)
 and 'MJPG' ('00dc' compressed chunks, each frame a standalone
 baseline JPEG decoded by ``operators/jpeg.py`` — the Motion-JPEG
-layout real capture hardware emits). Codecs beyond those (H.264/HEVC)
-still need ffmpeg; a production deployment swaps ``avi_frames`` for
-an ffmpeg-backed frame sampler behind the same (id, content) →
-(id, chash) contract.
+layout real capture hardware emits). MP4 adds MJPEG tracks and —
+round 14 — real H.264 in the I_PCM intra subset
+(``mp4.mp4_from_frames_avc`` / the avc1 branch of ``mp4_frames``);
+entropy-coded H.264/HEVC still needs ffmpeg, and a production
+deployment swaps the decode for an ffmpeg-backed frame sampler
+behind the same (id, content) → (id, chash) contract.
 
 Pipeline shape on Spark: decode + dHash runs in Arrow-batched
 ``mapInPandas`` emitting (id, chash) rows; matching is the shared
@@ -598,6 +600,56 @@ def demo_crosscodec_video_payloads(
             )
 
     return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def demo_avc_twin_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, n_frames: int = 8
+) -> DataFrame:
+    """AVC-ingest near-dup fixture: paired ids share a scene; the
+    even member is a lossy Motion-JPEG MP4, the odd member the SAME
+    footage (lead frame trimmed) as an ``avc1`` MP4 whose samples are
+    REAL spec-conformant I_PCM slices (``mp4.mp4_from_frames_avc``).
+    The MJPEG side's quantization drifts every frame hash a few bits
+    while the AVC side reconstructs bit-exactly, so only
+    hash-tolerant matching can pair them — the m12 contrast, now with
+    a genuine H.264 leg the engine both writes and decodes."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .mp4 import mp4_from_frames, mp4_from_frames_avc
+    from .util import spread
+
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                scene = i // (2 * modulus)
+                frames = [_scene_frame(scene, k) for k in range(n_frames)]
+                if (i // modulus) % 2 == 1:
+                    content.append(
+                        mp4_from_frames_avc(np.stack(frames[1:]))
+                    )
+                else:
+                    content.append(mp4_from_frames(np.stack(frames)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["video"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(
+        gen, schema="id long, content binary, modality string"
+    )
 
 
 def materialize_demo_video_corpus(

@@ -258,7 +258,9 @@ DRIVER_WINDOW: list[str] = [
 # round 14's advice fix), x54 (SHALLOW CLONE, with the partitioned
 # tag-3 leg), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39
 # (null-count skipping), x41 (append-only stream drain), t28 (shard
-# replay — the merge-on-read consumer, landing round 14).
+# replay — the merge-on-read consumer, landing round 14), m15 (AVC
+# I_PCM ingest near-dup — the real-H.264 leg of the m12 family, also
+# landing round 14; rows-only like its siblings).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

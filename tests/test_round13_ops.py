@@ -375,8 +375,10 @@ class TestAvcMetadata:
         assert (m["codec"], m["width"], m["height"]) == ("avc", 354, 288)
         assert (m["profile_idc"], m["level_idc"]) == (100, 31)
         # pixel decode of the avc fixture still raises — metadata is
-        # the supported surface, decode stays honest
-        with pytest.raises(ValueError, match="avc1"):
+        # the supported surface, decode stays honest (round 14: the
+        # avc1 branch exists for I_PCM streams, so the raise now comes
+        # from the fixture's opaque mdat bytes not being valid NALs)
+        with pytest.raises(ValueError, match="AVC"):
             mp4.mp4_frames(b)
         a = video.avi_video_metadata(
             video.avi_from_frames(frames, codec="MJPG")

@@ -16,7 +16,11 @@
   (seed, corpus) order;
 - externally-derived AVC/HEVC SPS fixtures (hand-assembled bit
   layouts, not synthesize_* output) breaking the
-  parse∘synthesize==id self-reference.
+  parse∘synthesize==id self-reference;
+- the AVC I_PCM coding layer (m15): bit-exact encode/decode
+  round-trips, emulation-prevention inverse, metadata pass over the
+  real stream, entropy-coded payloads still raising, and the planted
+  MJPEG/AVC twins recovered by the tolerant join only.
 """
 
 from __future__ import annotations
@@ -254,6 +258,93 @@ class TestExternalSpsFixtures:
         assert self.HEVC_SPS != avc.synthesize_hevc_sps(
             1280, 720, profile_idc=4, level_idc=123
         )
+
+
+class TestAvcIpcmCoding:
+    """The I_PCM sample coding layer (round-13 verdict stretch item):
+    spec-conformant H.264 the engine both writes and decodes, giving
+    the tolerant video near-dup family a real AVC leg. Entropy-coded
+    AVC stays an honest raise."""
+
+    def test_gray_frames_round_trip_bit_exact(self):
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import mp4
+
+        rng = np.random.RandomState(3)
+        g = np.repeat(
+            rng.randint(0, 256, size=(2, 38, 46, 1)), 3, axis=3
+        ).astype(np.uint8)
+        dec = mp4.mp4_frames(mp4.mp4_from_frames_avc(g))
+        assert (dec == g).all()  # PCM + gray chroma: bit-exact
+
+    def test_color_round_trip_within_rounding(self):
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import mp4
+
+        rng = np.random.RandomState(11)
+        small = rng.randint(0, 256, size=(3, 19, 23, 3)).astype(np.uint8)
+        frames = np.repeat(np.repeat(small, 2, 1), 2, 2)
+        dec = mp4.mp4_frames(mp4.mp4_from_frames_avc(frames))
+        assert dec.shape == frames.shape
+        assert int(np.max(np.abs(dec.astype(int) - frames.astype(int)))) <= 1
+
+    def test_metadata_pass_reads_the_real_stream(self):
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import mp4
+
+        frames = np.zeros((4, 34, 50, 3), dtype=np.uint8)
+        m = mp4.mp4_video_metadata(mp4.mp4_from_frames_avc(frames))
+        assert (m["codec"], m["width"], m["height"], m["n_samples"]) == (
+            "avc", 50, 34, 4,
+        )
+
+    def test_entropy_coded_fixture_still_raises(self):
+        import pytest as _pytest
+
+        from onechronos_etl_takehome_spark.operators import mp4
+
+        payload = mp4.mp4_avc_fixture(48, 32)
+        with _pytest.raises(ValueError):
+            mp4.mp4_frames(payload)
+
+    def test_emulation_escape_is_strips_inverse(self):
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import avc
+
+        rng = np.random.RandomState(5)
+        for _ in range(20):
+            raw = bytes(rng.randint(0, 4, size=64).astype(np.uint8))
+            assert avc._strip_emulation(avc._escape_emulation(raw)) == raw
+        assert avc._escape_emulation(b"\x00\x00\x00") == b"\x00\x00\x03\x00"
+        assert avc._escape_emulation(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
+        assert avc._escape_emulation(b"\x00\x00\x04") == b"\x00\x00\x04"
+
+    def test_planted_avc_twins_recovered_tolerant_only(self, spark):
+        """The stretch's done-bar: a planted AVC twin recovered by
+        video_match_pairs_tolerant — and the exact containment join
+        finds ZERO pairs (JPEG quantization drifts the MJPEG side's
+        hashes), so the tolerant machinery is doing the work."""
+        from onechronos_etl_takehome_spark.operators import video as vid
+
+        docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        payloads = vid.demo_avc_twin_payloads(docs, "doc_id").cache()
+        try:
+            tolerant = vid.video_match_pairs_tolerant(
+                payloads, min_containment=0.6
+            ).collect()
+            exact = vid.video_match_pairs(
+                payloads, min_containment=0.6
+            ).collect()
+        finally:
+            payloads.unpersist()
+        assert exact == []
+        got = {(r["id_a"], r["id_b"]) for r in tolerant}
+        want = {(a, a + 10) for a in range(0, 200, 20)}
+        assert got == want
 
 
 class TestReadTrainingShards:
