@@ -323,6 +323,41 @@ class TestAvcIpcmCoding:
         assert avc._escape_emulation(b"\x00\x00\x01") == b"\x00\x00\x03\x01"
         assert avc._escape_emulation(b"\x00\x00\x04") == b"\x00\x00\x04"
 
+    def test_external_avc1_mp4_decodes_bit_exact(self):
+        """tests/fixtures/external_ipcm_avc1.mp4 was assembled by an
+        INDEPENDENT one-off packer (its own exp-Golomb writer, its own
+        ISO-BMFF box builder, typed field-by-field from 14496-12/-10 —
+        nothing imported from this repo), so the full ingest lineage —
+        ftyp/moov walk, sample tables, avcC record, SPS/PPS parse,
+        I_PCM slice decode — runs on bytes the engine did not write:
+        the container-and-codec counterpart of the frozen SPS
+        fixtures above. Content: one 32×32 IDR frame, luma gradient
+        Y[r,c] = (16r + c) mod 256 with flat 128 chroma, so the
+        decoded RGB must equal the gray gradient EXACTLY."""
+        import os
+
+        import numpy as np
+
+        from onechronos_etl_takehome_spark.operators import mp4
+
+        path = os.path.join(
+            os.path.dirname(__file__), "fixtures", "external_ipcm_avc1.mp4"
+        )
+        with open(path, "rb") as f:
+            payload = f.read()
+        m = mp4.mp4_video_metadata(payload)
+        assert (
+            m["codec"], m["width"], m["height"],
+            m["n_samples"], m["profile_idc"], m["level_idc"],
+        ) == ("avc", 32, 32, 1, 66, 20)
+        dec = mp4.mp4_frames(payload)
+        assert dec.shape == (1, 32, 32, 3)
+        grad = np.array(
+            [[(16 * r + c) % 256 for c in range(32)] for r in range(32)],
+            dtype=np.uint8,
+        )
+        assert (dec[0] == grad[..., None]).all()
+
     def test_planted_avc_twins_recovered_tolerant_only(self, spark):
         """The stretch's done-bar: a planted AVC twin recovered by
         video_match_pairs_tolerant — and the exact containment join
