@@ -257,6 +257,12 @@ HEADLINE = [
     "m14_video_metadata",
     # m15: AVC I_PCM ingest near-dup (real H.264 write+decode leg)
     "m15_avc_ipcm_video_neardup",
+    # m16: FLAC ingest near-dup (compressed-audio decode leg: every
+    # re-captured twin is a real FLAC stream the landmark join must
+    # decode — LPC/fixed subframes, Rice residuals, CRC+MD5 verify)
+    "m16_flac_audio_neardup",
+    # m17: audio stream metadata (RIFF walk + fLaC STREAMINFO only)
+    "m17_audio_stream_metadata",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

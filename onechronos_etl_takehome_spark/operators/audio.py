@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame
 from .multimodal import chunk_pair_join, sniff_modality, wav_samples
 
 
+def audio_samples(data: bytes) -> tuple[int, int, "object"]:
+    """Codec-transparent decode → (n_channels, sample_rate, float64
+    interleaved samples in [-1, 1)): RIFF/WAVE via ``wav_samples``,
+    FLAC via the real ``operators/flac.py`` decoder (lossless, so a
+    FLAC upload fingerprints identically to its WAV original).
+    Anything else raises ValueError — the callers' skip contract."""
+    kind = sniff_modality(data)
+    if kind == "wav":
+        return wav_samples(data)
+    if kind == "flac":
+        from .flac import flac_samples
+
+        return flac_samples(data)
+    raise ValueError(f"not a decodable audio payload ({kind})")
+
+
 def spectral_landmarks(
     data: bytes,
     *,
@@ -51,7 +67,7 @@ def spectral_landmarks(
     """
     import numpy as np
 
-    n_channels, _, samples = wav_samples(data)
+    n_channels, _, samples = audio_samples(data)
     n_frames_total = len(samples) // max(n_channels, 1)
     mono = (
         samples[: n_frames_total * n_channels]
@@ -102,15 +118,9 @@ def _tone_clip(seed: int, *, n: int = 8192, sr: int = 8000) -> "object":
     return wave
 
 
-def demo_noisy_audio_payloads(
-    df: DataFrame, id_col: str, *, modulus: int = 10, hop: int = 128
+def _demo_audio_payloads(
+    df: DataFrame, id_col: str, modulus: int, hop: int, mixed_codec: bool
 ) -> DataFrame:
-    """Near-dup audio fixture stream (the audio twin of
-    ``multimodal.demo_noisy_image_payloads``): ``id % modulus == 0``
-    rows each get a WAV; paired ids share a 'song', and the odd member
-    is the same recording re-captured — attenuated 0.7×, additive
-    noise, and a 2-hop silence lead-in (hop-aligned shift, which the
-    frame-relative landmarks survive)."""
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -128,6 +138,8 @@ def demo_noisy_audio_payloads(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import flac_from_samples
+
         for pdf in batches:
             content = []
             for i in pdf["id"]:
@@ -137,11 +149,15 @@ def demo_noisy_audio_payloads(
                 # 10× id-offset copies onto the same songs (cross-copy
                 # twins that distort the scale probe); grp fits uint32
                 wave = _tone_clip(grp)
-                if (i // modulus) % 2 == 1:
+                recapture = (i // modulus) % 2 == 1
+                if recapture:
                     nrng = np.random.RandomState(20_000 + grp)
                     wave = 0.7 * wave + 0.01 * nrng.standard_normal(len(wave))
                     wave = np.concatenate([np.zeros(2 * hop), wave])
-                content.append(wav_from_samples(wave, 8000))
+                if mixed_codec and recapture:
+                    content.append(flac_from_samples(wave, 8000))
+                else:
+                    content.append(wav_from_samples(wave, 8000))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -151,6 +167,30 @@ def demo_noisy_audio_payloads(
             )
 
     return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def demo_noisy_audio_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, hop: int = 128
+) -> DataFrame:
+    """Near-dup audio fixture stream (the audio twin of
+    ``multimodal.demo_noisy_image_payloads``): ``id % modulus == 0``
+    rows each get a WAV; paired ids share a 'song', and the odd member
+    is the same recording re-captured — attenuated 0.7×, additive
+    noise, and a 2-hop silence lead-in (hop-aligned shift, which the
+    frame-relative landmarks survive)."""
+    return _demo_audio_payloads(df, id_col, modulus, hop, mixed_codec=False)
+
+
+def demo_mixed_audio_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, hop: int = 128
+) -> DataFrame:
+    """The m16 fixture stream: same paired-song scheme as
+    ``demo_noisy_audio_payloads``, but every re-captured twin arrives
+    as a FLAC upload (``operators/flac.py`` — the re-capture encoded
+    losslessly, as a real corpus's archival uploads are) while the
+    original stays WAV. A WAV-only ingest scores zero pairs on this
+    corpus; matching the twins requires actually decoding FLAC."""
+    return _demo_audio_payloads(df, id_col, modulus, hop, mixed_codec=True)
 
 
 def audio_fingerprints(
@@ -170,7 +210,7 @@ def audio_fingerprints(
             ids, hashes = [], []
             for i, b in zip(pdf["id"], pdf["content"]):
                 data = bytes(b)
-                if sniff_modality(data) != "wav":
+                if sniff_modality(data) not in ("wav", "flac"):
                     continue
                 try:
                     lms = spectral_landmarks(
@@ -194,6 +234,135 @@ def audio_fingerprints(
             )
 
     return payloads.mapInPandas(compute, schema="id long, chash long")
+
+
+def demo_audio_zoo_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10
+) -> DataFrame:
+    """The m17 metadata fixture stream: ``id % modulus == 0`` rows
+    rotate containers and stream parameters, all id-derived so a
+    relational oracle can recompute what the parser must extract
+    (parse ∘ synthesize == id — the m14 witness shape). With
+    ``j = id // modulus``: even j → 16-bit PCM WAV, odd j → FLAC
+    (stereo when ``(id // 40) % 2 == 1``); sample rate cycles
+    8000/16000/22050/44100 by ``(j // 2) % 4``; per-channel length is
+    ``1024 + ((j // 4) % 8) * 128`` frames."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .util import spread
+
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import flac_from_samples
+        from .multimodal import wav_from_samples
+
+        rates = [8000, 16000, 22050, 44100]
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i // modulus
+                rate = rates[(j // 2) % 4]
+                n = 1024 + ((j // 4) % 8) * 128
+                t = np.arange(n, dtype=np.float64) / rate
+                wave = 0.5 * np.sin(2 * np.pi * (200.0 + 50.0 * (j % 16)) * t)
+                if j % 2 == 0:
+                    content.append(wav_from_samples(wave, rate))
+                elif (i // 40) % 2 == 1:
+                    inter = np.empty(2 * n, dtype=np.float64)
+                    inter[0::2] = wave
+                    inter[1::2] = 0.8 * wave
+                    content.append(flac_from_samples(inter, rate, channels=2))
+                else:
+                    content.append(flac_from_samples(wave, rate))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["audio"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def audio_stream_metadata(payloads: DataFrame) -> DataFrame:
+    """(id, container, sample_rate, channels, bits, n_samples) per
+    payload WITHOUT sample decode — the audio leg of the m14-style
+    cataloging/routing pass a 100-TB corpus runs before any decode
+    pool is chosen. WAV walks the RIFF chunk list (fmt + data sizes
+    only); FLAC parses the fLaC magic + STREAMINFO block
+    (``operators/flac.py:flac_stream_info``) and never touches a
+    frame. Undecodable payloads are dropped, not fatal."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import flac_stream_info
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["content"]):
+                data = bytes(b)
+                try:
+                    kind = sniff_modality(data)
+                    if kind == "flac":
+                        si = flac_stream_info(data)
+                        rows.append(
+                            (
+                                int(i), "flac", si["sample_rate"],
+                                si["channels"], si["bits"], si["n_samples"],
+                            )
+                        )
+                    elif kind == "wav":
+                        rows.append((int(i), *_wav_header_info(data)))
+                except (ValueError, struct.error):
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "container", "sample_rate",
+                    "channels", "bits", "n_samples",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        compute,
+        schema=(
+            "id long, container string, sample_rate long, "
+            "channels long, bits long, n_samples long"
+        ),
+    )
+
+
+def _wav_header_info(payload: bytes):
+    """RIFF/WAVE header walk → ('wav', sample_rate, channels, bits,
+    n_frames) from the fmt chunk + data chunk SIZE (no sample
+    decode)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _, channels, rate, _, _, bits = fmt
+    if channels < 1 or bits % 8:
+        raise ValueError("malformed WAV fmt fields")
+    return "wav", rate, channels, bits, data_size // (bits // 8) // channels
 
 
 def audio_match_pairs(

@@ -63,6 +63,7 @@ from . import llm_ops13  # noqa: E402,F401
 from . import llm_ops14  # noqa: E402,F401
 from . import llm_ops15  # noqa: E402,F401
 from . import llm_ops16  # noqa: E402,F401
+from . import llm_ops17  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver evidence window: the correctness driver checks the FIRST 50
@@ -259,8 +260,13 @@ DRIVER_WINDOW: list[str] = [
 # tag-3 leg), x46 (DESCRIBE HISTORY), x43 (metadata-only COUNT), x39
 # (null-count skipping), x41 (append-only stream drain), t28 (shard
 # replay — the merge-on-read consumer, landing round 14), m15 (AVC
-# I_PCM ingest near-dup — the real-H.264 leg of the m12 family, also
-# landing round 14; rows-only like its siblings).
+# I_PCM ingest near-dup — the real-AVC leg of the m12 family, also
+# landing round 14; rows-only like its siblings), m17 (audio stream
+# metadata — the oracled audio leg of the m14 cataloging pass,
+# landing round 14 over the WAV/FLAC container zoo), m16 (FLAC
+# audio near-dup — real compressed-audio ingest via the pure-numpy
+# FLAC codec, landing round 14; rows-only like m09, whose landmark
+# machinery it drives over FLAC-decoded samples).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML
