@@ -240,13 +240,24 @@ def demo_audio_zoo_payloads(
     df: DataFrame, id_col: str, *, modulus: int = 10
 ) -> DataFrame:
     """The m17 metadata fixture stream: ``id % modulus == 0`` rows
-    rotate containers and stream parameters, all id-derived so a
+    rotate four audio containers with id-derived parameters, so a
     relational oracle can recompute what the parser must extract
     (parse ∘ synthesize == id — the m14 witness shape). With
-    ``j = id // modulus``: even j → 16-bit PCM WAV, odd j → FLAC
-    (stereo when ``(id // 40) % 2 == 1``); sample rate cycles
-    8000/16000/22050/44100 by ``(j // 2) % 4``; per-channel length is
-    ``1024 + ((j // 4) % 8) * 128`` frames."""
+    ``j = id // modulus``:
+
+    - container: ``j % 4`` → 16-bit PCM WAV / FLAC / MP3 (MPEG
+      layer-3 frames, version implied by the rate) / ADTS AAC-LC;
+    - sample rate: 8000/16000/22050/44100 by ``(j // 4) % 4`` — a
+      DISTINCT base-4 digit of j, so every container × rate combo is
+      live (the round-13 advice lesson: adjacent-bit selectors left
+      m14's avc1/hvc1 legs unreachable);
+    - channels: stereo when ``(id // 40) % 2 == 1`` except WAV (the
+      WAV writer is mono; note this bit equals the rate digit's
+      parity, so stereo rides rates 16000/44100);
+    - length: with ``L = (j // 16) % 8`` — WAV/FLAC carry
+      ``1024 + L * 128`` frames; MP3/ADTS carry ``2 + L`` coded
+      frames (samples = frames × the codec's frame size). The ladder
+      has 8 steps; corpus size determines how many are exercised."""
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -261,6 +272,7 @@ def demo_audio_zoo_payloads(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .flac import flac_from_samples
+        from .mpeg_audio import synthesize_adts, synthesize_mp3
         from .multimodal import wav_from_samples
 
         rates = [8000, 16000, 22050, 44100]
@@ -269,19 +281,42 @@ def demo_audio_zoo_payloads(
             for i in pdf["id"]:
                 i = int(i)
                 j = i // modulus
-                rate = rates[(j // 2) % 4]
-                n = 1024 + ((j // 4) % 8) * 128
-                t = np.arange(n, dtype=np.float64) / rate
-                wave = 0.5 * np.sin(2 * np.pi * (200.0 + 50.0 * (j % 16)) * t)
-                if j % 2 == 0:
-                    content.append(wav_from_samples(wave, rate))
-                elif (i // 40) % 2 == 1:
-                    inter = np.empty(2 * n, dtype=np.float64)
-                    inter[0::2] = wave
-                    inter[1::2] = 0.8 * wave
-                    content.append(flac_from_samples(inter, rate, channels=2))
+                kind = j % 4
+                rate = rates[(j // 4) % 4]
+                length = (j // 16) % 8
+                stereo = (i // 40) % 2 == 1
+                if kind in (0, 1):
+                    n = 1024 + length * 128
+                    t = np.arange(n, dtype=np.float64) / rate
+                    wave = 0.5 * np.sin(
+                        2 * np.pi * (200.0 + 50.0 * (j % 16)) * t
+                    )
+                    if kind == 0:
+                        content.append(wav_from_samples(wave, rate))
+                    elif stereo:
+                        inter = np.empty(2 * n, dtype=np.float64)
+                        inter[0::2] = wave
+                        inter[1::2] = 0.8 * wave
+                        content.append(
+                            flac_from_samples(inter, rate, channels=2)
+                        )
+                    else:
+                        content.append(flac_from_samples(wave, rate))
+                elif kind == 2:
+                    content.append(
+                        synthesize_mp3(
+                            2 + length,
+                            rate,
+                            channels=2 if stereo else 1,
+                            bitrate_kbps=128 if rate == 44100 else 64,
+                        )
+                    )
                 else:
-                    content.append(flac_from_samples(wave, rate))
+                    content.append(
+                        synthesize_adts(
+                            2 + length, rate, channels=2 if stereo else 1
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
@@ -294,16 +329,26 @@ def demo_audio_zoo_payloads(
 
 
 def audio_stream_metadata(payloads: DataFrame) -> DataFrame:
-    """(id, container, sample_rate, channels, bits, n_samples) per
-    payload WITHOUT sample decode — the audio leg of the m14-style
-    cataloging/routing pass a 100-TB corpus runs before any decode
-    pool is chosen. WAV walks the RIFF chunk list (fmt + data sizes
-    only); FLAC parses the fLaC magic + STREAMINFO block
+    """(id, container, codec, sample_rate, channels, bits, n_samples)
+    per payload WITHOUT sample decode — the audio leg of the
+    m14-style cataloging/routing pass a 100-TB corpus runs before any
+    decode pool is chosen. WAV walks the RIFF chunk list (fmt + data
+    sizes only); FLAC parses the fLaC magic + STREAMINFO block
     (``operators/flac.py:flac_stream_info``) and never touches a
-    frame. Undecodable payloads are dropped, not fatal."""
+    frame; MP3 and ADTS AAC walk their frame headers by the length
+    arithmetic of the specs (``operators/mpeg_audio.py`` — sample
+    decode of the lossy codecs is not claimed, exactly as m14 routes
+    HEVC it cannot decode). ``bits`` is 0 for the lossy codecs (bit
+    depth is not a stream property there). Undecodable payloads are
+    dropped, not fatal."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .flac import flac_stream_info
+        from .mpeg_audio import (
+            parse_adts_stream,
+            parse_mp3_stream,
+            sniff_mpeg_audio,
+        )
 
         for pdf in batches:
             rows = []
@@ -315,18 +360,34 @@ def audio_stream_metadata(payloads: DataFrame) -> DataFrame:
                         si = flac_stream_info(data)
                         rows.append(
                             (
-                                int(i), "flac", si["sample_rate"],
+                                int(i), "flac", "flac", si["sample_rate"],
                                 si["channels"], si["bits"], si["n_samples"],
                             )
                         )
                     elif kind == "wav":
                         rows.append((int(i), *_wav_header_info(data)))
+                    elif kind == "opaque":
+                        mpeg = sniff_mpeg_audio(data)
+                        if mpeg is None:
+                            continue
+                        si = (
+                            parse_mp3_stream(data)
+                            if mpeg == "mp3"
+                            else parse_adts_stream(data)
+                        )
+                        rows.append(
+                            (
+                                int(i), si["container"], si["codec"],
+                                si["sample_rate"], si["channels"], 0,
+                                si["n_samples"],
+                            )
+                        )
                 except (ValueError, struct.error):
                     continue
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "id", "container", "sample_rate",
+                    "id", "container", "codec", "sample_rate",
                     "channels", "bits", "n_samples",
                 ],
             )
@@ -334,15 +395,15 @@ def audio_stream_metadata(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(
         compute,
         schema=(
-            "id long, container string, sample_rate long, "
+            "id long, container string, codec string, sample_rate long, "
             "channels long, bits long, n_samples long"
         ),
     )
 
 
 def _wav_header_info(payload: bytes):
-    """RIFF/WAVE header walk → ('wav', sample_rate, channels, bits,
-    n_frames) from the fmt chunk + data chunk SIZE (no sample
+    """RIFF/WAVE header walk → ('wav', 'pcm', sample_rate, channels,
+    bits, n_frames) from the fmt chunk + data chunk SIZE (no sample
     decode)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -362,7 +423,10 @@ def _wav_header_info(payload: bytes):
     _, channels, rate, _, _, bits = fmt
     if channels < 1 or bits % 8:
         raise ValueError("malformed WAV fmt fields")
-    return "wav", rate, channels, bits, data_size // (bits // 8) // channels
+    return (
+        "wav", "pcm", rate, channels, bits,
+        data_size // (bits // 8) // channels,
+    )
 
 
 def audio_match_pairs(

@@ -52,23 +52,37 @@ def m16_flac_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return au.audio_match_pairs(payloads, min_containment=0.6)
 
 
-# parse ∘ synthesize == id over the audio container zoo — the same
-# witness shape as m14 (the parse is the hard direction; the oracle
-# recomputes what the deterministic fixture embedded).
+# parse ∘ synthesize == id over the four-container audio zoo — the
+# same witness shape as m14 (the parse is the hard direction; the
+# oracle recomputes what the deterministic fixture embedded).
 _M17_ORACLE = """
     WITH ids AS (
       SELECT CAST(doc_id AS BIGINT) AS id
       FROM documents WHERE doc_id % 10 = 0),
     p AS (
-      SELECT id, (id // 10) AS j FROM ids)
+      SELECT id,
+             (id // 10) % 4 AS kind,
+             CASE ((id // 10) // 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             ((id // 10) // 16) % 8 AS len_step,
+             CASE WHEN (id // 40) % 2 = 1 THEN 1 ELSE 0 END AS stereo
+      FROM ids)
     SELECT id,
-           CASE WHEN j % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
-           CAST(CASE (j // 2) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
-           CAST(CASE WHEN j % 2 = 1 AND (id // 40) % 2 = 1
+           CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                WHEN 2 THEN 'mp3' ELSE 'adts' END AS container,
+           CASE kind WHEN 0 THEN 'pcm' WHEN 1 THEN 'flac'
+                WHEN 3 THEN 'aac-lc'
+                ELSE CASE rate WHEN 44100 THEN 'mpeg1-layer3'
+                     WHEN 8000 THEN 'mpeg2.5-layer3'
+                     ELSE 'mpeg2-layer3' END END AS codec,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN kind != 0 AND stereo = 1
                 THEN 2 ELSE 1 END AS BIGINT) AS channels,
-           CAST(16 AS BIGINT) AS bits,
-           CAST(1024 + ((j // 4) % 8) * 128 AS BIGINT) AS n_samples
+           CAST(CASE WHEN kind <= 1 THEN 16 ELSE 0 END AS BIGINT) AS bits,
+           CAST(CASE WHEN kind <= 1 THEN 1024 + len_step * 128
+                WHEN kind = 2 THEN (2 + len_step) *
+                     (CASE WHEN rate = 44100 THEN 1152 ELSE 576 END)
+                ELSE (2 + len_step) * 1024 END AS BIGINT) AS n_samples
     FROM p
 """
 
@@ -77,12 +91,16 @@ _M17_ORACLE = """
 def m17_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO STREAM METADATA (``operators/audio.py:
     audio_stream_metadata``): the routing/cataloging pass a 100-TB
-    audio corpus runs BEFORE any decode — container, sample rate,
-    channel count, bit depth, and per-channel length, extracted
-    WITHOUT touching sample data (WAV: RIFF chunk walk over fmt +
-    data sizes; FLAC: fLaC magic + the 34-byte STREAMINFO block —
-    ``operators/flac.py:flac_stream_info`` — frames never opened).
-    The fixture rotates both containers, four sample rates, mono and
+    audio corpus runs BEFORE any decode — container, codec, sample
+    rate, channel count, bit depth, and sample length, extracted
+    WITHOUT touching sample data. WAV: RIFF chunk walk over fmt +
+    data sizes; FLAC: fLaC magic + the 34-byte STREAMINFO block
+    (``operators/flac.py:flac_stream_info`` — frames never opened);
+    MP3 / ADTS AAC: frame-header walks by the specs' exact length
+    arithmetic (``operators/mpeg_audio.py`` — versions, layers,
+    bitrate/rate indices; sample decode of the lossy codecs is not
+    claimed, exactly as m14 routes HEVC it cannot decode). The
+    fixture rotates all four containers, four sample rates, mono and
     stereo, and eight lengths, all id-derived, so the oracle
     recomputes relationally exactly what the parser must extract —
     parse ∘ synthesize == id, per payload, hash-matched. The
@@ -92,13 +110,15 @@ def m17_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly.
 
     Scale: pure metadata cost — bytes read per payload are the RIFF
-    chunk headers / one 42-byte FLAC prefix; embarrassingly parallel
-    in the same Arrow-batched stage every media op uses."""
+    chunk headers / one 42-byte FLAC prefix / 4-to-9-byte frame
+    headers; embarrassingly parallel in the same Arrow-batched stage
+    every media op uses."""
     from ..operators import audio as au
 
     pin_semantics(spark)
     docs = load_table(spark, sf_dir, "documents")
     payloads = au.demo_audio_zoo_payloads(docs, "doc_id")
     return au.audio_stream_metadata(payloads).select(
-        "id", "container", "sample_rate", "channels", "bits", "n_samples"
+        "id", "container", "codec", "sample_rate",
+        "channels", "bits", "n_samples",
     )

@@ -72,15 +72,65 @@ def test_m17_zoo_has_no_dead_legs(spark, docs):
     ).collect()
     assert len(md) == docs.where(F.col("doc_id") % 10 == 0).count()
     containers = {r["container"] for r in md}
+    codecs = {r["codec"] for r in md}
     rates = {r["sample_rate"] for r in md}
     chans = {r["channels"] for r in md}
-    lens = {r["n_samples"] for r in md}
-    assert containers == {"wav", "flac"}
+    assert containers == {"wav", "flac", "mp3", "adts"}
+    assert codecs == {
+        "pcm", "flac", "aac-lc",
+        "mpeg1-layer3", "mpeg2-layer3", "mpeg2.5-layer3",
+    }
     assert rates == {8000, 16000, 22050, 44100}
     assert chans == {1, 2}
-    assert len(lens) == 8
-    # stereo only ever occurs on the FLAC leg (WAV writer is mono)
-    assert all(r["container"] == "flac" for r in md if r["channels"] == 2)
+    # the container and rate selectors are DISTINCT base-4 digits of
+    # j, so the full container × rate cross is live — the round-13
+    # advice failure mode (correlated selectors leaving zoo legs
+    # unreachable) cannot recur silently
+    combos = {(r["container"], r["sample_rate"]) for r in md}
+    assert len(combos) == 16, sorted(combos)
+    for c in containers:
+        assert len({r["n_samples"] for r in md if r["container"] == c}) >= 3
+    # stereo occurs on every non-WAV leg (the WAV writer is mono)
+    stereo_containers = {r["container"] for r in md if r["channels"] == 2}
+    assert stereo_containers == {"flac", "mp3", "adts"}
+    # bit depth is a stream property only for the PCM-bearing legs
+    for r in md:
+        assert r["bits"] == (16 if r["container"] in ("wav", "flac") else 0)
+
+
+def test_mpeg_audio_parsers_roundtrip_and_enforce():
+    from onechronos_etl_takehome_spark.operators.mpeg_audio import (
+        parse_adts_stream,
+        parse_mp3_stream,
+        sniff_mpeg_audio,
+        synthesize_adts,
+        synthesize_mp3,
+    )
+
+    for rate, spf, ver in (
+        (44100, 1152, "mpeg1"), (22050, 576, "mpeg2"),
+        (16000, 576, "mpeg2"), (8000, 576, "mpeg2.5"),
+    ):
+        p = synthesize_mp3(
+            5, rate, channels=2,
+            bitrate_kbps=128 if rate == 44100 else 64,
+        )
+        si = parse_mp3_stream(p)
+        assert si["codec"] == f"{ver}-layer3"
+        assert si["n_samples"] == 5 * spf
+        assert sniff_mpeg_audio(p) == "mp3"
+        with pytest.raises(ValueError):
+            parse_mp3_stream(p[:-3])
+    # ID3v2 prefixes are skipped by their syncsafe size
+    p = synthesize_mp3(3, 44100)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    assert parse_mp3_stream(id3 + p)["n_frames"] == 3
+    a = synthesize_adts(4, 44100, channels=2)
+    sa = parse_adts_stream(a)
+    assert (sa["codec"], sa["n_samples"]) == ("aac-lc", 4096)
+    assert sniff_mpeg_audio(a) == "adts"
+    with pytest.raises(ValueError):
+        parse_adts_stream(a[:-1])
 
 
 def test_m17_metadata_is_header_only_for_flac():

@@ -111,12 +111,19 @@ def test_t08_builds_without_driver_actions(spark):
         # min of two measurements: an async job leaked by an earlier
         # test (checkpoint cleanup, listener flush) can land between
         # the counters and inflate a single reading — construction
-        # itself is deterministic, so the min is the true count
+        # itself is deterministic, so the min is the true count.
+        # Count ids ABOVE the prior high-water mark, not list-length
+        # deltas: the status tracker evicts old ids past
+        # spark.ui.retainedJobs, so in a long suite the length can
+        # SHRINK across a measurement (observed -95) while job ids
+        # themselves stay monotonic.
         counts = []
         for _ in range(2):
-            before = len(tracker.getJobIdsForGroup(None))
+            ids = tracker.getJobIdsForGroup(None)
+            high = max(ids) if ids else -1
             QUERIES[name](spark, SF)
-            counts.append(len(tracker.getJobIdsForGroup(None)) - before)
+            after = tracker.getJobIdsForGroup(None)
+            counts.append(sum(1 for j in after if j > high))
         return min(counts)
 
     baseline = jobs_to_build("t01_text_quality")
