@@ -261,8 +261,11 @@ HEADLINE = [
     # re-captured twin is a real FLAC stream the landmark join must
     # decode — LPC/fixed subframes, Rice residuals, CRC+MD5 verify)
     "m16_flac_audio_neardup",
-    # m17: audio stream metadata (RIFF walk + fLaC STREAMINFO only)
+    # m17: audio stream metadata (RIFF/fLaC/MPEG/ADTS/Ogg headers only)
     "m17_audio_stream_metadata",
+    # t29: epoch reshuffle (layout write + two epoch replays — the
+    # zero-rewrite per-epoch order change, whole story in the wall)
+    "t29_epoch_reshuffle",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

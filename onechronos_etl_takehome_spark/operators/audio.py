@@ -245,19 +245,21 @@ def demo_audio_zoo_payloads(
     (parse ∘ synthesize == id — the m14 witness shape). With
     ``j = id // modulus``:
 
-    - container: ``j % 4`` → 16-bit PCM WAV / FLAC / MP3 (MPEG
-      layer-3 frames, version implied by the rate) / ADTS AAC-LC;
-    - sample rate: 8000/16000/22050/44100 by ``(j // 4) % 4`` — a
-      DISTINCT base-4 digit of j, so every container × rate combo is
+    - codec leg: ``j % 6`` → 16-bit PCM WAV / FLAC / MP3 (MPEG
+      layer-3 frames, version implied by the rate) / ADTS AAC-LC /
+      Ogg-Opus / Ogg-Vorbis;
+    - sample rate: 8000/16000/22050/44100 by ``(j // 6) % 4`` — a
+      DISTINCT mixed-radix digit of j, so every codec × rate combo is
       live (the round-13 advice lesson: adjacent-bit selectors left
       m14's avc1/hvc1 legs unreachable);
     - channels: stereo when ``(id // 40) % 2 == 1`` except WAV (the
-      WAV writer is mono; note this bit equals the rate digit's
-      parity, so stereo rides rates 16000/44100);
-    - length: with ``L = (j // 16) % 8`` — WAV/FLAC carry
-      ``1024 + L * 128`` frames; MP3/ADTS carry ``2 + L`` coded
-      frames (samples = frames × the codec's frame size). The ladder
-      has 8 steps; corpus size determines how many are exercised."""
+      WAV writer is mono);
+    - length: with ``L = (j // 24) % 8`` — WAV/FLAC carry
+      ``1024 + L * 128`` frames; MP3/ADTS/Opus carry ``2 + L`` coded
+      frames (samples = frames × the codec's frame size; Opus frames
+      are 960 48-kHz samples); Vorbis granules ``512 * (2 + L)``.
+      The ladder has 8 steps; corpus size determines how many are
+      exercised."""
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -274,6 +276,7 @@ def demo_audio_zoo_payloads(
         from .flac import flac_from_samples
         from .mpeg_audio import synthesize_adts, synthesize_mp3
         from .multimodal import wav_from_samples
+        from .ogg import synthesize_ogg_opus, synthesize_ogg_vorbis
 
         rates = [8000, 16000, 22050, 44100]
         for pdf in batches:
@@ -281,10 +284,11 @@ def demo_audio_zoo_payloads(
             for i in pdf["id"]:
                 i = int(i)
                 j = i // modulus
-                kind = j % 4
-                rate = rates[(j // 4) % 4]
-                length = (j // 16) % 8
+                kind = j % 6
+                rate = rates[(j // 6) % 4]
+                length = (j // 24) % 8
                 stereo = (i // 40) % 2 == 1
+                ch = 2 if stereo else 1
                 if kind in (0, 1):
                     n = 1024 + length * 128
                     t = np.arange(n, dtype=np.float64) / rate
@@ -307,14 +311,22 @@ def demo_audio_zoo_payloads(
                         synthesize_mp3(
                             2 + length,
                             rate,
-                            channels=2 if stereo else 1,
+                            channels=ch,
                             bitrate_kbps=128 if rate == 44100 else 64,
                         )
                     )
+                elif kind == 3:
+                    content.append(
+                        synthesize_adts(2 + length, rate, channels=ch)
+                    )
+                elif kind == 4:
+                    content.append(
+                        synthesize_ogg_opus(2 + length, rate, channels=ch)
+                    )
                 else:
                     content.append(
-                        synthesize_adts(
-                            2 + length, rate, channels=2 if stereo else 1
+                        synthesize_ogg_vorbis(
+                            512 * (2 + length), rate, channels=ch
                         )
                     )
             yield pd.DataFrame(
@@ -336,11 +348,13 @@ def audio_stream_metadata(payloads: DataFrame) -> DataFrame:
     sizes only); FLAC parses the fLaC magic + STREAMINFO block
     (``operators/flac.py:flac_stream_info``) and never touches a
     frame; MP3 and ADTS AAC walk their frame headers by the length
-    arithmetic of the specs (``operators/mpeg_audio.py`` — sample
-    decode of the lossy codecs is not claimed, exactly as m14 routes
-    HEVC it cannot decode). ``bits`` is 0 for the lossy codecs (bit
-    depth is not a stream property there). Undecodable payloads are
-    dropped, not fatal."""
+    arithmetic of the specs (``operators/mpeg_audio.py``); Ogg walks
+    CRC-verified pages to the OpusHead / Vorbis identification
+    header and the EOS granule (``operators/ogg.py``). Sample decode
+    of the lossy codecs is not claimed, exactly as m14 routes HEVC
+    it cannot decode; ``bits`` is 0 for them (bit depth is not a
+    stream property there). Undecodable payloads are dropped, not
+    fatal."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .flac import flac_stream_info
@@ -366,6 +380,17 @@ def audio_stream_metadata(payloads: DataFrame) -> DataFrame:
                         )
                     elif kind == "wav":
                         rows.append((int(i), *_wav_header_info(data)))
+                    elif kind == "ogg":
+                        from .ogg import parse_ogg_stream
+
+                        si = parse_ogg_stream(data)
+                        rows.append(
+                            (
+                                int(i), si["container"], si["codec"],
+                                si["sample_rate"], si["channels"], 0,
+                                si["n_samples"],
+                            )
+                        )
                     elif kind == "opaque":
                         mpeg = sniff_mpeg_audio(data)
                         if mpeg is None:

@@ -445,7 +445,14 @@ def _plan_subframe(s, bps: int, *, use_lpc: bool = True, max_lpc_order: int = 8)
                 "rice": plan_r, "bps": bps, "wasted": wasted,
             }
     if use_lpc and n > 2 * max_lpc_order + 1:
-        for coefs in _lpc_analyze(se, max_lpc_order)[1:]:
+        # probe an order LADDER, not every order: Levinson yields all
+        # orders in one pass, but each candidate costs a quantize +
+        # integer-residual + rice-partition search; {2,4,8} captures
+        # nearly all of the compression at a third of the planning cost
+        ladder = _lpc_analyze(se, max_lpc_order)
+        for coefs in (
+            ladder[o - 1] for o in (2, 4, 8) if o <= len(ladder)
+        ):
             qz = _quantize_lpc(coefs)
             if qz is None:
                 continue

@@ -223,12 +223,14 @@ def _decode_wav(payload: bytes, n_features: int) -> list[float]:
 
 def sniff_modality(payload: bytes) -> str:
     """Container sniff by magic bytes: 'bmp' / 'png' / 'jpeg' / 'wav'
-    / 'flac' / 'avi' / 'mp4' decode for real; anything else is
-    'opaque' (stub or raise)."""
+    / 'flac' / 'ogg' / 'avi' / 'mp4'; anything else is 'opaque'
+    (stub or raise)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":

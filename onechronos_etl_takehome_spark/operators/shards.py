@@ -156,6 +156,56 @@ def read_training_shards(
     )
 
 
+def read_training_shards_epoch(
+    spark, path: str, id_col: str, *, epoch: int = 0
+) -> DataFrame:
+    """EPOCH RESHUFFLE with zero data movement: replay the same shard
+    layout in a fresh pseudo-random order per training epoch. Every
+    multi-epoch run wants a different visit order each epoch, but
+    re-running the global shuffle (or rewriting the layout) per epoch
+    is corpus-sized I/O for what is purely an ORDER change. Shard
+    membership is hash-stable, so epoch e only re-sorts WITHIN each
+    shard by a fresh deterministic key — ``md5("e{epoch}:" + id)``,
+    the same cross-engine 60-bit family as the layout key — while the
+    files on disk stay byte-identical across every epoch. Cost per
+    epoch: one hash exchange + N shard-local sorts (the exact
+    read_training_shards plan), bytes read = corpus, bytes written =
+    zero.
+
+    ``epoch=0`` replays the layout's own pinned order (the stored
+    ``_shuffle_key`` — :func:`read_training_shards` semantics);
+    ``epoch>=1`` derives the fresh key at read time, needing no
+    knowledge of the writer's seed. Returns rows with ``(_shard,
+    _epoch_key, _pos)``."""
+    df = spark.read.parquet(path)
+    if epoch == 0:
+        key = F.col("_shuffle_key")
+    else:
+        key = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(f"e{epoch}"), F.col(id_col)
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_shard").orderBy(key, id_col)
+    return df.withColumns(
+        {
+            "_shard": F.col("_shard").cast("long"),
+            "_epoch_key": key,
+            "_pos": F.row_number().over(w).cast("long"),
+        }
+    )
+
+
 def shard_manifest(
     df: DataFrame, id_col: str, *, n_shards: int, seed: int = 0
 ) -> DataFrame:

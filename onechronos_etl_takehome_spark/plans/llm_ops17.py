@@ -1,4 +1,10 @@
-"""Round-14 operator batch (second wave): real COMPRESSED audio.
+"""Round-14 operator batch (second wave): real COMPRESSED audio +
+the training loop's epoch axis.
+
+- **Epoch reshuffle** (t29): ``operators/shards.py:
+  read_training_shards_epoch`` — a fresh deterministic training
+  order per epoch from the SAME shard layout, zero bytes rewritten;
+  per-shard checksums of two epoch replays hash-matched in one row.
 
 - **FLAC audio near-dup** (m16): ``operators/flac.py`` — a real FLAC
   codec in pure numpy/stdlib (encoder: stereo-decorrelation + LPC /
@@ -8,13 +14,17 @@
   song arrives as a FLAC upload and is still matched to its WAV
   original.
 - **Audio stream metadata** (m17): the audio leg of the m14-style
-  cataloging pass — container/rate/channels/bits/length per payload
-  WITHOUT sample decode (RIFF chunk walk; fLaC STREAMINFO parse),
-  hash-matched against a relational recomputation of the fixture's
-  id-derived parameters (parse ∘ synthesize == id).
+  cataloging pass — container/codec/rate/channels/bits/length per
+  payload WITHOUT sample decode (RIFF chunk walk; fLaC STREAMINFO
+  parse; MP3/ADTS frame-header arithmetic,
+  ``operators/mpeg_audio.py``), hash-matched against a relational
+  recomputation of the fixture's id-derived parameters
+  (parse ∘ synthesize == id).
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +62,110 @@ def m16_flac_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return au.audio_match_pairs(payloads, min_containment=0.6)
 
 
+_T29_SEED = 13
+_T29_SHARDS = 8
+
+# Two epoch replays of ONE layout, recomputed relationally: shard
+# membership comes from the layout key (seed 13), each epoch's order
+# from md5('e{epoch}:'||id) — the same cross-engine 60-bit family.
+_T29_ORACLE = f"""
+    WITH k AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             ('0x' || substr(
+                md5('{_T29_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15
+             ))::BIGINT % {_T29_SHARDS} AS shard
+      FROM documents),
+    e AS (
+      SELECT doc_id, shard, epoch,
+             ROW_NUMBER() OVER (
+               PARTITION BY shard, epoch
+               ORDER BY ('0x' || substr(
+                 md5('e' || epoch || ':' || CAST(doc_id AS VARCHAR)), 1, 15
+               ))::BIGINT, doc_id
+             ) AS pos
+      FROM k CROSS JOIN (SELECT 1 AS epoch UNION ALL SELECT 2)),
+    c AS (
+      SELECT shard, epoch,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS ck
+      FROM e GROUP BY shard, epoch)
+    SELECT CAST(a.shard AS BIGINT) AS shard,
+           a.n_docs,
+           a.ck AS order_checksum_e1,
+           b.ck AS order_checksum_e2
+    FROM c a JOIN c b ON a.shard = b.shard
+    WHERE a.epoch = 1 AND b.epoch = 2
+"""
+
+
+@register("t29_epoch_reshuffle", oracle=_T29_ORACLE)
+def t29_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH RESHUFFLE (``operators/shards.py:
+    read_training_shards_epoch``): a multi-epoch training run wants a
+    DIFFERENT pseudo-random visit order every epoch, but rewriting or
+    re-shuffling a 100-TB layout per epoch is corpus-sized I/O for a
+    pure ORDER change. Shard membership is hash-stable, so epoch e
+    re-sorts only WITHIN each shard by a fresh read-time key
+    (md5('e{{epoch}}:'||id)) — the files on disk stay byte-identical
+    across epochs (pinned in tests/test_round14b_ops.py), and each
+    epoch costs exactly the replay plan: one hash exchange + N
+    shard-local sorts, zero bytes written.
+
+    The row materializes one layout, replays epochs 1 and 2, and
+    hash-matches per-shard (n_docs, order checksum e1, order
+    checksum e2) against a DuckDB recomputation — proving in one
+    result that membership is epoch-invariant (same n_docs under the
+    same shard key) while the order genuinely changes (independent
+    checksums, each transposition-sensitive)."""
+    import shutil
+    import tempfile
+
+    from ..operators.shards import (
+        read_training_shards_epoch,
+        write_training_shards,
+    )
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    path = tempfile.mkdtemp(prefix=f"shards_t29_{uuid.uuid4().hex[:8]}_")
+    shutil.rmtree(path)  # writer requires a fresh target (mode=error)
+    write_training_shards(
+        docs, "doc_id", path, n_shards=_T29_SHARDS, seed=_T29_SEED
+    )
+
+    def epoch_cksums(epoch: int) -> DataFrame:
+        replay = read_training_shards_epoch(
+            spark, path, "doc_id", epoch=epoch
+        )
+        return (
+            replay.select(
+                "_shard",
+                (
+                    F.col("_pos") * (F.col("doc_id") % 1_000_003)
+                ).alias("_ck"),
+            )
+            .groupBy("_shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("_ck").cast("long").alias(f"order_checksum_e{epoch}"),
+            )
+        )
+
+    e1 = epoch_cksums(1)
+    e2 = epoch_cksums(2).drop("n_docs")
+    return (
+        e1.join(e2, "_shard")
+        .select(
+            F.col("_shard").alias("shard"),
+            "n_docs",
+            "order_checksum_e1",
+            "order_checksum_e2",
+        )
+    )
+
+
 # parse ∘ synthesize == id over the four-container audio zoo — the
 # same witness shape as m14 (the parse is the hard direction; the
 # oracle recomputes what the deterministic fixture embedded).
@@ -61,17 +175,19 @@ _M17_ORACLE = """
       FROM documents WHERE doc_id % 10 = 0),
     p AS (
       SELECT id,
-             (id // 10) % 4 AS kind,
-             CASE ((id // 10) // 4) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             (id // 10) % 6 AS kind,
+             CASE ((id // 10) // 6) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                   WHEN 2 THEN 22050 ELSE 44100 END AS rate,
-             ((id // 10) // 16) % 8 AS len_step,
+             ((id // 10) // 24) % 8 AS len_step,
              CASE WHEN (id // 40) % 2 = 1 THEN 1 ELSE 0 END AS stereo
       FROM ids)
     SELECT id,
            CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
-                WHEN 2 THEN 'mp3' ELSE 'adts' END AS container,
+                WHEN 2 THEN 'mp3' WHEN 3 THEN 'adts'
+                ELSE 'ogg' END AS container,
            CASE kind WHEN 0 THEN 'pcm' WHEN 1 THEN 'flac'
-                WHEN 3 THEN 'aac-lc'
+                WHEN 3 THEN 'aac-lc' WHEN 4 THEN 'opus'
+                WHEN 5 THEN 'vorbis'
                 ELSE CASE rate WHEN 44100 THEN 'mpeg1-layer3'
                      WHEN 8000 THEN 'mpeg2.5-layer3'
                      ELSE 'mpeg2-layer3' END END AS codec,
@@ -82,7 +198,9 @@ _M17_ORACLE = """
            CAST(CASE WHEN kind <= 1 THEN 1024 + len_step * 128
                 WHEN kind = 2 THEN (2 + len_step) *
                      (CASE WHEN rate = 44100 THEN 1152 ELSE 576 END)
-                ELSE (2 + len_step) * 1024 END AS BIGINT) AS n_samples
+                WHEN kind = 3 THEN (2 + len_step) * 1024
+                WHEN kind = 4 THEN (2 + len_step) * 960
+                ELSE 512 * (2 + len_step) END AS BIGINT) AS n_samples
     FROM p
 """
 
@@ -98,10 +216,15 @@ def m17_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/flac.py:flac_stream_info`` — frames never opened);
     MP3 / ADTS AAC: frame-header walks by the specs' exact length
     arithmetic (``operators/mpeg_audio.py`` — versions, layers,
-    bitrate/rate indices; sample decode of the lossy codecs is not
-    claimed, exactly as m14 routes HEVC it cannot decode). The
-    fixture rotates all four containers, four sample rates, mono and
-    stereo, and eight lengths, all id-derived, so the oracle
+    bitrate/rate indices); Ogg-Opus / Ogg-Vorbis: CRC-verified page
+    walks to the OpusHead / Vorbis identification header and the EOS
+    granule (``operators/ogg.py`` — the speech-corpus formats).
+    Sample decode of the lossy codecs is not claimed, exactly as m14
+    routes HEVC it cannot decode. The fixture rotates six codec legs
+    across five containers, four sample rates, mono and stereo, and
+    an 8-step length ladder, all id-derived via independent
+    mixed-radix digits (no correlated-selector dead legs — pinned by
+    a full codec × rate cross-coverage test), so the oracle
     recomputes relationally exactly what the parser must extract —
     parse ∘ synthesize == id, per payload, hash-matched. The
     self-reference loophole (parser and synthesizer sharing a bug) is
@@ -110,9 +233,9 @@ def m17_audio_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly.
 
     Scale: pure metadata cost — bytes read per payload are the RIFF
-    chunk headers / one 42-byte FLAC prefix / 4-to-9-byte frame
-    headers; embarrassingly parallel in the same Arrow-batched stage
-    every media op uses."""
+    chunk headers / one 42-byte FLAC prefix / 4-to-27-byte frame and
+    page headers; embarrassingly parallel in the same Arrow-batched
+    stage every media op uses."""
     from ..operators import audio as au
 
     pin_semantics(spark)

@@ -75,27 +75,88 @@ def test_m17_zoo_has_no_dead_legs(spark, docs):
     codecs = {r["codec"] for r in md}
     rates = {r["sample_rate"] for r in md}
     chans = {r["channels"] for r in md}
-    assert containers == {"wav", "flac", "mp3", "adts"}
+    assert containers == {"wav", "flac", "mp3", "adts", "ogg"}
     assert codecs == {
-        "pcm", "flac", "aac-lc",
+        "pcm", "flac", "aac-lc", "opus", "vorbis",
         "mpeg1-layer3", "mpeg2-layer3", "mpeg2.5-layer3",
     }
     assert rates == {8000, 16000, 22050, 44100}
     assert chans == {1, 2}
-    # the container and rate selectors are DISTINCT base-4 digits of
-    # j, so the full container × rate cross is live — the round-13
-    # advice failure mode (correlated selectors leaving zoo legs
-    # unreachable) cannot recur silently
-    combos = {(r["container"], r["sample_rate"]) for r in md}
-    assert len(combos) == 16, sorted(combos)
+    # the codec-leg and rate selectors are DISTINCT mixed-radix
+    # digits of j, so the full leg × rate cross is live — the
+    # round-13 advice failure mode (correlated selectors leaving zoo
+    # legs unreachable) cannot recur silently
+    legs = {
+        (r["container"], r["codec"].split("-")[0], r["sample_rate"])
+        for r in md
+    }
+    assert len(legs) == 24, sorted(legs)
     for c in containers:
-        assert len({r["n_samples"] for r in md if r["container"] == c}) >= 3
+        assert len({r["n_samples"] for r in md if r["container"] == c}) >= 2
     # stereo occurs on every non-WAV leg (the WAV writer is mono)
     stereo_containers = {r["container"] for r in md if r["channels"] == 2}
-    assert stereo_containers == {"flac", "mp3", "adts"}
+    assert stereo_containers == {"flac", "mp3", "adts", "ogg"}
     # bit depth is a stream property only for the PCM-bearing legs
     for r in md:
         assert r["bits"] == (16 if r["container"] in ("wav", "flac") else 0)
+
+
+def test_t29_epoch_reshuffle_contract(spark, docs, tmp_path):
+    """Epoch replay: files byte-identical across epochs, membership
+    epoch-invariant, order epoch-varying but deterministic, and
+    epoch 0 replays the layout's own pinned order."""
+    import hashlib
+    import os
+
+    from onechronos_etl_takehome_spark.operators.shards import (
+        read_training_shards,
+        read_training_shards_epoch,
+        write_training_shards,
+    )
+
+    path = str(tmp_path / "layout")
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    write_training_shards(ids, "doc_id", path, n_shards=4, seed=5)
+
+    def file_state():
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = file_state()
+
+    def order(epoch):
+        rows = read_training_shards_epoch(
+            spark, path, "doc_id", epoch=epoch
+        ).collect()
+        return {
+            s: [r["doc_id"] for r in sorted(rows, key=lambda r: r["_pos"])
+                if r["_shard"] == s]
+            for s in {r["_shard"] for r in rows}
+        }
+
+    e1, e2, e1_again = order(1), order(2), order(1)
+    assert file_state() == before  # zero bytes moved for new epochs
+    assert e1 == e1_again  # deterministic per epoch
+    for s in e1:
+        assert sorted(e1[s]) == sorted(e2[s])  # membership stable
+    assert any(e1[s] != e2[s] for s in e1)  # order actually changes
+    # epoch 0 == the layout's pinned (stored shuffle key) order
+    pinned = read_training_shards(spark, path, "doc_id").collect()
+    zero = read_training_shards_epoch(
+        spark, path, "doc_id", epoch=0
+    ).collect()
+    key = lambda r: (r["_shard"], r["_pos"])  # noqa: E731
+    assert (
+        [r["doc_id"] for r in sorted(pinned, key=key)]
+        == [r["doc_id"] for r in sorted(zero, key=key)]
+    )
 
 
 def test_mpeg_audio_parsers_roundtrip_and_enforce():
@@ -131,6 +192,47 @@ def test_mpeg_audio_parsers_roundtrip_and_enforce():
     assert sniff_mpeg_audio(a) == "adts"
     with pytest.raises(ValueError):
         parse_adts_stream(a[:-1])
+
+
+def test_ogg_parsers_roundtrip_and_enforce():
+    from onechronos_etl_takehome_spark.operators.ogg import (
+        ogg_crc,
+        parse_ogg_stream,
+        synthesize_ogg_opus,
+        synthesize_ogg_vorbis,
+    )
+
+    p = synthesize_ogg_opus(5, 16000, channels=2)
+    si = parse_ogg_stream(p)
+    assert (si["codec"], si["sample_rate"], si["channels"]) == (
+        "opus", 16000, 2,
+    )
+    assert si["n_samples"] == 5 * 960  # EOS granule minus pre-skip
+    v = parse_ogg_stream(synthesize_ogg_vorbis(2048, 44100))
+    assert (v["codec"], v["n_samples"]) == ("vorbis", 2048)
+    # every page CRC is enforced — one flipped body byte raises
+    bad = bytearray(p)
+    bad[len(bad) // 2] ^= 0x01
+    with pytest.raises(ValueError):
+        parse_ogg_stream(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_ogg_stream(p[:-5])
+    # the Ogg CRC-32 variant against an independent bitwise
+    # reimplementation (poly 0x04C11DB7, init 0, unreflected)
+    rng = np.random.RandomState(4)
+    for _ in range(3):
+        blob = rng.randint(0, 256, rng.randint(1, 300)).astype(
+            np.uint8
+        ).tobytes()
+        crc = 0
+        for byte in blob:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000
+                    else crc << 1
+                ) & 0xFFFFFFFF
+        assert ogg_crc(blob) == crc
 
 
 def test_m17_metadata_is_header_only_for_flac():
