@@ -266,6 +266,8 @@ HEADLINE = [
     # t29: epoch reshuffle (layout write + two epoch replays — the
     # zero-rewrite per-epoch order change, whole story in the wall)
     "t29_epoch_reshuffle",
+    # m18: voice-activity segmentation (decode + framed RMS + runs)
+    "m18_voice_activity_segments",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

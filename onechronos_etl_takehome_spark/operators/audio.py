@@ -454,6 +454,146 @@ def _wav_header_info(payload: bytes):
     )
 
 
+def demo_burst_audio_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, frame: int = 256
+) -> DataFrame:
+    """The m18 fixture stream: each ``id % modulus == 0`` row is a
+    clip of silence-separated tone BURSTS whose layout is id-derived
+    and frame-aligned, so a relational oracle can recompute the exact
+    voice-activity segments (the parse ∘ synthesize == id witness
+    shape, applied to DSP). With ``j = id // modulus`` the clip is::
+
+        gap(2+j%3) burst(2+j%4) gap(1+j%2) burst(3+(j//3)%3)
+        gap(2) burst(2+(j//2)%2) gap(1)
+
+    in units of one analysis frame (``frame`` samples); bursts are
+    0.45-amplitude sine, gaps digital silence (exact zeros — both
+    codecs preserve them bit-exactly). Odd j arrives FLAC-compressed,
+    even j WAV, so segmentation is pinned codec-transparent."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .util import spread
+
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import flac_from_samples
+        from .multimodal import wav_from_samples
+
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i // modulus
+                spans = burst_layout(j)
+                pieces = []
+                for is_burst, n_frames in spans:
+                    n = n_frames * frame
+                    if is_burst:
+                        t = np.arange(n, dtype=np.float64)
+                        pieces.append(
+                            0.45 * np.sin(
+                                2 * np.pi * (0.03 + 0.002 * (j % 7)) * t
+                            )
+                        )
+                    else:
+                        pieces.append(np.zeros(n))
+                wave = np.concatenate(pieces)
+                if j % 2 == 1:
+                    content.append(flac_from_samples(wave, 8000))
+                else:
+                    content.append(wav_from_samples(wave, 8000))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["audio"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(gen, schema="id long, content binary, modality string")
+
+
+def burst_layout(j: int) -> list[tuple[bool, int]]:
+    """(is_burst, n_frames) spans of the m18 fixture clip for index
+    j — shared by the generator and the tests; the SQL oracle
+    mirrors this arithmetic."""
+    return [
+        (False, 2 + j % 3),
+        (True, 2 + j % 4),
+        (False, 1 + j % 2),
+        (True, 3 + (j // 3) % 3),
+        (False, 2),
+        (True, 2 + (j // 2) % 2),
+        (False, 1),
+    ]
+
+
+def voice_activity_segments(
+    payloads: DataFrame, *, frame: int = 256, threshold: float = 0.01
+) -> DataFrame:
+    """(id, seg, start_frame, n_frames) voice-activity segments per
+    decodable audio payload — the segmentation pass a speech corpus
+    runs before transcription/alignment: frame the mono signal into
+    non-overlapping ``frame``-sample windows, mark a window active
+    when its RMS exceeds ``threshold``, and emit each maximal run of
+    active windows. Pure numpy per payload (decode → reshape → RMS →
+    run-length over the boolean mask), Arrow-batched; undecodable
+    payloads are dropped, not fatal.
+
+    Non-overlapping windows make the boundaries EXACT for
+    frame-aligned content, which is what lets the m18 oracle
+    recompute segments relationally — a property test, not a vibe."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["content"]):
+                data = bytes(b)
+                try:
+                    n_ch, _, samples = audio_samples(data)
+                except (ValueError, struct.error):
+                    continue
+                n_fr = len(samples) // max(n_ch, 1)
+                mono = (
+                    samples[: n_fr * n_ch].reshape(n_fr, n_ch).mean(axis=1)
+                )
+                n_win = len(mono) // frame
+                if n_win == 0:
+                    continue
+                rms = np.sqrt(
+                    (mono[: n_win * frame].reshape(n_win, frame) ** 2).mean(
+                        axis=1
+                    )
+                )
+                active = rms > threshold
+                # run-length extraction over the boolean mask
+                edges = np.flatnonzero(np.diff(active.astype(np.int8)))
+                starts = [0] if active[0] else []
+                starts += [int(e) + 1 for e in edges if not active[e]]
+                ends = [int(e) + 1 for e in edges if active[e]]
+                if active[-1]:
+                    ends.append(n_win)
+                for k, (s, e) in enumerate(zip(starts, ends), start=1):
+                    rows.append((int(i), k, s, e - s))
+            yield pd.DataFrame(
+                rows, columns=["id", "seg", "start_frame", "n_frames"]
+            )
+
+    return payloads.mapInPandas(
+        compute,
+        schema="id long, seg long, start_frame long, n_frames long",
+    )
+
+
 def audio_match_pairs(
     payloads: DataFrame,
     *,

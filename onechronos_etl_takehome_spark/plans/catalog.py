@@ -263,13 +263,15 @@ DRIVER_WINDOW: list[str] = [
 # I_PCM ingest near-dup — the real-AVC leg of the m12 family, also
 # landing round 14; rows-only like its siblings), m17 (audio stream
 # metadata — the oracled audio leg of the m14 cataloging pass,
-# landing round 14 over the WAV/FLAC/MP3/ADTS container zoo), m16
+# landing round 14 over the six-leg WAV/FLAC/MP3/ADTS/Ogg zoo), m16
 # (FLAC audio near-dup — real compressed-audio ingest via the
 # pure-numpy FLAC codec, landing round 14; rows-only like m09, whose
 # landmark machinery it drives over FLAC-decoded samples), t29
 # (epoch reshuffle — per-epoch training order with zero data
 # movement, oracled over two epoch replays of one layout, also
-# landing round 14).
+# landing round 14), m18 (voice-activity segmentation — oracled
+# RMS-threshold DSP over frame-aligned burst fixtures, WAV and FLAC
+# ingest, also landing round 14).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

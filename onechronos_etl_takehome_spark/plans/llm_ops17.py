@@ -5,6 +5,10 @@ the training loop's epoch axis.
   read_training_shards_epoch`` — a fresh deterministic training
   order per epoch from the SAME shard layout, zero bytes rewritten;
   per-shard checksums of two epoch replays hash-matched in one row.
+- **Voice-activity segmentation** (m18): real sample-level DSP
+  (decode → framed RMS → threshold → run-length), hash-matched
+  because the fixture's bursts are frame-aligned — the oracle
+  recomputes exact segments from id arithmetic.
 
 - **FLAC audio near-dup** (m16): ``operators/flac.py`` — a real FLAC
   codec in pure numpy/stdlib (encoder: stereo-decorrelation + LPC /
@@ -164,6 +168,66 @@ def t29_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum_e2",
         )
     )
+
+
+# Voice-activity segments recomputed relationally from the fixture's
+# id-derived frame-aligned burst layout (audio.burst_layout): with
+# j = id // 10, gaps g0..g2 and bursts b1..b3 in frame units, the
+# three segments are (g0, b1), (g0+b1+g1, b2), (g0+b1+g1+b2+g2, b3).
+_M18_ORACLE = """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id
+      FROM documents WHERE doc_id % 10 = 0),
+    p AS (
+      SELECT id,
+             2 + (id // 10) % 3 AS g0,
+             2 + (id // 10) % 4 AS b1,
+             1 + (id // 10) % 2 AS g1,
+             3 + ((id // 10) // 3) % 3 AS b2,
+             2 AS g2,
+             2 + ((id // 10) // 2) % 2 AS b3
+      FROM ids)
+    SELECT id, CAST(1 AS BIGINT) AS seg,
+           CAST(g0 AS BIGINT) AS start_frame,
+           CAST(b1 AS BIGINT) AS n_frames
+    FROM p
+    UNION ALL
+    SELECT id, CAST(2 AS BIGINT),
+           CAST(g0 + b1 + g1 AS BIGINT),
+           CAST(b2 AS BIGINT)
+    FROM p
+    UNION ALL
+    SELECT id, CAST(3 AS BIGINT),
+           CAST(g0 + b1 + g1 + b2 + g2 AS BIGINT),
+           CAST(b3 AS BIGINT)
+    FROM p
+"""
+
+
+@register("m18_voice_activity_segments", oracle=_M18_ORACLE)
+def m18_voice_activity_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOICE-ACTIVITY SEGMENTATION (``operators/audio.py:
+    voice_activity_segments``): the first pass of speech-corpus
+    preparation — find where anyone is speaking before paying for
+    transcription or alignment. REAL DSP end-to-end: decode (WAV or
+    FLAC — half the fixture arrives FLAC-compressed, so the segments
+    are pinned codec-transparent), frame into non-overlapping
+    256-sample windows, per-window RMS, threshold, run-length extract
+    the active runs. Hash-matched because the fixture's bursts are
+    frame-ALIGNED and its gaps digital silence: the oracle recomputes
+    every (start_frame, n_frames) from the id-derived burst layout —
+    parse ∘ synthesize == id, extended from header fields to actual
+    SAMPLE analysis (the spectral ops stay rows-only because SQL has
+    no FFT; RMS-over-aligned-frames it CAN pin exactly).
+
+    Scale: one Arrow-batched decode+reshape+RMS pass per payload, no
+    Python per sample; output is segments, ~0.1% of input bytes."""
+    from ..operators import audio as au
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = au.demo_burst_audio_payloads(docs, "doc_id")
+    return au.voice_activity_segments(payloads)
 
 
 # parse ∘ synthesize == id over the four-container audio zoo — the

@@ -186,12 +186,56 @@ def test_mpeg_audio_parsers_roundtrip_and_enforce():
     p = synthesize_mp3(3, 44100)
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
     assert parse_mp3_stream(id3 + p)["n_frames"] == 3
+    # external anchor: the canonical FF FB 90 header (MPEG-1 layer
+    # III, 128 kbps, 44100 Hz, stereo — the most common MP3 frame
+    # header bytes in existence), hand-built here, frame length
+    # floor(144000*128/44100) = 417 per the spec formula
+    frame = b"\xff\xfb\x90\x00" + bytes(417 - 4)
+    si = parse_mp3_stream(frame * 2)
+    assert si["codec"] == "mpeg1-layer3"
+    assert (si["sample_rate"], si["channels"], si["n_frames"]) == (
+        44100, 2, 2,
+    )
     a = synthesize_adts(4, 44100, channels=2)
     sa = parse_adts_stream(a)
     assert (sa["codec"], sa["n_samples"]) == ("aac-lc", 4096)
     assert sniff_mpeg_audio(a) == "adts"
     with pytest.raises(ValueError):
         parse_adts_stream(a[:-1])
+
+
+def test_m18_segments_codec_transparent_and_tolerant(spark):
+    """The same clip must segment identically from WAV and FLAC
+    bytes, and an UNALIGNED burst (the real-world case the oracle's
+    aligned fixture can't cover) must still be found within one
+    frame of its true span."""
+    from onechronos_etl_takehome_spark.operators.flac import flac_from_samples
+    from onechronos_etl_takehome_spark.operators.multimodal import (
+        wav_from_samples,
+    )
+
+    frame = 256
+    wave = np.zeros(20 * frame)
+    lo, hi = 5 * frame + 97, 11 * frame + 201  # deliberately unaligned
+    wave[lo:hi] = 0.45 * np.sin(0.05 * np.arange(hi - lo))
+    payloads = spark.createDataFrame(
+        [
+            (1, bytearray(wav_from_samples(wave, 8000)), "audio"),
+            (2, bytearray(flac_from_samples(wave, 8000)), "audio"),
+        ],
+        "id long, content binary, modality string",
+    )
+    segs = au.voice_activity_segments(payloads, frame=frame).collect()
+    by_id = {}
+    for r in segs:
+        by_id.setdefault(r["id"], []).append(
+            (r["seg"], r["start_frame"], r["n_frames"])
+        )
+    assert by_id[1] == by_id[2]  # codec-transparent
+    assert len(by_id[1]) == 1
+    _, start, n = by_id[1][0]
+    assert abs(start - lo // frame) <= 1
+    assert abs((start + n) - (hi // frame + 1)) <= 1
 
 
 def test_ogg_parsers_roundtrip_and_enforce():
