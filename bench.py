@@ -268,6 +268,8 @@ HEADLINE = [
     "t29_epoch_reshuffle",
     # m18: voice-activity segmentation (decode + framed RMS + runs)
     "m18_voice_activity_segments",
+    # m19: transcript alignment (SRT parse + VAD + interval join)
+    "m19_transcript_alignment",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

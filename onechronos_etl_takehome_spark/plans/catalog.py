@@ -271,7 +271,9 @@ DRIVER_WINDOW: list[str] = [
 # movement, oracled over two epoch replays of one layout, also
 # landing round 14), m18 (voice-activity segmentation — oracled
 # RMS-threshold DSP over frame-aligned burst fixtures, WAV and FLAC
-# ingest, also landing round 14).
+# ingest, also landing round 14), m19 (transcript alignment — SRT
+# cues interval-joined to m18's speech segments, both span families
+# oracled from id arithmetic, also landing round 14).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

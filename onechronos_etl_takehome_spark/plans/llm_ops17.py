@@ -9,6 +9,10 @@ the training loop's epoch axis.
   (decode → framed RMS → threshold → run-length), hash-matched
   because the fixture's bursts are frame-aligned — the oracle
   recomputes exact segments from id arithmetic.
+- **Transcript alignment** (m19): strict SRT parse + interval join
+  of cue spans to m18's detected-speech spans
+  (``operators/subtitles.py``) — a two-modality composition whose
+  entire output the oracle recomputes and intersects in SQL.
 
 - **FLAC audio near-dup** (m16): ``operators/flac.py`` — a real FLAC
   codec in pure numpy/stdlib (encoder: stereo-decorrelation + LPC /
@@ -168,6 +172,71 @@ def t29_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum_e2",
         )
     )
+
+
+# Cue spans (the SRT fixture's arithmetic) interval-joined with the
+# m18 segment spans (the burst fixture's arithmetic) — the whole
+# alignment recomputed in SQL, overlap lengths included.
+_M19_ORACLE = """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id
+      FROM documents WHERE doc_id % 10 = 0),
+    p AS (
+      SELECT id,
+             2 + (id // 10) % 3 AS g0,
+             2 + (id // 10) % 4 AS b1,
+             1 + (id // 10) % 2 AS g1,
+             3 + ((id // 10) // 3) % 3 AS b2,
+             2 AS g2,
+             2 + ((id // 10) // 2) % 2 AS b3
+      FROM ids),
+    segs AS (
+      SELECT id, 1 AS seg, g0 AS ss, g0 + b1 AS se FROM p
+      UNION ALL
+      SELECT id, 2, g0 + b1 + g1, g0 + b1 + g1 + b2 FROM p
+      UNION ALL
+      SELECT id, 3, g0 + b1 + g1 + b2 + g2,
+             g0 + b1 + g1 + b2 + g2 + b3 FROM p),
+    cues AS (
+      SELECT id, 1 AS cue, 1 AS cs, 4 + (id // 10) % 4 AS ce FROM ids
+      UNION ALL
+      SELECT id, 2, 6 + (id // 10) % 3,
+             6 + (id // 10) % 3 + 4 + ((id // 10) // 2) % 4 FROM ids)
+    SELECT s.id, CAST(c.cue AS BIGINT) AS cue,
+           CAST(s.seg AS BIGINT) AS seg,
+           CAST(LEAST(s.se, c.ce) - GREATEST(s.ss, c.cs) AS BIGINT)
+             AS overlap_frames
+    FROM segs s JOIN cues c ON s.id = c.id
+    WHERE c.cs < s.se AND s.ss < c.ce
+"""
+
+
+@register("m19_transcript_alignment", oracle=_M19_ORACLE)
+def m19_transcript_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSCRIPT↔SPEECH ALIGNMENT (``operators/subtitles.py``): the
+    pairing pass of ASR/TTS corpus prep — which SubRip cue covers
+    which detected-speech span, per (audio, transcript) upload pair.
+    Both sides are REAL: the audio side runs the m18 DSP
+    (WAV/FLAC decode → framed RMS → run-length segments) and the
+    transcript side a strict SRT parse (cue indices, the
+    ``HH:MM:SS,mmm --> HH:MM:SS,mmm`` grammar, ms precision); the
+    interval join is an id equi-join plus a span-overlap filter —
+    never a cartesian stage. Hash-matched end to end: 256-sample
+    frames at 8 kHz are exactly 32 ms, so cue ms ↔ frame conversion
+    is integer-exact and the oracle recomputes BOTH span families
+    from id arithmetic and intersects them in SQL — the strongest
+    witness shape available for a two-modality composition.
+
+    Scale: segments and cues are ~0.1% of payload bytes; the join
+    shuffles only those reduced frames, hash-partitioned on id."""
+    from ..operators import audio as au
+    from ..operators import subtitles as st
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    audio = au.demo_burst_audio_payloads(docs, "doc_id")
+    srt = st.demo_srt_payloads(docs, "doc_id")
+    return st.align_transcript_segments(audio, srt)
 
 
 # Voice-activity segments recomputed relationally from the fixture's

@@ -279,6 +279,51 @@ def test_ogg_parsers_roundtrip_and_enforce():
         assert ogg_crc(blob) == crc
 
 
+def test_srt_parser_strict_and_roundtrip():
+    from onechronos_etl_takehome_spark.operators.subtitles import (
+        parse_srt,
+        synthesize_srt,
+    )
+
+    # an independently hand-written SubRip document (not produced by
+    # synthesize_srt): CRLF line endings, multi-line cue text
+    doc = (
+        "1\r\n00:00:01,500 --> 00:00:04,000\r\nhello\r\nworld\r\n"
+        "\r\n"
+        "2\r\n01:02:03,250 --> 01:02:05,775\r\nsecond cue\r\n"
+    )
+    cues = parse_srt(doc)
+    assert cues[0] == (1, 1500, 4000, "hello\nworld")
+    assert cues[1][1:3] == (3723250, 3725775)
+    # round-trip through the writer
+    again = parse_srt(synthesize_srt([(c[1], c[2], c[3]) for c in cues]))
+    assert [c[1:] for c in again] == [c[1:] for c in cues]
+    for bad in (
+        "",  # empty
+        "1\n00:00:02,000 --> 00:00:01,000\nbackwards\n",  # ends first
+        "x\n00:00:01,000 --> 00:00:02,000\ntext\n",  # bad index
+        "1\n00:00:01.000 --> 00:00:02,000\ntext\n",  # dot not comma
+        "1\n00:00:01,000 --> 00:00:02,000\n",  # no text
+    ):
+        with pytest.raises(ValueError):
+            parse_srt(bad)
+
+
+def test_m19_alignment_end_to_end(spark, docs):
+    from onechronos_etl_takehome_spark.operators import subtitles as st
+
+    audio = au.demo_burst_audio_payloads(docs, "doc_id")
+    srt = st.demo_srt_payloads(docs, "doc_id")
+    rows = st.align_transcript_segments(audio, srt).collect()
+    assert rows
+    # every overlap is positive and bounded by both span lengths
+    for r in rows:
+        assert 1 <= r["overlap_frames"] <= 16
+    # both cues and at least two distinct segments participate
+    assert {r["cue"] for r in rows} == {1, 2}
+    assert len({r["seg"] for r in rows}) >= 2
+
+
 def test_m17_metadata_is_header_only_for_flac():
     # a FLAC payload with CORRUPT frame bytes but intact STREAMINFO
     # still catalogs — proof the metadata pass never opens frames
