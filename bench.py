@@ -270,6 +270,8 @@ HEADLINE = [
     "m18_voice_activity_segments",
     # m19: transcript alignment (SRT parse + VAD + interval join)
     "m19_transcript_alignment",
+    # t31: HTML main-content extraction (parser walk + density gate)
+    "t31_html_main_text",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

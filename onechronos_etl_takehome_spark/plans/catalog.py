@@ -273,7 +273,10 @@ DRIVER_WINDOW: list[str] = [
 # RMS-threshold DSP over frame-aligned burst fixtures, WAV and FLAC
 # ingest, also landing round 14), m19 (transcript alignment — SRT
 # cues interval-joined to m18's speech segments, both span families
-# oracled from id arithmetic, also landing round 14).
+# oracled from id arithmetic, also landing round 14), t31 (HTML
+# main-content extraction — stdlib-parser block walk with a
+# link-density boilerplate gate, output strings hash-matched, also
+# landing round 14).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

@@ -13,6 +13,9 @@ the training loop's epoch axis.
   of cue spans to m18's detected-speech spans
   (``operators/subtitles.py``) — a two-modality composition whose
   entire output the oracle recomputes and intersects in SQL.
+- **HTML main-content extraction** (t31): the web-corpus
+  boilerplate cut (``operators/webtext.py`` — stdlib-parser block
+  walk, link-density gate), output strings hash-matched exactly.
 
 - **FLAC audio near-dup** (m16): ``operators/flac.py`` — a real FLAC
   codec in pure numpy/stdlib (encoder: stereo-decorrelation + LPC /
@@ -172,6 +175,61 @@ def t29_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum_e2",
         )
     )
+
+
+# The extractor's exact output rebuilt relationally: title, the
+# newline-joined id-derived paragraphs (entity &amp; decoded to &),
+# and the kept/dropped block counts. chr(10) is the newline.
+_T31_ORACLE = """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id
+      FROM documents WHERE doc_id % 5 = 0),
+    p AS (
+      SELECT id, id // 5 AS j, (id // 5) % 3 AS extra FROM ids),
+    parts AS (
+      SELECT id, j, extra,
+             'para ' || j || ' 0 alpha & beta' AS p0,
+             'para ' || j || ' 1 alpha & beta' AS p1,
+             'para ' || j || ' 2 alpha & beta' AS p2,
+             'para ' || j || ' 3 alpha & beta' AS p3
+      FROM p)
+    SELECT id,
+           'Doc ' || j AS title,
+           CASE extra
+             WHEN 0 THEN p0 || chr(10) || p1
+             WHEN 1 THEN p0 || chr(10) || p1 || chr(10) || p2
+             ELSE p0 || chr(10) || p1 || chr(10) || p2 || chr(10) || p3
+           END AS main_text,
+           CAST(2 + extra AS BIGINT) AS n_kept,
+           CAST(3 AS BIGINT) AS n_dropped
+    FROM parts
+"""
+
+
+@register("t31_html_main_text", oracle=_T31_ORACLE)
+def t31_html_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML MAIN-CONTENT EXTRACTION (``operators/webtext.py``) — the
+    first operator every web-scale pretraining corpus runs
+    (CCNet/RefinedWeb/FineWeb-style boilerplate removal). A real
+    event-driven HTML walk on the stdlib parser: script/style
+    subtrees skipped, entities decoded, comments dropped, text
+    segmented into blocks at block-element boundaries, and each
+    block classified by MEASURED link density (chars inside <a> ÷
+    block chars) — menus, promo rails, and footers are mostly links
+    and die; content paragraphs have near-zero density and survive.
+    The fixture pages embed id-derived paragraphs (with an entity to
+    prove decoding) among realistic chrome, and the oracle rebuilds
+    the exact title + newline-joined main_text + block counts
+    relationally — extraction hash-matched string-for-string.
+
+    Scale: one Arrow-batched pure-CPU pass per page, no state across
+    documents; output text is the corpus after a ~70% chrome cut."""
+    from ..operators import webtext as wt
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pages = wt.demo_web_pages(docs, "doc_id")
+    return wt.html_main_text(pages)
 
 
 # Cue spans (the SRT fixture's arithmetic) interval-joined with the

@@ -279,6 +279,43 @@ def test_ogg_parsers_roundtrip_and_enforce():
         assert ogg_crc(blob) == crc
 
 
+def test_html_extractor_on_tag_soup():
+    """Hand-written messy HTML — unclosed tags, uppercase names,
+    attributes containing '>', nested anchors, CDATA-ish script
+    content — must still yield the right blocks and density calls."""
+    from onechronos_etl_takehome_spark.operators.webtext import (
+        extract_main_text,
+    )
+
+    soup = (
+        "<HTML><HEAD><TITLE>  Messy   page </TITLE>"
+        "<script>if (a > b) { document.write('<p>fake</p>') }</script>"
+        "</HEAD><BODY>"
+        "<P>First real paragraph with enough text"  # unclosed <p>
+        '<div class="x" data-v="a>b">Second block, also real text here'
+        "<ul><li><a href=x>one</a></li><li><a href=y>two</a></li></ul>"
+        "<p>Entities: &lt;tag&gt; &amp; &quot;quotes&quot; decoded</p>"
+        "</BODY>"
+    )
+    out = extract_main_text(soup)
+    assert out["title"] == "Messy page"
+    text = out["main_text"].split("\n")
+    assert text[0] == "First real paragraph with enough text"
+    assert text[1] == "Second block, also real text here"
+    assert 'Entities: <tag> & "quotes" decoded' in text
+    # the all-link list items died to the density gate, and nothing
+    # from the script leaked (document.write's fake <p> included)
+    assert "one" not in out["main_text"]
+    assert "fake" not in out["main_text"]
+    # a prose-heavy block with ONE link must survive (density < 0.5)
+    rich = extract_main_text(
+        "<p>Read the full forty-character analysis in our "
+        '<a href="/x">report</a> today</p>'
+    )
+    assert out["n_dropped"] >= 1
+    assert rich["n_kept"] == 1
+
+
 def test_srt_parser_strict_and_roundtrip():
     from onechronos_etl_takehome_spark.operators.subtitles import (
         parse_srt,
