@@ -272,6 +272,8 @@ HEADLINE = [
     "m19_transcript_alignment",
     # t31: HTML main-content extraction (parser walk + density gate)
     "t31_html_main_text",
+    # m20: GIF-ingest near-dup (LZW decode leg of the tolerant join)
+    "m20_gif_video_neardup",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]
@@ -292,8 +294,9 @@ CANDIDATE_QUERIES = {
     "m10_video_neardup",
     # round 7: the tolerant cross-codec frame join gets its own count
     "m12_crosscodec_video_neardup",
-    # round 14: the AVC I_PCM leg rides the same tolerant join
+    # round 14: the AVC I_PCM and GIF legs ride the same tolerant join
     "m15_avc_ipcm_video_neardup",
+    "m20_gif_video_neardup",
 }
 
 # Fuzzy-dedup / ANN paths probed on a 10× corpus (see

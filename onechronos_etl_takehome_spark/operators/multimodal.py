@@ -231,6 +231,8 @@ def sniff_modality(payload: bytes) -> str:
         return "flac"
     if payload[:4] == b"OggS":
         return "ogg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if payload[:3] == b"\xff\xd8\xff":

@@ -186,18 +186,23 @@ def avi_frames(payload: bytes) -> "object":
 
 
 def frame_dhashes(payload: bytes) -> list[int]:
-    """Sorted-unique per-frame dHash set for one video payload (AVI
-    or MP4 — the container is sniffed per payload, so one decode
-    stage serves a mixed corpus), as signed BIGINT (Spark has no
+    """Sorted-unique per-frame dHash set for one video payload (AVI,
+    MP4, or animated GIF — the container is sniffed per payload, so
+    one decode stage serves a mixed corpus), as signed BIGINT (Spark has no
     unsigned 64 — same two's-complement reinterpretation as
     ``image_dhash``). Set semantics: a looped/duplicated frame adds
     nothing, mirroring the landmark sets of m09."""
     import numpy as np
 
-    if sniff_modality(payload) == "mp4":
+    kind = sniff_modality(payload)
+    if kind == "mp4":
         from .mp4 import mp4_frames
 
         px = mp4_frames(payload).astype("float64")
+    elif kind == "gif":
+        from .gif import gif_frames
+
+        px = gif_frames(payload).astype("float64")
     else:
         px = avi_frames(payload).astype("float64")
     b, g, r = px[..., 0], px[..., 1], px[..., 2]
@@ -211,9 +216,9 @@ def frame_dhashes(payload: bytes) -> list[int]:
 
 
 def video_fingerprints(payloads: DataFrame) -> DataFrame:
-    """(id, chash) frame-hash rows per decodable video payload — AVI
-    and MP4 through ONE Arrow-batched decode stage (the container is
-    sniffed per payload; non-video payloads dropped). Column named
+    """(id, chash) frame-hash rows per decodable video payload — AVI,
+    MP4, and animated GIF through ONE Arrow-batched decode stage (the
+    container is sniffed per payload; non-video payloads dropped). Column named
     ``chash`` so the frame plugs straight into
     ``multimodal.chunk_pair_join``."""
 
@@ -222,7 +227,7 @@ def video_fingerprints(payloads: DataFrame) -> DataFrame:
             ids, hashes = [], []
             for i, bpayload in zip(pdf["id"], pdf["content"]):
                 data = bytes(bpayload)
-                if sniff_modality(data) not in ("avi", "mp4"):
+                if sniff_modality(data) not in ("avi", "mp4", "gif"):
                     continue
                 try:
                     fhs = frame_dhashes(data)
@@ -636,6 +641,61 @@ def demo_avc_twin_payloads(
                 if (i // modulus) % 2 == 1:
                     content.append(
                         mp4_from_frames_avc(np.stack(frames[1:]))
+                    )
+                else:
+                    content.append(mp4_from_frames(np.stack(frames)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "content": content,
+                    "modality": ["video"] * len(content),
+                }
+            )
+
+    return base.mapInPandas(
+        gen, schema="id long, content binary, modality string"
+    )
+
+
+def demo_gif_twin_payloads(
+    df: DataFrame, id_col: str, *, modulus: int = 10, n_frames: int = 8
+) -> DataFrame:
+    """GIF-ingest near-dup fixture: paired ids share a scene; the
+    even member is a lossy Motion-JPEG MP4, the odd member the SAME
+    footage (lead frame trimmed) re-published as an animated GIF.
+    The scene frames carry <=64 distinct colors, so the GIF side is
+    pixel-EXACT (LZW is lossless once content fits a palette) while
+    JPEG quantization drifts the MP4 side's frame hashes a few bits —
+    the m15 contrast with the codec roles reversed onto the format
+    every meme re-encode uses; only hash-tolerant matching pairs
+    them. Content wider than 256 colors would need a quantizer
+    first — ``gif_from_frames`` refuses it, like the format."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .gif import gif_from_frames
+    from .mp4 import mp4_from_frames
+    from .util import spread
+
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = []
+            for i in pdf["id"]:
+                i = int(i)
+                scene = i // (2 * modulus)
+                frames = [_scene_frame(scene, k) for k in range(n_frames)]
+                if (i // modulus) % 2 == 1:
+                    content.append(
+                        gif_from_frames(
+                            np.stack(frames[1:]).astype(np.uint8)
+                        )
                     )
                 else:
                     content.append(mp4_from_frames(np.stack(frames)))

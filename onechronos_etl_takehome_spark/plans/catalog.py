@@ -276,7 +276,9 @@ DRIVER_WINDOW: list[str] = [
 # oracled from id arithmetic, also landing round 14), t31 (HTML
 # main-content extraction — stdlib-parser block walk with a
 # link-density boilerplate gate, output strings hash-matched, also
-# landing round 14).
+# landing round 14), m20 (GIF-ingest video near-dup — pure-python
+# LZW decode + frame composition feeding the tolerant matcher,
+# rows-only like m15, also landing round 14).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

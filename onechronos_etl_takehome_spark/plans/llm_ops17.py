@@ -16,6 +16,10 @@ the training loop's epoch axis.
 - **HTML main-content extraction** (t31): the web-corpus
   boilerplate cut (``operators/webtext.py`` — stdlib-parser block
   walk, link-density gate), output strings hash-matched exactly.
+- **GIF video ingest** (m20): a full GIF codec
+  (``operators/gif.py`` — LZW both ways, interlace, disposal,
+  transparency) plugged into the mixed-container video near-dup
+  stage; planted MP4↔GIF twins recovered by the tolerant join.
 
 - **FLAC audio near-dup** (m16): ``operators/flac.py`` — a real FLAC
   codec in pure numpy/stdlib (encoder: stereo-decorrelation + LPC /
@@ -174,6 +178,38 @@ def t29_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum_e1",
             "order_checksum_e2",
         )
+    )
+
+
+@register("m20_gif_video_neardup")  # LZW frame decode → rows-only
+def m20_gif_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF-INGEST video near-dup: each planted twin pairs a lossy
+    Motion-JPEG MP4 with the SAME footage (lead frame trimmed)
+    re-published as an animated GIF — decoded for real by the
+    pure-python LZW + composition pipeline in ``operators/gif.py``
+    (the web-corpus case: a clip and its meme-GIF re-encode). The
+    GIF side is pixel-exact (<=64-color content; LZW is lossless)
+    while JPEG quantization drifts the MP4 side's hashes, so the
+    exact containment join finds zero pairs and only the tolerant
+    banded-Hamming join (m12's machinery) recovers the twins — the
+    m15 contrast on the format every meme re-encode uses. Rows-only
+    BY DESIGN: SQL cannot
+    run LZW; pinned by tests/test_round14c_ops.py (LZW round-trips
+    incl. dictionary reset, interlace de-weave, disposal/transparency
+    composition, a hand-assembled spec-bytes GIF the encoder never
+    wrote, palette-overflow refusal, planted-pair recovery).
+
+    Scale: GIFs ride the SAME Arrow-batched sniff-and-decode stage
+    as AVI/MP4 (one binary scan, one fingerprint pass for a mixed
+    corpus) and the same pigeonhole blocking as m12."""
+    from ..operators import video as vid
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_videos = docs.filter(F.col("doc_id") % 10 == 0).count()
+    payloads = vid.demo_gif_twin_payloads(docs, "doc_id")
+    return vid.video_match_pairs_tolerant(
+        payloads, min_containment=0.6, n_videos=n_videos
     )
 
 
