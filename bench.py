@@ -274,6 +274,8 @@ HEADLINE = [
     "t31_html_main_text",
     # m20: GIF-ingest near-dup (LZW decode leg of the tolerant join)
     "m20_gif_video_neardup",
+    # m21: image stream metadata (header-only routing pass, 5 modes)
+    "m21_image_stream_metadata",
     "e01_hourly_event_windows",
     "e02_sliding_event_windows",
 ]

@@ -278,7 +278,10 @@ DRIVER_WINDOW: list[str] = [
 # link-density boilerplate gate, output strings hash-matched, also
 # landing round 14), m20 (GIF-ingest video near-dup — pure-python
 # LZW decode + frame composition feeding the tolerant matcher,
-# rows-only like m15, also landing round 14).
+# rows-only like m15, also landing round 14), m21 (image stream
+# metadata — the oracled image leg of the routing-pass trilogy,
+# header-only parses over the five-mode bmp/png/jpeg/gif zoo, also
+# landing round 14).
 # Round 11: x48 and x49 rotate in, exactly as the round-10 verdict's
 # item 2 (and this file's own round-10 forecast) named them.
 # - x48_txlog_cdf_stream: the streaming change data feed — DML

@@ -20,6 +20,10 @@ the training loop's epoch axis.
   (``operators/gif.py`` — LZW both ways, interlace, disposal,
   transparency) plugged into the mixed-container video near-dup
   stage; planted MP4↔GIF twins recovered by the tolerant join.
+- **Image stream metadata** (m21): the image leg of the routing
+  trilogy (``operators/imagemeta.py``) — header-only container /
+  coding-mode / dimensions / depth / frame-count parses, oracled
+  over a five-mode zoo.
 
 - **FLAC audio near-dup** (m16): ``operators/flac.py`` — a real FLAC
   codec in pure numpy/stdlib (encoder: stereo-decorrelation + LPC /
@@ -179,6 +183,62 @@ def t29_epoch_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_checksum_e2",
         )
     )
+
+
+# parse ∘ synthesize == id over the five-mode image zoo — the image
+# leg of the routing-pass trilogy (m14 video, m17 audio, m21 image).
+_M21_ORACLE = """
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id
+      FROM documents WHERE doc_id % 10 = 0),
+    p AS (
+      SELECT id,
+             (id // 10) % 5 AS kind,
+             20 + ((id // 10) // 5) % 5 * 12 AS w,
+             16 + ((id // 10) // 25) % 4 * 10 AS h,
+             2 + ((id // 10) // 5) % 3 AS gframes
+      FROM ids)
+    SELECT id,
+           CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                WHEN 4 THEN 'gif' ELSE 'jpeg' END AS container,
+           CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'jpeg-baseline' WHEN 3 THEN 'jpeg-progressive'
+                ELSE 'gif' END AS codec,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN kind <= 1 THEN 24 WHEN kind = 4 THEN 2
+                ELSE 8 END AS BIGINT) AS bit_depth,
+           CAST(CASE WHEN kind = 4 THEN gframes ELSE 1 END AS BIGINT)
+             AS n_frames
+    FROM p
+"""
+
+
+@register("m21_image_stream_metadata", oracle=_M21_ORACLE)
+def m21_image_stream_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE STREAM METADATA (``operators/imagemeta.py``): the image
+    leg of the routing/cataloging trilogy (m14 video, m17 audio) —
+    container, coding mode, dimensions, depth, and frame count per
+    payload WITHOUT decoding a pixel. BMP and PNG are fixed-offset
+    header reads; JPEG walks marker segments to SOF, distinguishing
+    baseline from progressive (a one-byte difference worth ~3× in
+    decode budget — exactly what a routing pass exists to know); GIF
+    walks blocks and COUNTS frames by skipping sub-block lengths
+    arithmetically, LZW never running (a 200-frame GIF is
+    video-shaped work and must route accordingly). The fixture
+    rotates all five coding modes with id-derived dimensions and
+    frame counts via independent mixed-radix digits (no
+    correlated-selector dead legs), and the oracle recomputes every
+    field — parse ∘ synthesize == id, hash-matched.
+
+    Scale: bytes touched per payload are a few dozen header bytes;
+    same Arrow-batched stage as every media op."""
+    from ..operators import imagemeta as im
+
+    pin_semantics(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = im.demo_image_zoo_payloads(docs, "doc_id")
+    return im.image_stream_metadata(payloads)
 
 
 @register("m20_gif_video_neardup")  # LZW frame decode → rows-only

@@ -169,6 +169,35 @@ def test_corruption_raises():
         gif_frames(bytes(bad[:-1]))  # and drop the trailer
 
 
+def test_image_metadata_parsers_and_zoo(spark):
+    from onechronos_etl_takehome_spark.operators import imagemeta as im
+    from onechronos_etl_takehome_spark.sources.tables import load_table
+
+    # header-only proof: a GIF with CORRUPT pixel data but intact
+    # structure still catalogs (LZW never runs), and frame count
+    # comes from the block walk
+    frames = np.zeros((3, 8, 8, 3), np.uint8)
+    frames[1, 2:5] = 77
+    enc = bytearray(gif_from_frames(frames))
+    enc[-6] ^= 0xFF  # corrupt LZW bytes of the last frame
+    si = im.gif_info(bytes(enc))
+    assert (si["n_frames"], si["width"], si["height"]) == (3, 8, 8)
+    with pytest.raises(ValueError):
+        gif_frames(bytes(enc))  # the full decode DOES notice
+    # the zoo has no dead legs: all five coding modes × widths live
+    docs = load_table(spark, SF, "documents")
+    md = im.image_stream_metadata(
+        im.demo_image_zoo_payloads(docs, "doc_id")
+    ).collect()
+    assert len(md) == docs.where(F.col("doc_id") % 10 == 0).count()
+    assert {r["codec"] for r in md} == {
+        "bmp", "png", "jpeg-baseline", "jpeg-progressive", "gif",
+    }
+    combos = {(r["codec"], r["width"]) for r in md}
+    assert len(combos) == 25, sorted(combos)
+    assert {r["n_frames"] for r in md if r["codec"] == "gif"} == {2, 3, 4}
+
+
 def test_m20_recovers_planted_gif_twins(spark):
     from onechronos_etl_takehome_spark.operators import video as vid
     from onechronos_etl_takehome_spark.sources.tables import load_table
