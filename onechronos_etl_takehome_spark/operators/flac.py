@@ -231,10 +231,6 @@ _SAMPLE_RATE_BY_CODE = {v: k for k, v in _SAMPLE_RATE_CODES.items()}
 _BITS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 _BITS_BY_CODE = {v: k for k, v in _BITS_CODES.items()}
 
-# fixed predictor taps, order 0..4 (residual = order-th difference)
-_FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
-
-
 # ---------------------------------------------------------------------------
 # Rice residual coding.
 # ---------------------------------------------------------------------------

@@ -101,6 +101,8 @@ def demo_srt_payloads(
     frames [1, 4 + j % 4), cue 2 covers frames
     [6 + j % 3, 10 + j % 3 + (j // 2) % 4)."""
 
+    from .util import spread
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             docs = []
@@ -116,11 +118,14 @@ def demo_srt_payloads(
                 docs.append(synthesize_srt([c1, c2]))
             yield pd.DataFrame({"id": pdf["id"], "srt": docs})
 
-    return (
-        df.select(F.col(id_col).cast("long").alias("id"))
-        .where(F.col(id_col) % modulus == 0)
-        .mapInPandas(gen, schema="id long, srt string")
+    # spread: synthesis + the downstream parse are pure-CPU per-id
+    # work; a single-file scan would serialize them onto one core
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
     )
+    return base.mapInPandas(gen, schema="id long, srt string")
 
 
 def srt_cue_spans(

@@ -179,6 +179,8 @@ def demo_web_pages(
     and a footer of links. Only the paragraphs survive the density
     gate, so the oracle rebuilds ``main_text`` exactly."""
 
+    from .util import spread
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             docs = []
@@ -205,8 +207,12 @@ def demo_web_pages(
                 )
             yield pd.DataFrame({"id": pdf["id"], "html": docs})
 
-    return (
-        df.select(F.col(id_col).cast("long").alias("id"))
-        .where(F.col(id_col) % modulus == 0)
-        .mapInPandas(gen, schema="id long, html string")
+    # spread: synthesis + the downstream parser walk are pure-CPU
+    # per-id work; a single-file scan would serialize them onto one
+    # core (the same posture note as every media fixture stream)
+    base = spread(
+        df.select(F.col(id_col).cast("long").alias("id")).where(
+            F.col(id_col) % modulus == 0
+        )
     )
+    return base.mapInPandas(gen, schema="id long, html string")
