@@ -178,6 +178,240 @@ def _build_decode_table(bits: list[int], vals: list[int]):
     return out
 
 
+# Fast-path switches (tests flip these to pin fast == reference):
+# _FAST_SCAN routes baseline full-spectrum scans through the LUT walk
+# below; _FAST_ENCODE routes baseline encodes through the vectorized
+# entropy coder. Both OFF reproduces the original per-bit machinery.
+_FAST_SCAN = True
+_FAST_ENCODE = True
+
+_DECODE_TBL_CACHE: dict = {}
+
+
+def _decode_table_cached(bits, vals):
+    key = (bytes(bits), bytes(vals))
+    tbl = _DECODE_TBL_CACHE.get(key)
+    if tbl is None:
+        tbl = _build_decode_table(list(bits), list(vals))
+        _DECODE_TBL_CACHE[key] = tbl
+    return tbl
+
+
+# Flat 16-bit-peek huffman LUTs, keyed by the table's raw (bits, vals)
+# — the classic table-driven decode (every libjpeg-family decoder).
+# Entry = (symbol << 5) | code_length; 0 = no code has this prefix
+# (symbol 0 always carries code_length >= 1, so 0 is unambiguous).
+# Cached module-wide: MJPEG corpora reuse the Annex-K tables across
+# every frame, so each python worker builds each LUT once.
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals) -> list[int]:
+    key = (bytes(bits), bytes(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        arr = np.zeros(1 << 16, np.int32)
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                arr[lo : lo + (1 << (16 - length))] = (
+                    int(vals[k]) << 5
+                ) | length
+                code += 1
+                k += 1
+            code <<= 1
+        lut = arr.tolist()  # python-list indexing avoids per-symbol
+        _HUFF_LUT_CACHE[key] = lut  # numpy-scalar boxing in the walk
+    return lut
+
+
+def _split_entropy(payload: bytes, start: int):
+    """(destuffed segments, end offset) of one entropy-coded scan.
+
+    Vectorized pre-pass for the fast baseline walk: find the scan's
+    end (the first marker that is neither a stuffed FF00, an FF fill
+    byte, nor an RSTn), split the scan at its RSTn resync points, and
+    strip the byte stuffing from each interval — after which the bit
+    walk never has to inspect markers again. ``end`` is relative to
+    ``start`` and points AT the terminating marker's FF byte."""
+    arr = np.frombuffer(payload, np.uint8)[start:]
+    ff = np.nonzero(arr[:-1] == 0xFF)[0] if len(arr) > 1 else np.empty(0, np.int64)
+    nxt = arr[ff + 1]
+    is_marker = (nxt != 0x00) & (nxt != 0xFF)
+    mk = ff[is_marker]
+    mknxt = nxt[is_marker]
+    is_rst = (mknxt >= 0xD0) & (mknxt <= 0xD7)
+    nonrst = mk[~is_rst]
+    if len(nonrst) == 0:
+        raise ValueError("JPEG truncated before next marker")
+    end = int(nonrst[0])
+    rsts = [int(r) for r in mk[is_rst] if r < end]
+    bounds = [0]
+    for r in rsts:
+        bounds += [r, r + 2]
+    bounds.append(end)
+    segs = []
+    for i in range(0, len(bounds), 2):
+        seg = arr[bounds[i] : bounds[i + 1]]
+        if len(seg) > 1:
+            sff = np.nonzero(seg[:-1] == 0xFF)[0]
+            drop = sff[seg[sff + 1] == 0] + 1
+            if len(drop):
+                seg = np.delete(seg, drop)
+        segs.append(seg.tobytes())
+    return segs, end
+
+
+def _decode_scan_baseline_fast(
+    payload: bytes,
+    start: int,
+    coefs: dict,
+    scan_comps: list,
+    samp_of: dict,
+    grids: dict,
+    mcus: tuple,
+    huff_raw: dict,
+    restart_interval: int,
+) -> int:
+    """Baseline full-spectrum scan decode — bit-identical output to
+    routing the (0, 63, 0, 0) band through ``_decode_scan``, built for
+    speed (guide §4.2: the entropy walk is the python hot loop of
+    every MJPEG decode): 16-bit-peek LUT huffman lookups instead of
+    per-bit dict probes, numpy destuffing/marker scanning up front,
+    and one bulk coefficient scatter per component at the end.
+    Returns the scan's end offset relative to ``start``."""
+    segs, end = _split_entropy(payload, start)
+    luts = {}
+    for cid, dc_tid, ac_tid in scan_comps:
+        luts[(0, dc_tid)] = _huff_lut(*huff_raw[(0, dc_tid)])
+        luts[(1, ac_tid)] = _huff_lut(*huff_raw[(1, ac_tid)])
+
+    # decode units (T.81 A.2): MCUs when interleaved, else the single
+    # component's own unpadded block grid
+    units: list[list[tuple]] = []
+    if len(scan_comps) > 1:
+        mcus_y, mcus_x = mcus
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for ci, (cid, _dc, _ac) in enumerate(scan_comps):
+                    hi, vi = samp_of[cid]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            blocks.append((ci, my * vi + v, mx * hi + hh))
+                units.append(blocks)
+    else:
+        cid = scan_comps[0][0]
+        rows_b, cols_b = grids[cid]
+        units = [
+            [(0, by, bx)] for by in range(rows_b) for bx in range(cols_b)
+        ]
+
+    idx_acc: dict = {cid: [] for cid, _, _ in scan_comps}
+    val_acc: dict = {cid: [] for cid, _, _ in scan_comps}
+    ncols = {cid: coefs[cid].shape[1] for cid, _, _ in scan_comps}
+    comp_luts = [
+        (cid, luts[(0, dc_tid)], luts[(1, ac_tid)], idx_acc[cid],
+         val_acc[cid], ncols[cid])
+        for cid, dc_tid, ac_tid in scan_comps
+    ]
+
+    seg_i = 0
+    data = segs[0]
+    ldata = len(data)
+    total_bits = ldata * 8
+    pos = acc = nbits = used = 0
+    pred = [0] * len(scan_comps)
+
+    for u, blocks in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("expected RSTn at restart boundary")
+            data = segs[seg_i]
+            ldata = len(data)
+            total_bits = ldata * 8
+            pos = acc = nbits = used = 0
+            pred = [0] * len(scan_comps)
+        for ci, by, bx in blocks:
+            cid, dclut, aclut, iacc, vacc, nc = comp_luts[ci]
+            base = (by * nc + bx) * 64
+            # --- DC coefficient
+            while nbits < 16:
+                acc = (acc << 8) | (data[pos] if pos < ldata else 0xFF)
+                pos += 1
+                nbits += 8
+            e = dclut[(acc >> (nbits - 16)) & 0xFFFF]
+            if e == 0:
+                raise ValueError("invalid huffman code in scan")
+            cat = e >> 5
+            used += e & 31
+            nbits -= e & 31
+            if cat:
+                while nbits < cat:
+                    acc = (acc << 8) | (data[pos] if pos < ldata else 0xFF)
+                    pos += 1
+                    nbits += 8
+                amp = (acc >> (nbits - cat)) & ((1 << cat) - 1)
+                nbits -= cat
+                used += cat
+                p = pred[ci] + (
+                    amp if amp >= (1 << (cat - 1)) else amp - (1 << cat) + 1
+                )
+            else:
+                p = pred[ci]
+            if used > total_bits:
+                raise ValueError("JPEG entropy stream exhausted")
+            pred[ci] = p
+            iacc.append(base)
+            vacc.append(p)
+            # --- AC run-length walk
+            k = 1
+            while k <= 63:
+                while nbits < 16:
+                    acc = (acc << 8) | (data[pos] if pos < ldata else 0xFF)
+                    pos += 1
+                    nbits += 8
+                e = aclut[(acc >> (nbits - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid huffman code in scan")
+                sym = e >> 5
+                used += e & 31
+                nbits -= e & 31
+                if used > total_bits:
+                    raise ValueError("JPEG entropy stream exhausted")
+                if sym == 0:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0xF
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                while nbits < size:
+                    acc = (acc << 8) | (data[pos] if pos < ldata else 0xFF)
+                    pos += 1
+                    nbits += 8
+                amp = (acc >> (nbits - size)) & ((1 << size) - 1)
+                nbits -= size
+                used += size
+                if used > total_bits:
+                    raise ValueError("JPEG entropy stream exhausted")
+                iacc.append(base + k)
+                vacc.append(
+                    amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+                )
+                k += 1
+            acc &= (1 << nbits) - 1
+
+    for cid, _dc, _ac in scan_comps:
+        if idx_acc[cid]:
+            coefs[cid].reshape(-1)[idx_acc[cid]] = val_acc[cid]
+    return end
+
+
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -333,6 +567,172 @@ def _encode_block(
     return int(zz[0])
 
 
+# amplitude-category boundaries: cat(v) = #bits of |v| via exact
+# integer searchsorted (bit_length has no numpy ufunc)
+_CAT_BOUNDS = np.array([1 << i for i in range(32)], dtype=np.int64)
+
+
+def _pack_bits(vals: list[int], lens: list[int]) -> bytes:
+    """Pack (value, bit-length) pairs MSB-first into bytes, pad the
+    final partial byte with 1s, and byte-stuff 0x00 after every 0xFF —
+    exactly ``_BitWriter``'s write/flush semantics, vectorized."""
+    if not vals:
+        return b""
+    va = np.asarray(vals, dtype=np.uint64)
+    la = np.asarray(lens, dtype=np.int64)
+    total = int(la.sum())
+    item = np.repeat(np.arange(len(la)), la)
+    off = np.cumsum(la) - la
+    shift = (la[item] - 1 - (np.arange(total) - off[item])).astype(np.uint64)
+    bits = ((va[item] >> shift) & np.uint64(1)).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    out = np.packbits(bits)
+    ffpos = np.nonzero(out == 0xFF)[0]
+    if len(ffpos):
+        out = np.insert(out, ffpos + 1, 0)
+    return out.tobytes()
+
+
+def _encode_plane_symbols(
+    zz: np.ndarray,
+    seq: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    reset_every: int,
+) -> list[tuple[list[int], list[int]]]:
+    """Per-BLOCK (values, bit-lengths) symbol lists for one component,
+    blocks emitted in ``seq`` order over the (N, 64) zigzag
+    coefficient array. ``reset_every`` = blocks of this component per
+    restart interval (0 = no restarts); DC predictors reset there.
+    The symbol/amplitude stream per block is bit-identical to
+    ``_encode_block`` on the same coefficients."""
+    dcs = zz[seq, 0]
+    nb = len(seq)
+    diffs = np.diff(dcs, prepend=np.int64(0))
+    if reset_every:
+        diffs[np.arange(0, nb, reset_every)] = dcs[
+            np.arange(0, nb, reset_every)
+        ]
+    dcat = np.searchsorted(_CAT_BOUNDS, np.abs(diffs), side="right")
+    damp = np.where(diffs >= 0, diffs, diffs + (np.int64(1) << dcat) - 1)
+    ac = zz[seq, 1:]
+    bi, ki = np.nonzero(ac)
+    av = ac[bi, ki]
+    ki = ki + 1
+    acat = np.searchsorted(_CAT_BOUNDS, np.abs(av), side="right")
+    aamp = np.where(av >= 0, av, av + (np.int64(1) << acat) - 1)
+    counts = np.bincount(bi, minlength=nb)
+    ends = np.cumsum(counts)
+    dcat_l, damp_l = dcat.tolist(), damp.tolist()
+    ki_l, acat_l, aamp_l = ki.tolist(), acat.tolist(), aamp.tolist()
+    e_l = ends.tolist()
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    out: list[tuple[list[int], list[int]]] = []
+    j = 0
+    for b in range(nb):
+        vals: list[int] = []
+        lens: list[int] = []
+        cat = dcat_l[b]
+        code, ln = dc_codes[cat]
+        if cat:
+            vals.append((code << cat) | damp_l[b])
+            lens.append(ln + cat)
+        else:
+            vals.append(code)
+            lens.append(ln)
+        prev_k = 0
+        e = e_l[b]
+        while j < e:
+            k = ki_l[j]
+            run = k - prev_k - 1
+            while run > 15:
+                vals.append(zrl_code)
+                lens.append(zrl_len)
+                run -= 16
+            cat = acat_l[j]
+            code, ln = ac_codes[(run << 4) | cat]
+            vals.append((code << cat) | aamp_l[j])
+            lens.append(ln + cat)
+            prev_k = k
+            j += 1
+        if prev_k < 63:
+            vals.append(eob_code)
+            lens.append(eob_len)
+        out.append((vals, lens))
+    return out
+
+
+def _encode_baseline_fast(
+    planes: list[tuple[np.ndarray, np.ndarray, dict, dict, tuple[int, int]]],
+    restart_interval: int,
+) -> bytes:
+    """Vectorized baseline entropy encode — byte-identical to the
+    ``_encode_block`` walk (guide §4.2: hoist the per-block numpy ops
+    into batched plane passes, keep only the run-length merge in
+    python, pack bits with numpy; pinned fast == reference in
+    tests/test_round14d_perf.py). ``planes`` = (padded plane, quant,
+    dc_codes, ac_codes, (hi, vi)) per component in SOF order."""
+    # 1. batched quantized zigzag coefficients per component
+    #    (np.matmul over stacked (N, 8, 8) blocks is bit-identical to
+    #    per-block _dct2 — pinned)
+    comp: list[dict] = []
+    for plane, quant, dc_codes, ac_codes, (hi, vi) in planes:
+        ph, pw = plane.shape
+        nby, nbx = ph // 8, pw // 8
+        blocks = (
+            plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.round((_DCT @ blocks @ _DCT.T) / quant).astype(np.int64)
+        zz = coef.reshape(nby * nbx, 64)[:, _ZIGZAG]
+        comp.append(
+            {"zz": zz, "nbx": nbx, "dc": dc_codes, "ac": ac_codes,
+             "hi": hi, "vi": vi}
+        )
+    # 2. MCU grid from the max-sampled (first) component
+    ph0, pw0 = planes[0][0].shape
+    hi0, vi0 = planes[0][4]
+    mcus_y, mcus_x = ph0 // (8 * vi0), pw0 // (8 * hi0)
+    n_mcus = mcus_y * mcus_x
+    # 3. per-component block emission order + per-block symbol lists
+    for c in comp:
+        hi, vi, nbx = c["hi"], c["vi"], c["nbx"]
+        my = np.repeat(np.arange(mcus_y), mcus_x)
+        mx = np.tile(np.arange(mcus_x), mcus_y)
+        sub_v = np.repeat(np.arange(vi), hi)
+        sub_h = np.tile(np.arange(hi), vi)
+        by = (my[:, None] * vi + sub_v[None, :]).reshape(-1)
+        bx = (mx[:, None] * hi + sub_h[None, :]).reshape(-1)
+        c["per_mcu"] = hi * vi
+        c["bsym"] = _encode_plane_symbols(
+            c["zz"],
+            by * nbx + bx,
+            c["dc"],
+            c["ac"],
+            restart_interval * c["per_mcu"] if restart_interval else 0,
+        )
+    # 4. interleave per MCU, pack per restart segment
+    out = bytearray()
+    vals: list[int] = []
+    lens: list[int] = []
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            out += _pack_bits(vals, lens)
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            vals, lens = [], []
+        for c in comp:
+            pm = c["per_mcu"]
+            bsym = c["bsym"]
+            for t in range(m * pm, m * pm + pm):
+                bv, bl = bsym[t]
+                vals += bv
+                lens += bl
+    out += _pack_bits(vals, lens)
+    return bytes(out)
+
+
 def jpeg_from_pixels(
     px: np.ndarray,
     *,
@@ -375,32 +775,9 @@ def jpeg_from_pixels(
     ac_l = _build_code_table(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _build_code_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _build_code_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    writer = _BitWriter()
-
-    mcu_no = 0
-
-    def _maybe_restart(prev):
-        nonlocal mcu_no
-        if restart_interval and mcu_no and mcu_no % restart_interval == 0:
-            writer.restart(mcu_no // restart_interval - 1)
-            prev = [0] * len(prev) if isinstance(prev, list) else 0
-        mcu_no += 1
-        return prev
 
     if gray:
-        plane = pad(px.astype(np.float64))
-        prev = 0
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                prev = _maybe_restart(prev)
-                prev = _encode_block(
-                    writer,
-                    plane[by : by + 8, bx : bx + 8],
-                    ql,
-                    dc_l,
-                    ac_l,
-                    prev,
-                )
+        comp_planes = [(pad(px.astype(np.float64)), ql, dc_l, ac_l, (1, 1))]
     else:
         ycc = _rgb_to_ycbcr(px.astype(np.float64))
         y = pad(ycc[..., 0])
@@ -413,51 +790,56 @@ def jpeg_from_pixels(
                 .mean(axis=(1, 3))
                 for c in (1, 2)
             )
-            prev = [0, 0, 0]
-            for by in range(0, ph, 16):
-                for bx in range(0, pw, 16):
-                    prev = _maybe_restart(prev)
-                    for v in (0, 1):  # four Y blocks, raster order
-                        for hh in (0, 1):
-                            prev[0] = _encode_block(
-                                writer,
-                                y[
-                                    by + 8 * v : by + 8 * v + 8,
-                                    bx + 8 * hh : bx + 8 * hh + 8,
-                                ],
-                                ql,
-                                dc_l,
-                                ac_l,
-                                prev[0],
-                            )
-                    for ci, plane in ((1, cb), (2, cr)):
-                        prev[ci] = _encode_block(
-                            writer,
-                            plane[
-                                by // 2 : by // 2 + 8,
-                                bx // 2 : bx // 2 + 8,
-                            ],
-                            qc,
-                            dc_c,
-                            ac_c,
-                            prev[ci],
-                        )
+            comp_planes = [
+                (y, ql, dc_l, ac_l, (2, 2)),
+                (cb, qc, dc_c, ac_c, (1, 1)),
+                (cr, qc, dc_c, ac_c, (1, 1)),
+            ]
         else:
-            planes = [y, pad(ycc[..., 1]), pad(ycc[..., 2])]
-            prev = [0, 0, 0]
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
-                    prev = _maybe_restart(prev)
-                    for ci, plane in enumerate(planes):
-                        prev[ci] = _encode_block(
-                            writer,
-                            plane[by : by + 8, bx : bx + 8],
-                            ql if ci == 0 else qc,
-                            dc_l if ci == 0 else dc_c,
-                            ac_l if ci == 0 else ac_c,
-                            prev[ci],
-                        )
-    scan = writer.flush()
+            comp_planes = [
+                (y, ql, dc_l, ac_l, (1, 1)),
+                (pad(ycc[..., 1]), qc, dc_c, ac_c, (1, 1)),
+                (pad(ycc[..., 2]), qc, dc_c, ac_c, (1, 1)),
+            ]
+
+    if _FAST_ENCODE:
+        scan = _encode_baseline_fast(comp_planes, restart_interval)
+    else:
+        writer = _BitWriter()
+        mcu_no = 0
+
+        def _maybe_restart(prev):
+            nonlocal mcu_no
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                writer.restart(mcu_no // restart_interval - 1)
+                prev = [0] * len(prev)
+            mcu_no += 1
+            return prev
+
+        ph0, pw0 = comp_planes[0][0].shape
+        hi0, vi0 = comp_planes[0][4]
+        prev = [0] * len(comp_planes)
+        for by in range(0, ph0, 8 * vi0):
+            for bx in range(0, pw0, 8 * hi0):
+                prev = _maybe_restart(prev)
+                for ci, (plane, quant, dcc, acc, (hi, vi)) in enumerate(
+                    comp_planes
+                ):
+                    cy, cx = by * vi // vi0, bx * hi // hi0
+                    for v in range(vi):
+                        for hh in range(hi):
+                            prev[ci] = _encode_block(
+                                writer,
+                                plane[
+                                    cy + 8 * v : cy + 8 * v + 8,
+                                    cx + 8 * hh : cx + 8 * hh + 8,
+                                ],
+                                quant,
+                                dcc,
+                                acc,
+                                prev[ci],
+                            )
+        scan = writer.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -743,9 +1125,7 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
                 bits = list(body[bpos + 1 : bpos + 17])
                 nv = sum(bits)
                 vals = list(body[bpos + 17 : bpos + 17 + nv])
-                huff[(cls_tid >> 4, cls_tid & 0xF)] = _build_decode_table(
-                    bits, vals
-                )
+                huff[(cls_tid >> 4, cls_tid & 0xF)] = (bits, vals)
                 bpos += 17 + nv
         elif marker in (0xFFC0, 0xFFC2):
             progressive = marker == 0xFFC2
@@ -808,10 +1188,23 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
             else:
                 band = (0, 63, 0, 0)
             start = pos + 2 + length
+            if _FAST_SCAN and band == (0, 63, 0, 0):
+                scan_end = _decode_scan_baseline_fast(
+                    payload, start, coefs, scan_comps, samp_of, grids,
+                    mcus, huff, restart_interval,
+                )
+                saw_scan = True
+                pos = _next_marker(payload, start + scan_end)
+                continue
             reader = _BitReader(payload[start:])
+            # the generic scan machine probes (length, code) dicts —
+            # build them from the stored raw tables (cached)
+            huff_dicts = {
+                key: _decode_table_cached(*raw) for key, raw in huff.items()
+            }
             _decode_scan(
                 reader, coefs, scan_comps, band, samp_of, grids, mcus,
-                huff, restart_interval,
+                huff_dicts, restart_interval,
             )
             saw_scan = True
             pos = _next_marker(payload, start + reader.pos)
@@ -890,20 +1283,18 @@ def _plane_zz_coefs(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     an 8-aligned plane — batched exact DCT, the encode-side twin of
     the decoder's batched IDCT."""
     rows_b, cols_b = plane.shape[0] // 8, plane.shape[1] // 8
-    out = np.zeros((rows_b, cols_b, 64), np.int64)
-    for by in range(rows_b):
-        for bx in range(cols_b):
-            # per-block _dct2, NOT a batched einsum: a true half-integer
-            # coefficient (e.g. -57.5) rounds differently under a
-            # different float association order, and the progressive
-            # payload must carry EXACTLY the baseline coefficients for
-            # the pixel-identity conformance oracle to hold
-            block = (
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            )
-            coef = np.round(_dct2(block) / quant).astype(np.int64)
-            out[by, bx] = coef.flatten()[_ZIGZAG]
-    return out
+    # batched np.matmul over stacked (N, 8, 8) blocks, NOT einsum: a
+    # true half-integer coefficient (e.g. -57.5) rounds differently
+    # under a different float association order, and the progressive
+    # payload must carry EXACTLY the baseline coefficients for the
+    # pixel-identity conformance oracle to hold. Stacked matmul is
+    # bit-identical to per-block _dct2 (pinned in
+    # tests/test_round14d_perf.py); einsum is not.
+    blocks = (
+        plane.reshape(rows_b, 8, cols_b, 8).transpose(0, 2, 1, 3) - 128.0
+    )
+    coef = np.round((_DCT @ blocks @ _DCT.T) / quant).astype(np.int64)
+    return coef.reshape(rows_b, cols_b, 64)[..., _ZIGZAG]
 
 
 def _emit_dc_scan(

