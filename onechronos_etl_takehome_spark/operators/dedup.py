@@ -603,18 +603,38 @@ def verify_jaccard_pairs_arrays(
     — the measured d15_10x bottleneck was this projection evaluating
     ~1 ms/doc on 4 partitions under the join's broadcast subtree
     (~15 s), not the join or the intersect (<1 s each).
+
+    Round-14 optimization (guide §1.2): the hashed prefilter and the
+    exact stage used to join four separate side frames (``ha``/``hb``
+    then ``sa``/``sb``), so the interpreted shingle build evaluated
+    FOUR times over every document. Each side now carries BOTH arrays
+    in one frame and the exact stage is a projection over the rough
+    survivors instead of two more joins — shingling evaluates twice
+    (once per join side), the pair predicate chain is unchanged, and
+    the result is identical. Measured at sf0.1: d15 10× probe
+    5.9 → 5.0 s, d03_fast 10× 4.8 → 3.7 s, d03_fast 1.5 → 1.4 s
+    (d11/d16 flat — their wall is components, not verify).
     """
     sets = _spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_set")
     )
-    hsets = sets.select(
+    side = sets.select(
         F.col(id_col),
+        "_set",
         F.array_distinct(
             F.transform("_set", lambda x: F.xxhash64(x))
         ).alias("_hset"),
     )
-    ha = hsets.select(F.col(id_col).alias("id_a"), F.col("_hset").alias("_ha"))
-    hb = hsets.select(F.col(id_col).alias("id_b"), F.col("_hset").alias("_hb"))
+    ha = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_set").alias("_sa"),
+        F.col("_hset").alias("_ha"),
+    )
+    hb = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_set").alias("_sb"),
+        F.col("_hset").alias("_hb"),
+    )
     hc = F.size(F.array_intersect("_ha", "_hb"))
     rough = (
         cands.join(ha, "id_a")
@@ -623,14 +643,10 @@ def verify_jaccard_pairs_arrays(
             hc.cast("double")
             >= F.lit(threshold) * (F.size("_ha") + F.size("_hb") - hc).cast("double")
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_sa", "_sb")
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
     return (
-        rough.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        rough.withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
