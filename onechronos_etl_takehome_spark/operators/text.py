@@ -481,6 +481,19 @@ def _segments(docs, id_col, text_col, seg_tokens, max_segs):
     """One row per ``seg_tokens``-token segment: (id, _idx, _seg,
     _pack) with ``_pack = id·max_segs + _idx`` — the collision-free
     BIGINT that makes (id, idx) order a single-column MIN."""
+    # interpreted HOF segment build runs in the SCAN stage: spread an
+    # under-split input so it uses every core (no-op at scale, and on
+    # streaming frames where the partition probe is unavailable) —
+    # the same posture as dedup._exploded_shingles. ``bytes_per_split``
+    # keeps a small corpus from paying a 32-way exchange for work a
+    # few cores finish anyway (~256 KB compressed ≈ a few thousand
+    # docs per split). Measured at sf0.1: t25 10× probe 5.0 → 3.1 s
+    # (one 6 MB parquet file previously pinned the segment build to
+    # its splits), t25 1× flat.
+    if not docs.isStreaming:
+        from .util import spread
+
+        docs = spread(docs, bytes_per_split=256 << 10)
     toks = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
     # _pack is collision-free ONLY while _idx < max_segs; a longer
