@@ -94,7 +94,6 @@ DRIVER_WINDOW: list[str] = [
     "t05_token_estimates",
     "t22_corpus_mixing",
     "x31_column_stats",
-    "t08_salient_terms",
     "x44_txlog_filter_pushdown",  # format-reader pruning (poisoned-file proof)
     "t10_pii_redaction",
     # Similarity search, multimodal, event-time windows, sketches.
@@ -123,13 +122,13 @@ DRIVER_WINDOW: list[str] = [
     "t23_k_anonymize",  # k-anonymity release gate (privacy family)
     "x19_triangle_count",  # graph analytics (oriented wedge join)
     "q08_rollup_returns",  # ROLLUP
-    "x07_window_funnel",  # ordered-step funnel over events
     "q13_json_props",  # JSON extraction
     "q18_user_sessions",  # batch sessionization
     "q19_purchase_last_view_asof",  # as-of join
     "q57_concurrent_sessions",  # interval-overlap range join (binned)
     "q25_rolling_customer_spend",  # rows-frame window
     "x50_txlog_partitioned",  # partition columns IN the ACID log
+    "x51_txlog_deletion_vectors",  # merge-on-read DELETE (restored r15)
     "x52_txlog_update",  # UPDATE: CoW + DV modes, pruned-through-mask
     "t13_gopher_quality",  # quality-gate rule battery
     "q58_recursive_reachability",  # native WITH RECURSIVE (spark.sql API)
@@ -141,8 +140,34 @@ DRIVER_WINDOW: list[str] = [
     "x27_scd2_incremental",  # SCD2 incremental == full rebuild (hash proof)
     "x55_txlog_merge_into",  # conditional multi-clause MERGE (CDC apply)
     "x53_txlog_restore",  # RESTORE: one metadata commit rewinds the table
+    "x56_txlog_cdf_backfill",  # derived change-file backfill (restored r15)
     "x47_txlog_check_constraints",  # write-time CHECK invariant enforcement
 ]
+# Round 15 (the round-14 verdict's item 1, verbatim): x51 and x56 are
+# RESTORED to the window. x51's DV commit path was optimized in round
+# 14 (907664f, sources/txlog.py) AFTER it rotated out, so its
+# post-optimization output had only builder-side verification — the
+# exact evidence gap the verdict ordered closed; x56 rides back with
+# it so the two-sided exceptAll diff and idempotent backfill skips
+# regain driver rows alongside x53's restore-commit CDF. x52/x53 stay
+# in-window (their round-14 green rows must persist).
+# - Displaced: x07_window_funnel — the event-time family keeps THREE
+#   in-window witnesses over the same events table (q18 batch
+#   sessionization, q19 as-of join, q57 interval-overlap range join),
+#   exactly the argument that rotated e01 out in round 9 when the
+#   family held four; x07's ordered-step sequence check is a
+#   min-ts-per-step aggregation + ordering predicate whose window
+#   machinery q25's rows-frame window also witnesses. x07 stays
+#   gate-oracled at two SFs (tests/test_oracle_parity.py) and benched.
+# - Displaced: t08_salient_terms — the term-weighting machinery (per-
+#   doc TF aggregation, corpus DF aggregation, IDF weighting, and the
+#   deterministic tie-broken per-key top-k) keeps strictly-stronger
+#   in-window evidence via s07's sparse branch: t16's bm25_topk runs
+#   the same TF/DF/IDF plumbing under the harder saturated-tf +
+#   length-normalized + decimal-quantized form, hash-matched through
+#   the all-integer rank fusion; the per-doc top-3 window rides the
+#   same row_number-with-tie-breaker shape q25/s07 pin. t08 stays
+#   gate-oracled at two SFs and benched.
 # Round 14: x52 and x53 rotate in, exactly as the round-13 verdict's
 # item 1 (and this file's own round-13 forecast) named them — the two
 # DML ops carried never-windowed across three verdicts.
@@ -151,7 +176,8 @@ DRIVER_WINDOW: list[str] = [
 #   copy-on-write reprice + a deletion-vector-mode update whose bytes
 #   written scale with matched rows), with tag 1 reading stats-pruned
 #   THROUGH the DV mask and tag 2 time-traveling past both updates.
-#   Displaced: x51_txlog_deletion_vectors — the merge-on-read
+#   Displaced then, RESTORED round 15: x51_txlog_deletion_vectors —
+#   the merge-on-read
 #   masked-read capability class keeps STRICTLY STRONGER in-window
 #   evidence via x52's DV-mode leg: an update writes the same per-file
 #   row-position vector a DV delete writes AND adds the postimage rows
@@ -168,8 +194,8 @@ DRIVER_WINDOW: list[str] = [
 #   stats/partition values/DV descriptors by reference), history stays
 #   time-travelable (tag 1 pins the deleted state AT its version), and
 #   the restore commit stamps change files computed distributed whose
-#   feed tag 2 hash-matches relationally. Displaced:
-#   x56_txlog_cdf_backfill — both its capabilities keep
+#   feed tag 2 hash-matches relationally. Displaced then, RESTORED
+#   round 15: x56_txlog_cdf_backfill — both its capabilities keep
 #   strictly-stronger in-window evidence: the two-sided multiset diff
 #   with carry-over cancellation (snapshot exceptAll snapshot) is
 #   computed and CDF-stamped by x53's restore commit against the
