@@ -307,26 +307,48 @@ def x54_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = tempfile.mkdtemp(prefix=f"txlog_x54s_{uuid.uuid4().hex[:8]}_")
     dst = tempfile.mkdtemp(prefix=f"txlog_x54c_{uuid.uuid4().hex[:8]}_")
+    psrc = tempfile.mkdtemp(prefix=f"txlog_x54p_{uuid.uuid4().hex[:8]}_")
+    pdst = tempfile.mkdtemp(prefix=f"txlog_x54q_{uuid.uuid4().hex[:8]}_")
     import shutil as _sh
 
     _sh.rmtree(dst)
-    txlog.create_table(orders, src, cluster_by="cents", cluster_files=6)
-    txlog.delete_where(spark, src, F.col("orderkey") % 61 == 0, mode="dv")
-    txlog.shallow_clone(spark, src, dst)
-    txlog.delete_where(
-        spark,
-        dst,
-        (F.col("status") == "F") & (F.col("cents") % 3 == 0),
-    )
-
-    # partitioned leg: clone a status-partitioned source, diverge it,
-    # read back through a partition predicate (pruned at the manifest)
-    psrc = tempfile.mkdtemp(prefix=f"txlog_x54p_{uuid.uuid4().hex[:8]}_")
-    pdst = tempfile.mkdtemp(prefix=f"txlog_x54q_{uuid.uuid4().hex[:8]}_")
     _sh.rmtree(pdst)
-    txlog.create_table(orders, psrc, partition_by="status")
-    txlog.shallow_clone(spark, psrc, pdst)
-    txlog.delete_where(spark, pdst, F.col("orderkey") % 50 == 0)
+
+    # The clustered leg (src → dst) and the partitioned leg
+    # (psrc → pdst) are INDEPENDENT table lifecycles whose cost is a
+    # chain of small commit jobs, each leaving most of local[32] idle.
+    # Overlap them from a 2-thread pool (guide §2.6: submit
+    # independent jobs concurrently so one chain's tail back-fills the
+    # other's idle executors); each leg's commits stay strictly
+    # ordered within its thread, and the result frame is built after
+    # both legs join (measured numbers in OPTIMIZATION_r15.md).
+    def _clustered_leg() -> None:
+        txlog.create_table(orders, src, cluster_by="cents", cluster_files=6)
+        txlog.delete_where(
+            spark, src, F.col("orderkey") % 61 == 0, mode="dv"
+        )
+        txlog.shallow_clone(spark, src, dst)
+        txlog.delete_where(
+            spark,
+            dst,
+            (F.col("status") == "F") & (F.col("cents") % 3 == 0),
+        )
+
+    def _partitioned_leg() -> None:
+        # clone a status-partitioned source, diverge it, read back
+        # through a partition predicate (pruned at the manifest)
+        txlog.create_table(orders, psrc, partition_by="status")
+        txlog.shallow_clone(spark, psrc, pdst)
+        txlog.delete_where(spark, pdst, F.col("orderkey") % 50 == 0)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [
+            pool.submit(_clustered_leg),
+            pool.submit(_partitioned_leg),
+        ]:
+            f.result()  # re-raise leg failures, never swallow them
 
     def agg(df: DataFrame, tag: int) -> DataFrame:
         return df.groupBy("status").agg(

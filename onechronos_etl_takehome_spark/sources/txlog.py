@@ -63,9 +63,11 @@ on the class, the claim-table shape implemented and race-tested).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -948,6 +950,32 @@ def _parse_partition_dir(rel_dir: str, schema) -> dict:
     return out
 
 
+_TS_CONF_LOCK = threading.Lock()
+_TS_CONF_STATE: dict[str, object] = {"depth": 0, "prev": None}
+
+
+@contextlib.contextmanager
+def _ts_conf_micros(sess):
+    """Hold ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``
+    for the duration, reentrantly and thread-safely: the first holder
+    records the session's prior value, the last one restores it —
+    concurrent stagers (guide §2.6 overlapped builds) all want the
+    same value, so sharing one depth-counted hold is exact."""
+    key = "spark.sql.parquet.outputTimestampType"
+    with _TS_CONF_LOCK:
+        if _TS_CONF_STATE["depth"] == 0:
+            _TS_CONF_STATE["prev"] = sess.conf.get(key)
+            sess.conf.set(key, "TIMESTAMP_MICROS")
+        _TS_CONF_STATE["depth"] += 1
+    try:
+        yield
+    finally:
+        with _TS_CONF_LOCK:
+            _TS_CONF_STATE["depth"] -= 1
+            if _TS_CONF_STATE["depth"] == 0:
+                sess.conf.set(key, _TS_CONF_STATE["prev"])
+
+
 def _stage_data(
     df: DataFrame,
     path: str,
@@ -993,17 +1021,16 @@ def _stage_data(
     # carries NO column statistics (verified: has_min_max absent) —
     # timestamp columns would silently never prune. Write table data
     # as TIMESTAMP_MICROS, the modern encoding every table format
-    # uses, and restore the session's choice after.
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = sess.conf.get(key)
-    sess.conf.set(key, "TIMESTAMP_MICROS")
-    try:
+    # uses, and restore the session's choice after. The set/restore is
+    # depth-counted under a lock (round 15): independent table builds
+    # may stage CONCURRENTLY (guide §2.6 — x54 overlaps its two clone
+    # legs), and a naive get/set/restore pair interleaved across
+    # threads could restore a stale value into the session.
+    with _ts_conf_micros(sess):
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(stage)
-    finally:
-        sess.conf.set(key, prev)
     out = []
     for dirpath, _dirs, files in sorted(os.walk(stage)):
         rel_dir = os.path.relpath(dirpath, stage)
