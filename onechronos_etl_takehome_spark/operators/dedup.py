@@ -614,6 +614,16 @@ def verify_jaccard_pairs_arrays(
     the result is identical. Measured at sf0.1: d15 10× probe
     5.9 → 5.0 s, d03_fast 10× 4.8 → 3.7 s, d03_fast 1.5 → 1.4 s
     (d11/d16 flat — their wall is components, not verify).
+
+    Round-15 (the round-14 verdict's item 8, guide §1.2 again): the
+    remaining 2× — ``side`` feeds both the ``ha`` and ``hb`` join
+    branches, so the interpreted shingle + xxhash array build still
+    evaluated once per join side. The side frame is now materialized
+    once (``truncate_lineage``, the same decode-once posture as the
+    media family), so the corpus is shingled exactly ONCE per verify
+    (measured numbers in OPTIMIZATION_r15.md; plan: the two
+    interpreted-HOF projections collapse to one Scan ExistingRDD
+    subtree feeding both sides).
     """
     sets = _spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_set")
@@ -625,6 +635,10 @@ def verify_jaccard_pairs_arrays(
             F.transform("_set", lambda x: F.xxhash64(x))
         ).alias("_hset"),
     )
+    if not side.isStreaming:
+        from .util import truncate_lineage
+
+        side = truncate_lineage(side)
     ha = side.select(
         F.col(id_col).alias("id_a"),
         F.col("_set").alias("_sa"),
