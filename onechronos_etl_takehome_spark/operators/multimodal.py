@@ -635,6 +635,28 @@ def demo_noisy_image_payloads(
     return base.mapInPandas(gen, schema="id long, content binary, modality string")
 
 
+def binaryfile_image_payloads(spark, corpus_dir: str) -> DataFrame:
+    """The m11 ingest subtree, shared verbatim by the catalog query
+    and its lineage test (round-14 advice: the test used to hand-
+    rebuild this construction, so catalog drift to demo synthesis
+    could not fail it): a real ``binaryFile`` scan over the
+    materialized mixed-format corpus, file name parsed back to the
+    doc id, modality tagged for the decode stage."""
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import read_binary_dir
+
+    return read_binary_dir(
+        spark, corpus_dir, glob="*.{bmp,png,jpg}"
+    ).select(
+        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png|jpg)$", 1)
+        .cast("long")
+        .alias("id"),
+        "content",
+        "modality",
+    )
+
+
 def materialize_demo_image_corpus(sf_dir: str, *, modulus: int = 10) -> str:
     """Land the m08 fixture BMPs as REAL FILES on disk, once per
     ``sf_dir`` — the corpus behind the m11 catalog row, whose point is

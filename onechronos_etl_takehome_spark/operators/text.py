@@ -490,10 +490,24 @@ def _segments(docs, id_col, text_col, seg_tokens, max_segs):
     # docs per split). Measured at sf0.1: t25 10× probe 5.0 → 3.1 s
     # (one 6 MB parquet file previously pinned the segment build to
     # its splits), t25 1× flat.
+    # Gated to SCAN-SHAPED inputs (round-14 advice): util.spread's
+    # partition probe on a derived/shuffled frame eagerly executes the
+    # upstream exchanges under AQE at build time. The public
+    # segment_dedup/segment_index operators accept caller frames, so
+    # probe leaf files first (metadata-only): an in-memory/derived
+    # frame with no file leaves skips the spread — correctness never
+    # depended on it. A frame that AGGREGATES over a file scan still
+    # passes this gate; util.spread's contract (scan-shaped inputs)
+    # remains the caller's responsibility for that shape.
     if not docs.isStreaming:
-        from .util import spread
+        try:
+            scan_shaped = bool(docs.inputFiles())
+        except Exception:  # non-file source: treat as not scan-shaped
+            scan_shaped = False
+        if scan_shaped:
+            from .util import spread
 
-        docs = spread(docs, bytes_per_split=256 << 10)
+            docs = spread(docs, bytes_per_split=256 << 10)
     toks = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
     # _pack is collision-free ONLY while _idx < max_segs; a longer

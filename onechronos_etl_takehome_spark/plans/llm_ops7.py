@@ -279,17 +279,13 @@ def m11_binaryfile_image_neardup(
     operator. Rows-only BY DESIGN (SQL cannot read a binary file
     tree, let alone parse image containers)."""
     from ..operators import multimodal as mm
-    from ..sources.readers import read_binary_dir
 
     pin_semantics(spark)
     corpus = mm.materialize_demo_image_corpus(sf_dir)
-    payloads = read_binary_dir(spark, corpus, glob="*.{bmp,png,jpg}").select(
-        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png|jpg)$", 1)
-        .cast("long")
-        .alias("id"),
-        "content",
-        "modality",
-    )
+    # shared ingest construction — the lineage test asserts on THIS
+    # helper's plan, so the query cannot drift to demo synthesis
+    # without failing it (round-14 advice)
+    payloads = mm.binaryfile_image_payloads(spark, corpus)
     return mm.dhash_near_pairs(mm.image_dhash(payloads), max_hamming=3, bands=4)
 
 

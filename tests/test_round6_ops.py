@@ -309,21 +309,14 @@ def test_m11_lineage_starts_at_binaryfile_scan(spark):
     # The decode subtree (what dhash_near_pairs now materializes ONCE
     # via truncate_lineage — round-14 optimization) must start at a
     # real binaryFile scan, not demo synthesis. The final joined plan
-    # is checkpoint-rooted, so assert on the ingest subtree the query
-    # builds — the identical construction m11 registers.
+    # is checkpoint-rooted, so assert on the ingest subtree — via the
+    # SAME helper the registered m11 query calls
+    # (mm.binaryfile_image_payloads; round-14 advice closed the drift
+    # hole where this test hand-rebuilt the construction).
     from onechronos_etl_takehome_spark.operators import multimodal as mm
-    from onechronos_etl_takehome_spark.sources.readers import read_binary_dir
 
     corpus = mm.materialize_demo_image_corpus(SF)
-    payloads = read_binary_dir(
-        spark, corpus, glob="*.{bmp,png,jpg}"
-    ).select(
-        F.regexp_extract("id", r"doc_(\d+)\.(bmp|png|jpg)$", 1)
-        .cast("long")
-        .alias("id"),
-        "content",
-        "modality",
-    )
+    payloads = mm.binaryfile_image_payloads(spark, corpus)
     df = mm.image_dhash(payloads)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
