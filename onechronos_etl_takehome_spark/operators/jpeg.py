@@ -31,6 +31,7 @@ PIL. At Spark level JPEG rides the same Arrow-batched ``image_gray`` /
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -246,6 +247,17 @@ def _split_entropy(payload: bytes, start: int):
     if len(nonrst) == 0:
         raise ValueError("JPEG truncated before next marker")
     end = int(nonrst[0])
+    # FF FF fill bytes inside the scan: the reference _BitReader
+    # raises "unexpected marker FFFF" the moment it CONSUMES one, and
+    # treating the first FF as entropy data here would silently
+    # mis-decode such a stream instead (round-14 advice). Reject the
+    # whole scan — conservative for the (spec-legal but never
+    # self-encoded) case of fill bytes trailing the last MCU, which a
+    # lazy reader would never touch; parity on self-encoded payloads
+    # is unaffected because the encoder never emits fill bytes.
+    ff2 = ff[nxt == 0xFF]
+    if len(ff2) and int(ff2[0]) < end:
+        raise ValueError("unexpected marker FFFF in scan")
     rsts = [int(r) for r in mk[is_rst] if r < end]
     bounds = [0]
     for r in rsts:
@@ -572,27 +584,84 @@ def _encode_block(
 _CAT_BOUNDS = np.array([1 << i for i in range(32)], dtype=np.int64)
 
 
-def _pack_bits(vals: list[int], lens: list[int]) -> bytes:
+def _pack_bits(
+    vals: list[int], lens: list[int], *, chunk_bits: int = 1 << 22
+) -> bytes:
     """Pack (value, bit-length) pairs MSB-first into bytes, pad the
     final partial byte with 1s, and byte-stuff 0x00 after every 0xFF —
-    exactly ``_BitWriter``'s write/flush semantics, vectorized."""
-    if not vals:
+    exactly ``_BitWriter``'s write/flush semantics, vectorized.
+
+    Processed in ~``chunk_bits``-bit windows (round-14 advice): the
+    expansion allocates ~17 bytes of index/shift temporaries per
+    output BIT, so one restart-free multi-MB scan packed in a single
+    call would balloon to GBs of temporaries. Packing is sequential,
+    so windowing is bit-identical — each window packs its whole bytes
+    and carries the <8 leftover bits into the next; stuffing depends
+    only on the completed byte value, so it applies per window too.
+
+    Accepts lists or numpy arrays (the vectorized encode passes
+    int64 arrays straight through)."""
+    if len(vals) == 0:
         return b""
     va = np.asarray(vals, dtype=np.uint64)
     la = np.asarray(lens, dtype=np.int64)
-    total = int(la.sum())
-    item = np.repeat(np.arange(len(la)), la)
-    off = np.cumsum(la) - la
-    shift = (la[item] - 1 - (np.arange(total) - off[item])).astype(np.uint64)
-    bits = ((va[item] >> shift) & np.uint64(1)).astype(np.uint8)
-    pad = (-total) % 8
-    if pad:
-        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
-    out = np.packbits(bits)
-    ffpos = np.nonzero(out == 0xFF)[0]
-    if len(ffpos):
-        out = np.insert(out, ffpos + 1, 0)
-    return out.tobytes()
+    cum = np.cumsum(la)
+    parts: list[bytes] = []
+    rem = np.empty(0, np.uint8)  # carried partial-byte bits
+    start = 0
+    n = len(la)
+    while start < n:
+        base = int(cum[start - 1]) if start else 0
+        end = int(np.searchsorted(cum, base + chunk_bits, side="left")) + 1
+        end = min(end, n)
+        vw, lw = va[start:end], la[start:end]
+        total = int(cum[end - 1]) - base
+        item = np.repeat(np.arange(len(lw)), lw)
+        off = np.cumsum(lw) - lw
+        shift = (
+            lw[item] - 1 - (np.arange(total) - off[item])
+        ).astype(np.uint64)
+        bits = ((vw[item] >> shift) & np.uint64(1)).astype(np.uint8)
+        if len(rem):
+            bits = np.concatenate([rem, bits])
+        keep = len(bits) // 8 * 8
+        rem = bits[keep:]
+        out = np.packbits(bits[:keep])
+        ffpos = np.nonzero(out == 0xFF)[0]
+        if len(ffpos):
+            out = np.insert(out, ffpos + 1, 0)
+        parts.append(out.tobytes())
+        start = end
+    if len(rem):  # final partial byte: pad with 1s (flush semantics)
+        out = np.packbits(
+            np.concatenate([rem, np.ones((-len(rem)) % 8, np.uint8)])
+        )
+        if out[0] == 0xFF:
+            parts.append(out.tobytes() + b"\x00")
+        else:
+            parts.append(out.tobytes())
+    return b"".join(parts)
+
+
+@functools.lru_cache(maxsize=16)
+def _dense_code_tables(
+    items: tuple,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense symbol → (code, len) int64 lookup arrays for a Huffman
+    code table given as ``tuple(codes.items())``. Cached: the encoder
+    only ever uses the four Annex-K tables, and rebuilding the dense
+    form per plane (a ~260-assignment python loop) profiled as the
+    dominant per-call cost of encoding small frames. Absent symbols
+    stay 0 and are never indexed — valid streams only produce defined
+    symbols."""
+    n = max(sym for sym, _ in items) + 1
+    code_t = np.zeros(n, np.int64)
+    len_t = np.zeros(n, np.int64)
+    for sym, (code, ln) in items:
+        code_t[sym], len_t[sym] = code, ln
+    code_t.setflags(write=False)
+    len_t.setflags(write=False)
+    return code_t, len_t
 
 
 def _encode_plane_symbols(
@@ -601,13 +670,21 @@ def _encode_plane_symbols(
     dc_codes: dict,
     ac_codes: dict,
     reset_every: int,
-) -> list[tuple[list[int], list[int]]]:
-    """Per-BLOCK (values, bit-lengths) symbol lists for one component,
-    blocks emitted in ``seq`` order over the (N, 64) zigzag
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """FLAT (values, bit-lengths, per-block symbol counts) for one
+    component, blocks emitted in ``seq`` order over the (N, 64) zigzag
     coefficient array. ``reset_every`` = blocks of this component per
     restart interval (0 = no restarts); DC predictors reset there.
     The symbol/amplitude stream per block is bit-identical to
-    ``_encode_block`` on the same coefficients."""
+    ``_encode_block`` on the same coefficients.
+
+    Round 15 (guide §4.2): fully vectorized — the round-14 form kept a
+    per-nonzero python loop (run-length merge) and built one pair of
+    python lists per block (~500k list appends per MJPEG video), which
+    profiled as the encode hot spot after the DCT went batched. Runs,
+    ZRL expansions, and EOB flags are now all numpy index arithmetic;
+    the per-block grouping survives as a counts array so the MCU
+    interleave can stay vectorized too."""
     dcs = zz[seq, 0]
     nb = len(seq)
     diffs = np.diff(dcs, prepend=np.int64(0))
@@ -617,52 +694,67 @@ def _encode_plane_symbols(
         ]
     dcat = np.searchsorted(_CAT_BOUNDS, np.abs(diffs), side="right")
     damp = np.where(diffs >= 0, diffs, diffs + (np.int64(1) << dcat) - 1)
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    dc_code_t, dc_len_t = _dense_code_tables(tuple(dc_codes.items()))
+    ac_code_t, ac_len_t = _dense_code_tables(tuple(ac_codes.items()))
+    # DC symbol per block: (code<<cat)|amplitude — cat 0 has amp 0, so
+    # the formula is uniform
+    dc_vals = (dc_code_t[dcat] << dcat) | damp
+    dc_lens = dc_len_t[dcat] + dcat
+    # AC nonzeros in block-major, k-ascending order (np.nonzero is
+    # row-major) — exactly the reference walk order
     ac = zz[seq, 1:]
     bi, ki = np.nonzero(ac)
     av = ac[bi, ki]
     ki = ki + 1
     acat = np.searchsorted(_CAT_BOUNDS, np.abs(av), side="right")
     aamp = np.where(av >= 0, av, av + (np.int64(1) << acat) - 1)
-    counts = np.bincount(bi, minlength=nb)
-    ends = np.cumsum(counts)
-    dcat_l, damp_l = dcat.tolist(), damp.tolist()
-    ki_l, acat_l, aamp_l = ki.tolist(), acat.tolist(), aamp.tolist()
-    e_l = ends.tolist()
-    zrl_code, zrl_len = ac_codes[0xF0]
-    eob_code, eob_len = ac_codes[0x00]
-    out: list[tuple[list[int], list[int]]] = []
-    j = 0
-    for b in range(nb):
-        vals: list[int] = []
-        lens: list[int] = []
-        cat = dcat_l[b]
-        code, ln = dc_codes[cat]
-        if cat:
-            vals.append((code << cat) | damp_l[b])
-            lens.append(ln + cat)
-        else:
-            vals.append(code)
-            lens.append(ln)
-        prev_k = 0
-        e = e_l[b]
-        while j < e:
-            k = ki_l[j]
-            run = k - prev_k - 1
-            while run > 15:
-                vals.append(zrl_code)
-                lens.append(zrl_len)
-                run -= 16
-            cat = acat_l[j]
-            code, ln = ac_codes[(run << 4) | cat]
-            vals.append((code << cat) | aamp_l[j])
-            lens.append(ln + cat)
-            prev_k = k
-            j += 1
-        if prev_k < 63:
-            vals.append(eob_code)
-            lens.append(eob_len)
-        out.append((vals, lens))
-    return out
+    # zero-run before each nonzero: distance to the previous nonzero
+    # in the SAME block, else to the block start (k=0 is the DC slot)
+    prev_k = np.empty_like(ki)
+    if len(ki):
+        prev_k[0] = 0
+        same = bi[1:] == bi[:-1]
+        prev_k[1:] = np.where(same, ki[:-1], 0)
+    run = ki - prev_k - 1
+    n_zrl = run >> 4  # while run > 15: emit ZRL, run -= 16
+    rem = run & 15
+    seg = n_zrl + 1  # ZRLs then the (run,cat) symbol
+    ac_total = int(seg.sum())
+    ac_vals = np.full(ac_total, zrl_code, np.int64)
+    ac_lens = np.full(ac_total, zrl_len, np.int64)
+    sym_pos = np.cumsum(seg) - 1
+    sym = (rem << 4) | acat
+    ac_vals[sym_pos] = (ac_code_t[sym] << acat) | aamp
+    ac_lens[sym_pos] = ac_len_t[sym] + acat
+    # EOB per block: last nonzero short of k=63, or an all-zero block
+    last_k = np.zeros(nb, np.int64)
+    if len(ki):
+        np.maximum.at(last_k, bi, ki)  # ks ascend per block: max==last
+    eob = last_k < 63
+    # assemble: [DC][AC run...][EOB?] per block, flat
+    ac_per_block = np.bincount(bi, seg, minlength=nb).astype(np.int64)
+    cnt = 1 + ac_per_block + eob
+    starts = np.cumsum(cnt) - cnt
+    total = int(cnt.sum())
+    vals = np.empty(total, np.int64)
+    lens = np.empty(total, np.int64)
+    vals[starts] = dc_vals
+    lens[starts] = dc_lens
+    if eob.any():
+        epos = starts[eob] + cnt[eob] - 1
+        vals[epos] = eob_code
+        lens[epos] = eob_len
+    if ac_total:
+        ac_starts = np.cumsum(ac_per_block) - ac_per_block
+        idx = (
+            np.arange(ac_total)
+            + np.repeat(starts + 1 - ac_starts, ac_per_block)
+        )
+        vals[idx] = ac_vals
+        lens[idx] = ac_lens
+    return vals, lens, cnt
 
 
 def _encode_baseline_fast(
@@ -706,30 +798,60 @@ def _encode_baseline_fast(
         by = (my[:, None] * vi + sub_v[None, :]).reshape(-1)
         bx = (mx[:, None] * hi + sub_h[None, :]).reshape(-1)
         c["per_mcu"] = hi * vi
-        c["bsym"] = _encode_plane_symbols(
+        c["vals"], c["lens"], c["cnt"] = _encode_plane_symbols(
             c["zz"],
             by * nbx + bx,
             c["dc"],
             c["ac"],
             restart_interval * c["per_mcu"] if restart_interval else 0,
         )
-    # 4. interleave per MCU, pack per restart segment
+    # 4. interleave per MCU, pack per restart segment — all index
+    #    arithmetic (round 15, guide §4.2: the python per-MCU loop and
+    #    its list concatenations were the remaining encode hot spot).
+    #    Each component's symbols are already in MCU-major block
+    #    order, so interleaving is a segment permutation: per (mcu,
+    #    component) chunk lengths → output offsets via one cumsum →
+    #    scatter each component's flat array in order.
+    mcu_lens = np.stack(
+        [
+            c["cnt"].reshape(n_mcus, c["per_mcu"]).sum(axis=1)
+            for c in comp
+        ],
+        axis=1,
+    )  # (n_mcus, n_comp) symbols per chunk in output order
+    flat_seg = mcu_lens.ravel()
+    out_starts = np.cumsum(flat_seg) - flat_seg
+    total = int(flat_seg.sum())
+    vals = np.empty(total, np.int64)
+    lens = np.empty(total, np.int64)
+    for ci, c in enumerate(comp):
+        chunk = mcu_lens[:, ci]
+        c_total = int(chunk.sum())
+        if not c_total:
+            continue
+        c_starts = np.cumsum(chunk) - chunk
+        idx = (
+            np.arange(c_total)
+            + np.repeat(out_starts[ci :: len(comp)], chunk)
+            - np.repeat(c_starts, chunk)
+        )
+        vals[idx] = c["vals"]
+        lens[idx] = c["lens"]
+    if not restart_interval or n_mcus <= restart_interval:
+        return bytes(_pack_bits(vals, lens))
+    # restart markers every `restart_interval` MCUs: split the symbol
+    # stream at those MCU boundaries and pack each segment separately
+    mcu_bounds = np.cumsum(mcu_lens.sum(axis=1))
     out = bytearray()
-    vals: list[int] = []
-    lens: list[int] = []
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            out += _pack_bits(vals, lens)
-            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
-            vals, lens = [], []
-        for c in comp:
-            pm = c["per_mcu"]
-            bsym = c["bsym"]
-            for t in range(m * pm, m * pm + pm):
-                bv, bl = bsym[t]
-                vals += bv
-                lens += bl
-    out += _pack_bits(vals, lens)
+    seg_start = 0
+    for r, m in enumerate(
+        range(restart_interval, n_mcus, restart_interval)
+    ):
+        seg_end = int(mcu_bounds[m - 1])
+        out += _pack_bits(vals[seg_start:seg_end], lens[seg_start:seg_end])
+        out += bytes([0xFF, 0xD0 + (r % 8)])
+        seg_start = seg_end
+    out += _pack_bits(vals[seg_start:], lens[seg_start:])
     return bytes(out)
 
 
@@ -1221,8 +1343,18 @@ def _jpeg_pixels_checked(payload: bytes) -> np.ndarray:
         nat = np.zeros((rows_b, cols_b, 64))
         nat[..., _ZIGZAG] = zz
         deq = nat.reshape(rows_b, cols_b, 8, 8) * quant[qid_of[cid]]
-        # batched exact IDCT over every block at once
-        blocks = np.einsum("ab,rcbd,de->rcae", _DCT.T, deq, _DCT) + 128.0
+        # Batched exact IDCT over every block at once — stacked
+        # np.matmul, bit-identical to the per-block reference _idct2
+        # (same pairwise-GEMM association;
+        # tests/test_round15_perf.py pins exactly this substitution
+        # property). Round 15: this replaced a np.einsum contraction
+        # that was ~18× slower on these small stacked operands
+        # (einsum loops, matmul dispatches to BLAS); einsum's
+        # different float association never flipped a rounded uint8
+        # on the profile matrix (180-payload sweep, 0 diffs), and
+        # matmul is the MORE principled form: it matches _idct2's
+        # association exactly.
+        blocks = (_DCT.T @ deq @ _DCT) + 128.0
         p = blocks.transpose(0, 2, 1, 3).reshape(rows_b * 8, cols_b * 8)
         # crop to the component's true extent, nearest-neighbor
         # upsample to full resolution, crop to the image

@@ -127,6 +127,21 @@ def test_fast_decode_error_contract():
     except ValueError:
         ref_outcome = ("raise", None)
     assert fast_outcome[0] == ref_outcome[0]
+    # FF FF fill bytes planted mid-scan (round-14 advice): the
+    # reference _BitReader raises "unexpected marker" when it consumes
+    # one; the fast pre-pass must reject the scan too, never treat the
+    # first FF as entropy data and mis-decode.
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    scan_start = sos + 2 + int.from_bytes(good[sos + 2 : sos + 4], "big")
+    filled = good[: scan_start + 2] + b"\xff\xff" + good[scan_start + 2 :]
+    for flag in (True, False):
+        try:
+            J._FAST_SCAN = flag
+            with pytest.raises(ValueError):
+                J.jpeg_pixels(filled)
+        finally:
+            J._FAST_SCAN = True
 
 
 def test_progressive_coefs_match_baseline_walk():
